@@ -1,38 +1,135 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` is the smoke check; ``queries()`` maps every implemented
+operator from SURVEY.md §2 (+ extensions) to a (spark, sf_dir) -> DataFrame
+callable; ``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL. Column
+names/aliases are kept identical on both sides because the driver's compare
+sorts columns by name before value-hashing.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from vector_search_test_spark.io import load_table
+from vector_search_test_spark.operators.knn import knn_exact, topk_global
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (kept in one place so Spark and DuckDB stay in sync)
+# ---------------------------------------------------------------------------
+
+# squared L2 between two FLOAT[] columns in DuckDB, double math, sequential
+# sum — mirrors functions/vector.py::l2_sq exactly.
+def _l2_sq_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}), "
+        "p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE)))"
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001 (driver checks rows > 0).
+
+    Brute-force top-5 nearest neighbors of vector 0 (squared L2, the
+    reference's search semantics at app.py:65-75 with nprobe=nlist),
+    joined back to the document text (Q4 result assembly, app.py:71-75).
+    """
+    sf_dir = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first().embedding
+    topk = topk_global(emb, list(qvec), k=5)
+    return (
+        topk.join(docs, topk.vec_id == docs.doc_id)
+        .select("vec_id", "text", F.round("dist", 6).alias("dist"))
+        .orderBy("dist", "vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_knn_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/Q2: global top-k by distance for one query vector (app.py:70)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first().embedding
+    out = topk_global(emb, list(qvec), k=5)
+    return out.select("vec_id", F.round("dist", 6).alias("dist"))
+
+
+def _q_knn_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3: batched kNN — first 10 vectors query the corpus, k=3 each."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = knn_exact(queries, emb, k=3)
+    return out.select("query_id", "vec_id", F.round("dist", 6).alias("dist"))
+
+
+def _q_knn_result_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4: join hit ids back to corpus text, ordered by distance (app.py:71-75)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first().embedding
+    topk = topk_global(emb, list(qvec), k=5)
+    return (
+        topk.join(docs, topk.vec_id == docs.doc_id)
+        .select("vec_id", "text", F.round("dist", 6).alias("dist"))
+    )
+
+
+def _q_corpus_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4/I3: ntotal — count of indexed vectors (app.py:56, 244)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.agg(F.count("*").alias("ntotal"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "knn_topk_global": _q_knn_topk_global,
+        "knn_per_query": _q_knn_per_query,
+        "knn_result_assembly": _q_knn_result_assembly,
+        "corpus_counts": _q_corpus_counts,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracles (DuckDB SQL over the same parquet views)
+# ---------------------------------------------------------------------------
+
+_QVEC0 = "(SELECT embedding FROM embeddings WHERE vec_id = 0)"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    d = _l2_sq_sql("e.embedding", _QVEC0)
+    dq = _l2_sq_sql("e.embedding", "q.embedding")
+    return {
+        "knn_topk_global": f"""
+            SELECT e.vec_id, round({d}, 6) AS dist
+            FROM embeddings e
+            ORDER BY {d}, e.vec_id
+            LIMIT 5
+        """,
+        "knn_per_query": f"""
+            SELECT q.vec_id AS query_id, e.vec_id, round({dq}, 6) AS dist
+            FROM embeddings q CROSS JOIN embeddings e
+            WHERE q.vec_id < 10
+            QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY {dq}, e.vec_id) <= 3
+        """,
+        "knn_result_assembly": f"""
+            SELECT e.vec_id, dd.text, round({d}, 6) AS dist
+            FROM embeddings e JOIN documents dd ON e.vec_id = dd.doc_id
+            ORDER BY {d}, e.vec_id
+            LIMIT 5
+        """,
+        "corpus_counts": "SELECT count(*) AS ntotal FROM embeddings",
+    }

@@ -1,0 +1,55 @@
+import numpy as np
+from pyspark.sql import functions as F
+
+from vector_search_test_spark.io import load_table
+from vector_search_test_spark.operators.knn import knn_exact, topk_global
+
+
+def _numpy_knn(emb: np.ndarray, ids: np.ndarray, q: np.ndarray, k: int):
+    d = ((emb - q) ** 2).sum(axis=1)
+    order = np.lexsort((ids, d))[:k]
+    return [(int(ids[i]), float(d[i])) for i in order]
+
+
+def test_topk_global_matches_numpy(spark, sf_dir):
+    df = load_table(spark, sf_dir, "embeddings")
+    rows = df.collect()
+    ids = np.array([r.vec_id for r in rows])
+    emb = np.array([r.embedding for r in rows], dtype=np.float64)
+    q = emb[0]
+    want = _numpy_knn(emb, ids, q, 5)
+    got = [(r.vec_id, r.dist) for r in topk_global(df, list(q), k=5).collect()]
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for g, w in zip(got, want):
+        assert abs(g[1] - w[1]) < 1e-9
+
+
+def test_knn_exact_matches_numpy(spark, sf_dir):
+    df = load_table(spark, sf_dir, "embeddings")
+    rows = df.collect()
+    ids = np.array([r.vec_id for r in rows])
+    emb = np.array([r.embedding for r in rows], dtype=np.float64)
+    queries = (
+        df.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    )
+    got = knn_exact(queries, df, k=3).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append((r.vec_id, r.dist))
+    for qid in range(5):
+        want = _numpy_knn(emb, ids, emb[list(ids).index(qid)], 3)
+        assert [g[0] for g in by_q[qid]] == [w[0] for w in want]
+        # self is always the nearest neighbor at distance 0
+        assert by_q[qid][0][0] == qid and abs(by_q[qid][0][1]) < 1e-12
+
+
+def test_knn_returns_min_k_candidates(spark, sf_dir):
+    # k > ntotal: faiss pads with -1 and the reference drops them
+    # (app.py:72-73); we return min(k, n) rows (SURVEY §2.9 Q5).
+    df = load_table(spark, sf_dir, "embeddings").limit(3)
+    queries = df.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    ).limit(1)
+    got = knn_exact(queries, df, k=10).collect()
+    assert len(got) == 3

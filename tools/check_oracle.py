@@ -1,0 +1,89 @@
+"""Local replica of the driver's DuckDB-oracle comparison.
+
+Runs each __spark_entry__.queries() entry on Spark and its oracle_sql() on
+DuckDB at sf0.01, compares row count, column names, and order-insensitive
+values (rows sorted by their string form, columns sorted by name).
+
+Usage: python tools/check_oracle.py [query_name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+import __spark_entry__ as entrymod
+from vector_search_test_spark.io import TABLES
+from vector_search_test_spark.session import get_session
+
+SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.9g}"
+    if isinstance(v, list):
+        return "[" + ",".join(_norm(x) for x in v) + "]"
+    return str(v)
+
+
+def _canon(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+    return [cols[i] for i in order], out
+
+
+def main(names=None):
+    spark = get_session("oracle-check", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if names and name not in names:
+            continue
+        sdf = fn(spark, SF_DIR)
+        srows = sdf.collect()
+        scols = sdf.columns
+        if name not in oracles:
+            print(f"  {name}: NO ORACLE (rows-only) -> {len(srows)} rows")
+            continue
+        dres = con.execute(oracles[name])
+        dcols = [d[0] for d in dres.description]
+        drows = dres.fetchall()
+        sc, sv = _canon(scols, [tuple(r) for r in srows])
+        dc, dv = _canon(dcols, drows)
+        ok = True
+        if sc != dc:
+            print(f"  {name}: SCHEMA MISMATCH spark={sc} duck={dc}")
+            ok = False
+        elif len(sv) != len(dv):
+            print(f"  {name}: ROWCOUNT MISMATCH spark={len(sv)} duck={len(dv)}")
+            ok = False
+        elif sv != dv:
+            diffs = [(a, b) for a, b in zip(sv, dv) if a != b][:3]
+            print(f"  {name}: VALUE MISMATCH ({sum(1 for a,b in zip(sv,dv) if a!=b)} rows) e.g. {diffs}")
+            ok = False
+        if ok:
+            print(f"  {name}: OK ({len(sv)} rows)")
+        else:
+            failures.append(name)
+    if failures:
+        print(f"\nFAILED: {failures}")
+        sys.exit(1)
+    print("\nall queries match the oracle")
+
+
+if __name__ == "__main__":
+    main(set(sys.argv[1:]) or None)

@@ -1,0 +1,89 @@
+"""Exact (brute-force) k-nearest-neighbor operators.
+
+These are the correctness oracle for the IVF path (SURVEY §5.2) and the
+baseline for similarity search. The reference's exact equivalent is
+`index.search` with nprobe = nlist (reference app.py:65-75).
+
+Scale notes (100 TB design):
+- `topk_global` (one query, N corpus): the query is a literal folded into
+  the projection — a single map-only scan, then Catalyst's
+  TakeOrderedAndProject merges per-partition top-k heaps on the driver.
+  No shuffle at all.
+- `knn_exact` (Q queries, N corpus): broadcast the query side (queries are
+  small by construction; if not, use the IVF path), BroadcastNestedLoopJoin
+  so every corpus partition scores all queries map-side, then a per-query
+  window top-k. Spark 3.5+ inserts WindowGroupLimit, which cuts each
+  partition to k rows per query BEFORE the shuffle — the shuffle moves
+  O(Q * k * partitions) rows, not O(Q * N).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from vector_search_test_spark.functions.vector import cosine_sim, l2_sq
+
+_METRICS = {"l2_sq": l2_sq, "cosine": cosine_sim}
+
+
+def _distance(metric: str, a, b) -> tuple[Column, bool]:
+    """Returns (distance column, ascending?)."""
+    if metric == "l2_sq":
+        return l2_sq(a, b), True
+    if metric == "cosine":
+        # similarity: higher is closer
+        return cosine_sim(a, b), False
+    raise ValueError(f"unknown metric {metric!r}; expected one of {sorted(_METRICS)}")
+
+
+def topk_global(
+    corpus: DataFrame,
+    query_vec: list[float],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    metric: str = "l2_sq",
+) -> DataFrame:
+    """Top-k rows of `corpus` nearest to a single literal query vector.
+
+    Mirrors reference search_by_vector (app.py:65-75) with nprobe=nlist.
+    Returns (id_col, dist) with deterministic tie-break on id_col.
+    """
+    qlit = F.array(*[F.lit(float(x)).cast("float") for x in query_vec])
+    dist, asc = _distance(metric, qlit, F.col(vec_col))
+    scored = corpus.select(F.col(id_col), dist.alias("dist"))
+    order = [F.col("dist").asc() if asc else F.col("dist").desc(), F.col(id_col).asc()]
+    return scored.orderBy(*order).limit(k)
+
+
+def knn_exact(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    metric: str = "l2_sq",
+) -> DataFrame:
+    """Exact top-k neighbors in `corpus` for every row of `queries`.
+
+    Reference: batched self-kNN `index.search(self.embeddings, k)` at
+    app.py:85, made exact (nprobe = nlist). Output: (query_id, vec_id,
+    dist), ≤ k rows per query, deterministic tie-break on vec_id.
+    """
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("__qv")
+    )
+    dist, asc = _distance(metric, F.col("__qv"), F.col(vec_col))
+    scored = corpus.join(F.broadcast(q)).select(
+        "query_id", F.col(id_col).alias("vec_id"), dist.alias("dist")
+    )
+    order = [F.col("dist").asc() if asc else F.col("dist").desc(), F.col("vec_id").asc()]
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
