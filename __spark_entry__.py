@@ -126,10 +126,13 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY {dq}, e.vec_id) <= 3
         """,
         "knn_result_assembly": f"""
-            SELECT e.vec_id, dd.text, round({d}, 6) AS dist
-            FROM embeddings e JOIN documents dd ON e.vec_id = dd.doc_id
-            ORDER BY {d}, e.vec_id
-            LIMIT 5
+            SELECT t.vec_id, dd.text, t.dist
+            FROM (
+                SELECT e.vec_id, round({d}, 6) AS dist
+                FROM embeddings e
+                ORDER BY {d}, e.vec_id
+                LIMIT 5
+            ) t JOIN documents dd ON t.vec_id = dd.doc_id
         """,
         "corpus_counts": "SELECT count(*) AS ntotal FROM embeddings",
     }

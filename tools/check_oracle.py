@@ -48,6 +48,11 @@ def main(names=None):
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
         )
     qs = entrymod.queries()
+    if names:
+        unknown = set(names) - set(qs)
+        if unknown:
+            print(f"unknown query name(s): {sorted(unknown)}; known: {sorted(qs)}")
+            sys.exit(2)
     oracles = entrymod.oracle_sql()
     failures = []
     for name, fn in qs.items():

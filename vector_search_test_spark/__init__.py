@@ -7,7 +7,9 @@ similarity search, text analysis, multimodal columns).
 Architecture is Spark-first: DataFrame/SQL plans optimized by Catalyst,
 vector math as native columnar expressions (whole-stage codegen), IVF cell
 pruning as Parquet partition pruning, k-means via MLlib. No RDDs, no
-row-at-a-time Python UDFs on hot paths.
+row-at-a-time Python UDFs on hot paths. Implemented surface: see
+``operators/`` (knn, ivf, cluster, dedup), ``functions/`` (vector, hashing,
+embed, textstats), ``sources/`` — each module docstring states what exists.
 
 Reference behaviors are cited as `app.py:<line>` (the reference's single
 file) in docstrings throughout.

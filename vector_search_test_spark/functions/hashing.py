@@ -2,7 +2,7 @@
 
 `portable_hash48` maps a string to a 48-bit non-negative bigint by taking
 the first 12 hex chars of md5. The SAME value is computable in DuckDB SQL
-(see `__spark_entry__.hash48_sql`), which is what lets MinHash / SimHash /
+(see `hash48_sql` in this module), which is what lets MinHash / SimHash /
 fingerprint operators be oracle-checked value-for-value.
 
 At 100 TB scale you would swap this for `xxhash64` (cheaper, also a

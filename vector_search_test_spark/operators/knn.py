@@ -66,18 +66,25 @@ def knn_exact(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     metric: str = "l2_sq",
+    broadcast: bool = True,
 ) -> DataFrame:
     """Exact top-k neighbors in `corpus` for every row of `queries`.
 
     Reference: batched self-kNN `index.search(self.embeddings, k)` at
     app.py:85, made exact (nprobe = nlist). Output: (query_id, vec_id,
     dist), ≤ k rows per query, deterministic tie-break on vec_id.
+
+    `broadcast=True` assumes the query side fits in executor memory
+    (spark.sql.autoBroadcastJoinThreshold does not apply to an explicit
+    hint — an oversized query set will OOM). For a large query set pass
+    broadcast=False (plain cross join, shuffled) or use the IVF path
+    (operators/ivf.py), which prunes by cell instead of scoring all pairs.
     """
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("__qv")
     )
     dist, asc = _distance(metric, F.col("__qv"), F.col(vec_col))
-    scored = corpus.join(F.broadcast(q)).select(
+    scored = corpus.join(F.broadcast(q) if broadcast else q).select(
         "query_id", F.col(id_col).alias("vec_id"), dist.alias("dist")
     )
     order = [F.col("dist").asc() if asc else F.col("dist").desc(), F.col("vec_id").asc()]
