@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from vector_search_test_spark.io import load_table
+from vector_search_test_spark.operators.ivf import ivf_build, ivf_search, ivf_search_all
 from vector_search_test_spark.operators.knn import knn_exact, topk_global
 
 # ---------------------------------------------------------------------------
@@ -93,12 +94,52 @@ def _q_corpus_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.agg(F.count("*").alias("ntotal"))
 
 
+def _q_ivf_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I1/I2/Q2: IVF build + single-vector ANN search (app.py:47-75).
+
+    nprobe = nlist scans every cell, so the result is exact regardless of
+    where KMeans put the centroids — the oracle is plain exact top-k SQL.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = ivf_build(emb, nlist=4)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+    out = ivf_search(idx, qvec, k=5, nprobe=4)
+    return out.select("vec_id", F.round("dist", 6).alias("dist"))
+
+
+def _q_ivf_search_all_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3: batched IVF self-kNN (app.py:85) at nprobe = nlist (exact)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = ivf_build(emb, nlist=4)
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = ivf_search_all(idx, q, k=3, nprobe=4)
+    return out.select("query_id", "vec_id", F.round("dist", 6).alias("dist"))
+
+
+def _q_ivf_search_partial_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2/Q3 at nprobe < nlist — the approximate path (rows-only check:
+    which neighbors are found depends on the trained centroids, which SQL
+    cannot reproduce; recall is pinned in tests/test_ivf.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = ivf_build(emb, nlist=8)
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = ivf_search_all(idx, q, k=5, nprobe=2)
+    return out.select("query_id", "vec_id", F.round("dist", 6).alias("dist"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_topk_global": _q_knn_topk_global,
         "knn_per_query": _q_knn_per_query,
         "knn_result_assembly": _q_knn_result_assembly,
         "corpus_counts": _q_corpus_counts,
+        "ivf_search_topk": _q_ivf_search_topk,
+        "ivf_search_all_batch": _q_ivf_search_all_batch,
+        "ivf_search_partial_probe": _q_ivf_search_partial_probe,
     }
 
 
@@ -135,4 +176,19 @@ def oracle_sql() -> dict[str, str]:
             ) t JOIN documents dd ON t.vec_id = dd.doc_id
         """,
         "corpus_counts": "SELECT count(*) AS ntotal FROM embeddings",
+        # IVF at nprobe = nlist is exact: same oracle as the brute-force path.
+        "ivf_search_topk": f"""
+            SELECT e.vec_id, round({d}, 6) AS dist
+            FROM embeddings e
+            ORDER BY {d}, e.vec_id
+            LIMIT 5
+        """,
+        "ivf_search_all_batch": f"""
+            SELECT q.vec_id AS query_id, e.vec_id, round({dq}, 6) AS dist
+            FROM embeddings q CROSS JOIN embeddings e
+            WHERE q.vec_id < 10
+            QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY {dq}, e.vec_id) <= 3
+        """,
+        # ivf_search_partial_probe: intentionally no oracle (approximate
+        # result depends on trained centroids) -> driver rows-only check.
     }

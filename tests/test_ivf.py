@@ -1,0 +1,101 @@
+"""IVF index tests (SURVEY §5.2, §5.6).
+
+Exactness gate: with nprobe = nlist every inverted list is scanned, so the
+IVF path must match the brute-force oracle bit-for-bit (reference
+semantics: faiss IndexIVFFlat degenerates to exact search when all cells
+are probed, app.py:65-75). Recall at nprobe < nlist is pinned to a floor.
+"""
+
+from pyspark.sql import functions as F
+
+from vector_search_test_spark.io import load_table
+from vector_search_test_spark.operators.ivf import (
+    ivf_build,
+    ivf_load,
+    ivf_save,
+    ivf_search,
+    ivf_search_all,
+)
+from vector_search_test_spark.operators.knn import knn_exact, topk_global
+
+
+def _queries(df, n):
+    return df.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+def test_ivf_assignment_total_and_exclusive(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = ivf_build(emb, nlist=4)
+    n = emb.count()
+    assert idx.ntotal() == n
+    cells = idx.postings.groupBy("list_id").count().collect()
+    assert sum(r["count"] for r in cells) == n
+    assert all(0 <= r.list_id < 4 for r in cells)
+    # every vector lands in exactly one cell
+    assert idx.postings.select("vec_id").distinct().count() == n
+
+
+def test_ivf_search_exact_at_full_probe(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = ivf_build(emb, nlist=4)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+    got = ivf_search(idx, qvec, k=5, nprobe=4).collect()
+    want = topk_global(emb, qvec, k=5).collect()
+    assert [(r.vec_id, r.dist) for r in got] == [(r.vec_id, r.dist) for r in want]
+
+
+def test_ivf_search_all_exact_at_full_probe(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = ivf_build(emb, nlist=4)
+    q = _queries(emb, 10)
+    got = sorted(
+        (r.query_id, r.vec_id, r.dist)
+        for r in ivf_search_all(idx, q, k=3, nprobe=4).collect()
+    )
+    want = sorted(
+        (r.query_id, r.vec_id, r.dist) for r in knn_exact(q, emb, k=3).collect()
+    )
+    assert got == want
+
+
+def test_ivf_recall_at_partial_probe(spark, sf_dir):
+    """nprobe=2 of nlist=8: recall@5 must clear a pinned floor.
+
+    Approximation is part of the spec (SURVEY §2.9 Q3); the floor was
+    measured on the sf0.001 fixture (observed ~0.97) and pinned with slack.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = ivf_build(emb, nlist=8)
+    q = _queries(emb, 50)
+    approx = ivf_search_all(idx, q, k=5, nprobe=2).collect()
+    exact = knn_exact(q, emb, k=5).collect()
+    approx_sets = {}
+    exact_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    hits = sum(len(approx_sets.get(q, set()) & s) for q, s in exact_sets.items())
+    total = sum(len(s) for s in exact_sets.values())
+    assert hits / total >= 0.70
+
+
+def test_ivf_save_load_roundtrip(spark, sf_dir, tmp_path):
+    """S3/S4: persisted index returns bit-identical search results
+    (SURVEY §5.6 — the reference re-encodes on load, app.py:134-145;
+    we persist embeddings so load is pure IO)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = ivf_build(emb, nlist=4)
+    path = str(tmp_path / "ivf_index")
+    ivf_save(idx, path)
+    idx2 = ivf_load(spark, path)
+    assert idx2.nlist == 4 and idx2.ntotal() == idx.ntotal()
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 7).first().embedding]
+    before = [(r.vec_id, r.dist) for r in ivf_search(idx, qvec, k=5, nprobe=4).collect()]
+    after = [(r.vec_id, r.dist) for r in ivf_search(idx2, qvec, k=5, nprobe=4).collect()]
+    assert before == after
+    # partition pruning: the probed read should touch only nprobe partitions
+    plan = ivf_search(idx2, qvec, k=5, nprobe=2)._jdf.queryExecution().executedPlan().toString()
+    assert "list_id" in plan

@@ -1,0 +1,266 @@
+"""IVF (inverted-file) vector index — the reference's core data structure.
+
+Reference semantics (app.py:47-75): `IndexFlatL2` coarse quantizer +
+`IndexIVFFlat` — k-means picks `nlist` centroids (app.py:52 `index.train`),
+every vector is appended to its nearest centroid's inverted list
+(app.py:55 `index.add`), and a search ranks cells by query->centroid
+distance, scans the `nprobe` closest lists, and heap-selects the k nearest
+by squared L2 (app.py:69-70).
+
+Spark-first mapping (SURVEY §2.4/§2.5, §4 X1/X2):
+
+- train (I1): MLlib KMeans with a pinned seed; the centroid set is tiny
+  (nlist rows) and is kept as a driver-side list + a `centroids` table.
+- add (I2): cell assignment is an argmin over the centroid set embedded as
+  a *literal* array-of-arrays column — a single whole-stage-codegen'd
+  projection: no join, no shuffle, no Python. (For nlist beyond a few
+  thousand you would switch to a broadcast-join + min_by plan; the
+  reference caps nlist at 10, app.py:220.)
+- layout (X1): postings are written `partitionBy("list_id")`, so a probe
+  filter `list_id IN (...)` is *static partition pruning* — only
+  nprobe/nlist of the files are ever read, the Spark replay of faiss
+  scanning only the probed inverted lists.
+- search (Q2): rank cells driver-side over the tiny centroid list (same
+  O(nlist) work faiss does in the quantizer), prune postings, exact
+  squared-L2, `orderBy(dist).limit(k)` -> TakeOrderedAndProject.
+- batched search (Q3): per-query probe sets computed natively
+  (sort a zipped (dist, cell) array, slice nprobe, explode), equi-join
+  against postings on `list_id` (AQE skew-join splits hot cells), then a
+  per-query window top-k (WindowGroupLimit cuts each partition to k rows
+  per query before the shuffle).
+
+With nprobe = nlist every cell is scanned, so results match the exact
+brute-force path bit-for-bit — that is the correctness gate; recall at
+nprobe < nlist is pinned by tests (SURVEY §5.2).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from vector_search_test_spark.functions.vector import l2_sq
+
+DEFAULT_SEED = 42
+
+
+def _centroid_literal(centroids: list[list[float]]) -> Column:
+    """The centroid matrix as a literal array<array<float>> column."""
+    return F.array(
+        *[
+            F.array(*[F.lit(float(x)).cast("float") for x in c])
+            for c in centroids
+        ]
+    )
+
+
+def train_centroids(
+    corpus: DataFrame,
+    nlist: int,
+    vec_col: str = "embedding",
+    seed: int = DEFAULT_SEED,
+    max_iter: int = 20,
+) -> list[list[float]]:
+    """I1 — k-means train (reference app.py:52), via MLlib KMeans.
+
+    Returns the nlist centroids as plain Python lists (tiny: nlist x dim).
+    KMeans runs distributed (k-means|| init, per-iteration partial
+    aggregation on executors); only the centers come back to the driver.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
+    model = KMeans(k=nlist, seed=seed, maxIter=max_iter).fit(feats)
+    return [[float(x) for x in c] for c in model.clusterCenters()]
+
+
+def assign_cells(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "list_id",
+) -> DataFrame:
+    """I2 — nearest-centroid assignment (reference app.py:55 `index.add`).
+
+    Pure projection: distances to all centroids via a literal array, argmin
+    via array_position(array_min). Whole-stage codegen, zero shuffle.
+    """
+    cents = _centroid_literal(centroids)
+    dists = F.transform(cents, lambda c: l2_sq(c, F.col(vec_col)))
+    cell = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    return df.withColumn(out_col, cell)
+
+
+def probe_cells(
+    queries: DataFrame,
+    centroids: list[list[float]],
+    nprobe: int,
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Per-query probe set: the nprobe cells nearest each query vector.
+
+    Native plan: zip (distance, cell_id), array_sort (sorts by distance,
+    ties by cell id), slice nprobe, explode -> one (query row, list_id) per
+    probed cell. Mirrors faiss's quantizer ranking at app.py:69-70.
+    """
+    nlist = len(centroids)
+    nprobe = max(1, min(nprobe, nlist))
+    cents = _centroid_literal(centroids)
+    dists = F.transform(cents, lambda c: l2_sq(c, F.col(query_vec_col)))
+    cells = F.sequence(F.lit(0), F.lit(nlist - 1))
+    ranked = F.array_sort(
+        F.zip_with(dists, cells, lambda d, i: F.struct(d.alias("d"), i.alias("i")))
+    )
+    probes = F.transform(F.slice(ranked, 1, nprobe), lambda s: s["i"].cast("int"))
+    return queries.withColumn("list_id", F.explode(probes))
+
+
+@dataclass
+class IvfIndex:
+    """Handle to a built IVF index.
+
+    centroids: driver-side list (nlist x dim — tiny by construction);
+    postings: DataFrame(list_id int, vec_id long, embedding array<float>),
+    partition-pruned on list_id when loaded from a saved index.
+    """
+
+    centroids: list[list[float]]
+    postings: DataFrame
+
+    @property
+    def nlist(self) -> int:
+        return len(self.centroids)
+
+    def ntotal(self) -> int:
+        """I3 — count of indexed vectors (app.py:56)."""
+        return self.postings.count()
+
+
+def ivf_build(
+    corpus: DataFrame,
+    nlist: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = DEFAULT_SEED,
+    max_iter: int = 20,
+) -> IvfIndex:
+    """Train + add (reference app.py:47-56). Returns an in-memory index.
+
+    The postings DataFrame is lazy; persist with `ivf_save` to get the
+    partitioned-parquet layout (and partition pruning on search).
+    """
+    cents = train_centroids(corpus, nlist, vec_col=vec_col, seed=seed, max_iter=max_iter)
+    postings = assign_cells(
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")),
+        cents,
+        vec_col="embedding",
+    ).select("list_id", "vec_id", "embedding")
+    return IvfIndex(centroids=cents, postings=postings)
+
+
+def ivf_save(index: IvfIndex, path: str, corpus: DataFrame | None = None) -> None:
+    """S3 — index sink (reference app.py:116-123 `faiss.write_index` + pickle).
+
+    Layout: `<path>/centroids/` (tiny parquet), `<path>/postings/`
+    partitioned by list_id (the IVF inverted lists as directories),
+    optional `<path>/corpus/` (id -> text). Unlike the reference — which
+    drops embeddings on save and re-encodes on load (app.py:134-145) —
+    embeddings persist; load is pure IO (deliberate fix, SURVEY §2.1 S4).
+    """
+    spark = index.postings.sparkSession
+    rows = [(i, c) for i, c in enumerate(index.centroids)]
+    spark.createDataFrame(rows, "list_id int, centroid array<float>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    index.postings.write.mode("overwrite").partitionBy("list_id").parquet(
+        os.path.join(path, "postings")
+    )
+    if corpus is not None:
+        corpus.write.mode("overwrite").parquet(os.path.join(path, "corpus"))
+
+
+def ivf_load(spark: SparkSession, path: str) -> IvfIndex:
+    """S4 — index source (reference app.py:125-147, minus the re-encode)."""
+    cent_rows = (
+        spark.read.parquet(os.path.join(path, "centroids"))
+        .orderBy("list_id")
+        .collect()
+    )
+    cents = [[float(x) for x in r.centroid] for r in cent_rows]
+    postings = spark.read.parquet(os.path.join(path, "postings")).select(
+        F.col("list_id").cast("int").alias("list_id"), "vec_id", "embedding"
+    )
+    return IvfIndex(centroids=cents, postings=postings)
+
+
+def ivf_search(
+    index: IvfIndex,
+    query_vec: list[float],
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Q2 — single-vector ANN search (reference app.py:65-75).
+
+    Probe ranking is done on the driver over the tiny centroid list (the
+    same O(nlist) scalar work faiss's quantizer does); the resulting
+    `list_id IN (...)` filter is static partition pruning against a saved
+    index. Then exact squared-L2 over the probed lists and a global
+    top-k (TakeOrderedAndProject — per-partition heaps, no shuffle).
+    Returns (vec_id, dist), ascending, ties broken on vec_id.
+    """
+    nprobe = max(1, min(nprobe, index.nlist))
+    scored = [
+        (sum((float(a) - float(b)) ** 2 for a, b in zip(c, query_vec)), i)
+        for i, c in enumerate(index.centroids)
+    ]
+    probe_ids = [i for _, i in sorted(scored)[:nprobe]]
+    qlit = F.array(*[F.lit(float(x)).cast("float") for x in query_vec])
+    return (
+        index.postings.filter(F.col("list_id").isin(probe_ids))
+        .select("vec_id", l2_sq(qlit, F.col("embedding")).alias("dist"))
+        .orderBy(F.col("dist").asc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+def ivf_search_all(
+    index: IvfIndex,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Q3 — batched ANN search (reference app.py:85 `index.search(all, k)`).
+
+    Plan: per-query probe sets (native array ops, no shuffle) -> equi-join
+    with postings on list_id (the only shuffle; AQE splits skewed cells)
+    -> exact distance -> per-query window top-k (WindowGroupLimit prunes
+    to k rows per query per partition before the final shuffle).
+
+    Scale note: compute is O(sum over probed cells) not O(Q*N) — the
+    IVF pruning is what makes this survive 100 TB, unlike knn_exact.
+    Returns (query_id, vec_id, dist), <= k rows per query.
+    """
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("query_vec"),
+    )
+    probed = probe_cells(q, index.centroids, nprobe, query_vec_col="query_vec")
+    scored = probed.join(index.postings, "list_id").select(
+        "query_id",
+        "vec_id",
+        l2_sq(F.col("query_vec"), F.col("embedding")).alias("dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
