@@ -19,6 +19,11 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from vector_search_test_spark.io import load_table
+from vector_search_test_spark.operators.cluster import (
+    clusters_by_size,
+    similarity_clusters,
+    unassigned,
+)
 from vector_search_test_spark.operators.ivf import ivf_build, ivf_search, ivf_search_all
 from vector_search_test_spark.operators.knn import knn_exact, topk_global
 
@@ -131,6 +136,47 @@ def _q_ivf_search_partial_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "vec_id", F.round("dist", 6).alias("dist"))
 
 
+# Clustering config shared by the Spark queries and the DuckDB oracle.
+# theta=1.2 gives a non-degenerate partition on the fixtures (multi-member
+# clusters AND singletons); nprobe=nlist makes the kNN graph exact so the
+# trained centroids cannot affect the result (SURVEY §2.9 Q3).
+_CLUSTER_THETA = 1.2
+_CLUSTER_K = 10
+
+
+def _cluster_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return docs.join(emb, docs.doc_id == emb.vec_id).select(
+        F.col("doc_id").alias("id"), "text", "embedding"
+    )
+
+
+def _q_similarity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1-G5: the reference's second headline feature end-to-end
+    (find_similarity_clusters, app.py:77-114): self-kNN graph -> threshold
+    edges -> connected components -> numbering with singleton -1."""
+    return similarity_clusters(
+        _cluster_corpus(spark, sf_dir), threshold=_CLUSTER_THETA, k=_CLUSTER_K, nlist=4
+    )
+
+
+def _q_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2/O3/G4: cluster sizes, descending (app.py:288-299)."""
+    out = similarity_clusters(
+        _cluster_corpus(spark, sf_dir), threshold=_CLUSTER_THETA, k=_CLUSTER_K, nlist=4
+    )
+    return clusters_by_size(out)
+
+
+def _q_unassigned_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6/O4: texts left unclustered (cluster_id = -1, app.py:306-308)."""
+    out = similarity_clusters(
+        _cluster_corpus(spark, sf_dir), threshold=_CLUSTER_THETA, k=_CLUSTER_K, nlist=4
+    )
+    return unassigned(out).agg(F.count("*").alias("n_unassigned"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_topk_global": _q_knn_topk_global,
@@ -140,6 +186,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_search_topk": _q_ivf_search_topk,
         "ivf_search_all_batch": _q_ivf_search_all_batch,
         "ivf_search_partial_probe": _q_ivf_search_partial_probe,
+        "similarity_clusters": _q_similarity_clusters,
+        "cluster_sizes": _q_cluster_sizes,
+        "unassigned_count": _q_unassigned_count,
     }
 
 
@@ -148,6 +197,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 _QVEC0 = "(SELECT embedding FROM embeddings WHERE vec_id = 0)"
+
+
+def _cluster_cte() -> str:
+    """The full clustering pipeline as a recursive CTE — the DuckDB twin of
+    similarity_clusters (exact graph): text-dedup boundary (G5), self-kNN
+    k=10 incl. self (Q3), i!=j & dist<theta edges (G1), min-label
+    reachability as WITH RECURSIVE (G2), dense-rank numbering with
+    singleton -1 (G3)."""
+    dq = _l2_sq_sql("q.embedding", "e.embedding")
+    return f"""
+        WITH RECURSIVE
+        corpus AS (
+            SELECT min(doc_id) AS id, text FROM documents GROUP BY text
+        ),
+        vec AS (
+            SELECT c.id, c.text, em.embedding
+            FROM corpus c JOIN embeddings em ON c.id = em.vec_id
+        ),
+        knn AS (
+            SELECT q.id AS src, e.id AS dst, {dq} AS dist
+            FROM vec q CROSS JOIN vec e
+            QUALIFY row_number() OVER (PARTITION BY q.id ORDER BY {dq}, e.id)
+                <= {_CLUSTER_K}
+        ),
+        e0 AS (
+            SELECT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM knn WHERE src <> dst AND dist < {_CLUSTER_THETA}
+            GROUP BY 1, 2
+        ),
+        edges AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
+        walk(id, label) AS (
+            SELECT id, id FROM vec
+            UNION
+            SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.id
+        ),
+        comp AS (SELECT id, min(label) AS component FROM walk GROUP BY id),
+        sizes AS (SELECT component, count(*) AS sz FROM comp GROUP BY component),
+        multi AS (
+            SELECT component,
+                   dense_rank() OVER (ORDER BY component) - 1 AS cluster_id
+            FROM sizes WHERE sz > 1
+        ),
+        assignment AS (
+            SELECT v.text, CAST(coalesce(m.cluster_id, -1) AS BIGINT) AS cluster_id
+            FROM comp c
+            JOIN vec v ON c.id = v.id
+            LEFT JOIN multi m ON c.component = m.component
+        )
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -191,4 +289,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         # ivf_search_partial_probe: intentionally no oracle (approximate
         # result depends on trained centroids) -> driver rows-only check.
+        "similarity_clusters": _cluster_cte()
+        + "SELECT text, cluster_id FROM assignment",
+        "cluster_sizes": _cluster_cte()
+        + """
+            SELECT cluster_id, count(*) AS size
+            FROM assignment WHERE cluster_id >= 0
+            GROUP BY cluster_id
+        """,
+        "unassigned_count": _cluster_cte()
+        + "SELECT count(*) AS n_unassigned FROM assignment WHERE cluster_id = -1",
     }

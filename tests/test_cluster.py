@@ -1,0 +1,137 @@
+"""Similarity-clustering tests (SURVEY §5.3/§5.4).
+
+Cluster correctness is partition-invariant where stated (compare who is
+grouped with whom), but ids themselves are also deterministic here
+(dense rank over component min-id, SURVEY §2.9 Q6), so direct comparison
+against a numpy/BFS oracle is stable.
+"""
+
+import collections
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from vector_search_test_spark.io import load_table
+from vector_search_test_spark.operators.cluster import (
+    connected_components,
+    dedupe_by_text,
+    number_clusters,
+    similarity_clusters,
+    similarity_edges,
+    unassigned,
+)
+
+THETA = 1.2
+
+
+def _bfs_clusters(emb: np.ndarray, ids: np.ndarray, k: int, theta: float):
+    """Reference-semantics oracle: self-kNN(k incl. self) -> i!=j & d<theta
+    edges -> connected components -> multi-member numbered by min id,
+    singletons -1 (app.py:77-110)."""
+    n = len(ids)
+    d = ((emb[:, None, :] - emb[None, :, :]) ** 2).sum(-1)
+    adj = collections.defaultdict(set)
+    for i in range(n):
+        order = np.lexsort((ids, d[i]))[:k]
+        for j in order:
+            if i != j and d[i, j] < theta:
+                adj[ids[i]].add(ids[j])
+                adj[ids[j]].add(ids[i])
+    seen, comps = set(), {}
+    for start in sorted(ids):
+        if start in seen:
+            continue
+        q, comp = collections.deque([start]), []
+        seen.add(start)
+        while q:
+            x = q.popleft()
+            comp.append(x)
+            for y in adj[x]:
+                if y not in seen:
+                    seen.add(y)
+                    q.append(y)
+        comps[min(comp)] = sorted(comp)
+    cluster_of = {}
+    next_id = 0
+    for rep in sorted(comps):
+        members = comps[rep]
+        if len(members) > 1:
+            for m in members:
+                cluster_of[m] = next_id
+            next_id += 1
+        else:
+            cluster_of[members[0]] = -1
+    return cluster_of
+
+
+def test_connected_components_hand_graph(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(7)], "id long")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4), (5, 5)], "src long, dst long"
+    )
+    got = {r.id: r.component for r in connected_components(nodes, edges).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 5, 6: 6}
+
+
+def test_number_clusters_singletons_minus_one(spark):
+    comp = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 2), (3, 3), (4, 3), (5, 5)], "id long, component long"
+    )
+    got = {r.id: r.cluster_id for r in number_clusters(comp).collect()}
+    # components {0,1} and {3,4} are multi-member -> 0 and 1 by min-id order
+    assert got == {0: 0, 1: 0, 2: -1, 3: 1, 4: 1, 5: -1}
+
+
+def test_dedupe_by_text_collapses_duplicates(spark):
+    df = spark.createDataFrame(
+        [(0, "a", [1.0]), (1, "b", [2.0]), (2, "a", [9.0])],
+        "id long, text string, embedding array<float>",
+    )
+    got = sorted((r.id, r.text) for r in dedupe_by_text(df).collect())
+    assert got == [(0, "a"), (1, "b")]
+    # keeps the min-id row's payload
+    a = {r.text: r.embedding for r in dedupe_by_text(df).collect()}
+    assert a["a"] == [1.0]
+
+
+def test_theta_zero_all_unassigned(spark, sf_dir):
+    """Property (SURVEY §5.4): theta=0 -> no edges -> every text -1."""
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = docs.join(emb, docs.doc_id == emb.vec_id).select(
+        F.col("doc_id").alias("id"), "text", "embedding"
+    )
+    out = similarity_clusters(corpus, threshold=0.0, nlist=2)
+    assert out.count() == 50
+    assert unassigned(out).count() == 50
+
+
+def test_similarity_clusters_matches_bfs_oracle(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = docs.join(emb, docs.doc_id == emb.vec_id).select(
+        F.col("doc_id").alias("id"), "text", "embedding"
+    )
+    out = similarity_clusters(corpus, threshold=THETA, k=10, nlist=4)
+
+    rows = emb.collect()
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    want = _bfs_clusters(mat, ids, k=10, theta=THETA)
+    text_of = {r.doc_id: r.text for r in docs.collect()}
+    want_by_text = {text_of[i]: c for i, c in want.items()}
+
+    got = {r.text: r.cluster_id for r in out.collect()}
+    assert got == want_by_text
+    assert any(v >= 0 for v in got.values()) and any(v == -1 for v in got.values())
+
+
+def test_edges_symmetric_canonical(spark):
+    knn = spark.createDataFrame(
+        [(0, 1, 0.5), (1, 0, 0.5), (0, 0, 0.0), (2, 3, 2.0)],
+        "query_id long, vec_id long, dist double",
+    )
+    got = sorted((r.src, r.dst) for r in similarity_edges(knn, 1.0).collect())
+    # self-loop dropped, both orientations collapse to one canonical row,
+    # dist >= theta dropped
+    assert got == [(0, 1)]

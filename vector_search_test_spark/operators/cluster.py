@@ -1,0 +1,201 @@
+"""Similarity clustering (reference app.py:77-114, SURVEY §2.6).
+
+Reference pipeline: batched self-kNN (`index.search(self.embeddings, 10)`,
+app.py:85) -> edge (i, j) iff `i != j and dist < threshold` (app.py:93)
+-> undirected graph keyed by sentence *text* (duplicates collapse,
+app.py:88-89) -> `nx.connected_components` (app.py:96) -> components with
+>1 member numbered 0..m-1, everything else cluster_id = -1 (app.py:98-110)
+-> (sentence, cluster_id) export (app.py:112).
+
+Spark-first mapping:
+
+- edges (G1): filters P4 (`src != dst`) + P5 (`dist < theta`) over the kNN
+  result, canonicalized to (least, greatest) + dropDuplicates — one row
+  per undirected edge, which halves the state the CC loop carries.
+- connected components (G2): iterative min-label propagation — each round
+  every node takes min(own label, neighbors' labels); fixpoint after
+  O(graph diameter) rounds. Each round is one shuffle (groupBy id);
+  `localCheckpoint()` truncates the lineage so round N's plan does not
+  re-execute rounds 1..N-1 (SURVEY §4 hazards). Convergence is detected
+  by the sum of labels (strictly decreasing until fixpoint — one cheap
+  agg, no extra join). For graphs with large diameter at 100 TB scale the
+  large-star/small-star alternation (Kiveris et al., SoCC'14) converges in
+  O(log n) rounds with the same per-round primitives; similarity graphs
+  from thresholded kNN have small diameter, so min-propagation is the
+  simpler right default.
+- numbering (G3): component sizes via groupBy, multi-member components
+  dense-ranked by their min-id label (deterministic — replaces nx's
+  set-iteration order, SURVEY §2.9 Q6), singletons -> -1. The rank window
+  is global but runs over one row per multi-member component (small by
+  construction); the big table only joins against that broadcast result.
+- text-keyed dedup boundary (G5): `dedupe_by_text` collapses duplicate
+  texts to their min-id occurrence BEFORE the graph is built, reproducing
+  the reference's node-keyed-by-text semantics (SURVEY §2.9 Q1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def similarity_edges(
+    knn: DataFrame,
+    threshold: float,
+    query_col: str = "query_id",
+    id_col: str = "vec_id",
+    dist_col: str = "dist",
+) -> DataFrame:
+    """G1 — edge build from a kNN result (app.py:87-94).
+
+    Applies P4 (self-match filter, `i != j`) and P5 (threshold predicate,
+    `dist < theta`, strict — app.py:93) and canonicalizes each undirected
+    edge to (src=min, dst=max), deduplicated.
+    """
+    e = knn.filter(
+        (F.col(query_col) != F.col(id_col)) & (F.col(dist_col) < F.lit(threshold))
+    )
+    return e.select(
+        F.least(query_col, id_col).alias("src"),
+        F.greatest(query_col, id_col).alias("dst"),
+    ).dropDuplicates()
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """G2 — connected components, pure DataFrame (app.py:96).
+
+    nodes: one row per node (``id_col``); edges: (src, dst), undirected
+    (either orientation). Returns (id, component) where component = min
+    node id in the component.
+    """
+    sym = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = nodes.select(
+        F.col(id_col).cast("long").alias("id"), F.col(id_col).cast("long").alias("label")
+    ).localCheckpoint()
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(nbr, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.withColumnRenamed("label", "component")
+
+
+def number_clusters(components: DataFrame, id_col: str = "id") -> DataFrame:
+    """G3 — multi-member components get 0..m-1 (ranked by min-id label),
+    singletons get -1 (app.py:98-110, determinized per SURVEY §2.9 Q6).
+
+    Returns (id, cluster_id).
+    """
+    sizes = components.groupBy("component").agg(F.count("*").alias("sz"))
+    multi = sizes.filter(F.col("sz") > 1).select(
+        "component",
+        (F.dense_rank().over(Window.orderBy("component")) - 1).alias("cluster_id"),
+    )
+    return components.join(F.broadcast(multi), "component", "left").select(
+        F.col(id_col),
+        F.coalesce("cluster_id", F.lit(-1)).cast("long").alias("cluster_id"),
+    )
+
+
+def dedupe_by_text(
+    corpus: DataFrame, id_col: str = "id", text_col: str = "text"
+) -> DataFrame:
+    """G5 — text-keyed collapse boundary (SURVEY §2.9 Q1).
+
+    Duplicate texts become one row, keeping the minimum id's row (min_by is
+    a map-side-combinable agg — one shuffle on text, no window sort).
+    """
+    others = [c for c in corpus.columns if c not in (id_col, text_col)]
+    aggs = [F.min(id_col).alias(id_col)] + [
+        F.min_by(c, F.col(id_col)).alias(c) for c in others
+    ]
+    return corpus.groupBy(text_col).agg(*aggs).select(corpus.columns)
+
+
+def cluster_members(assignments: DataFrame, text_col: str = "text") -> DataFrame:
+    """G4 — membership lists per cluster (app.py:101-103; display-only:
+    collect_list never belongs on a 100 TB path, SURVEY §4)."""
+    return (
+        assignments.filter(F.col("cluster_id") >= 0)
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("size"),
+            F.sort_array(F.collect_list(text_col)).alias("members"),
+        )
+    )
+
+
+def clusters_by_size(assignments: DataFrame, cap_over: int = 500, cap_to: int = 100) -> DataFrame:
+    """O2 + O3 — cluster sizes sorted desc (app.py:288), display-capped to
+    `cap_to` when there are more than `cap_over` clusters (app.py:293-295)."""
+    sizes = (
+        assignments.filter(F.col("cluster_id") >= 0)
+        .groupBy("cluster_id")
+        .agg(F.count("*").alias("size"))
+        .orderBy(F.desc("size"), F.asc("cluster_id"))
+    )
+    n_clusters = sizes.count()
+    return sizes.limit(cap_to) if n_clusters > cap_over else sizes
+
+
+def unassigned(assignments: DataFrame) -> DataFrame:
+    """P6 — the cluster_id = -1 rows (app.py:306)."""
+    return assignments.filter(F.col("cluster_id") == -1)
+
+
+def similarity_clusters(
+    corpus: DataFrame,
+    threshold: float = 0.75,
+    k: int = 10,
+    nlist: int = 4,
+    nprobe: int | None = None,
+    id_col: str = "id",
+    text_col: str = "text",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """End-to-end `find_similarity_clusters` (reference app.py:77-114).
+
+    corpus: (id, text, embedding). nprobe=None probes all cells (exact
+    graph — the deterministic oracle configuration, SURVEY §2.9 Q3);
+    the reference's own defaults are k=10, nprobe=2 (approximate).
+    Returns (text, cluster_id): one row per distinct text.
+    """
+    from vector_search_test_spark.operators.ivf import ivf_build, ivf_search_all
+
+    deduped = dedupe_by_text(corpus, id_col=id_col, text_col=text_col)
+    idx = ivf_build(deduped, nlist=nlist, id_col=id_col, vec_col=vec_col, seed=seed)
+    queries = deduped.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    knn = ivf_search_all(
+        idx, queries, k=k, nprobe=nprobe if nprobe is not None else nlist
+    )
+    edges = similarity_edges(knn, threshold)
+    nodes = deduped.select(F.col(id_col).alias("id"))
+    comp = connected_components(nodes, edges)
+    assign = number_clusters(comp)
+    return assign.join(
+        deduped.select(F.col(id_col).alias("id"), F.col(text_col)), "id"
+    ).select(text_col, "cluster_id")
