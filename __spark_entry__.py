@@ -177,6 +177,19 @@ def _q_unassigned_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unassigned(out).agg(F.count("*").alias("n_unassigned"))
 
 
+def _q_text_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/Q1: the text path end-to-end (app.py:58-63) — hash-embed the
+    corpus, build an IVF index, embed the query text, ANN search.
+    Rows-only check: the hash-embedding space is not SQL-expressible."""
+    from vector_search_test_spark.operators.search import build_text_index, search_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = build_text_index(docs, nlist=2)
+    probe = docs.filter(F.col("doc_id") == 0).first().text
+    out = search_text(idx, probe, k=5, nprobe=2)
+    return out.select("vec_id", F.round("dist", 6).alias("dist"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_topk_global": _q_knn_topk_global,
@@ -189,6 +202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_clusters": _q_similarity_clusters,
         "cluster_sizes": _q_cluster_sizes,
         "unassigned_count": _q_unassigned_count,
+        "text_query_topk": _q_text_query_topk,
     }
 
 

@@ -33,27 +33,54 @@ DEFAULT_DIM = 64
 
 
 class HashingEmbedder:
-    """Deterministic feature-hash embedder: tokens -> signed buckets -> unit vector."""
+    """Deterministic feature-hash embedder: tokens -> signed buckets -> unit vector.
+
+    Batch encode is vectorized: md5 runs once per *unique* token in the
+    batch (a token cache also persists across batches within an executor),
+    then a single numpy scatter-add builds the whole matrix — no per-row
+    Python in the Arrow batch loop.
+    """
 
     def __init__(self, dim: int = DEFAULT_DIM):
         self.dim = dim
+        self._tok_cache: dict[str, tuple[int, float]] = {}
+
+    def _bucket_sign(self, tok: str) -> tuple[int, float]:
+        got = self._tok_cache.get(tok)
+        if got is None:
+            h = hashlib.md5(tok.encode("utf-8")).digest()
+            got = (
+                int.from_bytes(h[:4], "big") % self.dim,
+                1.0 if h[4] % 2 == 0 else -1.0,
+            )
+            self._tok_cache[tok] = got
+        return got
 
     def encode_one(self, text: str) -> np.ndarray:
-        v = np.zeros(self.dim, dtype=np.float64)
-        for tok in text.lower().split():
-            h = hashlib.md5(tok.encode("utf-8")).digest()
-            bucket = int.from_bytes(h[:4], "big") % self.dim
-            sign = 1.0 if h[4] % 2 == 0 else -1.0
-            v[bucket] += sign
-        n = np.linalg.norm(v)
-        if n > 0:
-            v /= n
-        return v.astype(np.float32)
+        return self.encode([text])[0]
 
     def encode(self, texts: list[str]) -> np.ndarray:
         if not texts:
             return np.zeros((0, self.dim), dtype=np.float32)
-        return np.vstack([self.encode_one(t) for t in texts])
+        doc_idx: list[int] = []
+        buckets: list[int] = []
+        signs: list[float] = []
+        for i, t in enumerate(texts):
+            for tok in t.lower().split():
+                b, s = self._bucket_sign(tok)
+                doc_idx.append(i)
+                buckets.append(b)
+                signs.append(s)
+        mat = np.zeros((len(texts), self.dim), dtype=np.float64)
+        if doc_idx:
+            np.add.at(
+                mat,
+                (np.asarray(doc_idx), np.asarray(buckets)),
+                np.asarray(signs),
+            )
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        np.divide(mat, norms, out=mat, where=norms > 0)
+        return mat.astype(np.float32)
 
 
 def embed_text(
