@@ -177,6 +177,59 @@ def _q_unassigned_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unassigned(out).agg(F.count("*").alias("n_unassigned"))
 
 
+# ---------------------------------------------------------------------------
+# dedup suite (LLM-pipeline ops; operators/dedup.py)
+# ---------------------------------------------------------------------------
+
+
+def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents unioned with itself at shifted ids — the FIXTURES.md
+    'duplicate corpus' (every text occurs exactly twice)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.union(docs.withColumn("doc_id", F.col("doc_id") + 10000))
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_search_test_spark.operators.dedup import dedup_exact
+
+    return dedup_exact(_dup_corpus(spark, sf_dir))
+
+
+def _q_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs (bucketed banding join); the oracle is
+    the all-pairs form of the same deterministic hash family."""
+    from vector_search_test_spark.operators.dedup import neardup_minhash
+
+    docs = load_table(spark, sf_dir, "documents")
+    return neardup_minhash(docs, threshold=0.9)
+
+
+def _q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_search_test_spark.operators.dedup import simhash
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash("text", 32).alias("fp"))
+
+
+def _q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-banded SimHash pairs at hamming <= 2. Oracle: all-pairs
+    bit_count(xor) <= 2 — identical result set because hamming <= 2 < 4
+    chunks guarantees a shared chunk (pigeonhole)."""
+    from vector_search_test_spark.operators.dedup import simhash_near_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_pairs(docs, bits=32, max_hamming=2, num_chunks=4)
+
+
+def _q_neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup over ANN candidates (nprobe = nlist ->
+    exact candidate set, SQL-reproducible)."""
+    from vector_search_test_spark.operators.dedup import neardup_embedding
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return neardup_embedding(emb, threshold=0.4, k=20, nlist=4)
+
+
 def _q_text_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1/Q1: the text path end-to-end (app.py:58-63) — hash-embed the
     corpus, build an IVF index, embed the query text, ANN search.
@@ -203,6 +256,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_sizes": _q_cluster_sizes,
         "unassigned_count": _q_unassigned_count,
         "text_query_topk": _q_text_query_topk,
+        "dedup_exact": _q_dedup_exact,
+        "neardup_minhash": _q_neardup_minhash,
+        "simhash_fingerprints": _q_simhash_fingerprints,
+        "simhash_near_pairs": _q_simhash_near_pairs,
+        "neardup_embedding": _q_neardup_embedding,
     }
 
 
@@ -211,6 +269,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 _QVEC0 = "(SELECT embedding FROM embeddings WHERE vec_id = 0)"
+
+
+def _cos_sql(a: str, b: str) -> str:
+    """Cosine similarity in DuckDB, double math — mirrors
+    functions/vector.py::cosine_sim exactly."""
+    dot = f"list_sum(list_transform(list_zip({a}, {b}), p -> p[1]::DOUBLE * p[2]::DOUBLE))"
+    na = f"sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE)))"
+    nb = f"sqrt(list_sum(list_transform({b}, x -> x::DOUBLE * x::DOUBLE)))"
+    return f"({dot} / ({na} * {nb}))"
+
+
+def _minhash_oracle_sql() -> str:
+    """DuckDB twin of neardup_minhash (n=3, H=16, 4x4 banding, theta=0.9).
+
+    Same hash family (hash48_sql = portable_hash48), same band keys; the
+    candidate join is all-pairs-free here too, so the twin validates the
+    banding itself, not just the verify step.
+    """
+    from vector_search_test_spark.functions.hashing import hash48_sql
+    from vector_search_test_spark.operators.dedup import shingles_sql
+
+    mins = ",\n                ".join(
+        f"list_min(list_transform(sh, s -> {hash48_sql('s', salt=i)})) AS m{i}"
+        for i in range(16)
+    )
+    bands = "\n            UNION ALL ".join(
+        f"SELECT id, {b} AS band_id, concat_ws('-', m{4*b}, m{4*b+1}, m{4*b+2}, m{4*b+3}) AS band_key FROM sig"
+        for b in range(4)
+    )
+    jac = (
+        "len(list_intersect(sa.sh, sb.sh))::DOUBLE"
+        " / len(list_distinct(sa.sh || sb.sh))"
+    )
+    return f"""
+        WITH sh AS (
+            SELECT doc_id AS id, {shingles_sql('text', 3)} AS sh FROM documents
+        ),
+        sig AS (
+            SELECT id, sh,
+                {mins}
+            FROM sh
+        ),
+        band AS (
+            {bands}
+        ),
+        cand AS (
+            SELECT DISTINCT x.id AS a, y.id AS b
+            FROM band x
+            JOIN band y
+              ON x.band_id = y.band_id AND x.band_key = y.band_key
+             AND x.id < y.id
+        )
+        SELECT c.a, c.b, round({jac}, 6) AS jaccard
+        FROM cand c
+        JOIN sh sa ON c.a = sa.id
+        JOIN sh sb ON c.b = sb.id
+        WHERE {jac} >= 0.9
+    """
 
 
 def _cluster_cte() -> str:
@@ -259,6 +375,67 @@ def _cluster_cte() -> str:
             JOIN vec v ON c.id = v.id
             LEFT JOIN multi m ON c.component = m.component
         )
+    """
+
+
+def _dedup_exact_oracle_sql() -> str:
+    from vector_search_test_spark.functions.hashing import hash48_sql
+
+    h = hash48_sql("trim(lower(text))")
+    return f"""
+        WITH dup AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 10000 AS doc_id, text FROM documents
+        )
+        SELECT min(doc_id) AS rep_id, count(*) AS n_dupes, {h} AS text_hash
+        FROM dup
+        GROUP BY trim(lower(text))
+    """
+
+
+def _simhash_fp_oracle_sql() -> str:
+    from vector_search_test_spark.operators.dedup import simhash_sql
+
+    return f"SELECT doc_id, {simhash_sql('text', 32)} AS fp FROM documents"
+
+
+def _simhash_pairs_oracle_sql() -> str:
+    """All-pairs hamming <= 2 — identical to the chunk-banded engine
+    result because hamming <= 2 < 4 chunks implies a shared chunk."""
+    from vector_search_test_spark.operators.dedup import simhash_sql
+
+    return f"""
+        WITH fp AS (
+            SELECT doc_id AS id, {simhash_sql('text', 32)} AS fp FROM documents
+        )
+        SELECT x.id AS a, y.id AS b,
+               CAST(bit_count(xor(x.fp, y.fp)) AS BIGINT) AS hamming
+        FROM fp x JOIN fp y ON x.id < y.id
+        WHERE bit_count(xor(x.fp, y.fp)) <= 2
+    """
+
+
+def _neardup_embedding_oracle_sql() -> str:
+    """Twin of neardup_embedding at nprobe=nlist: candidates are exactly
+    {(a,b): a<b, b in top-20 of a by squared L2 (self included, ties by
+    id)}, then the cosine filter."""
+    dq = _l2_sq_sql("q.embedding", "e.embedding")
+    cos = _cos_sql("ea.embedding", "eb.embedding")
+    return f"""
+        WITH knn AS (
+            SELECT q.vec_id AS src, e.vec_id AS dst
+            FROM embeddings q CROSS JOIN embeddings e
+            QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY {dq}, e.vec_id) <= 20
+        ),
+        cand AS (
+            SELECT DISTINCT src AS a, dst AS b FROM knn WHERE src < dst
+        )
+        SELECT c.a, c.b, round({cos}, 6) AS cos
+        FROM cand c
+        JOIN embeddings ea ON c.a = ea.vec_id
+        JOIN embeddings eb ON c.b = eb.vec_id
+        WHERE {cos} >= 0.4
     """
 
 
@@ -313,4 +490,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "unassigned_count": _cluster_cte()
         + "SELECT count(*) AS n_unassigned FROM assignment WHERE cluster_id = -1",
+        # text_query_topk: intentionally no oracle (hash-embedding space
+        # is not SQL-expressible) -> rows-only check.
+        "dedup_exact": _dedup_exact_oracle_sql(),
+        "neardup_minhash": _minhash_oracle_sql(),
+        "simhash_fingerprints": _simhash_fp_oracle_sql(),
+        "simhash_near_pairs": _simhash_pairs_oracle_sql(),
+        "neardup_embedding": _neardup_embedding_oracle_sql(),
     }

@@ -1,0 +1,84 @@
+"""Dedup-suite tests: LSH recall vs the exact quadratic oracle, exact-dup
+grouping, shingle edge cases, simhash banding soundness."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from vector_search_test_spark.io import load_table
+from vector_search_test_spark.operators.dedup import (
+    dedup_exact,
+    neardup_embedding,
+    neardup_minhash,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash_near_pairs,
+)
+
+
+def test_minhash_finds_all_planted_pairs(spark, sf_dir):
+    """LSH banding must recover every pair the exact all-pairs Jaccard
+    finds at theta=0.9 (at j~0.99 the miss probability of a 4x4 banding
+    is ~(1-j^4)^4 ~ 1e-6)."""
+    docs = load_table(spark, sf_dir, "documents")
+    lsh = {(r.a, r.b): r.jaccard for r in neardup_minhash(docs, threshold=0.9).collect()}
+    exact = {
+        (r.a, r.b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.9).collect()
+    }
+    assert lsh == exact
+    assert len(exact) > 0
+
+
+def test_dedup_exact_duplicate_corpus(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = docs.union(docs.withColumn("doc_id", F.col("doc_id") + 10000))
+    out = dedup_exact(dup).collect()
+    n = docs.count()
+    assert len(out) == n
+    assert all(r.n_dupes == 2 for r in out)
+    # representative is always the original (lower) id
+    assert all(r.rep_id < 10000 for r in out)
+
+
+def test_shingles_short_doc_guard(spark):
+    df = spark.createDataFrame([("a b",), ("x y z w",), ("solo",)], "text string")
+    got = df.select(shingles("text", 3).alias("sh")).collect()
+    assert got[0].sh == ["a b"]  # shorter than n -> whole text
+    assert got[1].sh == ["x y z", "y z w"]
+    assert got[2].sh == ["solo"]
+
+
+def test_simhash_pairs_have_true_hamming(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    pairs = simhash_near_pairs(docs, bits=32, max_hamming=2, num_chunks=4).collect()
+    assert len(pairs) > 0
+    assert all(0 <= r.hamming <= 2 for r in pairs)
+    # canonical orientation, no dupes
+    keys = [(r.a, r.b) for r in pairs]
+    assert all(a < b for a, b in keys) and len(keys) == len(set(keys))
+
+
+def test_neardup_embedding_matches_numpy(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = {
+        (r.a, r.b): r.cos
+        for r in neardup_embedding(emb, threshold=0.4, k=20, nlist=4).collect()
+    }
+    rows = emb.collect()
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    d = ((mat[:, None, :] - mat[None, :, :]) ** 2).sum(-1)
+    cosm = (mat @ mat.T) / (
+        np.linalg.norm(mat, axis=1)[:, None] * np.linalg.norm(mat, axis=1)[None, :]
+    )
+    want = {}
+    order = np.argsort(ids)
+    for qi in range(len(ids)):
+        nn = np.lexsort((ids, d[qi]))[:20]
+        for j in nn:
+            a, b = ids[qi], ids[j]
+            if a < b and cosm[qi, j] >= 0.4:
+                want[(int(a), int(b))] = round(float(cosm[qi, j]), 6)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-6

@@ -1,0 +1,353 @@
+"""Deduplication operators for LLM-data pipelines (driver north star; not
+present in the reference, whose only dedup-like behavior is the text-keyed
+collapse at app.py:88-89 — see operators/cluster.py::dedupe_by_text).
+
+All hot-path computation is native Catalyst expressions (md5/conv/array
+ops inside whole-stage codegen) — no Python UDFs. Every operator has a
+value-for-value DuckDB twin built from the same `portable_hash48` family
+(functions/hashing.py), which is what makes MinHash signatures and LSH
+band keys oracle-checkable bit-for-bit.
+
+Scale design (100 TB):
+- exact dedup: one hash-shuffle on the normalized text key, map-side
+  partial aggregation; no sort, no window.
+- MinHash-LSH near-dedup: candidates come from an equi-join on
+  (band_id, band_key) — *bucketed*, never all-pairs. The verify step
+  (exact Jaccard) touches only candidate pairs. Signature width H and
+  banding (B bands x R rows) tune the precision/recall knee
+  (Broder '97; Leskovec et al., "Mining of Massive Datasets" ch.3).
+- SimHash: 16-bit fingerprints (Charikar '02); hamming-close pairs via
+  bit_count(xor) over candidates.
+- embedding near-dup: cosine over ANN candidates from the IVF index
+  (operators/ivf.py), not the cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vector_search_test_spark.functions.hashing import portable_hash48
+from vector_search_test_spark.functions.vector import cosine_sim
+
+# ---------------------------------------------------------------------------
+# tokenization / shingling (native expressions)
+# ---------------------------------------------------------------------------
+
+
+def tokens(col: Column | str) -> Column:
+    """Lowercased whitespace tokens (single-space split — the DuckDB twin
+    uses string_split, which is not regex, so the engines agree)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.lower(c), " ")
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column.
+
+    Documents shorter than n tokens yield their whole text as the single
+    shingle's worth of tokens joined (guard: Spark's sequence(1, x) with
+    x < 1 would count DOWN; DuckDB's range(1, x) is empty — so short docs
+    are handled explicitly to keep the twins identical).
+    """
+    toks = tokens(col)
+    starts = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    grams = F.transform(starts, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    whole = F.array(F.array_join(toks, " "))
+    return F.array_distinct(F.when(F.size(toks) >= n, grams).otherwise(whole))
+
+
+def shingles_sql(expr: str, n: int = 3) -> str:
+    """DuckDB twin of `shingles` (list slicing is inclusive: [i:i+n-1])."""
+    toks = f"string_split(lower({expr}), ' ')"
+    return (
+        f"list_distinct(CASE WHEN len({toks}) >= {n} THEN "
+        f"list_transform(range(1, len({toks}) - {n - 2}), "
+        f"i -> array_to_string({toks}[i:i+{n - 1}], ' ')) "
+        f"ELSE [array_to_string({toks}, ' ')] END)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact duplicate groups keyed by normalized text.
+
+    Returns (rep_id, n_dupes, text_hash): one row per distinct normalized
+    text, representative = min id. One hash-shuffle; partial aggregation
+    map-side. Normalization: lower + trim (whitespace-collapse would need
+    regexp_replace — kept minimal so the oracle twin is exact).
+    """
+    norm = F.trim(F.lower(F.col(text_col)))
+    return (
+        df.select(F.col(id_col), portable_hash48(norm).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("rep_id"), F.count("*").alias("n_dupes"))
+        .select("rep_id", "n_dupes", "text_hash")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dedup
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(
+    shingle_col: Column, num_hashes: int = 16
+) -> Column:
+    """MinHash signature: array of min-over-shingles of H salted hashes.
+
+    One native expression per hash-family member; empty shingle sets get
+    NULL mins (filtered by callers). H=16 with 4x4 banding targets the
+    s-curve knee near Jaccard ~0.7.
+    """
+    def member(i: int) -> Column:
+        # NB: closure factory, not a default-arg lambda — pyspark's
+        # higher-order-function shim dispatches on lambda arity, and a
+        # 2-param lambda would be bound as (element, index).
+        return F.array_min(F.transform(shingle_col, lambda s: portable_hash48(s, salt=i)))
+
+    return F.array(*[member(i) for i in range(num_hashes)])
+
+
+def lsh_band_keys(sig_col: Column, bands: int, rows: int) -> Column:
+    """Band keys: array of `bands` strings, each joining `rows` signature
+    slots with '-'. Equality of one key = candidate pair."""
+    return F.array(
+        *[
+            F.concat_ws(
+                "-",
+                *[sig_col[b * rows + r].cast("string") for r in range(rows)],
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def neardup_minhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs, verified by exact Jaccard.
+
+    Plan: shingle -> signature -> posexplode band keys -> self-equi-join on
+    (band_id, band_key) with a < b -> distinct candidates -> join shingle
+    sets back -> exact Jaccard filter. The only joins are equi-joins on
+    band keys and ids — bucketed, never all-pairs (the all-pairs version
+    is the ORACLE, not the engine). Returns (a, b, jaccard) rounded 6dp.
+    """
+    rows = num_hashes // bands
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(text_col, n).alias("sh")
+    ).filter(F.size("sh") > 0)
+    sig = sh.select(
+        "id", "sh", lsh_band_keys(minhash_signature(F.col("sh"), num_hashes), bands, rows).alias("keys")
+    )
+    bands_df = sig.select(
+        "id", F.posexplode("keys").alias("band_id", "band_key")
+    )
+    cand = (
+        bands_df.alias("x")
+        .join(
+            bands_df.alias("y"),
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .dropDuplicates()
+    )
+    sh_a = sh.select(F.col("id").alias("a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col("id").alias("b"), F.col("sh").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        cand.join(sh_a, "a")
+        .join(sh_b, "b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All-pairs n-gram Jaccard above a threshold — the exact (quadratic)
+    oracle for `neardup_minhash`. Use only on bounded inputs; the LSH path
+    is the scale path. Returns (a, b, jaccard)."""
+    sh = df.select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sh"))
+    a = sh.select(F.col("id").alias("a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("b"), F.col("sh").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(col: Column | str, bits: int = 32) -> Column:
+    """SimHash fingerprint of a text column (Charikar '02): for each bit
+    position, sum +1/-1 over token hashes' bits; bit set iff the sum > 0.
+
+    `bits` caps the expression width (one aggregate per bit — all fused
+    into one codegen stage). 32 bits separates the fixture corpus
+    (planted near-dups land at hamming <= 3, random pairs at p1 = 3);
+    production would use 64 via a Pandas-UDF batch path if codegen depth
+    ever became the bottleneck.
+    """
+    hashes = F.transform(tokens(col), lambda t: portable_hash48(t))
+
+    def vote(b: int) -> Column:
+        # closure factory (see minhash_signature note on lambda arity)
+        return F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        out = out + F.when(vote(b) > 0, F.lit(1 << b)).otherwise(0).cast("long")
+    return out
+
+
+def simhash_sql(expr: str, bits: int = 32) -> str:
+    """DuckDB twin of `simhash`."""
+    from vector_search_test_spark.functions.hashing import hash48_sql
+
+    toks = f"string_split(lower({expr}), ' ')"
+    hashes = f"list_transform({toks}, t -> {hash48_sql('t')})"
+    terms = []
+    for b in range(bits):
+        vote = (
+            f"list_sum(list_transform({hashes}, "
+            f"h -> CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END))"
+        )
+        terms.append(f"(CASE WHEN {vote} > 0 THEN {1 << b} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    max_hamming: int = 2,
+    num_chunks: int = 4,
+) -> DataFrame:
+    """Pairs whose SimHash fingerprints are within `max_hamming` bits.
+
+    Candidates come from an equi-join on fingerprint chunks: a pair within
+    hamming d < num_chunks must agree exactly on at least one chunk
+    (pigeonhole), so max_hamming must be < num_chunks. Exact hamming is
+    then bit_count(xor) over candidates only — bucketed, not all-pairs.
+    Returns (a, b, hamming).
+    """
+    if max_hamming >= num_chunks:
+        raise ValueError("pigeonhole requires max_hamming < num_chunks")
+    chunk_bits = bits // num_chunks
+    mask = (1 << chunk_bits) - 1
+    fp = df.select(F.col(id_col).alias("id"), simhash(text_col, bits).alias("fp"))
+    chunks = fp.select(
+        "id",
+        "fp",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("fp", c * chunk_bits).bitwiseAND(F.lit(mask))
+                    for c in range(num_chunks)
+                ]
+            )
+        ).alias("chunk_id", "chunk_val"),
+    )
+    cand = (
+        chunks.alias("x")
+        .join(
+            chunks.alias("y"),
+            (F.col("x.chunk_id") == F.col("y.chunk_id"))
+            & (F.col("x.chunk_val") == F.col("y.chunk_val"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(
+            F.col("x.id").alias("a"),
+            F.col("y.id").alias("b"),
+            F.col("x.fp").alias("fp_a"),
+            F.col("y.fp").alias("fp_b"),
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", F.col("hamming").cast("long").alias("hamming"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def neardup_embedding(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    k: int = 20,
+    nlist: int = 4,
+    nprobe: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine similarity.
+
+    Candidates from the IVF index (ANN, bucketed — nprobe=None probes all
+    cells for the exact/oracle configuration), cosine computed natively,
+    canonical a < b. Returns (a, b, cos) rounded 6dp.
+    """
+    from vector_search_test_spark.operators.ivf import ivf_build, ivf_search_all
+
+    idx = ivf_build(emb, nlist=nlist, id_col=id_col, vec_col=vec_col)
+    queries = emb.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    knn = ivf_search_all(
+        idx, queries, k=k, nprobe=nprobe if nprobe is not None else nlist
+    )
+    pairs = knn.filter(F.col("query_id") < F.col("vec_id")).select(
+        F.col("query_id").alias("a"), F.col("vec_id").alias("b")
+    ).dropDuplicates()
+    ea = emb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    eb = emb.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    return (
+        pairs.join(ea, "a")
+        .join(eb, "b")
+        .withColumn("cos", cosine_sim("va", "vb"))
+        .filter(F.col("cos") >= threshold)
+        .select("a", "b", F.round("cos", 6).alias("cos"))
+    )
