@@ -230,6 +230,45 @@ def _q_neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_embedding(emb, threshold=0.4, k=20, nlist=4)
 
 
+def _q_csv_sentences_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/P1: CSV ingest with the `sentences` column contract
+    (app.py:201-208) — writes the corpus out as CSV, reads it back through
+    the contract reader; values must survive the round trip."""
+    import os
+    import tempfile
+
+    from vector_search_test_spark.sources import read_sentences_csv
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = os.path.join(
+        tempfile.gettempdir(), f"sg_csv_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    docs.select(F.col("text").alias("sentences")).write.mode("overwrite").option(
+        "header", True
+    ).csv(path)
+    return read_sentences_csv(spark, path).select(F.col("sentences").alias("text"))
+
+
+def _q_text_lines_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/P2: text-lines ingest — trim + drop blank lines (app.py:223).
+    Blank/whitespace lines are injected before the write to prove the
+    filter actually fires."""
+    import os
+    import tempfile
+
+    from vector_search_test_spark.sources import read_text_lines
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = os.path.join(
+        tempfile.gettempdir(), f"sg_lines_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    lines = docs.select(F.col("text").alias("value")).union(
+        spark.createDataFrame([("   ",), ("",), ("\t",)], "value string")
+    )
+    lines.write.mode("overwrite").text(path)
+    return read_text_lines(spark, path).select(F.col("sentences").alias("text"))
+
+
 def _q_text_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1/Q1: the text path end-to-end (app.py:58-63) — hash-embed the
     corpus, build an IVF index, embed the query text, ANN search.
@@ -256,6 +295,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_sizes": _q_cluster_sizes,
         "unassigned_count": _q_unassigned_count,
         "text_query_topk": _q_text_query_topk,
+        "csv_sentences_source": _q_csv_sentences_source,
+        "text_lines_source": _q_text_lines_source,
         "dedup_exact": _q_dedup_exact,
         "neardup_minhash": _q_neardup_minhash,
         "simhash_fingerprints": _q_simhash_fingerprints,
@@ -492,6 +533,11 @@ def oracle_sql() -> dict[str, str]:
         + "SELECT count(*) AS n_unassigned FROM assignment WHERE cluster_id = -1",
         # text_query_topk: intentionally no oracle (hash-embedding space
         # is not SQL-expressible) -> rows-only check.
+        "csv_sentences_source": "SELECT text FROM documents",
+        "text_lines_source": """
+            SELECT trim(text) AS text FROM documents
+            WHERE length(trim(text)) > 0
+        """,
         "dedup_exact": _dedup_exact_oracle_sql(),
         "neardup_minhash": _minhash_oracle_sql(),
         "simhash_fingerprints": _simhash_fp_oracle_sql(),
