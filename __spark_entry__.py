@@ -178,6 +178,60 @@ def _q_unassigned_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# text analysis (LLM-pipeline ops; functions/textstats.py)
+# ---------------------------------------------------------------------------
+
+
+def _q_text_stats_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus stats. The oracle computes the char sum from the
+    fixture's precomputed n_chars column — anchoring length() to ground
+    truth — while Spark computes it from the text itself."""
+    from vector_search_test_spark.functions import textstats as ts
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(ts.char_count("text")).alias("sum_chars"),
+        F.round(F.avg(ts.token_count_ws("text")), 6).alias("avg_tokens_ws"),
+        F.sum(ts.token_count_regex("text")).alias("sum_tokens_re"),
+    )
+
+
+def _q_text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_search_test_spark.functions import textstats as ts
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(ts.quality_score("text"), 6).alias("quality"),
+        F.round(ts.punct_ratio("text"), 6).alias("punct_ratio"),
+    )
+
+
+def _q_lang_id_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_search_test_spark.functions import textstats as ts
+
+    docs = load_table(spark, sf_dir, "documents")
+    hits = ts.lang_hits("text")
+    return docs.select(
+        "doc_id",
+        ts.lang_id("text").alias("pred_lang"),
+        *[hits[lang].cast("long").alias(f"hits_{lang}") for lang in ts.LANGS],
+    )
+
+
+def _q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_search_test_spark.functions import textstats as ts
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        ts.doc_fingerprint("text").alias("fp"),
+        ts.rolling_fingerprint("text", 3).alias("rfp"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # dedup suite (LLM-pipeline ops; operators/dedup.py)
 # ---------------------------------------------------------------------------
 
@@ -297,6 +351,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_query_topk": _q_text_query_topk,
         "csv_sentences_source": _q_csv_sentences_source,
         "text_lines_source": _q_text_lines_source,
+        "text_stats_per_source": _q_text_stats_per_source,
+        "text_quality_scores": _q_text_quality_scores,
+        "lang_id_pred": _q_lang_id_pred,
+        "doc_fingerprints": _q_doc_fingerprints,
         "dedup_exact": _q_dedup_exact,
         "neardup_minhash": _q_neardup_minhash,
         "simhash_fingerprints": _q_simhash_fingerprints,
@@ -419,6 +477,57 @@ def _cluster_cte() -> str:
     """
 
 
+def _textstats_oracle_sql() -> str:
+    from vector_search_test_spark.functions import textstats as ts
+
+    return f"""
+        SELECT source,
+               count(*) AS n_docs,
+               sum(n_chars) AS sum_chars,
+               round(avg({ts.token_count_ws_sql('text')}), 6) AS avg_tokens_ws,
+               sum({ts.token_count_regex_sql('text')}) AS sum_tokens_re
+        FROM documents
+        GROUP BY source
+    """
+
+
+def _quality_oracle_sql() -> str:
+    from vector_search_test_spark.functions import textstats as ts
+
+    return f"""
+        SELECT doc_id,
+               round({ts.quality_score_sql('text')}, 6) AS quality,
+               round({ts.punct_ratio_sql('text')}, 6) AS punct_ratio
+        FROM documents
+    """
+
+
+def _langid_oracle_sql() -> str:
+    from vector_search_test_spark.functions import textstats as ts
+
+    hit_cols = ",\n               ".join(
+        f"CAST({ts.stopword_hits_sql('text', lang)} AS BIGINT) AS hits_{lang}"
+        for lang in ts.LANGS
+    )
+    return f"""
+        SELECT doc_id,
+               {ts.lang_id_sql('text')} AS pred_lang,
+               {hit_cols}
+        FROM documents
+    """
+
+
+def _fingerprints_oracle_sql() -> str:
+    from vector_search_test_spark.functions import textstats as ts
+
+    return f"""
+        SELECT doc_id,
+               {ts.doc_fingerprint_sql('text')} AS fp,
+               {ts.rolling_fingerprint_sql('text', 3)} AS rfp
+        FROM documents
+    """
+
+
 def _dedup_exact_oracle_sql() -> str:
     from vector_search_test_spark.functions.hashing import hash48_sql
 
@@ -538,6 +647,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT trim(text) AS text FROM documents
             WHERE length(trim(text)) > 0
         """,
+        "text_stats_per_source": _textstats_oracle_sql(),
+        "text_quality_scores": _quality_oracle_sql(),
+        "lang_id_pred": _langid_oracle_sql(),
+        "doc_fingerprints": _fingerprints_oracle_sql(),
         "dedup_exact": _dedup_exact_oracle_sql(),
         "neardup_minhash": _minhash_oracle_sql(),
         "simhash_fingerprints": _simhash_fp_oracle_sql(),

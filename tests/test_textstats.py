@@ -1,0 +1,76 @@
+"""Text-analysis function tests (fixture-anchored where ground truth
+exists: n_chars is precomputed by the driver)."""
+
+from pyspark.sql import functions as F
+
+from vector_search_test_spark.functions import textstats as ts
+from vector_search_test_spark.io import load_table
+
+
+def test_char_count_matches_fixture_n_chars(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    bad = docs.filter(ts.char_count("text") != F.col("n_chars")).count()
+    assert bad == 0
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([("a b c",), ("hello, world!",)], "text string")
+    got = df.select(
+        ts.token_count_ws("text").alias("ws"),
+        ts.token_count_regex("text").alias("re"),
+    ).collect()
+    assert (got[0].ws, got[0].re) == (3, 3)
+    # 'hello' ',' 'world' '!' -> 4 regex tokens, 2 ws tokens
+    assert (got[1].ws, got[1].re) == (2, 4)
+
+
+def test_lang_id_deterministic_and_sensible(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat is in the house",),
+            ("der hund ist nicht mit ein",),
+            ("el que es en un los y por",),
+            ("xyzzy plugh",),  # zero hits everywhere -> en by priority
+        ],
+        "text string",
+    )
+    got = [r.pred for r in df.select(ts.lang_id("text").alias("pred")).collect()]
+    assert got == ["en", "de", "es", "en"]
+
+
+def test_quality_score_bounds(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    mm = docs.select(
+        F.min(ts.quality_score("text")).alias("lo"),
+        F.max(ts.quality_score("text")).alias("hi"),
+    ).first()
+    assert 0.0 <= mm.lo <= mm.hi <= 1.0
+
+
+def _py_hash48(s: str, salt: int | None = None) -> int:
+    import hashlib
+
+    if salt is not None:
+        s = f"{salt}:{s}"
+    return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+
+def test_fingerprints_match_python_twin(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame([(base,)], "text string")
+    row = df.select(
+        ts.doc_fingerprint("text").alias("fp"),
+        ts.rolling_fingerprint("text", 3).alias("rfp"),
+    ).first()
+    assert row.fp == _py_hash48(base)
+    toks = base.split()
+    shingles = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+    assert row.rfp == min(_py_hash48(s, salt=0) for s in shingles)
+    # a distant edit keeps the fingerprint iff the minimizing shingle survives
+    edited = base + " iota"
+    row2 = spark.createDataFrame([(edited,)], "text string").select(
+        ts.rolling_fingerprint("text", 3).alias("rfp")
+    ).first()
+    toks2 = edited.split()
+    sh2 = {" ".join(toks2[i : i + 3]) for i in range(len(toks2) - 2)}
+    assert row2.rfp == min(_py_hash48(s, salt=0) for s in sh2)

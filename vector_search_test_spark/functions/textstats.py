@@ -1,0 +1,193 @@
+"""Text-analysis functions for LLM-data pipelines (driver north star;
+absent from the reference, whose only text ops are trim/split at
+app.py:204, 223).
+
+Every function is a native Catalyst expression with an exact DuckDB twin
+(the *_sql helpers) so the driver can hash-match values. Patterns stick to
+ASCII character classes and literal-space splits: Java regex (Spark) and
+RE2 (DuckDB) agree on those, where \\w / \\s unicode semantics would drift.
+
+Note on language-ID: the fixture's `lang` column is provenance metadata —
+the synthetic text does not encode a language (all rows draw the same
+vocabulary) — so `lang_id` is correctness-checked as a deterministic
+function of the text (same prediction both engines), not for accuracy
+against the `lang` column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from vector_search_test_spark.functions.hashing import portable_hash48
+
+TOKEN_RE = "[a-z0-9]+|[^a-z0-9 ]"  # BPE-ish: word runs or single punct
+
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein"],
+    "es": ["el", "los", "y", "es", "en", "un", "que", "por"],
+    "fr": ["le", "les", "et", "est", "une", "que", "pas", "pour"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和", "不"],
+}
+LANGS = list(STOPWORDS)  # en, de, es, fr, zh — also the tie-break priority
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def char_count(col: Column | str) -> Column:
+    return F.length(_col(col))
+
+
+def token_count_ws(col: Column | str) -> Column:
+    """Whitespace token count (single-space split, matching string_split)."""
+    return F.size(F.split(_col(col), " "))
+
+
+def token_count_regex(col: Column | str) -> Column:
+    """BPE-ish token count: alnum runs + individual punctuation marks."""
+    return F.regexp_count(F.lower(_col(col)), F.lit(TOKEN_RE))
+
+
+def stopword_hits(col: Column | str, lang: str = "en") -> Column:
+    """How many tokens are stopwords of `lang` (duplicates counted)."""
+    words = STOPWORDS[lang]
+    toks = F.split(F.lower(_col(col)), " ")
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Fraction of characters that are neither alnum nor space."""
+    c = F.lower(_col(col))
+    return F.regexp_count(c, F.lit("[^a-z0-9 ]")) / F.greatest(
+        F.length(c), F.lit(1)
+    )
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite quality heuristic in [0, 1] (length, punctuation,
+    stopword presence, average word length) — the standard cheap filters
+    a pretraining pipeline runs before expensive scoring."""
+    c = _col(col)
+    n_tok = token_count_ws(c)
+    len_score = F.least(F.lit(1.0), n_tok / F.lit(20.0))
+    punct = F.lit(1.0) - punct_ratio(c)
+    stop_score = F.least(F.lit(1.0), stopword_hits(c, "en") / F.lit(5.0))
+    avg_tok_len = F.length(F.replace(c, F.lit(" "), F.lit(""))) / F.greatest(
+        n_tok, F.lit(1)
+    )
+    word_len_score = F.lit(1.0) - F.least(
+        F.lit(1.0), F.abs(avg_tok_len - F.lit(5.0)) / F.lit(5.0)
+    )
+    return (
+        F.lit(0.35) * len_score
+        + F.lit(0.25) * punct
+        + F.lit(0.2) * stop_score
+        + F.lit(0.2) * word_len_score
+    )
+
+
+def lang_hits(col: Column | str) -> dict[str, Column]:
+    """Per-language stopword hit counts (the n-gram-heuristic signal)."""
+    return {lang: stopword_hits(col, lang) for lang in LANGS}
+
+
+def lang_id(col: Column | str) -> Column:
+    """Predicted language: max stopword hits, ties broken by LANGS order
+    (en > de > es > fr > zh) — deterministic, twin-able as a CASE chain."""
+    hits = lang_hits(col)
+    expr = F.lit(LANGS[-1])
+    for i in range(len(LANGS) - 2, -1, -1):
+        lang = LANGS[i]
+        cond = None
+        for other in LANGS[i + 1 :]:
+            c = hits[lang] >= hits[other]
+            cond = c if cond is None else (cond & c)
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def doc_fingerprint(col: Column | str) -> Column:
+    """48-bit fingerprint of the normalized (lower+trim) text."""
+    return portable_hash48(F.trim(F.lower(_col(col))))
+
+
+def rolling_fingerprint(col: Column | str, n: int = 3) -> Column:
+    """Winnowing-lite content fingerprint: min over word n-gram shingle
+    hashes — stable under local edits outside the minimizing window
+    (Schleimer et al., winnowing; equals the MinHash family member at
+    salt 0, so near-identical docs collide)."""
+    from vector_search_test_spark.operators.dedup import shingles
+
+    return F.array_min(
+        F.transform(shingles(_col(col), n), lambda s: portable_hash48(s, salt=0))
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB twins
+# ---------------------------------------------------------------------------
+
+
+def token_count_ws_sql(expr: str) -> str:
+    return f"len(string_split({expr}, ' '))"
+
+
+def token_count_regex_sql(expr: str) -> str:
+    return f"len(regexp_extract_all(lower({expr}), '{TOKEN_RE}'))"
+
+
+def stopword_hits_sql(expr: str, lang: str = "en") -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        f"len(list_filter(string_split(lower({expr}), ' '), t -> t IN ({words})))"
+    )
+
+
+def punct_ratio_sql(expr: str) -> str:
+    return (
+        f"len(regexp_extract_all(lower({expr}), '[^a-z0-9 ]'))::DOUBLE"
+        f" / greatest(length(lower({expr})), 1)"
+    )
+
+
+def quality_score_sql(expr: str) -> str:
+    n_tok = token_count_ws_sql(expr)
+    len_score = f"least(1.0, {n_tok} / 20.0)"
+    punct = f"(1.0 - {punct_ratio_sql(expr)})"
+    stop_score = f"least(1.0, {stopword_hits_sql(expr, 'en')} / 5.0)"
+    avg_tok = f"(length(replace({expr}, ' ', ''))::DOUBLE / greatest({n_tok}, 1))"
+    word_len = f"(1.0 - least(1.0, abs({avg_tok} - 5.0) / 5.0))"
+    return (
+        f"(0.35 * {len_score} + 0.25 * {punct}"
+        f" + 0.2 * {stop_score} + 0.2 * {word_len})"
+    )
+
+
+def lang_id_sql(expr: str) -> str:
+    hits = {lang: stopword_hits_sql(expr, lang) for lang in LANGS}
+    cases = []
+    for i, lang in enumerate(LANGS[:-1]):
+        conds = " AND ".join(
+            f"{hits[lang]} >= {hits[other]}" for other in LANGS[i + 1 :]
+        )
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    return "CASE " + " ".join(cases) + f" ELSE '{LANGS[-1]}' END"
+
+
+def doc_fingerprint_sql(expr: str) -> str:
+    from vector_search_test_spark.functions.hashing import hash48_sql
+
+    return hash48_sql(f"trim(lower({expr}))")
+
+
+def rolling_fingerprint_sql(expr: str, n: int = 3) -> str:
+    from vector_search_test_spark.functions.hashing import hash48_sql
+    from vector_search_test_spark.operators.dedup import shingles_sql
+
+    return (
+        f"list_min(list_transform({shingles_sql(expr, n)}, "
+        f"s -> {hash48_sql('s', salt=0)}))"
+    )
