@@ -143,6 +143,11 @@ def _q_ivf_search_partial_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CLUSTER_THETA = 1.2
 _CLUSTER_K = 10
 
+# The three cluster entries share one pipeline result per (session, sf):
+# re-running KMeans + kNN + iterative CC three times would triple the cost
+# for identical output. localCheckpoint pins the result for the process.
+_CLUSTER_MEMO: dict = {}
+
 
 def _cluster_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -152,29 +157,192 @@ def _cluster_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    if key not in _CLUSTER_MEMO:
+        out = similarity_clusters(
+            _cluster_corpus(spark, sf_dir),
+            threshold=_CLUSTER_THETA,
+            k=_CLUSTER_K,
+            nlist=4,
+        )
+        _CLUSTER_MEMO[key] = out.localCheckpoint()
+    return _CLUSTER_MEMO[key]
+
+
 def _q_similarity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G1-G5: the reference's second headline feature end-to-end
     (find_similarity_clusters, app.py:77-114): self-kNN graph -> threshold
     edges -> connected components -> numbering with singleton -1."""
-    return similarity_clusters(
-        _cluster_corpus(spark, sf_dir), threshold=_CLUSTER_THETA, k=_CLUSTER_K, nlist=4
-    )
+    return _cluster_assignments(spark, sf_dir)
 
 
 def _q_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O2/O3/G4: cluster sizes, descending (app.py:288-299)."""
-    out = similarity_clusters(
-        _cluster_corpus(spark, sf_dir), threshold=_CLUSTER_THETA, k=_CLUSTER_K, nlist=4
-    )
-    return clusters_by_size(out)
+    return clusters_by_size(_cluster_assignments(spark, sf_dir))
 
 
 def _q_unassigned_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P6/O4: texts left unclustered (cluster_id = -1, app.py:306-308)."""
-    out = similarity_clusters(
-        _cluster_corpus(spark, sf_dir), threshold=_CLUSTER_THETA, k=_CLUSTER_K, nlist=4
+    return unassigned(_cluster_assignments(spark, sf_dir)).agg(
+        F.count("*").alias("n_unassigned")
     )
-    return unassigned(out).agg(F.count("*").alias("n_unassigned"))
+
+
+# ---------------------------------------------------------------------------
+# relational extension suite (SURVEY §7 P5) over the TPC-H-ish fixtures.
+# Plans are the point as much as answers: small dims broadcast, big joins
+# shuffle on their keys, windows get WindowGroupLimit, filters/pruning
+# reach the parquet scan.
+# ---------------------------------------------------------------------------
+
+
+def _q_tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: single scan, map-side partial agg,
+    one shuffle on the (returnflag, linestatus) key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _q_join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: customer against broadcast nation+region dims (25 and 5
+    rows — the canonical broadcast-hash-join shape; no shuffle of the
+    fact side beyond the final agg)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 6).alias("avg_acctbal"),
+        )
+    )
+
+
+def _q_join_orders_lineitem_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact equi-join (orders x lineitem on orderkey): shuffles both
+    sides on the join key at scale (AQE may broadcast at small SF);
+    revenue per order priority."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def _q_window_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer top-3 orders by totalprice: window row_number with
+    WindowGroupLimit pushdown (per-partition top-k before the shuffle)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+def _q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction (events.props -> $.k) + per-type agg."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.sum("k").alias("sum_k"),
+        )
+    )
+
+
+def _q_monthly_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_trunc month rollup of orders."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+def _q_rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (grouping sets) over orders."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+def _q_semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi and left-anti joins: customers with vs without orders."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    with_orders = c.join(o, c.c_custkey == o.o_custkey, "left_semi").agg(
+        F.count("*").alias("n")
+    ).select(F.lit("with_orders").alias("grp"), "n")
+    without = c.join(o, c.c_custkey == o.o_custkey, "left_anti").agg(
+        F.count("*").alias("n")
+    ).select(F.lit("without_orders").alias("grp"), "n")
+    return with_orders.union(without)
+
+
+def _q_set_ops_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: customers having both open ('O') and finished ('F')
+    orders (INTERSECT), via distinct custkey sets."""
+    o = load_table(spark, sf_dir, "orders")
+    open_ = o.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    fin = o.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    both = open_.intersect(fin)
+    only_open = open_.exceptAll(fin)
+    return both.agg(F.count("*").alias("n")).select(
+        F.lit("both").alias("grp"), "n"
+    ).union(only_open.agg(F.count("*").alias("n")).select(F.lit("only_open").alias("grp"), "n"))
+
+
+def _q_count_distinct_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation: distinct suppliers and parts per returnflag."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.round(F.avg("l_discount"), 6).alias("avg_discount"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -284,6 +452,43 @@ def _q_neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_embedding(emb, threshold=0.4, k=20, nlist=4)
 
 
+def _q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload column + typed metadata, all
+    native expressions (encode/octet_length). Oracle anchors byte length
+    to the fixture's n_chars (ASCII corpus)."""
+    from vector_search_test_spark.sources.multimodal import media_from_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = media_from_documents(docs, kind="image")
+    return media.select(
+        "media_id",
+        "kind",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.format").alias("format"),
+    )
+
+
+def _q_multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched fake feature extraction over binary payloads
+    (rows-only: the histogram UDF is not SQL-expressible)."""
+    from vector_search_test_spark.sources.multimodal import (
+        extract_byte_features,
+        media_from_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = media_from_documents(docs, kind="audio")
+    out = extract_byte_features(media, dim=32)
+    return out.select(
+        "media_id",
+        F.round(F.aggregate(
+            F.transform("features", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ), 4).alias("feat_norm_sq"),
+    )
+
+
 def _q_csv_sentences_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1/P1: CSV ingest with the `sentences` column contract
     (app.py:201-208) — writes the corpus out as CSV, reads it back through
@@ -351,6 +556,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_query_topk": _q_text_query_topk,
         "csv_sentences_source": _q_csv_sentences_source,
         "text_lines_source": _q_text_lines_source,
+        "multimodal_metadata": _q_multimodal_metadata,
+        "multimodal_byte_features": _q_multimodal_byte_features,
+        "tpch_q1_pricing_summary": _q_tpch_q1_pricing_summary,
+        "join_broadcast_dims": _q_join_broadcast_dims,
+        "join_orders_lineitem_revenue": _q_join_orders_lineitem_revenue,
+        "window_top_orders_per_customer": _q_window_top_orders_per_customer,
+        "events_json_extract": _q_events_json_extract,
+        "monthly_order_stats": _q_monthly_order_stats,
+        "rollup_status_priority": _q_rollup_status_priority,
+        "semi_anti_customers": _q_semi_anti_customers,
+        "set_ops_custkeys": _q_set_ops_custkeys,
+        "count_distinct_suppliers": _q_count_distinct_suppliers,
         "text_stats_per_source": _q_text_stats_per_source,
         "text_quality_scores": _q_text_quality_scores,
         "lang_id_pred": _q_lang_id_pred,
@@ -643,9 +860,103 @@ def oracle_sql() -> dict[str, str]:
         # text_query_topk: intentionally no oracle (hash-embedding space
         # is not SQL-expressible) -> rows-only check.
         "csv_sentences_source": "SELECT text FROM documents",
+        "multimodal_metadata": """
+            SELECT doc_id AS media_id, 'image' AS kind,
+                   n_chars AS n_bytes, 'utf8-fake' AS format
+            FROM documents
+        """,
+        # multimodal_byte_features: no oracle (mapInPandas histogram UDF)
+        # -> rows-only check; values pinned by pytest numpy twin.
         "text_lines_source": """
             SELECT trim(text) AS text FROM documents
             WHERE length(trim(text)) > 0
+        """,
+        "tpch_q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "join_broadcast_dims": """
+            SELECT r.r_name,
+                   count(*) AS n_customers,
+                   round(avg(c.c_acctbal), 6) AS avg_acctbal
+            FROM customer c
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name
+        """,
+        "join_orders_lineitem_revenue": """
+            SELECT o.o_orderpriority,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            GROUP BY o.o_orderpriority
+        """,
+        "window_top_orders_per_customer": """
+            SELECT o_custkey, o_orderkey,
+                   round(o_totalprice, 2) AS o_totalprice,
+                   CAST(row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey ASC
+                   ) AS BIGINT) AS rnk
+            FROM orders
+            QUALIFY rnk <= 3
+        """,
+        "events_json_extract": """
+            SELECT event_type,
+                   count(*) AS n_events,
+                   round(avg(value), 6) AS avg_value,
+                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+            FROM events
+            GROUP BY event_type
+        """,
+        "monthly_order_stats": """
+            SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS sum_price
+            FROM orders
+            GROUP BY 1
+        """,
+        "rollup_status_priority": """
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS sum_price
+            FROM orders
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "semi_anti_customers": """
+            SELECT 'with_orders' AS grp, count(*) AS n FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            UNION ALL
+            SELECT 'without_orders' AS grp, count(*) AS n FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "set_ops_custkeys": """
+            WITH open_ AS (
+                SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+            ),
+            fin AS (
+                SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+            )
+            SELECT 'both' AS grp, count(*) AS n
+            FROM (SELECT o_custkey FROM open_ INTERSECT SELECT o_custkey FROM fin)
+            UNION ALL
+            SELECT 'only_open' AS grp, count(*) AS n
+            FROM (SELECT o_custkey FROM open_ EXCEPT ALL SELECT o_custkey FROM fin)
+        """,
+        "count_distinct_suppliers": """
+            SELECT l_returnflag,
+                   count(DISTINCT l_suppkey) AS n_suppliers,
+                   count(DISTINCT l_partkey) AS n_parts,
+                   round(avg(l_discount), 6) AS avg_discount
+            FROM lineitem
+            GROUP BY l_returnflag
         """,
         "text_stats_per_source": _textstats_oracle_sql(),
         "text_quality_scores": _quality_oracle_sql(),

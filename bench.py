@@ -55,6 +55,9 @@ def main() -> int:
         except Exception:
             traceback.print_exc(file=sys.stderr)
             timings[name] = -1.0
+        # isolate queries: drop cached intermediates an operator pinned
+        # (cross-query cache pressure skews timings)
+        spark.catalog.clearCache()
 
     total = round(sum(v for v in timings.values() if v >= 0), 4)
     print(

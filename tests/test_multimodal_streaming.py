@@ -1,0 +1,127 @@
+"""Multimodal plumbing + Structured Streaming tests.
+
+Streaming correctness bar: availableNow run over a static input must
+equal the batch equivalent on the same input (stateless assign is a pure
+projection; windowed counts compared via complete-mode memory sink).
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vector_search_test_spark.io import load_table
+from vector_search_test_spark.operators.ivf import assign_cells, train_centroids
+from vector_search_test_spark.sources.multimodal import (
+    decode_media,
+    extract_byte_features,
+    frame_sample,
+    media_from_documents,
+)
+from vector_search_test_spark.streaming.ingest import (
+    run_stream_to_parquet,
+    stream_assign_cells,
+    stream_event_window_counts,
+)
+
+
+def test_media_schema_and_metadata(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    media = media_from_documents(docs, kind="image")
+    assert [f.name for f in media.schema.fields] == ["media_id", "kind", "payload", "meta"]
+    assert media.schema["payload"].dataType.simpleString() == "binary"
+    # ASCII corpus: byte length == char length (n_chars fixture anchor)
+    joined = media.join(
+        load_table(spark, sf_dir, "documents").limit(50),
+        media.media_id == F.col("doc_id"),
+    )
+    bad = joined.filter(F.col("meta.n_bytes") != F.col("n_chars")).count()
+    assert bad == 0
+
+
+def test_decode_media_is_stubbed(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(1)
+    with pytest.raises(NotImplementedError, match="codec"):
+        decode_media(media_from_documents(docs))
+
+
+def test_byte_features_match_numpy_twin(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    media = media_from_documents(docs)
+    out = extract_byte_features(media, dim=32).select("media_id", "features").collect()
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    for r in out:
+        arr = np.frombuffer(texts[r.media_id].encode(), dtype=np.uint8)
+        hist = np.bincount(arr % 32, minlength=32).astype(np.float64)
+        hist /= np.linalg.norm(hist)
+        np.testing.assert_allclose(np.array(r.features), hist, atol=1e-6)
+
+
+def test_frame_sample_shapes(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    media = media_from_documents(docs, kind="video")
+    frames = frame_sample(media, n_frames=4)
+    per = frames.groupBy("media_id").agg(F.count("*").alias("n")).collect()
+    assert all(r.n == 4 for r in per)
+    assert frames.filter(F.col("frame_bytes") < 1).count() == 0
+
+
+def test_stream_assign_matches_batch(spark, sf_dir, tmp_path):
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = train_centroids(emb, nlist=4)
+    inp = str(tmp_path / "stream_in")
+    emb.write.parquet(inp)
+    out = str(tmp_path / "stream_out")
+    ckpt = str(tmp_path / "ckpt")
+    run_stream_to_parquet(
+        stream_assign_cells(spark, inp, cents), out, ckpt, partition_by="list_id"
+    )
+    got = sorted(
+        (r.vec_id, r.list_id)
+        for r in spark.read.parquet(out).select("vec_id", "list_id").collect()
+    )
+    want = sorted(
+        (r.vec_id, r.list_id)
+        for r in assign_cells(emb, cents).select("vec_id", "list_id").collect()
+    )
+    assert got == want
+
+
+def test_stream_window_counts_match_batch(spark, sf_dir, tmp_path):
+    import shutil
+
+    ev_batch = load_table(spark, sf_dir, "events")
+    # the file-stream source wants a directory of files, not a single file
+    inp = tmp_path / "events_in"
+    inp.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", inp / "events.parquet")
+    stream = stream_event_window_counts(spark, str(inp))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r.win_start, r.event_type, r.n_events, r.sum_value)
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    )
+    want = sorted(
+        (r.win_start, r.event_type, r.n_events, r.sum_value)
+        for r in ev_batch.groupBy(
+            F.window("ts", "1 hour").alias("win"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .collect()
+    )
+    assert got == want

@@ -73,9 +73,12 @@ def connected_components(
     (either orientation). Returns (id, component) where component = min
     node id in the component.
     """
+    # Materialize the edge list ONCE: without this, every iteration's join
+    # re-executes the whole upstream pipeline that produced the edges
+    # (kNN join, distance, window) — the dominant cost in practice.
     sym = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    ).localCheckpoint()
     labels = nodes.select(
         F.col(id_col).cast("long").alias("id"), F.col(id_col).cast("long").alias("label")
     ).localCheckpoint()

@@ -147,15 +147,20 @@ def neardup_minhash(
     is the ORACLE, not the engine). Returns (a, b, jaccard) rounded 6dp.
     """
     rows = num_hashes // bands
+    # cached: the shingle sets feed three consumers (signature, and both
+    # sides of the verify join) — without cache each re-shingles the corpus
     sh = df.select(
         F.col(id_col).alias("id"), shingles(text_col, n).alias("sh")
-    ).filter(F.size("sh") > 0)
+    ).filter(F.size("sh") > 0).cache()
     sig = sh.select(
         "id", "sh", lsh_band_keys(minhash_signature(F.col("sh"), num_hashes), bands, rows).alias("keys")
     )
+    # cached: both sides of the self-join read the exploded band table; an
+    # uncached plan would evaluate the (expensive) signature expression
+    # once per side. Small: num_bands rows per doc, short strings.
     bands_df = sig.select(
         "id", F.posexplode("keys").alias("band_id", "band_key")
-    )
+    ).cache()
     cand = (
         bands_df.alias("x")
         .join(

@@ -42,9 +42,13 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from vector_search_test_spark.functions.vector import l2_sq
+from vector_search_test_spark.functions.vector import l2_sq, l2_sq_const, l2_sq_unrolled
 
 DEFAULT_SEED = 42
+
+# Above this many unrolled terms (nlist * dim) the codegen method would
+# blow past JIT limits; fall back to the interpreted HOF form.
+_MAX_UNROLLED_TERMS = 16384
 
 
 def _centroid_literal(centroids: list[list[float]]) -> Column:
@@ -55,6 +59,20 @@ def _centroid_literal(centroids: list[list[float]]) -> Column:
             for c in centroids
         ]
     )
+
+
+def _centroid_dists(vec: Column, centroids: list[list[float]]) -> Column:
+    """array<double> of distances to every centroid.
+
+    Unrolled scalar-literal expressions (whole-stage codegen) while
+    nlist * dim stays JIT-friendly; interpreted HOF fallback above that.
+    Both forms sum identically (left-to-right), so values never differ.
+    """
+    nlist = len(centroids)
+    dim = len(centroids[0]) if centroids else 0
+    if nlist * dim <= _MAX_UNROLLED_TERMS:
+        return F.array(*[l2_sq_const(vec, c) for c in centroids])
+    return F.transform(_centroid_literal(centroids), lambda c: l2_sq(c, vec))
 
 
 def train_centroids(
@@ -89,8 +107,7 @@ def assign_cells(
     Pure projection: distances to all centroids via a literal array, argmin
     via array_position(array_min). Whole-stage codegen, zero shuffle.
     """
-    cents = _centroid_literal(centroids)
-    dists = F.transform(cents, lambda c: l2_sq(c, F.col(vec_col)))
+    dists = _centroid_dists(F.col(vec_col), centroids)
     cell = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
     return df.withColumn(out_col, cell)
 
@@ -109,8 +126,7 @@ def probe_cells(
     """
     nlist = len(centroids)
     nprobe = max(1, min(nprobe, nlist))
-    cents = _centroid_literal(centroids)
-    dists = F.transform(cents, lambda c: l2_sq(c, F.col(query_vec_col)))
+    dists = _centroid_dists(F.col(query_vec_col), centroids)
     cells = F.sequence(F.lit(0), F.lit(nlist - 1))
     ranked = F.array_sort(
         F.zip_with(dists, cells, lambda d, i: F.struct(d.alias("d"), i.alias("i")))
@@ -218,10 +234,9 @@ def ivf_search(
         for i, c in enumerate(index.centroids)
     ]
     probe_ids = [i for _, i in sorted(scored)[:nprobe]]
-    qlit = F.array(*[F.lit(float(x)).cast("float") for x in query_vec])
     return (
         index.postings.filter(F.col("list_id").isin(probe_ids))
-        .select("vec_id", l2_sq(qlit, F.col("embedding")).alias("dist"))
+        .select("vec_id", l2_sq_const(F.col("embedding"), list(query_vec)).alias("dist"))
         .orderBy(F.col("dist").asc(), F.col("vec_id").asc())
         .limit(k)
     )
@@ -251,10 +266,14 @@ def ivf_search_all(
         F.col(query_vec_col).alias("query_vec"),
     )
     probed = probe_cells(q, index.centroids, nprobe, query_vec_col="query_vec")
+    dim = len(index.centroids[0]) if index.centroids else 0
+    dist = (
+        l2_sq_unrolled(F.col("query_vec"), F.col("embedding"), dim)
+        if 0 < dim <= _MAX_UNROLLED_TERMS
+        else l2_sq(F.col("query_vec"), F.col("embedding"))
+    )
     scored = probed.join(index.postings, "list_id").select(
-        "query_id",
-        "vec_id",
-        l2_sq(F.col("query_vec"), F.col("embedding")).alias("dist"),
+        "query_id", "vec_id", dist.alias("dist")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("dist").asc(), F.col("vec_id").asc()

@@ -22,7 +22,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from vector_search_test_spark.functions.vector import cosine_sim, l2_sq
+from vector_search_test_spark.functions.vector import (
+    cosine_sim,
+    l2_sq,
+    l2_sq_const,
+    l2_sq_unrolled,
+)
 
 _METRICS = {"l2_sq": l2_sq, "cosine": cosine_sim}
 
@@ -50,8 +55,12 @@ def topk_global(
     Mirrors reference search_by_vector (app.py:65-75) with nprobe=nlist.
     Returns (id_col, dist) with deterministic tie-break on id_col.
     """
-    qlit = F.array(*[F.lit(float(x)).cast("float") for x in query_vec])
-    dist, asc = _distance(metric, qlit, F.col(vec_col))
+    if metric == "l2_sq":
+        # unrolled-to-literals form: pure whole-stage codegen (see vector.py)
+        dist, asc = l2_sq_const(F.col(vec_col), list(query_vec)), True
+    else:
+        qlit = F.array(*[F.lit(float(x)).cast("float") for x in query_vec])
+        dist, asc = _distance(metric, qlit, F.col(vec_col))
     scored = corpus.select(F.col(id_col), dist.alias("dist"))
     order = [F.col("dist").asc() if asc else F.col("dist").desc(), F.col(id_col).asc()]
     return scored.orderBy(*order).limit(k)
@@ -67,6 +76,7 @@ def knn_exact(
     vec_col: str = "embedding",
     metric: str = "l2_sq",
     broadcast: bool = True,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k neighbors in `corpus` for every row of `queries`.
 
@@ -79,11 +89,18 @@ def knn_exact(
     hint — an oversized query set will OOM). For a large query set pass
     broadcast=False (plain cross join, shuffled) or use the IVF path
     (operators/ivf.py), which prunes by cell instead of scoring all pairs.
+
+    Pass `dim` (the embedding width) to score with the unrolled codegen
+    expression instead of the interpreted HOF — same doubles, ~6x faster
+    on bulk joins (vector.py note).
     """
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("__qv")
     )
-    dist, asc = _distance(metric, F.col("__qv"), F.col(vec_col))
+    if metric == "l2_sq" and dim is not None:
+        dist, asc = l2_sq_unrolled(F.col("__qv"), F.col(vec_col), dim), True
+    else:
+        dist, asc = _distance(metric, F.col("__qv"), F.col(vec_col))
     scored = corpus.join(F.broadcast(q) if broadcast else q).select(
         "query_id", F.col(id_col).alias("vec_id"), dist.alias("dist")
     )

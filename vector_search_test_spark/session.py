@@ -37,6 +37,14 @@ def get_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Wide codegen (unrolled vector distances) compiles a fresh class
+        # per distinct plan; the JVM's default 240m reserved code cache
+        # fills over a long session, silently disabling the JIT and making
+        # everything ~10x slower. 512m keeps the JIT alive.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=512m",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
     )

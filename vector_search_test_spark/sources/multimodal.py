@@ -1,0 +1,139 @@
+"""Multimodal columns (driver north star): image/audio/video as opaque
+binary columns with typed metadata, processed by Arrow-batched UDFs.
+
+The decode libraries (PIL/ffmpeg/librosa) are not in this container, so
+the *decode* step is stubbed two ways (clearly marked):
+- `decode_media` raises NotImplementedError — the seam where a real
+  decoder plugs in, with the exact mapInPandas signature it must satisfy.
+- `extract_byte_features` is a deterministic FAKE decoder (byte histogram
+  -> unit vector) so the Spark-side plumbing — binary schema, Arrow batch
+  shape, partitioning, downstream joins — is real and testable end-to-end.
+
+Scale notes: payloads stay columnar (Parquet binary) until the UDF; the
+feature extraction is a stateless mapInPandas (no shuffle); frame
+sampling explodes rows *after* slicing, so the shuffle (if any downstream)
+moves frames, not whole videos.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_KINDS = ("image", "audio", "video")
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("n_bytes", T.LongType(), False),
+                    T.StructField("format", T.StringType(), True),
+                ]
+            ),
+            False,
+        ),
+    ]
+)
+
+
+def media_from_documents(docs: DataFrame, kind: str = "image") -> DataFrame:
+    """Deterministic synthetic media: the document text's UTF-8 bytes as
+    the binary payload, with typed metadata — native expressions only
+    (encode/octet_length are JVM-side)."""
+    if kind not in MEDIA_KINDS:
+        raise ValueError(f"kind must be one of {MEDIA_KINDS}")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit(kind).alias("kind"),
+        payload.alias("payload"),
+        F.struct(
+            F.octet_length(payload).cast("long").alias("n_bytes"),
+            F.lit("utf8-fake").alias("format"),
+        ).alias("meta"),
+    )
+
+
+def decode_media(df: DataFrame, out_col: str = "decoded") -> DataFrame:
+    """The REAL decode seam — not implementable in this container.
+
+    A production implementation loads the codec once per executor and maps
+    Arrow batches of `payload` to decoded tensors with exactly the
+    `extract_byte_features` mapInPandas shape. Stubbed per the brief.
+    """
+    raise NotImplementedError(
+        "media decoding requires image/audio codecs not present in this "
+        "environment; use extract_byte_features (deterministic fake) for "
+        "pipeline plumbing, or plug a real decoder into this seam"
+    )
+
+
+def extract_byte_features(
+    df: DataFrame,
+    dim: int = 64,
+    payload_col: str = "payload",
+    out_col: str = "features",
+) -> DataFrame:
+    """Deterministic FAKE feature extractor: byte-value histogram folded
+    into `dim` buckets, L2-normalized. Real Arrow plumbing (mapInPandas,
+    numpy-vectorized batch), fake semantics — stands in for an image/audio
+    embedding model."""
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField(out_col, T.ArrayType(T.FloatType()), False)]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = np.zeros((len(pdf), dim), dtype=np.float64)
+            for i, buf in enumerate(pdf[payload_col]):
+                arr = np.frombuffer(bytes(buf), dtype=np.uint8)
+                if arr.size:
+                    hist = np.bincount(arr % dim, minlength=dim).astype(np.float64)
+                    n = np.linalg.norm(hist)
+                    feats[i] = hist / n if n > 0 else hist
+            pdf = pdf.copy()
+            pdf[out_col] = [row.astype(np.float32) for row in feats]
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def frame_sample(
+    df: DataFrame,
+    n_frames: int = 4,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """'Video' frame sampling plumbing: slice the payload into n_frames
+    even chunks and explode one row per frame — native byte slicing
+    (substring on binary), no Python. A real implementation would seek to
+    keyframes; the partitioning/row-shape contract is identical."""
+    total = F.octet_length(F.col(payload_col))
+    chunk = F.greatest((total / n_frames).cast("long"), F.lit(1))
+    frames = F.transform(
+        F.sequence(F.lit(0), F.lit(n_frames - 1)),
+        lambda i: F.struct(
+            i.cast("int").alias("frame_id"),
+            F.substring(
+                F.col(payload_col), (i * chunk + 1).cast("int"), chunk.cast("int")
+            ).alias("frame"),
+        ),
+    )
+    return df.select(
+        "media_id",
+        F.explode(frames).alias("f"),
+    ).select(
+        "media_id",
+        F.col("f.frame_id").alias("frame_id"),
+        F.col("f.frame").alias("frame"),
+        F.octet_length("f.frame").cast("long").alias("frame_bytes"),
+    )
