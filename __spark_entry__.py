@@ -345,6 +345,88 @@ def _q_count_distinct_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (custom operator, operators/timeseries.py): each
+    purchase event matched to the same user's most recent prior-or-equal
+    click. One-shuffle union+window plan; oracle is DuckDB's native
+    ASOF LEFT JOIN."""
+    from vector_search_test_spark.operators.timeseries import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(purchases, clicks, key="user_id", right_payload=["click_id"])
+    return out.select("event_id", "user_id", F.col("r_click_id").alias("click_id"))
+
+
+def _q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min): per-user session and event
+    counts."""
+    from vector_search_test_spark.operators.timeseries import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    s = sessionize(ev, key="user_id", ts_col="ts", gap_seconds=1800)
+    return s.groupBy("user_id").agg(
+        (F.max("session_id") + 1).alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def _q_ivf_persistence_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/S4 through the driver: build -> save (partitioned parquet) ->
+    load -> search. nprobe = nlist, so the reloaded index must reproduce
+    the exact brute-force answer (same oracle as ivf_search_topk)."""
+    import os
+    import tempfile
+
+    from vector_search_test_spark.operators.ivf import ivf_load, ivf_save
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = ivf_build(emb, nlist=4)
+    path = os.path.join(
+        tempfile.gettempdir(), f"sg_ivf_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    ivf_save(idx, path)
+    idx2 = ivf_load(spark, path)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+    out = ivf_search(idx2, qvec, k=5, nprobe=4)
+    return out.select("vec_id", F.round("dist", 6).alias("dist"))
+
+
+def _q_cluster_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4: per-cluster membership lists (display op — collect_list is
+    explicitly off the 100 TB path, SURVEY §4)."""
+    from vector_search_test_spark.operators.cluster import cluster_members
+
+    return cluster_members(_cluster_assignments(spark, sf_dir))
+
+
+def _q_window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frame functions: per-customer running order total and
+    previous order price (lag) in date order."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum("o_totalprice").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+            2,
+        ).alias("running_total"),
+        F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis (LLM-pipeline ops; functions/textstats.py)
 # ---------------------------------------------------------------------------
@@ -427,10 +509,10 @@ def _q_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from vector_search_test_spark.operators.dedup import simhash
+    from vector_search_test_spark.operators.dedup import simhash_table
 
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", simhash("text", 32).alias("fp"))
+    return simhash_table(docs, bits=32).withColumnRenamed("id", "doc_id")
 
 
 def _q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -568,6 +650,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_anti_customers": _q_semi_anti_customers,
         "set_ops_custkeys": _q_set_ops_custkeys,
         "count_distinct_suppliers": _q_count_distinct_suppliers,
+        "asof_purchase_click": _q_asof_purchase_click,
+        "event_sessions": _q_event_sessions,
+        "ivf_persistence_roundtrip": _q_ivf_persistence_roundtrip,
+        "cluster_members": _q_cluster_members,
+        "window_running_revenue": _q_window_running_revenue,
         "text_stats_per_source": _q_text_stats_per_source,
         "text_quality_scores": _q_text_quality_scores,
         "lang_id_pred": _q_lang_id_pred,
@@ -957,6 +1044,67 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(l_discount), 6) AS avg_discount
             FROM lineitem
             GROUP BY l_returnflag
+        """,
+        # ts is TIMESTAMP_NS in the fixture; CAST to TIMESTAMP floors to
+        # microseconds, matching the Spark side's timestamp_micros read.
+        "asof_purchase_click": """
+            WITH clicks AS (
+                SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                       max(event_id) AS click_id
+                FROM events WHERE event_type = 'click'
+                GROUP BY user_id, CAST(ts AS TIMESTAMP)
+            ),
+            p AS (
+                SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                FROM events WHERE event_type = 'purchase'
+            )
+            SELECT p.event_id, p.user_id, c.click_id
+            FROM p ASOF LEFT JOIN clicks c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        "event_sessions": """
+            WITH e AS (
+                SELECT user_id, event_id,
+                       CAST(epoch(CAST(ts AS TIMESTAMP)) AS BIGINT) AS sec
+                FROM events
+            ),
+            flagged AS (
+                SELECT user_id,
+                       CASE WHEN lag(sec) OVER w IS NULL
+                                 OR sec - lag(sec) OVER w > 1800
+                            THEN 1 ELSE 0 END AS new_session
+                FROM e
+                WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+            )
+            SELECT user_id,
+                   CAST(sum(new_session) AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
+            FROM flagged
+            GROUP BY user_id
+        """,
+        "ivf_persistence_roundtrip": f"""
+            SELECT e.vec_id, round({d}, 6) AS dist
+            FROM embeddings e
+            ORDER BY {d}, e.vec_id
+            LIMIT 5
+        """,
+        "cluster_members": _cluster_cte()
+        + """
+            SELECT cluster_id, count(*) AS size,
+                   list(text ORDER BY text) AS members
+            FROM assignment WHERE cluster_id >= 0
+            GROUP BY cluster_id
+        """,
+        "window_running_revenue": """
+            SELECT o_custkey, o_orderkey,
+                   round(sum(o_totalprice) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ), 2) AS running_total,
+                   round(lag(o_totalprice) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ), 2) AS prev_price
+            FROM orders
         """,
         "text_stats_per_source": _textstats_oracle_sql(),
         "text_quality_scores": _quality_oracle_sql(),

@@ -1,0 +1,80 @@
+"""As-of join + sessionization tests (pandas twin as the oracle)."""
+
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+from vector_search_test_spark.operators.timeseries import asof_join, sessionize
+
+T0 = datetime(2025, 1, 1, 12, 0, 0)
+
+
+def _ts(minutes):
+    return T0 + timedelta(minutes=minutes)
+
+
+def test_asof_join_backward_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, 10, _ts(5)), (2, 10, _ts(20)), (3, 20, _ts(1)), (4, 30, _ts(9))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(100, 10, _ts(5)), (101, 10, _ts(19)), (102, 20, _ts(2))],
+        "click_id long, user_id long, ts timestamp",
+    )
+    out = {
+        r.event_id: r.r_click_id
+        for r in asof_join(
+            left, right, key="user_id", right_payload=["click_id"]
+        ).collect()
+    }
+    # event 1: click at the SAME ts matches (>= semantics)
+    # event 2: latest prior click is 101
+    # event 3: user 20's only click is LATER -> no match
+    # event 4: user 30 has no clicks -> no match
+    assert out == {1: 100, 2: 101, 3: None, 4: None}
+
+
+def test_asof_join_preserves_all_left_rows(spark, sf_dir):
+    from vector_search_test_spark.io import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    out = asof_join(purchases, clicks, key="user_id", right_payload=["click_id"])
+    assert out.count() == purchases.count()
+
+
+def test_sessionize_gap_splits(spark):
+    rows = [
+        (1, 10, _ts(0)),
+        (2, 10, _ts(10)),   # 10 min gap -> same session
+        (3, 10, _ts(50)),   # 40 min gap -> new session
+        (4, 10, _ts(55)),
+        (5, 20, _ts(0)),    # other user -> own session numbering
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    out = {
+        r.event_id: r.session_id
+        for r in sessionize(ev, gap_seconds=1800).collect()
+    }
+    assert out == {1: 0, 2: 0, 3: 1, 4: 1, 5: 0}
+
+
+def test_sessionize_boundary_exact_gap(spark):
+    # a gap of exactly gap_seconds does NOT start a new session (strict >)
+    ev = spark.createDataFrame(
+        [(1, 1, _ts(0)), (2, 1, _ts(30)), (3, 1, T0 + timedelta(minutes=60, seconds=1))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    out = {
+        r.event_id: r.session_id
+        for r in sessionize(ev, gap_seconds=1800).collect()
+    }
+    assert out == {1: 0, 2: 0, 3: 1}

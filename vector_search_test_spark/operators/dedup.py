@@ -242,6 +242,40 @@ def simhash(col: Column | str, bits: int = 32) -> Column:
     return out
 
 
+def simhash_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+) -> DataFrame:
+    """(id, fp) SimHash fingerprints as an explode + groupBy plan.
+
+    Same values as `simhash`, different physical shape: token hashes are
+    exploded to rows and the per-bit votes become `bits` SUM aggregates of
+    codegen-able bit expressions — no interpreted higher-order functions.
+    Map-side partial aggregation collapses each doc to one partial row
+    before the single shuffle, so this is also the 100 TB shape (the HOF
+    expression form is `bits` interpreted passes per row).
+    """
+    # plain explode: a single-space split never yields an empty array
+    # (''.split -> ['']), so no doc can drop out here
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(text_col)).alias("tok"),
+    ).select("id", portable_hash48(F.col("tok")).alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    agg = toks.groupBy("id").agg(*votes)
+    fp = F.lit(0).cast("long")
+    for b in range(bits):
+        fp = fp + F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(0).cast("long")
+    return agg.select("id", fp.alias("fp"))
+
+
 def simhash_sql(expr: str, bits: int = 32) -> str:
     """DuckDB twin of `simhash`."""
     from vector_search_test_spark.functions.hashing import hash48_sql
@@ -278,7 +312,7 @@ def simhash_near_pairs(
         raise ValueError("pigeonhole requires max_hamming < num_chunks")
     chunk_bits = bits // num_chunks
     mask = (1 << chunk_bits) - 1
-    fp = df.select(F.col(id_col).alias("id"), simhash(text_col, bits).alias("fp"))
+    fp = simhash_table(df, id_col=id_col, text_col=text_col, bits=bits).cache()
     chunks = fp.select(
         "id",
         "fp",

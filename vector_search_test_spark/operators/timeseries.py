@@ -1,0 +1,99 @@
+"""Time-series operators: as-of join and gap-based sessionization.
+
+Not in the reference (no time/order semantics exist there — SURVEY §2.8);
+these are the standard event-log operators a large-scale pipeline needs,
+implemented with the one-shuffle union+window pattern rather than a range
+join (which explodes to O(|L| x |R|) per key before filtering).
+
+as-of join (backward): for each left row, the latest right row of the
+same key with right_ts <= left_ts. Plan: tag both sides, union, one
+window over (key) ordered by (ts, side, id) carrying the last non-null
+right payload forward (`last(..., ignorenulls=True)`), then keep left
+rows. One shuffle on the key; no range explosion; ties at equal ts
+resolve right-row-first (i.e. a right row AT the left timestamp matches),
+matching DuckDB's `ASOF JOIN ... ON l.ts >= r.ts` oracle semantics.
+
+sessionize: the classic gap-based session id — a new session starts when
+the gap to the previous event of the same key exceeds `gap_seconds`;
+session_id = running sum of new-session flags. Two window passes over the
+same (key, ts) partitioning — Catalyst evaluates both in ONE Window node
+(same partition/order spec), so it is still a single shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_payload: list[str] | None = None,
+) -> DataFrame:
+    """Backward as-of join. Returns every left row plus the payload
+    columns of the latest right row with right_ts <= left_ts (NULLs when
+    no such row). Right rows should be unique per (key, ts) for fully
+    deterministic output (dedupe upstream if not)."""
+    payload = right_payload or [c for c in right.columns if c not in (key, right_ts)]
+    l_tag = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*left.columns).alias("__l"),
+        F.lit(None).cast(
+            "struct<" + ",".join(f"{c}:{right.schema[c].dataType.simpleString()}" for c in payload) + ">"
+        ).alias("__r"),
+    )
+    r_tag = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(
+            "struct<" + ",".join(f"{c}:{left.schema[c].dataType.simpleString()}" for c in left.columns) + ">"
+        ).alias("__l"),
+        F.struct(*payload).alias("__r"),
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__is_left")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l_tag.unionByName(r_tag).withColumn(
+        "__match", F.last("__r", ignorenulls=True).over(w)
+    )
+    out = carried.filter(F.col("__is_left") == 1).select(
+        *[F.col("__l")[c].alias(c) for c in left.columns],
+        *[F.col("__match")[c].alias(f"r_{c}") for c in payload],
+    )
+    return out
+
+
+def sessionize(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    id_cols: tuple[str, ...] = ("event_id",),
+) -> DataFrame:
+    """Append a per-key `session_id` (0-based, in time order): a new
+    session starts when the gap to the previous event exceeds
+    `gap_seconds`. Deterministic tie-break on `id_cols`."""
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in id_cols]
+    w = Window.partitionBy(key).orderBy(*order)
+    prev_ts = F.lag(ts_col).over(w)
+    new_session = F.when(
+        prev_ts.isNull()
+        | (F.unix_timestamp(ts_col) - F.unix_timestamp(prev_ts) > gap_seconds),
+        1,
+    ).otherwise(0)
+    return events.withColumn(
+        "session_id",
+        F.sum(new_session)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        - 1,
+    )
