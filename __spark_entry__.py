@@ -99,6 +99,22 @@ def _q_corpus_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.agg(F.count("*").alias("ntotal"))
 
 
+# IVF indexes are rebuilt identically by several entries (search, batch,
+# partial-probe, persistence, embedding near-dup); KMeans training is the
+# dominant cost, so one build per (session, sf, nlist) is shared.
+_IVF_MEMO: dict = {}
+
+
+def _ivf_index(spark: SparkSession, sf_dir: str, nlist: int):
+    key = (id(spark), sf_dir, nlist)
+    if key not in _IVF_MEMO:
+        emb = load_table(spark, sf_dir, "embeddings")
+        idx = ivf_build(emb, nlist=nlist)
+        idx.postings = idx.postings.localCheckpoint()
+        _IVF_MEMO[key] = idx
+    return _IVF_MEMO[key]
+
+
 def _q_ivf_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I1/I2/Q2: IVF build + single-vector ANN search (app.py:47-75).
 
@@ -106,7 +122,7 @@ def _q_ivf_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     where KMeans put the centroids — the oracle is plain exact top-k SQL.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    idx = ivf_build(emb, nlist=4)
+    idx = _ivf_index(spark, sf_dir, 4)
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
     out = ivf_search(idx, qvec, k=5, nprobe=4)
     return out.select("vec_id", F.round("dist", 6).alias("dist"))
@@ -115,7 +131,7 @@ def _q_ivf_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_ivf_search_all_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q3: batched IVF self-kNN (app.py:85) at nprobe = nlist (exact)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    idx = ivf_build(emb, nlist=4)
+    idx = _ivf_index(spark, sf_dir, 4)
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -128,7 +144,7 @@ def _q_ivf_search_partial_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     which neighbors are found depends on the trained centroids, which SQL
     cannot reproduce; recall is pinned in tests/test_ivf.py)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    idx = ivf_build(emb, nlist=8)
+    idx = _ivf_index(spark, sf_dir, 8)
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -388,7 +404,7 @@ def _q_ivf_persistence_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_search_test_spark.operators.ivf import ivf_load, ivf_save
 
     emb = load_table(spark, sf_dir, "embeddings")
-    idx = ivf_build(emb, nlist=4)
+    idx = _ivf_index(spark, sf_dir, 4)
     path = os.path.join(
         tempfile.gettempdir(), f"sg_ivf_{os.path.basename(sf_dir.rstrip('/'))}"
     )
@@ -470,6 +486,13 @@ def _q_lang_id_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_search_test_spark.functions.textstats import tfidf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, top_n=3)
+
+
 def _q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_search_test_spark.functions import textstats as ts
 
@@ -531,7 +554,9 @@ def _q_neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_search_test_spark.operators.dedup import neardup_embedding
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return neardup_embedding(emb, threshold=0.4, k=20, nlist=4)
+    return neardup_embedding(
+        emb, threshold=0.4, k=20, nlist=4, index=_ivf_index(spark, sf_dir, 4)
+    )
 
 
 def _q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -658,6 +683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats_per_source": _q_text_stats_per_source,
         "text_quality_scores": _q_text_quality_scores,
         "lang_id_pred": _q_lang_id_pred,
+        "tfidf_top_terms": _q_tfidf_top_terms,
         "doc_fingerprints": _q_doc_fingerprints,
         "dedup_exact": _q_dedup_exact,
         "neardup_minhash": _q_neardup_minhash,
@@ -819,6 +845,12 @@ def _langid_oracle_sql() -> str:
                {hit_cols}
         FROM documents
     """
+
+
+def _tfidf_oracle() -> str:
+    from vector_search_test_spark.functions.textstats import tfidf_oracle_sql
+
+    return tfidf_oracle_sql(3)
 
 
 def _fingerprints_oracle_sql() -> str:
@@ -1109,6 +1141,7 @@ def oracle_sql() -> dict[str, str]:
         "text_stats_per_source": _textstats_oracle_sql(),
         "text_quality_scores": _quality_oracle_sql(),
         "lang_id_pred": _langid_oracle_sql(),
+        "tfidf_top_terms": _tfidf_oracle(),
         "doc_fingerprints": _fingerprints_oracle_sql(),
         "dedup_exact": _dedup_exact_oracle_sql(),
         "neardup_minhash": _minhash_oracle_sql(),

@@ -126,6 +126,71 @@ def rolling_fingerprint(col: Column | str, n: int = 3) -> Column:
     )
 
 
+def tfidf_top_terms(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 3,
+):
+    """Top-N TF-IDF terms per document (smooth IDF: ln((N+1)/(df+1)) + 1).
+
+    Plan: explode tokens -> (doc, term) counts (one shuffle, map-side
+    combine) -> document frequencies (second small shuffle on term) ->
+    broadcast the corpus size scalar -> per-doc window top-N with
+    deterministic (score desc, term asc) ordering. No Python anywhere.
+    Returns (id_col, term, score) with score rounded to 6dp.
+    """
+    from pyspark.sql import Window
+
+    from vector_search_test_spark.operators.dedup import tokens
+
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term")
+    )
+    tf = toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.select(F.countDistinct(id_col).alias("n"))
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf")
+            * (F.log((F.col("n") + 1) / (F.col("df") + 1)) + F.lit(1.0)),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_n)
+        .select(
+            F.col("id").alias(id_col),
+            "term",
+            F.round("score", 6).alias("score"),
+        )
+    )
+
+
+def tfidf_oracle_sql(top_n: int = 3) -> str:
+    """DuckDB twin of tfidf_top_terms over the documents view."""
+    return f"""
+        WITH toks AS (
+            SELECT doc_id AS id, unnest(string_split(lower(text), ' ')) AS term
+            FROM documents
+        ),
+        tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY id, term),
+        df_t AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        n_docs AS (SELECT count(DISTINCT doc_id) AS n FROM documents)
+        SELECT id AS doc_id, term,
+               round(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0), 6) AS score
+        FROM tf JOIN df_t USING (term) CROSS JOIN n_docs
+        QUALIFY row_number() OVER (
+            PARTITION BY id
+            ORDER BY tf * (ln((n + 1.0) / (df + 1.0)) + 1.0) DESC, term ASC
+        ) <= {top_n}
+    """
+
+
 # ---------------------------------------------------------------------------
 # DuckDB twins
 # ---------------------------------------------------------------------------

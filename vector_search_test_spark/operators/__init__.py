@@ -1,3 +1,42 @@
+from vector_search_test_spark.operators.cluster import (
+    connected_components,
+    similarity_clusters,
+)
+from vector_search_test_spark.operators.dedup import (
+    dedup_exact,
+    neardup_embedding,
+    neardup_minhash,
+    simhash_near_pairs,
+)
+from vector_search_test_spark.operators.ivf import (
+    IvfIndex,
+    ivf_build,
+    ivf_load,
+    ivf_save,
+    ivf_search,
+    ivf_search_all,
+)
 from vector_search_test_spark.operators.knn import knn_exact, topk_global
+from vector_search_test_spark.operators.search import build_text_index, search_text
+from vector_search_test_spark.operators.timeseries import asof_join, sessionize
 
-__all__ = ["knn_exact", "topk_global"]
+__all__ = [
+    "IvfIndex",
+    "asof_join",
+    "build_text_index",
+    "connected_components",
+    "dedup_exact",
+    "ivf_build",
+    "ivf_load",
+    "ivf_save",
+    "ivf_search",
+    "ivf_search_all",
+    "knn_exact",
+    "neardup_embedding",
+    "neardup_minhash",
+    "search_text",
+    "sessionize",
+    "similarity_clusters",
+    "simhash_near_pairs",
+    "topk_global",
+]

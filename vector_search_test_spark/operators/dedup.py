@@ -362,16 +362,18 @@ def neardup_embedding(
     nprobe: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    index=None,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine similarity.
 
     Candidates from the IVF index (ANN, bucketed — nprobe=None probes all
     cells for the exact/oracle configuration), cosine computed natively,
-    canonical a < b. Returns (a, b, cos) rounded 6dp.
+    canonical a < b. Pass a prebuilt `index` to skip the KMeans train.
+    Returns (a, b, cos) rounded 6dp.
     """
     from vector_search_test_spark.operators.ivf import ivf_build, ivf_search_all
 
-    idx = ivf_build(emb, nlist=nlist, id_col=id_col, vec_col=vec_col)
+    idx = index or ivf_build(emb, nlist=nlist, id_col=id_col, vec_col=vec_col)
     queries = emb.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
     )
