@@ -531,6 +531,16 @@ def _q_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_minhash(docs, threshold=0.9)
 
 
+def _q_jaccard_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard similarity join via AllPairs prefix filtering
+    (bucketed equi-join on prefix shingle hashes — never all-pairs); the
+    oracle is the quadratic all-pairs form, which must match EXACTLY
+    (prefix filtering is lossless by the prefix lemma)."""
+    from vector_search_test_spark.operators.dedup import jaccard_join
+
+    return jaccard_join(_dup_corpus(spark, sf_dir), threshold=0.5)
+
+
 def _q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_search_test_spark.operators.dedup import simhash_table
 
@@ -687,6 +697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": _q_doc_fingerprints,
         "dedup_exact": _q_dedup_exact,
         "neardup_minhash": _q_neardup_minhash,
+        "jaccard_join_prefix": _q_jaccard_join_prefix,
         "simhash_fingerprints": _q_simhash_fingerprints,
         "simhash_near_pairs": _q_simhash_near_pairs,
         "neardup_embedding": _q_neardup_embedding,
@@ -877,6 +888,29 @@ def _dedup_exact_oracle_sql() -> str:
         SELECT min(doc_id) AS rep_id, count(*) AS n_dupes, {h} AS text_hash
         FROM dup
         GROUP BY trim(lower(text))
+    """
+
+
+def _jaccard_join_oracle_sql() -> str:
+    """All-pairs n-gram Jaccard over the duplicate corpus — the quadratic
+    twin of the prefix-filtered similarity join (theta=0.5, n=3)."""
+    from vector_search_test_spark.operators.dedup import shingles_sql
+
+    return f"""
+        WITH dup AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 10000 AS doc_id, text FROM documents
+        ),
+        sh AS (
+            SELECT doc_id AS id, {shingles_sql("text", 3)} AS sh FROM dup
+        )
+        SELECT x.id AS a, y.id AS b,
+               round(len(list_intersect(x.sh, y.sh))::DOUBLE
+                     / len(list_distinct(x.sh || y.sh)), 6) AS jaccard
+        FROM sh x JOIN sh y ON x.id < y.id
+        WHERE len(list_intersect(x.sh, y.sh))::DOUBLE
+              / len(list_distinct(x.sh || y.sh)) >= 0.5
     """
 
 
@@ -1145,6 +1179,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": _fingerprints_oracle_sql(),
         "dedup_exact": _dedup_exact_oracle_sql(),
         "neardup_minhash": _minhash_oracle_sql(),
+        "jaccard_join_prefix": _jaccard_join_oracle_sql(),
         "simhash_fingerprints": _simhash_fp_oracle_sql(),
         "simhash_near_pairs": _simhash_pairs_oracle_sql(),
         "neardup_embedding": _neardup_embedding_oracle_sql(),

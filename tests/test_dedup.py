@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 from vector_search_test_spark.io import load_table
 from vector_search_test_spark.operators.dedup import (
     dedup_exact,
+    jaccard_join,
     neardup_embedding,
     neardup_minhash,
     ngram_jaccard_pairs,
@@ -27,6 +28,23 @@ def test_minhash_finds_all_planted_pairs(spark, sf_dir):
     }
     assert lsh == exact
     assert len(exact) > 0
+
+
+def test_jaccard_join_prefix_filter_is_lossless(spark, sf_dir):
+    """The AllPairs prefix-filtered similarity join must return EXACTLY the
+    all-pairs result (the prefix lemma guarantees recall 1.0; the verify
+    step guarantees precision 1.0) — at several thresholds, on a corpus
+    with planted exact duplicates."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = docs.union(docs.withColumn("doc_id", F.col("doc_id") + 10000))
+    for theta in (0.3, 0.5, 0.8):
+        fast = {(r.a, r.b): r.jaccard for r in jaccard_join(dup, threshold=theta).collect()}
+        slow = {
+            (r.a, r.b): r.jaccard
+            for r in ngram_jaccard_pairs(dup, threshold=theta).collect()
+        }
+        assert fast == slow
+        assert len(fast) >= docs.count()  # every planted dup pair found
 
 
 def test_dedup_exact_duplicate_corpus(spark, sf_dir):

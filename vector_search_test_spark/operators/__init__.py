@@ -4,8 +4,10 @@ from vector_search_test_spark.operators.cluster import (
 )
 from vector_search_test_spark.operators.dedup import (
     dedup_exact,
+    jaccard_join,
     neardup_embedding,
     neardup_minhash,
+    ngram_jaccard_pairs,
     simhash_near_pairs,
 )
 from vector_search_test_spark.operators.ivf import (
@@ -31,7 +33,9 @@ __all__ = [
     "ivf_save",
     "ivf_search",
     "ivf_search_all",
+    "jaccard_join",
     "knn_exact",
+    "ngram_jaccard_pairs",
     "neardup_embedding",
     "neardup_minhash",
     "search_text",

@@ -194,8 +194,8 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """All-pairs n-gram Jaccard above a threshold — the exact (quadratic)
-    oracle for `neardup_minhash`. Use only on bounded inputs; the LSH path
-    is the scale path. Returns (a, b, jaccard)."""
+    oracle for `neardup_minhash` and `jaccard_join`. Use only on bounded
+    inputs; `jaccard_join` is the scale path. Returns (a, b, jaccard)."""
     sh = df.select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sh"))
     a = sh.select(F.col("id").alias("a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("b"), F.col("sh").alias("sh_b"))
@@ -204,6 +204,71 @@ def ngram_jaccard_pairs(
     )
     return (
         a.join(b, F.col("a") < F.col("b"))
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def jaccard_join(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact-threshold n-gram Jaccard similarity join via prefix filtering
+    (Chaudhuri et al. SSJoin / Bayardo et al. "Scaling Up All Pairs" — the
+    AllPairs length+prefix filter), bucketed, never all-pairs.
+
+    Lemma: under any global total order on shingles, if J(A,B) >= t then
+    |A∩B| >= ceil(t·|A|), so the first |A| - ceil(t·|A|) + 1 shingles of A
+    and the corresponding prefix of B must share at least one element.
+    Plan: shingle -> order by 48-bit hash -> slice the prefix -> explode ->
+    self-equi-join on the prefix shingle hash with id< and the length
+    filter t·|b| <= |a| <= |b|/t (also implied by J >= t) -> distinct
+    candidates -> verify exact string-set Jaccard. All joins are
+    equi-joins on shingle hash / id; candidate count is output-bound, not
+    O(N²), so the plan survives 100× (same shape as neardup_minhash but
+    EXACT: recall 1.0 by construction, identical output to the quadratic
+    `ngram_jaccard_pairs`). Returns (a, b, jaccard) rounded 6dp.
+    """
+    sh = (
+        df.select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .cache()
+    )
+    # global order = portable 48-bit hash of the shingle string (rarest-
+    # first would prune harder but needs a frequency pass; hash order is
+    # one less job and still correct)
+    hs = F.sort_array(F.transform("sh", lambda s: portable_hash48(s)))
+    plen = (F.size("sh") - F.ceil(F.lit(threshold) * F.size("sh")) + 1).cast("int")
+    pref = sh.select(
+        "id",
+        F.size("sh").alias("sz"),
+        F.explode(F.slice(hs, F.lit(1), plen)).alias("tok"),
+    )
+    cand = (
+        pref.alias("x")
+        .join(
+            pref.alias("y"),
+            (F.col("x.tok") == F.col("y.tok"))
+            & (F.col("x.id") < F.col("y.id"))
+            # length filter: J >= t  =>  t <= |A|/|B| <= 1/t
+            & (F.col("x.sz") * threshold <= F.col("y.sz"))
+            & (F.col("y.sz") * threshold <= F.col("x.sz")),
+        )
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .dropDuplicates()
+    )
+    sh_a = sh.select(F.col("id").alias("a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col("id").alias("b"), F.col("sh").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        cand.join(sh_a, "a")
+        .join(sh_b, "b")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
