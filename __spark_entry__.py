@@ -289,6 +289,41 @@ def _q_window_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
+def _q_window_lag_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() window: per-customer days since the previous order (frame-less
+    analytic over one shuffle on o_custkey; deterministic tie-break on
+    orderkey)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderdate").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), prev).cast("long").alias("days_since_prev"),
+    )
+
+
+def _q_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (p25/p50/p75) of extendedprice per
+    returnflag — single shuffle, sort-based exact percentile agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pct = F.expr(
+        "percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))"
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(pct.alias("p"))
+        .select(
+            "l_returnflag",
+            F.round(F.col("p")[0], 4).alias("p25"),
+            F.round(F.col("p")[1], 4).alias("p50"),
+            F.round(F.col("p")[2], 4).alias("p75"),
+        )
+    )
+
+
 def _q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON scalar extraction (events.props -> $.k) + per-type agg."""
     ev = load_table(spark, sf_dir, "events")
@@ -679,6 +714,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_broadcast_dims": _q_join_broadcast_dims,
         "join_orders_lineitem_revenue": _q_join_orders_lineitem_revenue,
         "window_top_orders_per_customer": _q_window_top_orders_per_customer,
+        "window_lag_order_gaps": _q_window_lag_order_gaps,
+        "price_percentiles": _q_price_percentiles,
         "events_json_extract": _q_events_json_extract,
         "monthly_order_stats": _q_monthly_order_stats,
         "rollup_status_priority": _q_rollup_status_priority,
@@ -1060,6 +1097,23 @@ def oracle_sql() -> dict[str, str]:
                    ) AS BIGINT) AS rnk
             FROM orders
             QUALIFY rnk <= 3
+        """,
+        "window_lag_order_gaps": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(date_diff('day',
+                        lag(o_orderdate) OVER (
+                            PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey
+                        ), o_orderdate) AS BIGINT) AS days_since_prev
+            FROM orders
+        """,
+        "price_percentiles": """
+            SELECT l_returnflag,
+                   round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+                   round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+                   round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+            FROM lineitem
+            GROUP BY l_returnflag
         """,
         "events_json_extract": """
             SELECT event_type,

@@ -224,29 +224,54 @@ def jaccard_join(
     Lemma: under any global total order on shingles, if J(A,B) >= t then
     |A∩B| >= ceil(t·|A|), so the first |A| - ceil(t·|A|) + 1 shingles of A
     and the corresponding prefix of B must share at least one element.
-    Plan: shingle -> order by 48-bit hash -> slice the prefix -> explode ->
-    self-equi-join on the prefix shingle hash with id< and the length
-    filter t·|b| <= |a| <= |b|/t (also implied by J >= t) -> distinct
+    Plan: shingle -> global rarest-first order (document frequency, then
+    hash) -> per-doc window rank, keep the prefix -> self-equi-join on the
+    prefix shingle hash with id<, the length filter t·|b| <= |a| <= |b|/t,
+    and the PPJoin position filter (Xiao et al., WWW'08) -> distinct
     candidates -> verify exact string-set Jaccard. All joins are
     equi-joins on shingle hash / id; candidate count is output-bound, not
     O(N²), so the plan survives 100× (same shape as neardup_minhash but
     EXACT: recall 1.0 by construction, identical output to the quadratic
     `ngram_jaccard_pairs`). Returns (a, b, jaccard) rounded 6dp.
     """
+    from pyspark.sql import Window
+
     sh = (
         df.select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sh"))
         .filter(F.size("sh") > 0)
         .cache()
     )
-    # global order = portable 48-bit hash of the shingle string (rarest-
-    # first would prune harder but needs a frequency pass; hash order is
-    # one less job and still correct)
-    hs = F.sort_array(F.transform("sh", lambda s: portable_hash48(s)))
-    plen = (F.size("sh") - F.ceil(F.lit(threshold) * F.size("sh")) + 1).cast("int")
-    pref = sh.select(
-        "id",
-        F.size("sh").alias("sz"),
-        F.explode(F.slice(hs, F.lit(1), plen)).alias("tok"),
+    # Global shingle order = (document frequency asc, hash) — rarest-first.
+    # Low-entropy corpora (small vocabularies) make every hash-ordered
+    # prefix token a hot bucket; ordering by DF puts each document's
+    # rarest shingles in its prefix, shrinking candidate buckets by the
+    # frequency skew. One extra groupBy over the exploded shingles — cheap
+    # relative to the candidate explosion it prevents.
+    ex = sh.select(
+        "id", F.size("sh").alias("sz"), F.explode("sh").alias("s")
+    ).withColumn("tok", portable_hash48(F.col("s"))).drop("s")
+    freq = ex.groupBy("tok").agg(F.count("*").alias("df"))
+    ranked = ex.join(freq, "tok").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("id").orderBy("df", "tok")
+        ),
+    )
+    plen = (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1).cast("int")
+    pref = ranked.filter(F.col("rn") <= plen).select("id", "sz", "tok", "rn")
+    # Required overlap for J >= t: o >= ceil(t/(1+t) * (|A|+|B|)).
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("x.sz") + F.col("y.sz"))
+    )
+    # PPJoin position filter: at the first common prefix token every later
+    # common token sits at position >= rn on both sides, so the overlap is
+    # bounded by min(remaining suffix lengths) + 1 — below alpha the pair
+    # cannot qualify and is dropped before the verify join.
+    pos_ub = (
+        F.least(
+            F.col("x.sz") - F.col("x.rn"), F.col("y.sz") - F.col("y.rn")
+        )
+        + 1
     )
     cand = (
         pref.alias("x")
@@ -256,7 +281,8 @@ def jaccard_join(
             & (F.col("x.id") < F.col("y.id"))
             # length filter: J >= t  =>  t <= |A|/|B| <= 1/t
             & (F.col("x.sz") * threshold <= F.col("y.sz"))
-            & (F.col("y.sz") * threshold <= F.col("x.sz")),
+            & (F.col("y.sz") * threshold <= F.col("x.sz"))
+            & (pos_ub >= alpha),
         )
         .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
         .dropDuplicates()

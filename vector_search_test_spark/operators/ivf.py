@@ -92,7 +92,20 @@ def train_centroids(
     from pyspark.ml.functions import array_to_vector
 
     feats = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
-    model = KMeans(k=nlist, seed=seed, maxIter=max_iter).fit(feats)
+    # KMeans makes ~maxIter + k-means|| init passes over the input; cache
+    # it once, and size the partitioning to the data (each pass schedules
+    # one task per partition — 32 near-empty partitions cost more in task
+    # launch than the distance math; at 100 TB rows/100k keeps thousands
+    # of partitions, so nothing is serialized at scale).
+    cached = feats.cache()
+    n = cached.count()
+    cur = cached.rdd.getNumPartitions()
+    parts = max(1, min(cur, (n + 99_999) // 100_000))
+    fit_input = cached.coalesce(parts) if parts < cur else cached
+    try:
+        model = KMeans(k=nlist, seed=seed, maxIter=max_iter).fit(fit_input)
+    finally:
+        cached.unpersist()
     return [[float(x) for x in c] for c in model.clusterCenters()]
 
 
