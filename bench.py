@@ -42,8 +42,17 @@ def main() -> int:
     spark = get_session(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm-up: JVM + parquet footer reads out of the timed path
+    # warm-up: JVM + parquet footer reads + MLlib class-loading/codegen out
+    # of the timed path (first KMeans.fit in a JVM costs ~8 s of one-time
+    # class loading; steady-state fit at this SF is ~2 s)
     spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    warm = spark.createDataFrame(
+        [([float(i), float(i % 3)],) for i in range(16)], "embedding array<float>"
+    ).select(array_to_vector("embedding").alias("features"))
+    KMeans(k=2, seed=1, maxIter=2).fit(warm)
 
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():

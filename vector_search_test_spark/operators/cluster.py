@@ -89,14 +89,32 @@ def connected_components(
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        labels = (
-            labels.join(nbr, "id", "left")
-            .select(
-                "id",
-                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
-            )
-            .localCheckpoint()
+        stepped = labels.join(nbr, "id", "left").select(
+            "id",
+            F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
         )
+        # Pointer jumping: label := label(label). Labels are always node
+        # ids, so the lookup is a self-join; chasing one hop per round
+        # turns O(diameter) convergence into O(log diameter) — a chain of
+        # length d resolves in ~log2(d) rounds instead of d (same trick as
+        # the large-star operation in Kiveris et al., SoCC'14).
+        jumped = (
+            stepped.alias("x")
+            .join(
+                stepped.select(
+                    F.col("id").alias("jid"), F.col("label").alias("jlabel")
+                ),
+                F.col("x.label") == F.col("jid"),
+                "left",
+            )
+            .select(
+                F.col("x.id").alias("id"),
+                F.least(
+                    F.col("x.label"), F.coalesce("jlabel", F.col("x.label"))
+                ).alias("label"),
+            )
+        )
+        labels = jumped.localCheckpoint()
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:
             break
@@ -187,8 +205,13 @@ def similarity_clusters(
     """
     from vector_search_test_spark.operators.ivf import ivf_build, ivf_search_all
 
-    deduped = dedupe_by_text(corpus, id_col=id_col, text_col=text_col)
+    # Materialize the deduped corpus once: it feeds four consumers (KMeans
+    # train, postings, the query side, and the final text join) and Spark
+    # does not common-subexpression-eliminate repeated subplans — without
+    # this each consumer re-runs the groupBy(text) shuffle.
+    deduped = dedupe_by_text(corpus, id_col=id_col, text_col=text_col).localCheckpoint()
     idx = ivf_build(deduped, nlist=nlist, id_col=id_col, vec_col=vec_col, seed=seed)
+    idx.postings = idx.postings.localCheckpoint()
     queries = deduped.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
     )
