@@ -604,6 +604,33 @@ def _q_neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data curation story as ONE declarative plan:
+    quality-score filter -> exact dedup (keep min-id representative) ->
+    per-source corpus stats. Filters are native expressions that reach the
+    scan; dedup is one hash-shuffle; stats one more. Composes F-ops +
+    dedup + aggregation exactly as a 100 TB curation job would."""
+    from vector_search_test_spark.functions.textstats import (
+        quality_score,
+        token_count_ws,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    dup = docs.union(
+        docs.withColumn("doc_id", F.col("doc_id") + 10000)
+    )  # planted duplicates: the dedup stage has real work to do
+    good = dup.filter(quality_score("text") >= 0.55)
+    reps = good.groupBy(F.trim(F.lower(F.col("text"))).alias("norm")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    kept = good.join(reps.select("doc_id"), "doc_id")
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(token_count_ws("text")), 6).alias("avg_tokens"),
+        F.round(F.avg(quality_score("text")), 6).alias("avg_quality"),
+    )
+
+
 def _q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload column + typed metadata, all
     native expressions (encode/octet_length). Oracle anchors byte length
@@ -738,6 +765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_fingerprints": _q_simhash_fingerprints,
         "simhash_near_pairs": _q_simhash_near_pairs,
         "neardup_embedding": _q_neardup_embedding,
+        "corpus_curation_pipeline": _q_corpus_curation_pipeline,
     }
 
 
@@ -925,6 +953,32 @@ def _dedup_exact_oracle_sql() -> str:
         SELECT min(doc_id) AS rep_id, count(*) AS n_dupes, {h} AS text_hash
         FROM dup
         GROUP BY trim(lower(text))
+    """
+
+
+def _curation_oracle_sql() -> str:
+    from vector_search_test_spark.functions.textstats import (
+        quality_score_sql,
+        token_count_ws_sql,
+    )
+
+    q = quality_score_sql("text")
+    return f"""
+        WITH dup AS (
+            SELECT doc_id, source, text FROM documents
+            UNION ALL
+            SELECT doc_id + 10000 AS doc_id, source, text FROM documents
+        ),
+        good AS (SELECT * FROM dup WHERE {q} >= 0.55),
+        reps AS (
+            SELECT min(doc_id) AS doc_id FROM good
+            GROUP BY trim(lower(text))
+        )
+        SELECT source, count(*) AS n_docs,
+               round(avg({token_count_ws_sql("text")}), 6) AS avg_tokens,
+               round(avg({q}), 6) AS avg_quality
+        FROM good JOIN reps USING (doc_id)
+        GROUP BY source
     """
 
 
@@ -1237,4 +1291,5 @@ def oracle_sql() -> dict[str, str]:
         "simhash_fingerprints": _simhash_fp_oracle_sql(),
         "simhash_near_pairs": _simhash_pairs_oracle_sql(),
         "neardup_embedding": _neardup_embedding_oracle_sql(),
+        "corpus_curation_pipeline": _curation_oracle_sql(),
     }

@@ -22,6 +22,7 @@ from vector_search_test_spark.streaming.ingest import (
     stream_assign_cells,
     stream_event_window_counts,
 )
+from vector_search_test_spark.streaming.stateful import stream_sessionize
 
 
 def test_media_schema_and_metadata(spark, sf_dir):
@@ -84,6 +85,76 @@ def test_stream_assign_matches_batch(spark, sf_dir, tmp_path):
         for r in assign_cells(emb, cents).select("vec_id", "list_id").collect()
     )
     assert got == want
+
+
+def test_stateful_sessionize_matches_batch(spark, sf_dir, tmp_path):
+    """applyInPandasWithState sessionization: closed sessions emitted by
+    the stream must equal the batch sessionize result minus each user's
+    trailing (still-open) session — exact under time-ordered arrival,
+    regardless of how micro-batches split the input."""
+    import os
+
+    from vector_search_test_spark.operators.timeseries import sessionize
+
+    ev_batch = load_table(spark, sf_dir, "events")
+    inp = tmp_path / "sess_in"
+    inp.mkdir()
+    # three time-ordered files -> availableNow(maxFilesPerTrigger=1)
+    # replays them as three micro-batches crossing session boundaries
+    bounds = ev_batch.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).first()
+    cuts = [
+        bounds.lo
+        + (bounds.hi - bounds.lo) * f
+        for f in (1 / 3, 2 / 3)
+    ]
+    parts = [
+        ev_batch.filter(F.col("ts") <= F.lit(cuts[0])),
+        ev_batch.filter((F.col("ts") > F.lit(cuts[0])) & (F.col("ts") <= F.lit(cuts[1]))),
+        ev_batch.filter(F.col("ts") > F.lit(cuts[1])),
+    ]
+    for i, p in enumerate(parts):
+        sub = tmp_path / f"sess_part{i}"
+        p.coalesce(1).write.parquet(str(sub))
+        (pq,) = [f for f in os.listdir(sub) if f.endswith(".parquet")]
+        os.rename(sub / pq, inp / f"{i:02d}.parquet")
+        # mtime order = processing order for the file-stream source
+        os.utime(inp / f"{i:02d}.parquet", (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = stream_sessionize(spark, str(inp), gap_seconds=1800, max_files_per_trigger=1)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("closed_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events, round(r.sum_value, 6))
+        for r in spark.sql("SELECT * FROM closed_sessions").collect()
+    )
+
+    sess = sessionize(ev_batch, gap_seconds=1800)
+    agg = sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        F.sum("value").alias("sum_value"),
+    )
+    last = sess.groupBy("user_id").agg(F.max("session_id").alias("last_sid"))
+    want = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events, round(r.sum_value, 6))
+        for r in agg.join(
+            last,
+            (agg.user_id == last.user_id) & (agg.session_id == last.last_sid),
+            "left_anti",
+        ).collect()
+    )
+    assert got == want
+    assert len(got) > 0
 
 
 def test_stream_window_counts_match_batch(spark, sf_dir, tmp_path):

@@ -115,6 +115,31 @@ def minhash_signature(
     return F.array(*[member(i) for i in range(num_hashes)])
 
 
+def minhash_signature_table(
+    sh: DataFrame,
+    num_hashes: int = 16,
+    id_col: str = "id",
+    shingle_col: str = "sh",
+) -> DataFrame:
+    """MinHash signatures as a table: (id, m0..m{H-1}).
+
+    Explode shingles -> flat projection of the H salted hashes -> min-agg
+    per id (map-side combine; the shuffle carries H longs per doc). Same
+    values as `minhash_signature`, but the flat per-row projection stays
+    inside whole-stage codegen — the single-expression array form compiles
+    one 64 KB+ Java method that janino rejects, silently dropping the
+    stage to interpreted evaluation (~4x slower end-to-end).
+    """
+    ex = sh.select(F.col(id_col).alias("id"), F.explode(shingle_col).alias("s"))
+    hashed = ex.select(
+        "id",
+        *[portable_hash48(F.col("s"), salt=i).alias(f"h{i}") for i in range(num_hashes)],
+    )
+    return hashed.groupBy("id").agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_hashes)]
+    )
+
+
 def lsh_band_keys(sig_col: Column, bands: int, rows: int) -> Column:
     """Band keys: array of `bands` strings, each joining `rows` signature
     slots with '-'. Equality of one key = candidate pair."""
@@ -152,14 +177,21 @@ def neardup_minhash(
     sh = df.select(
         F.col(id_col).alias("id"), shingles(text_col, n).alias("sh")
     ).filter(F.size("sh") > 0).cache()
-    sig = sh.select(
-        "id", "sh", lsh_band_keys(minhash_signature(F.col("sh"), num_hashes), bands, rows).alias("keys")
+    sig = minhash_signature_table(sh, num_hashes)
+    keys = F.array(
+        *[
+            F.concat_ws(
+                "-",
+                *[F.col(f"m{b * rows + r}").cast("string") for r in range(rows)],
+            )
+            for b in range(bands)
+        ]
     )
     # cached: both sides of the self-join read the exploded band table; an
-    # uncached plan would evaluate the (expensive) signature expression
-    # once per side. Small: num_bands rows per doc, short strings.
+    # uncached plan would re-run the signature aggregation once per side.
+    # Small: num_bands rows per doc, short strings.
     bands_df = sig.select(
-        "id", F.posexplode("keys").alias("band_id", "band_key")
+        "id", F.posexplode(keys).alias("band_id", "band_key")
     ).cache()
     cand = (
         bands_df.alias("x")

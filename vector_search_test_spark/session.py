@@ -40,10 +40,11 @@ def get_session(
         # Wide codegen (unrolled vector distances) compiles a fresh class
         # per distinct plan; the JVM's default 240m reserved code cache
         # fills over a long session, silently disabling the JIT and making
-        # everything ~10x slower. 512m keeps the JIT alive.
+        # everything ~10x slower. 1g + flushing keeps the JIT alive across
+        # a 40+-plan bench session.
         .config(
             "spark.driver.extraJavaOptions",
-            "-XX:ReservedCodeCacheSize=512m",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
         )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")

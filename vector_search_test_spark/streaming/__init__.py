@@ -4,5 +4,14 @@ from vector_search_test_spark.streaming.ingest import (
     stream_assign_cells,
     stream_event_window_counts,
 )
+from vector_search_test_spark.streaming.stateful import (
+    sessionize_stateful,
+    stream_sessionize,
+)
 
-__all__ = ["stream_assign_cells", "stream_event_window_counts"]
+__all__ = [
+    "sessionize_stateful",
+    "stream_assign_cells",
+    "stream_event_window_counts",
+    "stream_sessionize",
+]
