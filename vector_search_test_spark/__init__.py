@@ -8,8 +8,10 @@ Architecture is Spark-first: DataFrame/SQL plans optimized by Catalyst,
 vector math as native columnar expressions (whole-stage codegen), IVF cell
 pruning as Parquet partition pruning, k-means via MLlib. No RDDs, no
 row-at-a-time Python UDFs on hot paths. Implemented surface: see
-``operators/`` (knn, ivf, cluster, dedup), ``functions/`` (vector, hashing,
-embed, textstats), ``sources/`` — each module docstring states what exists.
+``operators/`` (knn, ivf, cluster, dedup, search, timeseries),
+``functions/`` (vector, hashing, embed, textstats), ``sources/`` (text,
+multimodal), ``streaming/`` (ingest, stateful) — each module docstring
+states what exists.
 
 Reference behaviors are cited as `app.py:<line>` (the reference's single
 file) in docstrings throughout.

@@ -142,10 +142,11 @@ def tfidf_top_terms(
     """
     from pyspark.sql import Window
 
+    from vector_search_test_spark.io import spread
     from vector_search_test_spark.operators.dedup import tokens
 
-    toks = docs.select(
-        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term")
+    toks = spread(docs.select(F.col(id_col).alias("id"), F.col(text_col)), id_col).select(
+        "id", F.explode(tokens(text_col)).alias("term")
     )
     tf = toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
     df_t = tf.groupBy("term").agg(F.count("*").alias("df"))

@@ -46,3 +46,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def spread(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Repartition `df` up to the cluster's parallelism — only when the
+    source has fewer partitions than cores.
+
+    A small parquet table arrives in as many partitions as it has files
+    (often 1-2); every narrow stage downstream then runs on 1-2 cores no
+    matter how wide the cluster is. Compute-heavy per-row work (shingle
+    hashing, signature projection) needs the rows spread first. At real
+    scale the input already has >= cores partitions and this is a no-op —
+    it never *reduces* partitioning.
+    """
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() >= sc.defaultParallelism:
+        return df
+    from pyspark.sql import functions as F
+
+    if key_cols:
+        return df.repartition(sc.defaultParallelism, *[F.col(c) for c in key_cols])
+    return df.repartition(sc.defaultParallelism)

@@ -171,12 +171,19 @@ def neardup_minhash(
     band keys and ids — bucketed, never all-pairs (the all-pairs version
     is the ORACLE, not the engine). Returns (a, b, jaccard) rounded 6dp.
     """
+    from vector_search_test_spark.io import spread
+
     rows = num_hashes // bands
     # cached: the shingle sets feed three consumers (signature, and both
-    # sides of the verify join) — without cache each re-shingles the corpus
-    sh = df.select(
-        F.col(id_col).alias("id"), shingles(text_col, n).alias("sh")
-    ).filter(F.size("sh") > 0).cache()
+    # sides of the verify join) — without cache each re-shingles the
+    # corpus. spread() first: the signature projection is the hash-heavy
+    # stage and must not inherit a 1-2-file source's parallelism.
+    sh = (
+        spread(df.select(F.col(id_col).alias("id"), F.col(text_col)), id_col)
+        .select("id", shingles(text_col, n).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .cache()
+    )
     sig = minhash_signature_table(sh, num_hashes)
     keys = F.array(
         *[
@@ -268,8 +275,11 @@ def jaccard_join(
     """
     from pyspark.sql import Window
 
+    from vector_search_test_spark.io import spread
+
     sh = (
-        df.select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sh"))
+        spread(df.select(F.col(id_col).alias("id"), F.col(text_col)), id_col)
+        .select("id", shingles(text_col, n).alias("sh"))
         .filter(F.size("sh") > 0)
         .cache()
     )
@@ -380,10 +390,12 @@ def simhash_table(
     before the single shuffle, so this is also the 100 TB shape (the HOF
     expression form is `bits` interpreted passes per row).
     """
+    from vector_search_test_spark.io import spread
+
     # plain explode: a single-space split never yields an empty array
     # (''.split -> ['']), so no doc can drop out here
-    toks = df.select(
-        F.col(id_col).alias("id"),
+    toks = spread(df.select(F.col(id_col).alias("id"), F.col(text_col)), id_col).select(
+        "id",
         F.explode(tokens(text_col)).alias("tok"),
     ).select("id", portable_hash48(F.col("tok")).alias("h"))
     votes = [

@@ -41,7 +41,9 @@ def build_text_index(
         out_col="embedding",
         dim=dim,
         embedder=embedder,
-    )
+    ).localCheckpoint()  # embed once: both KMeans train and the postings
+    # projection consume this, and mapInPandas is the most expensive
+    # stage of the text path — never run it twice
     return ivf_build(embedded, nlist=nlist, id_col="vec_id", vec_col="embedding")
 
 
