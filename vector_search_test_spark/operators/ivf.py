@@ -61,16 +61,23 @@ def _centroid_literal(centroids: list[list[float]]) -> Column:
     )
 
 
-def _centroid_dists(vec: Column, centroids: list[list[float]]) -> Column:
+def _centroid_dists(
+    vec: Column, centroids: list[list[float]], codegen: bool = True
+) -> Column:
     """array<double> of distances to every centroid.
 
-    Unrolled scalar-literal expressions (whole-stage codegen) while
-    nlist * dim stays JIT-friendly; interpreted HOF fallback above that.
-    Both forms sum identically (left-to-right), so values never differ.
+    codegen=True: unrolled scalar-literal expressions (whole-stage
+    codegen) while nlist * dim stays JIT-friendly — right for corpus-wide
+    scans (assign), where the one-time janino compile (~4 s at
+    nlist*dim=512) amortizes over every row of the corpus.
+    codegen=False: interpreted HOF form — right for per-QUERY ranking
+    (probe), which touches Q * nlist * dim values total; there the compile
+    would dominate at any scale. Both forms sum identically
+    (left-to-right), so values never differ.
     """
     nlist = len(centroids)
     dim = len(centroids[0]) if centroids else 0
-    if nlist * dim <= _MAX_UNROLLED_TERMS:
+    if codegen and nlist * dim <= _MAX_UNROLLED_TERMS:
         return F.array(*[l2_sq_const(vec, c) for c in centroids])
     return F.transform(_centroid_literal(centroids), lambda c: l2_sq(c, vec))
 
@@ -139,7 +146,7 @@ def probe_cells(
     """
     nlist = len(centroids)
     nprobe = max(1, min(nprobe, nlist))
-    dists = _centroid_dists(F.col(query_vec_col), centroids)
+    dists = _centroid_dists(F.col(query_vec_col), centroids, codegen=False)
     cells = F.sequence(F.lit(0), F.lit(nlist - 1))
     ranked = F.array_sort(
         F.zip_with(dists, cells, lambda d, i: F.struct(d.alias("d"), i.alias("i")))
