@@ -416,6 +416,24 @@ def _q_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", F.col("r_click_id").alias("click_id"))
 
 
+def _q_interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join WITHOUT an equi-key: all events falling in
+    any of 20 users' first-2-day windows. Time-bucketed equi-join plan
+    (operators/timeseries.py::interval_join) — never a cross product;
+    oracle is the naive BETWEEN join."""
+    from vector_search_test_spark.operators.timeseries import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    iv = (
+        ev.filter(F.col("user_id") < 20)
+        .groupBy(F.col("user_id").alias("w_user"))
+        .agg(F.min("ts").alias("start"))
+        .withColumn("end", F.col("start") + F.expr("INTERVAL 2 DAYS"))
+    )
+    out = interval_join(ev.select("event_id", "ts"), iv)
+    return out.select("w_user", "event_id")
+
+
 def _q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30 min): per-user session and event
     counts."""
@@ -750,6 +768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops_custkeys": _q_set_ops_custkeys,
         "count_distinct_suppliers": _q_count_distinct_suppliers,
         "asof_purchase_click": _q_asof_purchase_click,
+        "interval_join_events": _q_interval_join_events,
         "event_sessions": _q_event_sessions,
         "ivf_persistence_roundtrip": _q_ivf_persistence_roundtrip,
         "cluster_members": _q_cluster_members,
@@ -1235,6 +1254,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT p.event_id, p.user_id, c.click_id
             FROM p ASOF LEFT JOIN clicks c
               ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        "interval_join_events": """
+            WITH iv AS (
+                SELECT user_id AS w_user,
+                       min(CAST(ts AS TIMESTAMP)) AS s
+                FROM events WHERE user_id < 20
+                GROUP BY user_id
+            )
+            SELECT iv.w_user, e.event_id
+            FROM events e JOIN iv
+              ON CAST(e.ts AS TIMESTAMP) >= iv.s
+             AND CAST(e.ts AS TIMESTAMP) <= iv.s + INTERVAL 2 DAY
         """,
         "event_sessions": """
             WITH e AS (

@@ -1,10 +1,15 @@
-"""As-of join + sessionization tests (pandas twin as the oracle)."""
+"""As-of join, interval join + sessionization tests (naive twins as the
+oracle)."""
 
 from datetime import datetime, timedelta
 
 from pyspark.sql import functions as F
 
-from vector_search_test_spark.operators.timeseries import asof_join, sessionize
+from vector_search_test_spark.operators.timeseries import (
+    asof_join,
+    interval_join,
+    sessionize,
+)
 
 T0 = datetime(2025, 1, 1, 12, 0, 0)
 
@@ -49,6 +54,38 @@ def test_asof_join_preserves_all_left_rows(spark, sf_dir):
     )
     out = asof_join(purchases, clicks, key="user_id", right_payload=["click_id"])
     assert out.count() == purchases.count()
+
+
+def test_interval_join_matches_naive(spark, sf_dir):
+    """Bucketed interval join == naive cross-join + BETWEEN filter, at
+    several bucket sizes (completeness and no-duplicates are bucket-size
+    invariant)."""
+    from vector_search_test_spark.io import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    iv = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 10)
+        .groupBy(F.col("user_id").alias("w_user"))
+        .agg(F.min("ts").alias("start"))
+        .withColumn("end", F.col("start") + F.expr("INTERVAL 2 DAYS"))
+    )
+    naive = sorted(
+        (r.w_user, r.event_id)
+        for r in ev.crossJoin(iv)
+        .filter((F.col("ts") >= F.col("start")) & (F.col("ts") <= F.col("end")))
+        .select("w_user", "event_id")
+        .collect()
+    )
+    assert len(naive) > 0
+    for bucket in (3600, 86400, 7 * 86400):
+        got = sorted(
+            (r.w_user, r.event_id)
+            for r in interval_join(ev, iv, bucket_seconds=bucket)
+            .select("w_user", "event_id")
+            .collect()
+        )
+        assert got == naive
 
 
 def test_sessionize_gap_splits(spark):

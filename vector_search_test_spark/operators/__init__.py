@@ -20,7 +20,11 @@ from vector_search_test_spark.operators.ivf import (
 )
 from vector_search_test_spark.operators.knn import knn_exact, topk_global
 from vector_search_test_spark.operators.search import build_text_index, search_text
-from vector_search_test_spark.operators.timeseries import asof_join, sessionize
+from vector_search_test_spark.operators.timeseries import (
+    asof_join,
+    interval_join,
+    sessionize,
+)
 
 __all__ = [
     "IvfIndex",
@@ -32,6 +36,7 @@ __all__ = [
     "ivf_load",
     "ivf_save",
     "ivf_search",
+    "interval_join",
     "ivf_search_all",
     "jaccard_join",
     "knn_exact",

@@ -1,9 +1,11 @@
-"""Time-series operators: as-of join and gap-based sessionization.
+"""Time-series operators: as-of join, interval (range) join, and
+gap-based sessionization.
 
 Not in the reference (no time/order semantics exist there — SURVEY §2.8);
 these are the standard event-log operators a large-scale pipeline needs,
-implemented with the one-shuffle union+window pattern rather than a range
-join (which explodes to O(|L| x |R|) per key before filtering).
+implemented with the one-shuffle union+window pattern (as-of) and
+time-bucket equi-joins (interval) rather than naive range joins (which
+explode to O(|L| x |R|) per key before filtering).
 
 as-of join (backward): for each left row, the latest right row of the
 same key with right_ts <= left_ts. Plan: tag both sides, union, one
@@ -70,6 +72,39 @@ def asof_join(
         *[F.col("__match")[c].alias(f"r_{c}") for c in payload],
     )
     return out
+
+
+def interval_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    ts_col: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    bucket_seconds: int = 86400,
+) -> DataFrame:
+    """Range (interval) join: every (event, interval) pair with
+    start <= ts <= end — WITHOUT an equi-key and WITHOUT a cross product.
+
+    Plan: quantize time into `bucket_seconds` buckets; each interval
+    explodes to the buckets it overlaps (native `sequence`), each event
+    carries its single bucket; equi-join on bucket, then the exact range
+    filter. An event's bucket always lies inside a covering interval's
+    bucket span, and the pair shares exactly ONE bucket (the event's own),
+    so the join is complete and duplicate-free with no distinct step.
+    Work scales with overlaps (output-bound), not |events| x |intervals|;
+    pick `bucket_seconds` near the median interval length so intervals
+    explode to O(1) buckets. Skewed hot buckets split via AQE.
+    """
+    b = lambda c: F.floor(F.unix_timestamp(c) / bucket_seconds)  # noqa: E731
+    ev = events.withColumn("__b", b(F.col(ts_col)))
+    iv = intervals.withColumn(
+        "__b", F.explode(F.sequence(b(F.col(start_col)), b(F.col(end_col))))
+    )
+    return (
+        ev.join(iv, "__b")
+        .filter((F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(end_col)))
+        .drop("__b")
+    )
 
 
 def sessionize(
