@@ -1,0 +1,106 @@
+"""Property tests (SURVEY §5.4) — hypothesis over small generated corpora.
+
+Each property pins a semantic invariant of the engine, not a fixture
+value: theta=0 unclusters everything, input permutation cannot change the
+partition, duplicate texts collapse (§2.9 Q1), k > n returns n rows
+(§2.9 Q5), and the prefix-filtered Jaccard join equals the quadratic
+all-pairs form on arbitrary corpora. max_examples is kept small because
+every example runs real Spark jobs.
+"""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from vector_search_test_spark.functions.embed import HashingEmbedder
+from vector_search_test_spark.operators.cluster import similarity_clusters
+from vector_search_test_spark.operators.dedup import jaccard_join, ngram_jaccard_pairs
+from vector_search_test_spark.operators.knn import topk_global
+
+WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+text_st = st.lists(st.sampled_from(WORDS), min_size=1, max_size=6).map(" ".join)
+corpus_st = st.lists(text_st, min_size=2, max_size=10)
+
+_SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _corpus_df(spark, texts):
+    emb = HashingEmbedder(dim=16)
+    mat = emb.encode(list(texts))
+    rows = [(i, t, [float(x) for x in mat[i]]) for i, t in enumerate(texts)]
+    return spark.createDataFrame(
+        rows, "id long, text string, embedding array<float>"
+    )
+
+
+@settings(**_SETTINGS)
+@given(texts=corpus_st)
+def test_theta_zero_unclusters_everything(spark, texts):
+    """dist < 0 is unsatisfiable -> no edges -> every text gets -1."""
+    out = similarity_clusters(
+        _corpus_df(spark, texts), threshold=0.0, k=5, nlist=2
+    ).collect()
+    assert all(r.cluster_id == -1 for r in out)
+
+
+@settings(**_SETTINGS)
+@given(texts=corpus_st, seed=st.randoms(use_true_random=False))
+def test_permutation_invariant_partition(spark, texts, seed):
+    """Shuffling input row order cannot change WHO clusters with whom
+    (cluster ids may renumber; the partition of texts may not — §2.9 Q6)."""
+
+    def partition(ts):
+        out = similarity_clusters(
+            _corpus_df(spark, ts), threshold=1.2, k=5, nlist=2
+        ).collect()
+        groups = {}
+        for r in out:
+            groups.setdefault(r.cluster_id, set()).add(r.text)
+        singles = {frozenset([t]) for t in groups.pop(-1, set())}
+        return {frozenset(v) for v in groups.values()} | singles
+
+    shuffled = list(texts)
+    seed.shuffle(shuffled)
+    assert partition(texts) == partition(shuffled)
+
+
+@settings(**_SETTINGS)
+@given(texts=corpus_st)
+def test_duplicates_collapse_to_one_row(spark, texts):
+    """§2.9 Q1: export has one row per DISTINCT text even when the corpus
+    holds duplicates."""
+    doubled = list(texts) + list(texts)
+    out = similarity_clusters(
+        _corpus_df(spark, doubled), threshold=0.5, k=5, nlist=2
+    ).collect()
+    assert len(out) == len(set(doubled))
+
+
+@settings(**_SETTINGS)
+@given(texts=corpus_st, k=st.integers(min_value=1, max_value=50))
+def test_topk_returns_min_k_n_rows(spark, texts, k):
+    """§2.9 Q5: k > ntotal returns exactly ntotal rows, never padding."""
+    df = _corpus_df(spark, texts)
+    qvec = [float(x) for x in df.first().embedding]
+    got = topk_global(df.select(F.col("id").alias("vec_id"), "embedding"), qvec, k=k)
+    assert got.count() == min(k, len(texts))
+
+
+@settings(**_SETTINGS)
+@given(texts=corpus_st, theta=st.sampled_from([0.3, 0.6, 0.9]))
+def test_jaccard_prefix_join_lossless_on_random_corpora(spark, texts, theta):
+    """The AllPairs/PPJoin prefix filter must be exactly lossless for any
+    corpus and threshold, not just the fixtures."""
+    df = _corpus_df(spark, texts).select(
+        F.col("id").alias("doc_id"), "text"
+    )
+    fast = {(r.a, r.b, r.jaccard) for r in jaccard_join(df, n=2, threshold=theta).collect()}
+    slow = {
+        (r.a, r.b, r.jaccard)
+        for r in ngram_jaccard_pairs(df, n=2, threshold=theta).collect()
+    }
+    assert fast == slow

@@ -109,8 +109,17 @@ def train_centroids(
     cur = cached.rdd.getNumPartitions()
     parts = max(1, min(cur, (n + 99_999) // 100_000))
     fit_input = cached.coalesce(parts) if parts < cur else cached
+    # faiss requires ntotal >= nlist to train; MLlib KMeans throws on
+    # k > n (and on k < 2). Clamp instead: a corpus smaller than nlist
+    # simply gets one cell per vector (searches stay exact), and a
+    # single-row corpus IS its own centroid — no training needed.
+    k = max(1, min(nlist, n))
+    if k < 2:
+        rows = fit_input.limit(1).collect()
+        cached.unpersist()
+        return [[float(x) for x in r.features] for r in rows]
     try:
-        model = KMeans(k=nlist, seed=seed, maxIter=max_iter).fit(fit_input)
+        model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(fit_input)
     finally:
         cached.unpersist()
     return [[float(x) for x in c] for c in model.clusterCenters()]
