@@ -1,0 +1,81 @@
+"""Physical-plan assertions — the plan IS the product at 100 TB.
+
+Each test pins a plan property the engine's design depends on, so a
+regression that silently degrades the plan (lost pushdown, a broadcast
+that becomes a shuffle, a window that loses its group-limit) fails CI
+even though results stay correct. Pinned against pyspark 4.1.2.
+"""
+
+from pyspark.sql import functions as F
+
+from vector_search_test_spark.io import load_table
+from vector_search_test_spark.operators.ivf import ivf_build, ivf_search, ivf_search_all
+from vector_search_test_spark.operators.knn import topk_global
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_and_projection_reach_parquet_scan(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.filter(F.col("l_quantity") > 40).select("l_orderkey", "l_quantity")
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,40" in plan
+    # column pruning: the scan reads 2 columns, not all 11
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_small_dims_broadcast_not_shuffle(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    df = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_global_topk_is_take_ordered_no_shuffle(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.first().embedding]
+    plan = _plan(topk_global(emb, qvec, k=5))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan  # per-partition heaps, merged on driver
+
+
+def test_ivf_single_search_prunes_and_avoids_shuffle(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = ivf_build(emb, nlist=4)
+    qvec = [float(x) for x in emb.first().embedding]
+    plan = _plan(ivf_search(idx, qvec, k=5, nprobe=2))
+    # probe filter present (inlined through the assign projection on an
+    # in-memory index — the saved-index test pins pruning by name) and
+    # top-k without a shuffle
+    assert "Filter" in plan and "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+
+
+def test_batched_knn_window_has_group_limit(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = ivf_build(emb, nlist=4)
+    q = emb.limit(10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    plan = _plan(ivf_search_all(idx, q, k=5, nprobe=4))
+    # WindowGroupLimit cuts each partition to k rows per query BEFORE the
+    # window shuffle — the difference between shuffling O(matches) and
+    # O(Q*k) at scale
+    assert "WindowGroupLimit" in plan
+
+
+def test_partitioned_index_scan_prunes_partitions(spark, sf_dir, tmp_path):
+    from vector_search_test_spark.operators.ivf import ivf_load, ivf_save
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ivf_save(ivf_build(emb, nlist=4), str(tmp_path / "idx"))
+    loaded = ivf_load(spark, str(tmp_path / "idx"))
+    pruned = loaded.postings.filter(F.col("list_id").isin([0, 1]))
+    plan = _plan(pruned)
+    # static partition pruning: the scan enumerates only the probed
+    # list_id directories
+    assert "PartitionFilters" in plan and "list_id" in plan
