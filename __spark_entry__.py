@@ -360,6 +360,42 @@ def _q_rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cube_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 4 grouping combinations in
+    one pass (Expand + single agg shuffle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+def _q_salted_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant per-key top-k: two-phase (salted local top-k, then
+    exact global top-k per key). Must equal the plain window result —
+    the oracle is the unsalted QUALIFY form."""
+    from vector_search_test_spark.operators.knn import salted_topk_per_key
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = salted_topk_per_key(
+        li.select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"),
+        key_cols=["l_returnflag"],
+        order_cols=[
+            F.desc("l_extendedprice"),
+            F.asc("l_orderkey"),
+            F.asc("l_linenumber"),
+        ],
+        k=5,
+        salt=16,
+    )
+    return out.select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 2).alias("l_extendedprice"),
+    )
+
+
 def _q_semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-semi and left-anti joins: customers with vs without orders."""
     c = load_table(spark, sf_dir, "customer")
@@ -764,6 +800,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_extract": _q_events_json_extract,
         "monthly_order_stats": _q_monthly_order_stats,
         "rollup_status_priority": _q_rollup_status_priority,
+        "cube_returnflag_status": _q_cube_returnflag_status,
+        "salted_window_topk": _q_salted_window_topk,
         "semi_anti_customers": _q_semi_anti_customers,
         "set_ops_custkeys": _q_set_ops_custkeys,
         "count_distinct_suppliers": _q_count_distinct_suppliers,
@@ -1202,6 +1240,22 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(o_totalprice), 2) AS sum_price
             FROM orders
             GROUP BY 1
+        """,
+        "cube_returnflag_status": """
+            SELECT l_returnflag, l_linestatus,
+                   count(*) AS n_items,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "salted_window_topk": """
+            SELECT l_returnflag, l_orderkey, l_linenumber,
+                   round(l_extendedprice, 2) AS l_extendedprice
+            FROM lineitem
+            QUALIFY row_number() OVER (
+                PARTITION BY l_returnflag
+                ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+            ) <= 5
         """,
         "rollup_status_priority": """
             SELECT o_orderstatus, o_orderpriority,

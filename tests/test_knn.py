@@ -53,3 +53,33 @@ def test_knn_returns_min_k_candidates(spark, sf_dir):
     ).limit(1)
     got = knn_exact(queries, df, k=10).collect()
     assert len(got) == 3
+
+
+def test_salted_topk_equals_plain_window(spark):
+    """Two-phase salted top-k == unsalted window, on a skewed key
+    distribution (one key holds 90% of rows) at several salt widths."""
+    import random
+
+    from pyspark.sql import Window
+
+    from vector_search_test_spark.operators.knn import salted_topk_per_key
+
+    rng = random.Random(7)
+    rows = [("hot" if i % 10 else f"k{i % 7}", i, rng.random()) for i in range(2000)]
+    df = spark.createDataFrame(rows, "key string, id long, v double")
+    order = [F.desc("v"), F.asc("id")]
+    w = Window.partitionBy("key").orderBy(*order)
+    want = sorted(
+        (r.key, r.id)
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 4)
+        .collect()
+    )
+    for salt in (1, 4, 32):
+        got = sorted(
+            (r.key, r.id)
+            for r in salted_topk_per_key(
+                df, key_cols=["key"], order_cols=order, k=4, salt=salt
+            ).collect()
+        )
+        assert got == want

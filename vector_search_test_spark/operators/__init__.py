@@ -18,7 +18,11 @@ from vector_search_test_spark.operators.ivf import (
     ivf_search,
     ivf_search_all,
 )
-from vector_search_test_spark.operators.knn import knn_exact, topk_global
+from vector_search_test_spark.operators.knn import (
+    knn_exact,
+    salted_topk_per_key,
+    topk_global,
+)
 from vector_search_test_spark.operators.search import build_text_index, search_text
 from vector_search_test_spark.operators.timeseries import (
     asof_join,
@@ -43,6 +47,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "neardup_embedding",
     "neardup_minhash",
+    "salted_topk_per_key",
     "search_text",
     "sessionize",
     "similarity_clusters",

@@ -66,6 +66,40 @@ def topk_global(
     return scored.orderBy(*order).limit(k)
 
 
+def salted_topk_per_key(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[Column],
+    k: int,
+    salt: int = 16,
+) -> DataFrame:
+    """Skew-resistant per-key top-k: two-phase salted windows.
+
+    A plain `Window.partitionBy(key)` sends EVERY row of a hot key to one
+    task; WindowGroupLimit softens but cannot split the final per-key
+    sort. Phase 1 partitions by (key, salt) — `salt` tasks share each hot
+    key — and keeps a local top-k; phase 2 runs the exact window over the
+    <= salt*k survivors per key. Result is identical to the unsalted
+    window (each key's true top-k survives its salt bucket's local top-k;
+    order_cols must totally order rows for determinism).
+    """
+    salted = df.withColumn(
+        "__salt", (F.spark_partition_id() % salt).cast("int")
+    )
+    w1 = Window.partitionBy(*key_cols, "__salt").orderBy(*order_cols)
+    local = (
+        salted.withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn", "__salt")
+    )
+    w2 = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    return (
+        local.withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def knn_exact(
     queries: DataFrame,
     corpus: DataFrame,
