@@ -483,6 +483,33 @@ def _q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native Spark session windows (F.session_window, gap 30 min) —
+    the built-in twin of operators/timeseries.py::sessionize; one shuffle,
+    sessions merged by the SessionWindow aggregation. Oracle recomputes
+    sessions via lag/cumsum SQL."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def _q_knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine-similarity top-k (metric variant of Q2): highest similarity
+    first, deterministic tie-break."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 1).select("embedding").first().embedding
+    out = topk_global(emb, list(qvec), k=5, metric="cosine")
+    return out.select("vec_id", F.round("dist", 6).alias("cos"))
+
+
 def _q_ivf_persistence_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3/S4 through the driver: build -> save (partitioned parquet) ->
     load -> search. nprobe = nlist, so the reloaded index must reproduce
@@ -808,6 +835,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_purchase_click": _q_asof_purchase_click,
         "interval_join_events": _q_interval_join_events,
         "event_sessions": _q_event_sessions,
+        "session_window_stats": _q_session_window_stats,
+        "knn_cosine_topk": _q_knn_cosine_topk,
         "ivf_persistence_roundtrip": _q_ivf_persistence_roundtrip,
         "cluster_members": _q_cluster_members,
         "window_running_revenue": _q_window_running_revenue,
@@ -1110,6 +1139,9 @@ def _neardup_embedding_oracle_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     d = _l2_sq_sql("e.embedding", _QVEC0)
     dq = _l2_sq_sql("e.embedding", "q.embedding")
+    _COS_Q1 = _cos_sql(
+        "e.embedding", "(SELECT embedding FROM embeddings WHERE vec_id = 1)"
+    )
     return {
         "knn_topk_global": f"""
             SELECT e.vec_id, round({d}, 6) AS dist
@@ -1308,6 +1340,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT p.event_id, p.user_id, c.click_id
             FROM p ASOF LEFT JOIN clicks c
               ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        # session_window merges event windows [ts, ts+gap) that OVERLAP,
+        # so a gap of exactly 30 min starts a NEW session (>= in the
+        # flag) — unlike operators/timeseries.py::sessionize's strict >.
+        "session_window_stats": """
+            WITH e AS (
+                SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS us
+                FROM events
+            ),
+            flagged AS (
+                SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                                    OR us - lag(us) OVER w >= 1800000000
+                               THEN 1 ELSE 0 END AS new_s
+                FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+            ),
+            sess AS (
+                SELECT *, sum(new_s) OVER (
+                    PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING
+                ) AS sid
+                FROM flagged
+            )
+            SELECT user_id, min(ts) AS session_start,
+                   count(*) AS n_events, round(sum(value), 6) AS sum_value
+            FROM sess GROUP BY user_id, sid
+        """,
+        "knn_cosine_topk": f"""
+            SELECT e.vec_id,
+                   round({_COS_Q1}, 6) AS cos
+            FROM embeddings e
+            ORDER BY {_COS_Q1} DESC, e.vec_id
+            LIMIT 5
         """,
         "interval_join_events": """
             WITH iv AS (

@@ -38,9 +38,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+        # integer division, NOT `/ 1000` + cast: nano epochs exceed 2^53,
+        # so the double division rounds the last microsecond while
+        # DuckDB's CAST(ts AS TIMESTAMP) truncates — a 1 µs disagreement
+        # that surfaces wherever raw timestamps reach the output
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

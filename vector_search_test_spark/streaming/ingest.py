@@ -76,7 +76,7 @@ def stream_event_window_counts(
     ev = (
         spark.readStream.schema(EVENTS_STREAM_SCHEMA)
         .parquet(input_dir)
-        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
     return (
         ev.withWatermark("ts", watermark)

@@ -159,5 +159,5 @@ def stream_sessionize(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     ev = reader.parquet(input_dir)
     if nanos_ts:
-        ev = ev.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return sessionize_stateful(ev, gap_seconds=gap_seconds)
