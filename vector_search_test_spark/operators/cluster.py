@@ -83,22 +83,24 @@ def connected_components(
         F.col(id_col).cast("long").alias("id"), F.col(id_col).cast("long").alias("label")
     ).localCheckpoint()
     prev_sum = labels.agg(F.sum("label")).first()[0]
-    for _ in range(max_iter):
+    def step(lab):
+        """One min-label-propagation round + one pointer jump.
+
+        Pointer jumping (label := label(label)) turns O(diameter)
+        convergence into O(log diameter) — the large-star trick of
+        Kiveris et al., SoCC'14 — since labels are always node ids, so
+        the lookup is a self-join.
+        """
         nbr = (
-            sym.join(labels, sym.src == labels.id)
+            sym.join(lab, sym.src == lab.id)
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        stepped = labels.join(nbr, "id", "left").select(
+        stepped = lab.join(nbr, "id", "left").select(
             "id",
             F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
         )
-        # Pointer jumping: label := label(label). Labels are always node
-        # ids, so the lookup is a self-join; chasing one hop per round
-        # turns O(diameter) convergence into O(log diameter) — a chain of
-        # length d resolves in ~log2(d) rounds instead of d (same trick as
-        # the large-star operation in Kiveris et al., SoCC'14).
-        jumped = (
+        return (
             stepped.alias("x")
             .join(
                 stepped.select(
@@ -114,7 +116,14 @@ def connected_components(
                 ).alias("label"),
             )
         )
-        labels = jumped.localCheckpoint()
+
+    # two steps per checkpoint + convergence check: the materialization
+    # job and the sum agg are the per-round fixed costs (they dominate on
+    # small/medium graphs); a 2-step lineage is still shallow enough not
+    # to re-execute anything expensive. Worst case one extra (no-op)
+    # round past the fixpoint.
+    for _ in range(max_iter):
+        labels = step(step(labels)).localCheckpoint()
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:
             break
