@@ -194,8 +194,10 @@ def _q_similarity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O2/O3/G4: cluster sizes, descending (app.py:288-299)."""
-    return clusters_by_size(_cluster_assignments(spark, sf_dir))
+    """O2/G4: cluster sizes, descending (app.py:288-299). The O3 display
+    cap is disabled here — the oracle models the full result; the cap
+    path is pytest-covered (tests/test_cluster.py)."""
+    return clusters_by_size(_cluster_assignments(spark, sf_dir), cap_over=None)
 
 
 def _q_unassigned_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1385,10 +1387,13 @@ def oracle_sql() -> dict[str, str]:
               ON CAST(e.ts AS TIMESTAMP) >= iv.s
              AND CAST(e.ts AS TIMESTAMP) <= iv.s + INTERVAL 2 DAY
         """,
+        # floor(), not CAST AS BIGINT: DuckDB's cast ROUNDS fractional
+        # epochs while Spark's unix_timestamp truncates — a 1 s skew at
+        # the exact gap boundary
         "event_sessions": """
             WITH e AS (
                 SELECT user_id, event_id,
-                       CAST(epoch(CAST(ts AS TIMESTAMP)) AS BIGINT) AS sec
+                       CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec
                 FROM events
             ),
             flagged AS (

@@ -135,3 +135,24 @@ def test_edges_symmetric_canonical(spark):
     # self-loop dropped, both orientations collapse to one canonical row,
     # dist >= theta dropped
     assert got == [(0, 1)]
+
+
+def test_clusters_by_size_display_cap(spark):
+    """O2/O3 (app.py:288-295): sizes sorted desc; more than cap_over
+    clusters -> top cap_to only; cap_over=None -> never truncated."""
+    from pyspark.sql import functions as F
+
+    from vector_search_test_spark.operators.cluster import clusters_by_size
+
+    # 600 clusters of size 2 (ids 0..599) plus noise at -1
+    rows = [(i, cid) for cid in range(600) for i in (2 * cid, 2 * cid + 1)]
+    rows += [(10_000 + i, -1) for i in range(5)]
+    assignments = spark.createDataFrame(rows, "id long, cluster_id long")
+    capped = clusters_by_size(assignments, cap_over=500, cap_to=100).collect()
+    assert len(capped) == 100
+    full = clusters_by_size(assignments, cap_over=None).collect()
+    assert len(full) == 600
+    assert all(r.size == 2 for r in full)
+    # under the threshold: no truncation
+    small = assignments.filter(F.col("cluster_id") < 50)
+    assert len(clusters_by_size(small, cap_over=500).collect()) == 50

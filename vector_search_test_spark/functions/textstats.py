@@ -145,7 +145,7 @@ def tfidf_top_terms(
     from vector_search_test_spark.io import spread
     from vector_search_test_spark.operators.dedup import tokens
 
-    toks = spread(docs.select(F.col(id_col).alias("id"), F.col(text_col)), id_col).select(
+    toks = spread(docs.select(F.col(id_col).alias("id"), F.col(text_col)), "id").select(
         "id", F.explode(tokens(text_col)).alias("term")
     )
     tf = toks.groupBy("id", "term").agg(F.count("*").alias("tf"))

@@ -176,15 +176,24 @@ def cluster_members(assignments: DataFrame, text_col: str = "text") -> DataFrame
     )
 
 
-def clusters_by_size(assignments: DataFrame, cap_over: int = 500, cap_to: int = 100) -> DataFrame:
+def clusters_by_size(
+    assignments: DataFrame, cap_over: int | None = 500, cap_to: int = 100
+) -> DataFrame:
     """O2 + O3 — cluster sizes sorted desc (app.py:288), display-capped to
-    `cap_to` when there are more than `cap_over` clusters (app.py:293-295)."""
+    `cap_to` when there are more than `cap_over` clusters (app.py:293-295).
+
+    cap_over=None disables the display cap (and its extra count job) —
+    the right form for programmatic/oracle-checked consumers, where a
+    silently truncated result would masquerade as the full answer.
+    """
     sizes = (
         assignments.filter(F.col("cluster_id") >= 0)
         .groupBy("cluster_id")
         .agg(F.count("*").alias("size"))
         .orderBy(F.desc("size"), F.asc("cluster_id"))
     )
+    if cap_over is None:
+        return sizes
     n_clusters = sizes.count()
     return sizes.limit(cap_to) if n_clusters > cap_over else sizes
 

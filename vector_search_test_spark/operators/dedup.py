@@ -84,11 +84,17 @@ def dedup_exact(
     regexp_replace — kept minimal so the oracle twin is exact).
     """
     norm = F.trim(F.lower(F.col(text_col)))
+    # group by the normalized TEXT, not its hash: grouping by a 48-bit
+    # hash silently merges distinct documents on collision (expected by
+    # ~2^24 docs — certain at corpus scale); the hash is projected only
+    # as an output fingerprint
     return (
-        df.select(F.col(id_col), portable_hash48(norm).alias("text_hash"))
-        .groupBy("text_hash")
+        df.select(F.col(id_col), norm.alias("__norm"))
+        .groupBy("__norm")
         .agg(F.min(id_col).alias("rep_id"), F.count("*").alias("n_dupes"))
-        .select("rep_id", "n_dupes", "text_hash")
+        .select(
+            "rep_id", "n_dupes", portable_hash48(F.col("__norm")).alias("text_hash")
+        )
     )
 
 
@@ -97,38 +103,22 @@ def dedup_exact(
 # ---------------------------------------------------------------------------
 
 
-def minhash_signature(
-    shingle_col: Column, num_hashes: int = 16
-) -> Column:
-    """MinHash signature: array of min-over-shingles of H salted hashes.
-
-    One native expression per hash-family member; empty shingle sets get
-    NULL mins (filtered by callers). H=16 with 4x4 banding targets the
-    s-curve knee near Jaccard ~0.7.
-    """
-    def member(i: int) -> Column:
-        # NB: closure factory, not a default-arg lambda — pyspark's
-        # higher-order-function shim dispatches on lambda arity, and a
-        # 2-param lambda would be bound as (element, index).
-        return F.array_min(F.transform(shingle_col, lambda s: portable_hash48(s, salt=i)))
-
-    return F.array(*[member(i) for i in range(num_hashes)])
-
-
 def minhash_signature_table(
     sh: DataFrame,
     num_hashes: int = 16,
     id_col: str = "id",
     shingle_col: str = "sh",
 ) -> DataFrame:
-    """MinHash signatures as a table: (id, m0..m{H-1}).
+    """MinHash signatures as a table: (id, m0..m{H-1}) — min-over-shingles
+    of H salted `portable_hash48` members; H=16 with 4x4 banding targets
+    the s-curve knee near Jaccard ~0.7.
 
     Explode shingles -> flat projection of the H salted hashes -> min-agg
-    per id (map-side combine; the shuffle carries H longs per doc). Same
-    values as `minhash_signature`, but the flat per-row projection stays
-    inside whole-stage codegen — the single-expression array form compiles
-    one 64 KB+ Java method that janino rejects, silently dropping the
-    stage to interpreted evaluation (~4x slower end-to-end).
+    per id (map-side combine; the shuffle carries H longs per doc). The
+    flat per-row projection stays inside whole-stage codegen — a
+    single-expression array-of-array_min form compiles one 64 KB+ Java
+    method that janino rejects, silently dropping the stage to
+    interpreted evaluation (~4x slower end-to-end).
     """
     ex = sh.select(F.col(id_col).alias("id"), F.explode(shingle_col).alias("s"))
     hashed = ex.select(
@@ -137,20 +127,6 @@ def minhash_signature_table(
     )
     return hashed.groupBy("id").agg(
         *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_hashes)]
-    )
-
-
-def lsh_band_keys(sig_col: Column, bands: int, rows: int) -> Column:
-    """Band keys: array of `bands` strings, each joining `rows` signature
-    slots with '-'. Equality of one key = candidate pair."""
-    return F.array(
-        *[
-            F.concat_ws(
-                "-",
-                *[sig_col[b * rows + r].cast("string") for r in range(rows)],
-            )
-            for b in range(bands)
-        ]
     )
 
 
@@ -179,7 +155,7 @@ def neardup_minhash(
     # corpus. spread() first: the signature projection is the hash-heavy
     # stage and must not inherit a 1-2-file source's parallelism.
     sh = (
-        spread(df.select(F.col(id_col).alias("id"), F.col(text_col)), id_col)
+        spread(df.select(F.col(id_col).alias("id"), F.col(text_col)), "id")
         .select("id", shingles(text_col, n).alias("sh"))
         .filter(F.size("sh") > 0)
         .cache()
@@ -278,7 +254,7 @@ def jaccard_join(
     from vector_search_test_spark.io import spread
 
     sh = (
-        spread(df.select(F.col(id_col).alias("id"), F.col(text_col)), id_col)
+        spread(df.select(F.col(id_col).alias("id"), F.col(text_col)), "id")
         .select("id", shingles(text_col, n).alias("sh"))
         .filter(F.size("sh") > 0)
         .cache()
@@ -299,11 +275,21 @@ def jaccard_join(
             Window.partitionBy("id").orderBy("df", "tok")
         ),
     )
-    plen = (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1).cast("int")
+    # All pruning bounds carry a 1e-9 slack in the KEEP direction: float
+    # rounding of t*sz (e.g. 35*0.8 = 28.000000000000004) must never
+    # tighten a filter past its mathematical value, or true pairs at the
+    # exact threshold are dropped unrecoverably (the verify step can only
+    # remove false positives, never restore false negatives). The slack
+    # admits at most a few extra candidates, which verification rejects.
+    _EPS = 1e-9
+    plen = (
+        F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz") - _EPS) + 1
+    ).cast("int")
     pref = ranked.filter(F.col("rn") <= plen).select("id", "sz", "tok", "rn")
-    # Required overlap for J >= t: o >= ceil(t/(1+t) * (|A|+|B|)).
-    alpha = F.ceil(
+    # Required overlap for J >= t: o >= t/(1+t) * (|A|+|B|).
+    alpha = (
         F.lit(threshold / (1.0 + threshold)) * (F.col("x.sz") + F.col("y.sz"))
+        - _EPS
     )
     # PPJoin position filter: at the first common prefix token every later
     # common token sits at position >= rn on both sides, so the overlap is
@@ -322,8 +308,8 @@ def jaccard_join(
             (F.col("x.tok") == F.col("y.tok"))
             & (F.col("x.id") < F.col("y.id"))
             # length filter: J >= t  =>  t <= |A|/|B| <= 1/t
-            & (F.col("x.sz") * threshold <= F.col("y.sz"))
-            & (F.col("y.sz") * threshold <= F.col("x.sz"))
+            & (F.col("x.sz") * threshold <= F.col("y.sz") + _EPS)
+            & (F.col("y.sz") * threshold <= F.col("x.sz") + _EPS)
             & (pos_ub >= alpha),
         )
         .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
@@ -348,53 +334,28 @@ def jaccard_join(
 # ---------------------------------------------------------------------------
 
 
-def simhash(col: Column | str, bits: int = 32) -> Column:
-    """SimHash fingerprint of a text column (Charikar '02): for each bit
-    position, sum +1/-1 over token hashes' bits; bit set iff the sum > 0.
-
-    `bits` caps the expression width (one aggregate per bit — all fused
-    into one codegen stage). 32 bits separates the fixture corpus
-    (planted near-dups land at hamming <= 3, random pairs at p1 = 3);
-    production would use 64 via a Pandas-UDF batch path if codegen depth
-    ever became the bottleneck.
-    """
-    hashes = F.transform(tokens(col), lambda t: portable_hash48(t))
-
-    def vote(b: int) -> Column:
-        # closure factory (see minhash_signature note on lambda arity)
-        return F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-
-    out = F.lit(0).cast("long")
-    for b in range(bits):
-        out = out + F.when(vote(b) > 0, F.lit(1 << b)).otherwise(0).cast("long")
-    return out
-
-
 def simhash_table(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     bits: int = 32,
 ) -> DataFrame:
-    """(id, fp) SimHash fingerprints as an explode + groupBy plan.
+    """(id, fp) SimHash fingerprints (Charikar '02): for each bit
+    position, sum +1/-1 over the documents' token-hash bits; bit set iff
+    the sum > 0.
 
-    Same values as `simhash`, different physical shape: token hashes are
-    exploded to rows and the per-bit votes become `bits` SUM aggregates of
-    codegen-able bit expressions — no interpreted higher-order functions.
-    Map-side partial aggregation collapses each doc to one partial row
-    before the single shuffle, so this is also the 100 TB shape (the HOF
-    expression form is `bits` interpreted passes per row).
+    Physical shape: token hashes exploded to rows, the per-bit votes as
+    `bits` SUM aggregates of codegen-able bit expressions — no
+    interpreted higher-order functions. Map-side partial aggregation
+    collapses each doc to one partial row before the single shuffle, so
+    this is also the 100 TB shape. 32 bits separates the fixture corpus
+    (planted near-dups land at hamming <= 3); production would use 64.
     """
     from vector_search_test_spark.io import spread
 
     # plain explode: a single-space split never yields an empty array
     # (''.split -> ['']), so no doc can drop out here
-    toks = spread(df.select(F.col(id_col).alias("id"), F.col(text_col)), id_col).select(
+    toks = spread(df.select(F.col(id_col).alias("id"), F.col(text_col)), "id").select(
         "id",
         F.explode(tokens(text_col)).alias("tok"),
     ).select("id", portable_hash48(F.col("tok")).alias("h"))

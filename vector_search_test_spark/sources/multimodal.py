@@ -119,12 +119,19 @@ def frame_sample(
     keyframes; the partitioning/row-shape contract is identical."""
     total = F.octet_length(F.col(payload_col))
     chunk = F.greatest((total / n_frames).cast("long"), F.lit(1))
+    # the LAST frame absorbs the floor-division remainder — every payload
+    # byte lands in exactly one frame (a plain chunk-sized last frame
+    # would silently drop up to n_frames-1 trailing bytes)
     frames = F.transform(
         F.sequence(F.lit(0), F.lit(n_frames - 1)),
         lambda i: F.struct(
             i.cast("int").alias("frame_id"),
             F.substring(
-                F.col(payload_col), (i * chunk + 1).cast("int"), chunk.cast("int")
+                F.col(payload_col),
+                (i * chunk + 1).cast("int"),
+                F.when(
+                    i < n_frames - 1, chunk
+                ).otherwise(F.greatest(total - (n_frames - 1) * chunk, F.lit(0))).cast("int"),
             ).alias("frame"),
         ),
     )

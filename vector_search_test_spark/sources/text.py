@@ -21,9 +21,19 @@ def read_sentences_csv(spark: SparkSession, path: str) -> DataFrame:
     """S1 + P1 — CSV with a required `sentences` column, cast to string.
 
     Raises ValueError with the reference's contract message when the
-    column is absent (app.py:207-208).
+    column is absent (app.py:207-208). multiLine handles quoted embedded
+    newlines (pandas' C parser does; Spark's default line-split reader
+    would shred them). Empty-string cells read back as NULL — the
+    reference's own pandas path turns them into the literal 'nan' via
+    astype(str) (app.py:204), so neither engine preserves them; callers
+    needing '' semantics should fillna downstream.
     """
-    df = spark.read.option("header", True).csv(path)
+    df = (
+        spark.read.option("header", True)
+        .option("multiLine", True)
+        .option("escape", '"')
+        .csv(path)
+    )
     if SENTENCES_COL not in df.columns:
         raise ValueError("CSV must contain a column named 'sentences'")
     return df.select(F.col(SENTENCES_COL).cast("string").alias(SENTENCES_COL))

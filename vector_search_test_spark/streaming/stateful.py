@@ -73,9 +73,12 @@ def sessionize_stateful(
             s_end = s_n = 0
             s_v = 0.0
         closed: list[tuple] = []
-        for pdf in pdf_iter:
-            if pdf.empty:
-                continue
+        # Concatenate ALL of the batch's chunks before sorting: Arrow
+        # hands a key's micro-batch data as multiple chunks (per
+        # maxRecordsPerBatch / shuffle map partition) in NO time order, so
+        # per-chunk processing would splice sessions out of order.
+        chunks = [pdf for pdf in pdf_iter if not pdf.empty]
+        for pdf in ([pd.concat(chunks)] if chunks else []):
             pdf = pdf.sort_values([ts_col, "event_id"])
             us = (pdf[ts_col].astype("int64") // 1000).to_numpy()
             sec = us // 1_000_000
