@@ -485,6 +485,34 @@ def _q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming through the driver gate: the watermarked
+    tumbling-window aggregation (streaming/ingest.py) drained with
+    availableNow into a memory sink — the streaming result must equal the
+    plain batch GROUP BY the oracle runs (exactly-once over a static
+    source)."""
+    import shutil
+    import tempfile
+
+    from vector_search_test_spark.streaming.ingest import stream_event_window_counts
+
+    tmp = tempfile.mkdtemp(prefix="sg_stream_")
+    inp = os.path.join(tmp, "in")
+    os.makedirs(inp, exist_ok=True)
+    shutil.copy(f"{sf_dir}/events.parquet", os.path.join(inp, "events.parquet"))
+    qname = f"sg_win_counts_{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}"
+    q = (
+        stream_event_window_counts(spark, inp)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname)
+
+
 def _q_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native Spark session windows (F.session_window, gap 30 min) —
     the built-in twin of operators/timeseries.py::sessionize; one shuffle,
@@ -838,6 +866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join_events": _q_interval_join_events,
         "event_sessions": _q_event_sessions,
         "session_window_stats": _q_session_window_stats,
+        "stream_window_counts": _q_stream_window_counts,
         "knn_cosine_topk": _q_knn_cosine_topk,
         "ivf_persistence_roundtrip": _q_ivf_persistence_roundtrip,
         "cluster_members": _q_cluster_members,
@@ -1342,6 +1371,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT p.event_id, p.user_id, c.click_id
             FROM p ASOF LEFT JOIN clicks c
               ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        "stream_window_counts": """
+            SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+                       AS win_start,
+                   event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 6) AS sum_value
+            FROM events
+            GROUP BY 1, 2
         """,
         # session_window merges event windows [ts, ts+gap) that OVERLAP,
         # so a gap of exactly 30 min starts a NEW session (>= in the

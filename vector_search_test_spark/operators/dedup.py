@@ -146,6 +146,11 @@ def neardup_minhash(
     sets back -> exact Jaccard filter. The only joins are equi-joins on
     band keys and ids — bucketed, never all-pairs (the all-pairs version
     is the ORACLE, not the engine). Returns (a, b, jaccard) rounded 6dp.
+
+    Cache lifecycle: intermediate shingle/band tables are cache()d for
+    the multi-consumer joins and stay pinned until the caller drops them
+    (`spark.catalog.clearCache()` or session end) — long-lived sessions
+    invoking dedup repeatedly own that cleanup, as bench.py does.
     """
     from vector_search_test_spark.io import spread
 
