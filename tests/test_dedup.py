@@ -100,3 +100,24 @@ def test_neardup_embedding_matches_numpy(spark, sf_dir):
     assert set(got) == set(want)
     for k in want:
         assert abs(got[k] - want[k]) < 1e-6
+
+
+def test_dedup_operators_handle_empty_corpus(spark):
+    """Empty input -> empty output (no crash) for every dedup operator;
+    IVF build on an empty corpus raises the reference-style guard."""
+    import pytest
+
+    from vector_search_test_spark.operators.dedup import jaccard_join
+    from vector_search_test_spark.operators.ivf import ivf_build
+    from vector_search_test_spark.operators.knn import topk_global
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert dedup_exact(empty_docs).count() == 0
+    assert neardup_minhash(empty_docs).count() == 0
+    assert jaccard_join(empty_docs).count() == 0
+    assert simhash_near_pairs(empty_docs).count() == 0
+
+    empty_emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert topk_global(empty_emb, [0.0, 1.0], k=5).count() == 0
+    with pytest.raises(ValueError, match="empty corpus"):
+        ivf_build(empty_emb, nlist=2)

@@ -106,6 +106,11 @@ def train_centroids(
     # of partitions, so nothing is serialized at scale).
     cached = feats.cache()
     n = cached.count()
+    if n == 0:
+        cached.unpersist()
+        # mirror the reference's not-built guard (app.py:60-61) with a
+        # clear error instead of a downstream argmin-over-empty crash
+        raise ValueError("cannot train an IVF index on an empty corpus")
     cur = cached.rdd.getNumPartitions()
     parts = max(1, min(cur, (n + 99_999) // 100_000))
     fit_input = cached.coalesce(parts) if parts < cur else cached
