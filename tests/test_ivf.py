@@ -99,3 +99,42 @@ def test_ivf_save_load_roundtrip(spark, sf_dir, tmp_path):
     # partition pruning: the probed read should touch only nprobe partitions
     plan = ivf_search(idx2, qvec, k=5, nprobe=2)._jdf.queryExecution().executedPlan().toString()
     assert "list_id" in plan
+
+
+def test_ivf_add_matches_full_build_at_exact_probe(spark, sf_dir):
+    """train-on-half + add-the-rest, searched at nprobe=nlist, must equal
+    exact brute force over the FULL corpus (cell layout is irrelevant
+    when every cell is probed — the faiss train/add split semantics)."""
+    from vector_search_test_spark.operators.ivf import ivf_add, ivf_build, ivf_search
+    from vector_search_test_spark.operators.knn import topk_global
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    half1 = emb.filter(F.col("vec_id") % 2 == 0)
+    half2 = emb.filter(F.col("vec_id") % 2 == 1)
+    idx = ivf_add(ivf_build(half1, nlist=4), half2)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 3).first().embedding]
+    got = [(r.vec_id, round(r.dist, 9)) for r in ivf_search(idx, qvec, k=7, nprobe=4).collect()]
+    want = [(r.vec_id, round(r.dist, 9)) for r in topk_global(emb, qvec, k=7).collect()]
+    assert got == want
+
+
+def test_ivf_append_grows_saved_index(spark, sf_dir, tmp_path):
+    from vector_search_test_spark.operators.ivf import (
+        ivf_append,
+        ivf_build,
+        ivf_load,
+        ivf_save,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    half1 = emb.filter(F.col("vec_id") % 2 == 0)
+    half2 = emb.filter(F.col("vec_id") % 2 == 1)
+    idx = ivf_build(half1, nlist=4)
+    path = str(tmp_path / "idx")
+    ivf_save(idx, path)
+    ivf_append(idx, path, half2)
+    reloaded = ivf_load(spark, path)
+    assert reloaded.ntotal() == emb.count()
+    # appended rows landed in the partitioned layout with valid cells
+    cells = {r.list_id for r in reloaded.postings.select("list_id").distinct().collect()}
+    assert cells <= set(range(4))

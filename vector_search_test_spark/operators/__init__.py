@@ -12,6 +12,8 @@ from vector_search_test_spark.operators.dedup import (
 )
 from vector_search_test_spark.operators.ivf import (
     IvfIndex,
+    ivf_add,
+    ivf_append,
     ivf_build,
     ivf_load,
     ivf_save,
@@ -36,6 +38,8 @@ __all__ = [
     "build_text_index",
     "connected_components",
     "dedup_exact",
+    "ivf_add",
+    "ivf_append",
     "ivf_build",
     "ivf_load",
     "ivf_save",

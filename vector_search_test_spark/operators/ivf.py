@@ -212,6 +212,43 @@ def ivf_build(
     return IvfIndex(centroids=cents, postings=postings)
 
 
+def ivf_add(
+    index: IvfIndex,
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> IvfIndex:
+    """Incremental add (reference app.py:55 `index.add` called after
+    train): assign new vectors to the FROZEN centroids and append to the
+    postings — no retrain (faiss's train/add split; the streaming twin is
+    streaming/ingest.py::stream_assign_cells). Returns a new IvfIndex
+    sharing the centroids."""
+    new_posts = assign_cells(
+        df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")),
+        index.centroids,
+        vec_col="embedding",
+    ).select("list_id", "vec_id", "embedding")
+    return IvfIndex(
+        centroids=index.centroids, postings=index.postings.unionByName(new_posts)
+    )
+
+
+def ivf_append(index: IvfIndex, path: str, df: DataFrame,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> None:
+    """Append new vectors to a SAVED index: assign against the frozen
+    centroids and append into the partitioned postings layout (new files
+    land inside the matching list_id= directories; readers pick them up
+    with no compaction step)."""
+    new_posts = assign_cells(
+        df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")),
+        index.centroids,
+        vec_col="embedding",
+    ).select("list_id", "vec_id", "embedding")
+    new_posts.write.mode("append").partitionBy("list_id").parquet(
+        os.path.join(path, "postings")
+    )
+
+
 def ivf_save(index: IvfIndex, path: str, corpus: DataFrame | None = None) -> None:
     """S3 — index sink (reference app.py:116-123 `faiss.write_index` + pickle).
 
