@@ -79,3 +79,24 @@ def test_partitioned_index_scan_prunes_partitions(spark, sf_dir, tmp_path):
     # static partition pruning: the scan enumerates only the probed
     # list_id directories
     assert "PartitionFilters" in plan and "list_id" in plan
+
+
+def test_bucketed_postings_join_without_exchange(spark, sf_dir):
+    """SURVEY §7 P6: bucketed+partitioned postings — an id-keyed
+    self-join of the bucketed table plans with no hash exchange (the
+    shuffle was paid once at write time)."""
+    from vector_search_test_spark.operators.ivf import ivf_build, ivf_save_bucketed
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    tbl = "sg_postings_bucketed_test"
+    ivf_save_bucketed(ivf_build(emb, nlist=4), tbl, buckets=4)
+    try:
+        t = spark.table(tbl)
+        joined = t.alias("x").join(
+            t.alias("y"), F.col("x.vec_id") == F.col("y.vec_id")
+        )
+        plan = _plan(joined)
+        assert "Exchange hashpartitioning" not in plan
+        assert joined.count() >= emb.count()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")

@@ -17,6 +17,7 @@ from vector_search_test_spark.operators.ivf import (
     ivf_build,
     ivf_load,
     ivf_save,
+    ivf_save_bucketed,
     ivf_search,
     ivf_search_all,
 )
@@ -43,6 +44,7 @@ __all__ = [
     "ivf_build",
     "ivf_load",
     "ivf_save",
+    "ivf_save_bucketed",
     "ivf_search",
     "interval_join",
     "ivf_search_all",

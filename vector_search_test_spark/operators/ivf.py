@@ -270,6 +270,25 @@ def ivf_save(index: IvfIndex, path: str, corpus: DataFrame | None = None) -> Non
         corpus.write.mode("overwrite").parquet(os.path.join(path, "corpus"))
 
 
+def ivf_save_bucketed(index: IvfIndex, table: str, buckets: int = 8) -> None:
+    """Postings as a bucketed AND partitioned managed table (SURVEY §7 P6).
+
+    partitionBy(list_id) keeps probe pruning; bucketBy(vec_id) + sortBy
+    pre-shuffles rows by id at WRITE time, so id-keyed joins against any
+    table bucketed the same way (result assembly Q4, dedup verify joins)
+    plan with NO exchange on the postings side — the shuffle is paid once
+    at ingest instead of per query. Managed-table API because Spark only
+    records bucket metadata through the catalog."""
+    (
+        index.postings.write.mode("overwrite")
+        .partitionBy("list_id")
+        .bucketBy(buckets, "vec_id")
+        .sortBy("vec_id")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
 def ivf_load(spark: SparkSession, path: str) -> IvfIndex:
     """S4 — index source (reference app.py:125-147, minus the re-encode)."""
     cent_rows = (
