@@ -200,6 +200,15 @@ def _q_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clusters_by_size(_cluster_assignments(spark, sf_dir), cap_over=None)
 
 
+def _q_semantic_dedup_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup (cluster at θ, keep one representative per cluster
+    plus singletons) — the last stage of the near-dup ladder (exact →
+    MinHash → SimHash → embedding → semantic)."""
+    from vector_search_test_spark.operators.cluster import semantic_dedup
+
+    return semantic_dedup(_cluster_assignments(spark, sf_dir))
+
+
 def _q_unassigned_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P6/O4: texts left unclustered (cluster_id = -1, app.py:306-308)."""
     return unassigned(_cluster_assignments(spark, sf_dir)).agg(
@@ -843,6 +852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_clusters": _q_similarity_clusters,
         "cluster_sizes": _q_cluster_sizes,
         "unassigned_count": _q_unassigned_count,
+        "semantic_dedup_reps": _q_semantic_dedup_reps,
         "text_query_topk": _q_text_query_topk,
         "csv_sentences_source": _q_csv_sentences_source,
         "text_lines_source": _q_text_lines_source,
@@ -1221,6 +1231,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "unassigned_count": _cluster_cte()
         + "SELECT count(*) AS n_unassigned FROM assignment WHERE cluster_id = -1",
+        "semantic_dedup_reps": _cluster_cte()
+        + """
+            SELECT min(text) AS text, cluster_id
+            FROM assignment WHERE cluster_id >= 0
+            GROUP BY cluster_id
+            UNION ALL
+            SELECT text, cluster_id FROM assignment WHERE cluster_id = -1
+        """,
         # text_query_topk: intentionally no oracle (hash-embedding space
         # is not SQL-expressible) -> rows-only check.
         "csv_sentences_source": "SELECT text FROM documents",

@@ -1,5 +1,6 @@
 from vector_search_test_spark.operators.cluster import (
     connected_components,
+    semantic_dedup,
     similarity_clusters,
 )
 from vector_search_test_spark.operators.dedup import (
@@ -55,6 +56,7 @@ __all__ = [
     "neardup_minhash",
     "salted_topk_per_key",
     "search_text",
+    "semantic_dedup",
     "sessionize",
     "similarity_clusters",
     "simhash_near_pairs",

@@ -198,6 +198,24 @@ def clusters_by_size(
     return sizes.limit(cap_to) if n_clusters > cap_over else sizes
 
 
+def semantic_dedup(assignments: DataFrame, text_col: str = "text") -> DataFrame:
+    """Semantic dedup over cluster assignments: keep ONE representative
+    per multi-member cluster (deterministic: lexicographic min text) and
+    every unclustered (-1) text as its own representative — the
+    cluster-at-low-θ dedup a training pipeline runs after near-dedup.
+    Returns (text, cluster_id) of the KEPT rows."""
+    multi = (
+        assignments.filter(F.col("cluster_id") >= 0)
+        .groupBy("cluster_id")
+        .agg(F.min(text_col).alias(text_col))
+        .select(text_col, "cluster_id")
+    )
+    singles = assignments.filter(F.col("cluster_id") == -1).select(
+        text_col, "cluster_id"
+    )
+    return multi.unionByName(singles)
+
+
 def unassigned(assignments: DataFrame) -> DataFrame:
     """P6 — the cluster_id = -1 rows (app.py:306)."""
     return assignments.filter(F.col("cluster_id") == -1)
