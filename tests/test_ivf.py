@@ -138,3 +138,20 @@ def test_ivf_append_grows_saved_index(spark, sf_dir, tmp_path):
     # appended rows landed in the partitioned layout with valid cells
     cells = {r.list_id for r in reloaded.postings.select("list_id").distinct().collect()}
     assert cells <= set(range(4))
+
+
+def test_train_survives_fewer_distinct_vectors_than_k(spark):
+    """Duplicate-heavy corpora: MLlib's k-means|| crashes when distinct
+    vectors < k; train_centroids must clamp and return the distinct
+    points instead (faiss trains fine on duplicates, app.py:52)."""
+    from vector_search_test_spark.operators.ivf import train_centroids
+
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(5)]
+    df = spark.createDataFrame(rows, "id long, embedding array<float>")
+    cents = train_centroids(df, nlist=3)
+    assert cents == [[1.0, 2.0, 3.0, 4.0]]
+
+    rows2 = [(i, [float(i % 2)] * 4) for i in range(6)]
+    df2 = spark.createDataFrame(rows2, "id long, embedding array<float>")
+    cents2 = sorted(train_centroids(df2, nlist=4))
+    assert cents2 == [[0.0] * 4, [1.0] * 4]

@@ -98,7 +98,14 @@ def train_centroids(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    feats = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
+    # raw arrays kept alongside the UDT features: the duplicate-heavy
+    # fallback below counts DISTINCT vectors on the plain array<float>
+    # column (arrays are ordinally comparable; the Vector UDT is not a
+    # reliable distinct key).
+    feats = corpus.select(
+        F.col(vec_col).alias("arr"),
+        array_to_vector(F.col(vec_col)).alias("features"),
+    )
     # KMeans makes ~maxIter + k-means|| init passes over the input; cache
     # it once, and size the partitioning to the data (each pass schedules
     # one task per partition — 32 near-empty partitions cost more in task
@@ -113,18 +120,36 @@ def train_centroids(
         raise ValueError("cannot train an IVF index on an empty corpus")
     cur = cached.rdd.getNumPartitions()
     parts = max(1, min(cur, (n + 99_999) // 100_000))
-    fit_input = cached.coalesce(parts) if parts < cur else cached
+    sized = cached.coalesce(parts) if parts < cur else cached
+    fit_input = sized.select("features")
+
+    def first_center() -> list[list[float]]:
+        return [[float(x) for x in sized.limit(1).collect()[0].features]]
+
     # faiss requires ntotal >= nlist to train; MLlib KMeans throws on
     # k > n (and on k < 2). Clamp instead: a corpus smaller than nlist
     # simply gets one cell per vector (searches stay exact), and a
     # single-row corpus IS its own centroid — no training needed.
     k = max(1, min(nlist, n))
-    if k < 2:
-        rows = fit_input.limit(1).collect()
-        cached.unpersist()
-        return [[float(x) for x in r.features] for r in rows]
     try:
-        model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(fit_input)
+        if k < 2:
+            return first_center()
+        try:
+            model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(fit_input)
+        except Exception:
+            # MLlib's k-means|| assignment kernel dies with
+            # ArrayIndexOutOfBoundsException when the corpus has fewer
+            # DISTINCT vectors than k (duplicate-heavy input — faiss
+            # trains fine on the same data, SURVEY §2.4 I1). The exact
+            # distinct count costs a shuffle, so it is computed only on
+            # this failure path; the happy path at scale never pays it.
+            nd = sized.select("arr").distinct().count()
+            k2 = max(1, min(k, nd))
+            if k2 >= k:
+                raise  # not the duplicate degeneracy — surface the error
+            if k2 < 2:
+                return first_center()
+            model = KMeans(k=k2, seed=seed, maxIter=max_iter).fit(fit_input)
     finally:
         cached.unpersist()
     return [[float(x) for x in c] for c in model.clusterCenters()]
