@@ -1475,7 +1475,7 @@ def oracle_sql() -> dict[str, str]:
         "cluster_members": _cluster_cte()
         + """
             SELECT cluster_id, count(*) AS size,
-                   list(text ORDER BY text) AS members
+                   array_to_string(list(text ORDER BY text), '|') AS members
             FROM assignment WHERE cluster_id >= 0
             GROUP BY cluster_id
         """,

@@ -163,15 +163,25 @@ def dedupe_by_text(
     return corpus.groupBy(text_col).agg(*aggs).select(corpus.columns)
 
 
-def cluster_members(assignments: DataFrame, text_col: str = "text") -> DataFrame:
+def cluster_members(
+    assignments: DataFrame, text_col: str = "text", as_string: bool = True
+) -> DataFrame:
     """G4 — membership lists per cluster (app.py:101-103; display-only:
-    collect_list never belongs on a 100 TB path, SURVEY §4)."""
+    collect_list never belongs on a 100 TB path, SURVEY §4).
+
+    as_string=True (default) emits `members` as a deterministic
+    '|'-joined sorted scalar — hashable by any downstream comparator;
+    as_string=False keeps the raw array<string> for programmatic use.
+    """
+    members = F.sort_array(F.collect_list(text_col))
+    if as_string:
+        members = F.concat_ws("|", members)
     return (
         assignments.filter(F.col("cluster_id") >= 0)
         .groupBy("cluster_id")
         .agg(
             F.count("*").alias("size"),
-            F.sort_array(F.collect_list(text_col)).alias("members"),
+            members.alias("members"),
         )
     )
 
