@@ -228,16 +228,25 @@ def _q_tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style pricing summary: single scan, map-side partial agg,
     one shuffle on the (returnflag, linestatus) key."""
     li = load_table(spark, sf_dir, "lineitem")
+    # Hash-stable aggregates: monetary columns are 2-decimal doubles, so
+    # summing them as decimals is exact and order-independent; the cast
+    # back to double is exact (integer cents < 2^53). avg of the
+    # integer-valued l_quantity is exact in any summation order. No
+    # round() on derived doubles — boundary-digit behavior differs
+    # between engines, the rounded value does not.
+    disc_price = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1.0).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
+    )
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(38,2)"))
+            .cast("double")
+            .alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.avg("l_quantity").alias("avg_qty"),
             F.count("*").alias("count_order"),
         )
     )
@@ -256,7 +265,10 @@ def _q_join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name")
         .agg(
             F.count("*").alias("n_customers"),
-            F.round(F.avg("c_acctbal"), 6).alias("avg_acctbal"),
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(38,2)")).cast("double")
+                / F.count("*")
+            ).alias("avg_acctbal"),
         )
     )
 
@@ -267,13 +279,14 @@ def _q_join_orders_lineitem_revenue(spark: SparkSession, sf_dir: str) -> DataFra
     revenue per order priority."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1.0).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
+    )
     return (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .groupBy("o_orderpriority")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            F.sum(revenue).cast("double").alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
@@ -320,17 +333,23 @@ def _q_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (p25/p50/p75) of extendedprice per
     returnflag — single shuffle, sort-based exact percentile agg."""
     li = load_table(spark, sf_dir, "lineitem")
+    # percentiles over integer CENTS: the linear interpolation at quarter
+    # fractions is exact on integers under BOTH interpolation forms
+    # (a + g*(b-a) and (1-g)*a + g*b both equal (integer)/4 exactly), so
+    # the engines agree bit-for-bit; over raw 2-decimal doubles the two
+    # forms can differ by an ulp and flip a rounded digit
     pct = F.expr(
-        "percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))"
+        "percentile(CAST(round(l_extendedprice * 100, 0) AS BIGINT),"
+        " array(0.25D, 0.5D, 0.75D))"
     )
     return (
         li.groupBy("l_returnflag")
         .agg(pct.alias("p"))
         .select(
             "l_returnflag",
-            F.round(F.col("p")[0], 4).alias("p25"),
-            F.round(F.col("p")[1], 4).alias("p50"),
-            F.round(F.col("p")[2], 4).alias("p75"),
+            (F.col("p")[0] / 100.0).alias("p25"),
+            (F.col("p")[1] / 100.0).alias("p50"),
+            (F.col("p")[2] / 100.0).alias("p75"),
         )
     )
 
@@ -339,12 +358,19 @@ def _q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON scalar extraction (events.props -> $.k) + per-type agg."""
     ev = load_table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("long")
+    # exact-decimal sum (order-independent — fixture values have 2
+    # decimals) cast back to double: both engines produce the identical
+    # double, so no round() is needed and none is safe to add (round of a
+    # non-exact double is implementation-defined at the boundary digit)
+    avg_value = F.sum(F.col("value").cast("decimal(38,2)")).cast(
+        "double"
+    ) / F.count("*")
     return (
         ev.withColumn("k", k)
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            avg_value.alias("avg_value"),
             F.sum("k").alias("sum_k"),
         )
     )
@@ -357,7 +383,9 @@ def _q_monthly_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,2)"))
+            .cast("double")
+            .alias("sum_price"),
         )
     )
 
@@ -367,7 +395,9 @@ def _q_rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return o.rollup("o_orderstatus", "o_orderpriority").agg(
         F.count("*").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,2)"))
+        .cast("double")
+        .alias("sum_price"),
     )
 
 
@@ -439,7 +469,10 @@ def _q_count_distinct_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         F.countDistinct("l_suppkey").alias("n_suppliers"),
         F.countDistinct("l_partkey").alias("n_parts"),
-        F.round(F.avg("l_discount"), 6).alias("avg_discount"),
+        (
+            F.sum(F.col("l_discount").cast("decimal(38,2)")).cast("double")
+            / F.count("*")
+        ).alias("avg_discount"),
     )
 
 
@@ -530,7 +563,12 @@ def _q_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
         .select(
             "user_id",
             F.col("session_window.start").alias("session_start"),
@@ -588,12 +626,12 @@ def _q_window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.round(
-            F.sum("o_totalprice").over(
-                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            ),
-            2,
-        ).alias("running_total"),
+        # decimal running sum: exact regardless of how either engine's
+        # window executor associates the additions
+        F.sum(F.col("o_totalprice").cast("decimal(38,2)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+        .alias("running_total"),
         F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
     )
 
@@ -610,10 +648,15 @@ def _q_text_stats_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_search_test_spark.functions import textstats as ts
 
     docs = load_table(spark, sf_dir, "documents")
+    # avg over exact integer sums: sum(long)/count is the identical double
+    # on both engines; round() of the quotient is NOT (boundary-digit
+    # behavior is implementation-defined), so none is applied
     return docs.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum(ts.char_count("text")).alias("sum_chars"),
-        F.round(F.avg(ts.token_count_ws("text")), 6).alias("avg_tokens_ws"),
+        (F.sum(ts.token_count_ws("text")).cast("double") / F.count("*")).alias(
+            "avg_tokens_ws"
+        ),
         F.sum(ts.token_count_regex("text")).alias("sum_tokens_re"),
     )
 
@@ -744,10 +787,18 @@ def _q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("doc_id")
     )
     kept = good.join(reps.select("doc_id"), "doc_id")
+    # hash-stable aggregates: integer token counts sum exactly; the
+    # per-row quality double is quantized to exact integer micros before
+    # summing, so neither engine's summation order can perturb the result
+    q_micros = F.round(quality_score("text") * 1e6, 0).cast("long")
     return kept.groupBy("source").agg(
         F.count("*").alias("n_docs"),
-        F.round(F.avg(token_count_ws("text")), 6).alias("avg_tokens"),
-        F.round(F.avg(quality_score("text")), 6).alias("avg_quality"),
+        (F.sum(token_count_ws("text")).cast("double") / F.count("*")).alias(
+            "avg_tokens"
+        ),
+        (F.sum(q_micros).cast("double") / F.count("*") / 1e6).alias(
+            "avg_quality"
+        ),
     )
 
 
@@ -1017,7 +1068,8 @@ def _textstats_oracle_sql() -> str:
         SELECT source,
                count(*) AS n_docs,
                sum(n_chars) AS sum_chars,
-               round(avg({ts.token_count_ws_sql('text')}), 6) AS avg_tokens_ws,
+               CAST(sum({ts.token_count_ws_sql('text')}) AS DOUBLE) / count(*)
+                   AS avg_tokens_ws,
                sum({ts.token_count_regex_sql('text')}) AS sum_tokens_re
         FROM documents
         GROUP BY source
@@ -1102,8 +1154,10 @@ def _curation_oracle_sql() -> str:
             GROUP BY trim(lower(text))
         )
         SELECT source, count(*) AS n_docs,
-               round(avg({token_count_ws_sql("text")}), 6) AS avg_tokens,
-               round(avg({q}), 6) AS avg_quality
+               CAST(sum({token_count_ws_sql("text")}) AS DOUBLE) / count(*)
+                   AS avg_tokens,
+               CAST(sum(CAST(round({q} * 1e6, 0) AS BIGINT)) AS DOUBLE)
+                   / count(*) / 1e6 AS avg_quality
         FROM good JOIN reps USING (doc_id)
         GROUP BY source
     """
@@ -1256,9 +1310,13 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice), 2) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-                   round(avg(l_quantity), 6) AS avg_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE)
+                       AS sum_base_price,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (CAST(1.0 AS DECIMAL(3,2))
+                               - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+                       AS sum_disc_price,
+                   avg(l_quantity) AS avg_qty,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -1267,7 +1325,8 @@ def oracle_sql() -> dict[str, str]:
         "join_broadcast_dims": """
             SELECT r.r_name,
                    count(*) AS n_customers,
-                   round(avg(c.c_acctbal), 6) AS avg_acctbal
+                   CAST(sum(CAST(c.c_acctbal AS DECIMAL(38,2))) AS DOUBLE)
+                       / count(*) AS avg_acctbal
             FROM customer c
             JOIN nation n ON c.c_nationkey = n.n_nationkey
             JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -1275,7 +1334,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "join_orders_lineitem_revenue": """
             SELECT o.o_orderpriority,
-                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+                   CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                            * (CAST(1.0 AS DECIMAL(3,2))
+                               - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+                       AS revenue,
                    count(*) AS n_items
             FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
             GROUP BY o.o_orderpriority
@@ -1301,16 +1363,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "price_percentiles": """
             SELECT l_returnflag,
-                   round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
-                   round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
-                   round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+                   quantile_cont(CAST(round(l_extendedprice * 100, 0) AS BIGINT),
+                                 0.25) / 100.0 AS p25,
+                   quantile_cont(CAST(round(l_extendedprice * 100, 0) AS BIGINT),
+                                 0.5) / 100.0 AS p50,
+                   quantile_cont(CAST(round(l_extendedprice * 100, 0) AS BIGINT),
+                                 0.75) / 100.0 AS p75
             FROM lineitem
             GROUP BY l_returnflag
         """,
         "events_json_extract": """
             SELECT event_type,
                    count(*) AS n_events,
-                   round(avg(value), 6) AS avg_value,
+                   CAST(sum(CAST(value AS DECIMAL(38,2))) AS DOUBLE) / count(*)
+                       AS avg_value,
                    sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
             FROM events
             GROUP BY event_type
@@ -1318,7 +1384,8 @@ def oracle_sql() -> dict[str, str]:
         "monthly_order_stats": """
             SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
                    count(*) AS n_orders,
-                   round(sum(o_totalprice), 2) AS sum_price
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE)
+                       AS sum_price
             FROM orders
             GROUP BY 1
         """,
@@ -1341,7 +1408,8 @@ def oracle_sql() -> dict[str, str]:
         "rollup_status_priority": """
             SELECT o_orderstatus, o_orderpriority,
                    count(*) AS n_orders,
-                   round(sum(o_totalprice), 2) AS sum_price
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE)
+                       AS sum_price
             FROM orders
             GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         """,
@@ -1369,7 +1437,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag,
                    count(DISTINCT l_suppkey) AS n_suppliers,
                    count(DISTINCT l_partkey) AS n_parts,
-                   round(avg(l_discount), 6) AS avg_discount
+                   CAST(sum(CAST(l_discount AS DECIMAL(38,2))) AS DOUBLE)
+                       / count(*) AS avg_discount
             FROM lineitem
             GROUP BY l_returnflag
         """,
@@ -1395,7 +1464,7 @@ def oracle_sql() -> dict[str, str]:
                        AS win_start,
                    event_type,
                    count(*) AS n_events,
-                   round(sum(value), 6) AS sum_value
+                   CAST(sum(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS sum_value
             FROM events
             GROUP BY 1, 2
         """,
@@ -1421,7 +1490,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM flagged
             )
             SELECT user_id, min(ts) AS session_start,
-                   count(*) AS n_events, round(sum(value), 6) AS sum_value
+                   count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS sum_value
             FROM sess GROUP BY user_id, sid
         """,
         "knn_cosine_topk": f"""
@@ -1481,10 +1551,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "window_running_revenue": """
             SELECT o_custkey, o_orderkey,
-                   round(sum(o_totalprice) OVER (
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(38,2))) OVER (
                        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                   ), 2) AS running_total,
+                   ) AS DOUBLE) AS running_total,
                    round(lag(o_totalprice) OVER (
                        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                    ), 2) AS prev_price

