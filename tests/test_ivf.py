@@ -155,3 +155,55 @@ def test_train_survives_fewer_distinct_vectors_than_k(spark):
     df2 = spark.createDataFrame(rows2, "id long, embedding array<float>")
     cents2 = sorted(train_centroids(df2, nlist=4))
     assert cents2 == [[0.0] * 4, [1.0] * 4]
+
+
+def test_broadcast_assign_probe_match_literal_path(spark, sf_dir):
+    """The broadcast-centroid strategy must reproduce the literal path
+    bit-for-bit (same argmin ties, same probe ranking) on a config where
+    both run."""
+    import random
+
+    from vector_search_test_spark.operators.ivf import assign_cells, probe_cells
+
+    rng = random.Random(3)
+    cents = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(12)]
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.slice("embedding", 1, 8).alias("embedding")
+    )
+    lit = {
+        (r.vec_id, r.list_id)
+        for r in assign_cells(emb, cents, strategy="literal").collect()
+    }
+    bc = {
+        (r.vec_id, r.list_id)
+        for r in assign_cells(emb, cents, strategy="broadcast").collect()
+    }
+    assert lit == bc
+
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    plit = {
+        (r.query_id, r.list_id)
+        for r in probe_cells(q, cents, nprobe=3, strategy="literal").collect()
+    }
+    pbc = {
+        (r.query_id, r.list_id)
+        for r in probe_cells(q, cents, nprobe=3, strategy="broadcast").collect()
+    }
+    assert plit == pbc
+
+
+def test_ivf_search_wide_embedding_falls_back_interpreted(spark):
+    """dim > the unroll cap must not compile a janino-rejected method;
+    results still exact."""
+    from vector_search_test_spark.operators.ivf import IvfIndex, ivf_search
+
+    dim = 17000  # > _MAX_UNROLLED_TERMS
+    rows = [(i, [float(i)] * dim) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    idx = IvfIndex(
+        centroids=[[0.0] * dim], postings=df.select(F.lit(0).alias("list_id"), "*")
+    )
+    got = [r.vec_id for r in ivf_search(idx, [2.0] * dim, k=2, nprobe=1).collect()]
+    assert got == [2, 1] or got == [2, 3]  # vec 2 exact, then tie on dist

@@ -100,3 +100,44 @@ def test_bucketed_postings_join_without_exchange(spark, sf_dir):
         assert joined.count() >= emb.count()
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_large_nlist_assign_broadcasts_centroids_not_literals(spark, sf_dir):
+    """Scale path: past the unroll cap the centroid matrix must ride a
+    one-row broadcast (BroadcastNestedLoopJoin — argmin has no equi-key),
+    never a literal tree that balloons plan serialization at nlist~1e5."""
+    import random
+
+    from vector_search_test_spark.operators.ivf import assign_cells, probe_cells
+
+    rng = random.Random(7)
+    cents = [[rng.uniform(-1, 1) for _ in range(64)] for _ in range(1000)]
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    out = assign_cells(emb, cents)  # 64k terms > cap -> auto broadcast
+    plan = _plan(out)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Exchange hashpartitioning" not in plan  # still shuffle-free
+    # no literal blow-up: the 64k-float matrix must NOT be in the plan text
+    assert len(plan) < 100_000
+    probed = probe_cells(
+        emb.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        ),
+        cents,
+        nprobe=4,
+    )
+    pplan = _plan(probed)
+    assert "BroadcastNestedLoopJoin" in pplan
+    assert len(pplan) < 100_000
+
+
+def test_small_nlist_assign_stays_literal_projection(spark, sf_dir):
+    from vector_search_test_spark.operators.ivf import assign_cells
+
+    cents = [[float(i), 0.0, 0.0, 0.0] for i in range(4)]
+    emb = load_table(spark, sf_dir, "embeddings").limit(50).select(
+        "vec_id", F.slice("embedding", 1, 4).alias("embedding")
+    )
+    plan = _plan(assign_cells(emb, cents))
+    assert "Join" not in plan  # pure projection, no broadcast needed

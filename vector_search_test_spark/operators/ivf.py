@@ -13,9 +13,12 @@ Spark-first mapping (SURVEY §2.4/§2.5, §4 X1/X2):
   (nlist rows) and is kept as a driver-side list + a `centroids` table.
 - add (I2): cell assignment is an argmin over the centroid set embedded as
   a *literal* array-of-arrays column — a single whole-stage-codegen'd
-  projection: no join, no shuffle, no Python. (For nlist beyond a few
-  thousand you would switch to a broadcast-join + min_by plan; the
-  reference caps nlist at 10, app.py:220.)
+  projection: no join, no shuffle, no Python — while nlist*dim stays
+  JIT-friendly (the reference caps nlist at 10, app.py:220). Beyond the
+  cap, `assign_cells`/`probe_cells` auto-switch to the one-row centroid
+  broadcast (`pack_centroids`): the same argmin over a broadcast
+  array column — still shuffle-free, with a kilobyte plan at nlist ~ 1e5
+  instead of a megabyte literal tree.
 - layout (X1): postings are written `partitionBy("list_id")`, so a probe
   filter `list_id IN (...)` is *static partition pruning* — only
   nprobe/nlist of the files are ever read, the Spark replay of faiss
@@ -59,6 +62,52 @@ def _centroid_literal(centroids: list[list[float]]) -> Column:
             for c in centroids
         ]
     )
+
+
+def centroids_df(spark: SparkSession, centroids: list[list[float]]) -> DataFrame:
+    """The centroid set as a (list_id int, centroid array<float>) table —
+    the same layout ivf_save persists, and the input `pack_centroids`
+    expects for the broadcast assign/probe path."""
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    return spark.createDataFrame(rows, "list_id int, centroid array<float>")
+
+
+def pack_centroids(cents: DataFrame) -> DataFrame:
+    """Collapse a centroid table into ONE row holding the whole matrix as
+    `__cents: array<array<float>>`, ordered by list_id.
+
+    This is the scale path for large nlist (SURVEY §4 X2): instead of
+    embedding nlist*dim literals into every plan (a plan-serialization
+    death at nlist ~ 1e4-1e5), the matrix rides a one-row broadcast —
+    `df.crossJoin(broadcast(packed))` is a BroadcastNestedLoopJoin that
+    adds one array column to every row with no shuffle and no literal
+    blow-up, and the argmin/rank expressions evaluate against it exactly
+    as they do against the literal form. array_sort on (list_id, centroid)
+    structs pins the order (collect_list alone is partition-order
+    nondeterministic), so cell ids mean the same thing on every path.
+    """
+    return cents.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("list_id", "centroid"))),
+            lambda s: s["centroid"],
+        ).alias("__cents")
+    )
+
+
+def _with_packed(df: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """df + the broadcast `__cents` matrix column (one-row BNLJ)."""
+    packed = pack_centroids(centroids_df(df.sparkSession, centroids))
+    return df.crossJoin(F.broadcast(packed))
+
+
+def _resolve_strategy(strategy: str, nlist: int, dim: int) -> str:
+    if strategy == "auto":
+        return "literal" if nlist * dim <= _MAX_UNROLLED_TERMS else "broadcast"
+    if strategy not in ("literal", "broadcast"):
+        raise ValueError(
+            f"strategy must be auto|literal|broadcast, got {strategy!r}"
+        )
+    return strategy
 
 
 def _centroid_dists(
@@ -160,15 +209,30 @@ def assign_cells(
     centroids: list[list[float]],
     vec_col: str = "embedding",
     out_col: str = "list_id",
+    strategy: str = "auto",
 ) -> DataFrame:
     """I2 — nearest-centroid assignment (reference app.py:55 `index.add`).
 
-    Pure projection: distances to all centroids via a literal array, argmin
-    via array_position(array_min). Whole-stage codegen, zero shuffle.
+    strategy='literal' (small nlist): distances to all centroids via
+    unrolled literal expressions, argmin via array_position(array_min) —
+    a pure whole-stage-codegen projection, zero shuffle, zero joins.
+    strategy='broadcast' (large nlist): the centroid matrix rides a
+    one-row broadcast (`pack_centroids`) instead of plan literals; the
+    same argmin evaluates against the broadcast array column — still
+    zero shuffle, and the plan stays kilobytes at nlist ~ 1e5.
+    'auto' picks by nlist*dim against the codegen unroll cap. Both
+    strategies sum distances left-to-right, so assignments are identical.
     """
-    dists = _centroid_dists(F.col(vec_col), centroids)
+    nlist = len(centroids)
+    dim = len(centroids[0]) if centroids else 0
+    if _resolve_strategy(strategy, nlist, dim) == "literal":
+        dists = _centroid_dists(F.col(vec_col), centroids)
+        cell = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        return df.withColumn(out_col, cell)
+    joined = _with_packed(df, centroids)
+    dists = F.transform(F.col("__cents"), lambda c: l2_sq(c, F.col(vec_col)))
     cell = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-    return df.withColumn(out_col, cell)
+    return joined.withColumn(out_col, cell).drop("__cents")
 
 
 def probe_cells(
@@ -176,22 +240,34 @@ def probe_cells(
     centroids: list[list[float]],
     nprobe: int,
     query_vec_col: str = "query_vec",
+    strategy: str = "auto",
 ) -> DataFrame:
     """Per-query probe set: the nprobe cells nearest each query vector.
 
     Native plan: zip (distance, cell_id), array_sort (sorts by distance,
     ties by cell id), slice nprobe, explode -> one (query row, list_id) per
     probed cell. Mirrors faiss's quantizer ranking at app.py:69-70.
+    Large nlist rides the one-row centroid broadcast instead of a literal
+    matrix (see assign_cells), with the identical ranking expressions.
     """
     nlist = len(centroids)
     nprobe = max(1, min(nprobe, nlist))
-    dists = _centroid_dists(F.col(query_vec_col), centroids, codegen=False)
+    dim = len(centroids[0]) if centroids else 0
+    if _resolve_strategy(strategy, nlist, dim) == "literal":
+        dists = _centroid_dists(F.col(query_vec_col), centroids, codegen=False)
+        out = queries
+    else:
+        out = _with_packed(queries, centroids)
+        dists = F.transform(
+            F.col("__cents"), lambda c: l2_sq(c, F.col(query_vec_col))
+        )
     cells = F.sequence(F.lit(0), F.lit(nlist - 1))
     ranked = F.array_sort(
         F.zip_with(dists, cells, lambda d, i: F.struct(d.alias("d"), i.alias("i")))
     )
     probes = F.transform(F.slice(ranked, 1, nprobe), lambda s: s["i"].cast("int"))
-    return queries.withColumn("list_id", F.explode(probes))
+    out = out.withColumn("list_id", F.explode(probes))
+    return out.drop("__cents") if "__cents" in out.columns else out
 
 
 @dataclass
@@ -349,9 +425,17 @@ def ivf_search(
         for i, c in enumerate(index.centroids)
     ]
     probe_ids = [i for _, i in sorted(scored)[:nprobe]]
+    if len(query_vec) <= _MAX_UNROLLED_TERMS:
+        dist = l2_sq_const(F.col("embedding"), list(query_vec))
+    else:
+        # same fallback the other call sites use: past the unroll cap the
+        # codegen'd method would exceed janino's limits — evaluate the
+        # HOF form against a literal array instead (identical doubles)
+        qlit = F.array(*[F.lit(float(x)).cast("float") for x in query_vec])
+        dist = l2_sq(qlit, F.col("embedding"))
     return (
         index.postings.filter(F.col("list_id").isin(probe_ids))
-        .select("vec_id", l2_sq_const(F.col("embedding"), list(query_vec)).alias("dist"))
+        .select("vec_id", dist.alias("dist"))
         .orderBy(F.col("dist").asc(), F.col("vec_id").asc())
         .limit(k)
     )
