@@ -881,7 +881,8 @@ def _q_text_lines_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_text_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1/Q1: the text path end-to-end (app.py:58-63) — hash-embed the
     corpus, build an IVF index, embed the query text, ANN search.
-    Rows-only check: the hash-embedding space is not SQL-expressible."""
+    Value-checked: the deterministic hash embedder is re-expressed in
+    DuckDB SQL (md5 buckets/signs), so the oracle covers the whole path."""
     from vector_search_test_spark.operators.search import build_text_index, search_text
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1163,6 +1164,66 @@ def _curation_oracle_sql() -> str:
     """
 
 
+def _text_query_oracle_sql() -> str:
+    """DuckDB twin of the full text path (F1 + Q1): the HashingEmbedder
+    (functions/embed.py:35-83 — md5 token -> bucket/sign -> scatter-add ->
+    L2 normalize -> float32) re-expressed in SQL, then exact squared-L2
+    top-k against the query text (doc_id 0). nprobe = nlist in the entry,
+    so the IVF search is exact and the oracle needs no centroid knowledge.
+    Bit-parity: DuckDB's '0x'||substr(md5,...) parse reproduces
+    int.from_bytes(md5[:4],'big') and md5[4] exactly; double math and the
+    final FLOAT cast mirror numpy's float64 accumulate / float32 store.
+    """
+    from vector_search_test_spark.functions.embed import DEFAULT_DIM
+
+    dim = DEFAULT_DIM
+    toks = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
+    return f"""
+        WITH tok AS (
+            SELECT doc_id, unnest({toks}) AS t FROM documents
+        ),
+        tb AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(t), 1, 8)) AS UBIGINT) % {dim}
+                       AS bucket,
+                   CASE WHEN CAST(('0x' || substr(md5(t), 9, 2)) AS UBIGINT)
+                             % 2 = 0
+                        THEN 1.0 ELSE -1.0 END AS sgn
+            FROM tok
+        ),
+        votes AS (
+            SELECT doc_id, bucket, sum(sgn) AS v FROM tb GROUP BY doc_id, bucket
+        ),
+        scaffold AS (
+            SELECT d.doc_id, g.range AS bucket
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            CROSS JOIN range({dim}) g
+        ),
+        dense AS (
+            SELECT s.doc_id, s.bucket,
+                   CAST(coalesce(v.v, 0.0) AS DOUBLE) AS v
+            FROM scaffold s
+            LEFT JOIN votes v ON s.doc_id = v.doc_id AND s.bucket = v.bucket
+        ),
+        norms AS (
+            SELECT doc_id, sqrt(sum(v * v)) AS nrm FROM dense GROUP BY doc_id
+        ),
+        vecs AS (
+            SELECT d.doc_id,
+                   list(CAST(CASE WHEN n.nrm > 0 THEN d.v / n.nrm ELSE d.v END
+                             AS FLOAT) ORDER BY d.bucket) AS emb
+            FROM dense d JOIN norms n USING (doc_id)
+            GROUP BY d.doc_id
+        ),
+        q AS (SELECT emb AS qemb FROM vecs WHERE doc_id = 0)
+        SELECT v.doc_id AS vec_id,
+               round({_l2_sq_sql('v.emb', 'q.qemb')}, 6) AS dist
+        FROM vecs v CROSS JOIN q
+        ORDER BY {_l2_sq_sql('v.emb', 'q.qemb')}, v.doc_id
+        LIMIT 5
+    """
+
+
 def _jaccard_join_oracle_sql() -> str:
     """All-pairs n-gram Jaccard over the duplicate corpus — the quadratic
     twin of the prefix-filtered similarity join (theta=0.5, n=3)."""
@@ -1293,8 +1354,7 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT text, cluster_id FROM assignment WHERE cluster_id = -1
         """,
-        # text_query_topk: intentionally no oracle (hash-embedding space
-        # is not SQL-expressible) -> rows-only check.
+        "text_query_topk": _text_query_oracle_sql(),
         "csv_sentences_source": "SELECT text FROM documents",
         "multimodal_metadata": """
             SELECT doc_id AS media_id, 'image' AS kind,
