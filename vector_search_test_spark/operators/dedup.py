@@ -147,23 +147,26 @@ def neardup_minhash(
     band keys and ids — bucketed, never all-pairs (the all-pairs version
     is the ORACLE, not the engine). Returns (a, b, jaccard) rounded 6dp.
 
-    Cache lifecycle: intermediate shingle/band tables are cache()d for
-    the multi-consumer joins and stay pinned until the caller drops them
-    (`spark.catalog.clearCache()` or session end) — long-lived sessions
-    invoking dedup repeatedly own that cleanup, as bench.py does.
+    Cache lifecycle: intermediate shingle/band tables are pinned via
+    localCheckpoint, not cache() — checkpointed RDDs are released by the
+    ContextCleaner as soon as the returned DataFrame becomes unreachable,
+    so repeated invocations in a long-lived session cannot accumulate
+    pinned executor storage (cache() entries would sit in the catalog's
+    CacheManager until an explicit unpersist).
     """
     from vector_search_test_spark.io import spread
 
     rows = num_hashes // bands
-    # cached: the shingle sets feed three consumers (signature, and both
-    # sides of the verify join) — without cache each re-shingles the
-    # corpus. spread() first: the signature projection is the hash-heavy
-    # stage and must not inherit a 1-2-file source's parallelism.
+    # materialized once: the shingle sets feed three consumers (signature,
+    # and both sides of the verify join) — without pinning, each would
+    # re-shingle the corpus. spread() first: the signature projection is
+    # the hash-heavy stage and must not inherit a 1-2-file source's
+    # parallelism.
     sh = (
         spread(df.select(F.col(id_col).alias("id"), F.col(text_col)), "id")
         .select("id", shingles(text_col, n).alias("sh"))
         .filter(F.size("sh") > 0)
-        .cache()
+        .localCheckpoint()
     )
     sig = minhash_signature_table(sh, num_hashes)
     keys = F.array(
@@ -175,12 +178,12 @@ def neardup_minhash(
             for b in range(bands)
         ]
     )
-    # cached: both sides of the self-join read the exploded band table; an
-    # uncached plan would re-run the signature aggregation once per side.
+    # pinned: both sides of the self-join read the exploded band table; an
+    # unpinned plan would re-run the signature aggregation once per side.
     # Small: num_bands rows per doc, short strings.
     bands_df = sig.select(
         "id", F.posexplode(keys).alias("band_id", "band_key")
-    ).cache()
+    ).localCheckpoint()
     cand = (
         bands_df.alias("x")
         .join(
@@ -262,7 +265,7 @@ def jaccard_join(
         spread(df.select(F.col(id_col).alias("id"), F.col(text_col)), "id")
         .select("id", shingles(text_col, n).alias("sh"))
         .filter(F.size("sh") > 0)
-        .cache()
+        .localCheckpoint()  # multi-consumer pin, ContextCleaner-released
     )
     # Global shingle order = (document frequency asc, hash) — rarest-first.
     # Low-entropy corpora (small vocabularies) make every hash-ordered
@@ -413,7 +416,9 @@ def simhash_near_pairs(
         raise ValueError("pigeonhole requires max_hamming < num_chunks")
     chunk_bits = bits // num_chunks
     mask = (1 << chunk_bits) - 1
-    fp = simhash_table(df, id_col=id_col, text_col=text_col, bits=bits).cache()
+    fp = simhash_table(
+        df, id_col=id_col, text_col=text_col, bits=bits
+    ).localCheckpoint()  # both join sides read it; ContextCleaner-released
     chunks = fp.select(
         "id",
         "fp",

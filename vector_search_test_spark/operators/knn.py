@@ -82,9 +82,15 @@ def salted_topk_per_key(
     <= salt*k survivors per key. Result is identical to the unsalted
     window (each key's true top-k survives its salt bucket's local top-k;
     order_cols must totally order rows for determinism).
+
+    The salt is a deterministic row hash, NOT spark_partition_id():
+    partition ids change when a map task is recomputed after a fetch
+    failure, which could land rows in different salt buckets across
+    attempts and drop/duplicate rows from the phase-1 local top-k.
     """
     salted = df.withColumn(
-        "__salt", (F.spark_partition_id() % salt).cast("int")
+        "__salt",
+        F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(salt)).cast("int"),
     )
     w1 = Window.partitionBy(*key_cols, "__salt").orderBy(*order_cols)
     local = (
