@@ -61,25 +61,33 @@ def test_ivf_search_all_exact_at_full_probe(spark, sf_dir):
 
 
 def test_ivf_recall_at_partial_probe(spark, sf_dir):
-    """nprobe=2 of nlist=8: recall@5 must clear a pinned floor.
+    """Partial-probe recall@5 must clear floors pinned on the fixture.
 
-    Approximation is part of the spec (SURVEY §2.9 Q3); the floor was
-    measured on the sf0.001 fixture (observed ~0.97) and pinned with slack.
+    Approximation is part of the spec (SURVEY §2.9 Q3). Floors are
+    calibrated for BALANCED centroids (seeded Lloyd's): on the sf0.001
+    fixture nprobe=2/8 scans ~25% of the corpus and observes recall
+    ~0.60; nprobe=4 scans ~50% and observes ~0.83. (The old 0.70 floor
+    at nprobe=2 was an artifact of MLlib k-means|| producing singleton
+    cells + one 129/500 mega-cell — probing 2 cells then scanned ~47%
+    of all points. Higher recall, but only by scanning twice the data;
+    balanced cells are strictly better at fixed scan cost and are what
+    even partition sizes at 100 TB require.)
     """
     emb = load_table(spark, sf_dir, "embeddings")
     idx = ivf_build(emb, nlist=8)
     q = _queries(emb, 50)
-    approx = ivf_search_all(idx, q, k=5, nprobe=2).collect()
-    exact = knn_exact(q, emb, k=5).collect()
-    approx_sets = {}
     exact_sets = {}
-    for r in approx:
-        approx_sets.setdefault(r.query_id, set()).add(r.vec_id)
-    for r in exact:
+    for r in knn_exact(q, emb, k=5).collect():
         exact_sets.setdefault(r.query_id, set()).add(r.vec_id)
-    hits = sum(len(approx_sets.get(q, set()) & s) for q, s in exact_sets.items())
     total = sum(len(s) for s in exact_sets.values())
-    assert hits / total >= 0.70
+    for nprobe, floor in [(2, 0.50), (4, 0.70)]:
+        approx_sets = {}
+        for r in ivf_search_all(idx, q, k=5, nprobe=nprobe).collect():
+            approx_sets.setdefault(r.query_id, set()).add(r.vec_id)
+        hits = sum(
+            len(approx_sets.get(q, set()) & s) for q, s in exact_sets.items()
+        )
+        assert hits / total >= floor, f"recall@5 at nprobe={nprobe}"
 
 
 def test_ivf_save_load_roundtrip(spark, sf_dir, tmp_path):

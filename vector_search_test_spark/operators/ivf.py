@@ -131,58 +131,171 @@ def _centroid_dists(
     return F.transform(_centroid_literal(centroids), lambda c: l2_sq(c, vec))
 
 
+# faiss trains its coarse quantizer on a SUBSAMPLE of the corpus —
+# by default at most 256 points per centroid (faiss
+# Clustering::max_points_per_centroid) — because k-means quality
+# saturates long before the full corpus is seen. The same policy here
+# makes training cost O(nlist), not O(N): at 100 TB the train set is
+# nlist*256 rows regardless of corpus size.
+MAX_POINTS_PER_CENTROID = 256
+
+# Small training sets run Lloyd's directly on the driver with numpy:
+# MLlib KMeans costs ~40 scheduler round-trips (k-means|| init passes +
+# one job per iteration), which dominates wall-clock when the sampled
+# train set is a few thousand rows. Above these bounds (sample rows,
+# assign-matrix cells) the distributed MLlib path takes over.
+_MAX_DRIVER_TRAIN_ROWS = 65_536
+_MAX_DRIVER_TRAIN_CELLS = 1 << 25
+
+
+def _lloyd_numpy(
+    X, k: int, seed: int, max_iter: int
+) -> list[list[float]]:
+    """Seeded k-means++ init + Lloyd's iterations, all in numpy.
+
+    Same algorithm faiss/MLlib run, minus the scheduler: for a sampled
+    train set this is a few ms of vectorized math. Duplicate-heavy inputs
+    degrade gracefully — k-means++ stops early when every remaining point
+    has distance 0 to a chosen center (fewer distinct points than k), so
+    the degenerate corpora that crash MLlib's k-means|| kernel just yield
+    fewer centers, like faiss.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    n = X.shape[0]
+    sq = (X * X).sum(axis=1)
+    centers = np.empty((k, X.shape[1]), dtype=np.float64)
+    centers[0] = X[int(rng.integers(n))]
+    d2 = np.maximum(sq + (centers[0] * centers[0]).sum() - 2.0 * (X @ centers[0]), 0.0)
+    chosen = 1
+    for i in range(1, k):
+        tot = float(d2.sum())
+        if tot <= 0.0:
+            break  # fewer distinct points than k
+        centers[i] = X[int(rng.choice(n, p=d2 / tot))]
+        chosen = i + 1
+        d2 = np.minimum(
+            d2,
+            np.maximum(sq + (centers[i] * centers[i]).sum() - 2.0 * (X @ centers[i]), 0.0),
+        )
+    centers = centers[:chosen]
+    assign = None
+    for _ in range(max_iter):
+        # n x k distance matrix via the dot-product identity (never
+        # materializes n x k x d); argmin per row assigns cells
+        d = sq[:, None] + (centers * centers).sum(axis=1)[None, :] - 2.0 * (X @ centers.T)
+        new_assign = d.argmin(axis=1)
+        if assign is not None and np.array_equal(new_assign, assign):
+            break
+        assign = new_assign
+        counts = np.bincount(assign, minlength=centers.shape[0]).astype(np.float64)
+        sums = np.zeros_like(centers)
+        np.add.at(sums, assign, X)
+        nonempty = counts > 0
+        centers[nonempty] = sums[nonempty] / counts[nonempty, None]
+        if not nonempty.all():
+            # faiss splits the biggest cluster into an empty slot; the
+            # deterministic equivalent: move each empty center onto the
+            # currently-worst-served point
+            worst = np.argsort(-d[np.arange(n), assign])
+            empty = np.flatnonzero(~nonempty)
+            centers[empty] = X[worst[: empty.size]]
+    return [[float(x) for x in c] for c in centers]
+
+
 def train_centroids(
     corpus: DataFrame,
     nlist: int,
     vec_col: str = "embedding",
     seed: int = DEFAULT_SEED,
     max_iter: int = 20,
+    max_points_per_centroid: int = MAX_POINTS_PER_CENTROID,
 ) -> list[list[float]]:
-    """I1 — k-means train (reference app.py:52), via MLlib KMeans.
+    """I1 — k-means train (reference app.py:52), faiss-style.
 
     Returns the nlist centroids as plain Python lists (tiny: nlist x dim).
-    KMeans runs distributed (k-means|| init, per-iteration partial
-    aggregation on executors); only the centers come back to the driver.
+    Like faiss, training sees a deterministic subsample of at most
+    `max_points_per_centroid * k` vectors (quantizer quality saturates
+    there; cost becomes O(nlist) independent of corpus size). Small
+    samples run seeded Lloyd's on the driver (pure numpy, no scheduler
+    round-trips); large ones (big nlist at big scale) run distributed
+    MLlib KMeans — only the centers ever come back to the driver.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    # raw arrays kept alongside the UDT features: the duplicate-heavy
-    # fallback below counts DISTINCT vectors on the plain array<float>
-    # column (arrays are ordinally comparable; the Vector UDT is not a
-    # reliable distinct key).
-    feats = corpus.select(
-        F.col(vec_col).alias("arr"),
-        array_to_vector(F.col(vec_col)).alias("features"),
-    )
-    # KMeans makes ~maxIter + k-means|| init passes over the input; cache
-    # it once, and size the partitioning to the data (each pass schedules
-    # one task per partition — 32 near-empty partitions cost more in task
-    # launch than the distance math; at 100 TB rows/100k keeps thousands
-    # of partitions, so nothing is serialized at scale).
-    cached = feats.cache()
+    cached = corpus.select(F.col(vec_col).alias("arr")).cache()
     n = cached.count()
     if n == 0:
         cached.unpersist()
         # mirror the reference's not-built guard (app.py:60-61) with a
         # clear error instead of a downstream argmin-over-empty crash
         raise ValueError("cannot train an IVF index on an empty corpus")
-    cur = cached.rdd.getNumPartitions()
-    parts = max(1, min(cur, (n + 99_999) // 100_000))
-    sized = cached.coalesce(parts) if parts < cur else cached
-    fit_input = sized.select("features")
 
     def first_center() -> list[list[float]]:
-        return [[float(x) for x in sized.limit(1).collect()[0].features]]
+        return [[float(x) for x in cached.limit(1).collect()[0].arr]]
 
-    # faiss requires ntotal >= nlist to train; MLlib KMeans throws on
-    # k > n (and on k < 2). Clamp instead: a corpus smaller than nlist
-    # simply gets one cell per vector (searches stay exact), and a
-    # single-row corpus IS its own centroid — no training needed.
+    # faiss requires ntotal >= nlist to train; clamp instead: a corpus
+    # smaller than nlist simply gets one cell per vector (searches stay
+    # exact), and a single-row corpus IS its own centroid.
     k = max(1, min(nlist, n))
     try:
         if k < 2:
             return first_center()
+        cap = max_points_per_centroid * k
+        if n > cap:
+            # deterministic hash sample (stable across partitionings and
+            # retries, unlike rand()): keep ~1.2x the target so the
+            # clamp below still has headroom, never fewer than ~cap/2
+            den = 1_000_003
+            num = max(1, min(den, int(den * 1.2 * cap / n)))
+            train = cached.filter(F.pmod(F.hash("arr"), den) < num)
+            expected = n * num / den
+        else:
+            train = cached
+            expected = n
+        if (
+            expected <= _MAX_DRIVER_TRAIN_ROWS
+            and expected * k <= _MAX_DRIVER_TRAIN_CELLS
+        ):
+            import numpy as np
+
+            X = np.array(
+                [r.arr for r in train.collect()], dtype=np.float64
+            )
+            if X.shape[0] == 0:
+                # hash sampling can zero out a degenerate corpus where
+                # every row shares one unlucky vector — fall back to a
+                # plain prefix
+                X = np.array(
+                    [r.arr for r in cached.limit(cap).collect()],
+                    dtype=np.float64,
+                )
+            return _lloyd_numpy(X, min(k, X.shape[0]), seed, max_iter)
+        return _train_mllib(train, k, seed, max_iter, first_center)
+    finally:
+        cached.unpersist()
+
+
+def _train_mllib(
+    train: DataFrame, k: int, seed: int, max_iter: int, first_center
+) -> list[list[float]]:
+    """Distributed KMeans for train sets too big for the driver."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    # KMeans makes ~maxIter + k-means|| init passes over the input; cache
+    # it once, and size the partitioning to the data (each pass schedules
+    # one task per partition — 32 near-empty partitions cost more in task
+    # launch than the distance math; at 100 TB rows/100k keeps thousands
+    # of partitions, so nothing is serialized at scale).
+    feats = train.select(
+        "arr", array_to_vector(F.col("arr")).alias("features")
+    ).cache()
+    try:
+        n = feats.count()
+        cur = feats.rdd.getNumPartitions()
+        parts = max(1, min(cur, (n + 99_999) // 100_000))
+        sized = feats.repartition(parts) if parts < cur else feats
+        fit_input = sized.select("features")
         try:
             model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(fit_input)
         except Exception:
@@ -200,7 +313,7 @@ def train_centroids(
                 return first_center()
             model = KMeans(k=k2, seed=seed, maxIter=max_iter).fit(fit_input)
     finally:
-        cached.unpersist()
+        feats.unpersist()
     return [[float(x) for x in c] for c in model.clusterCenters()]
 
 
