@@ -20,16 +20,28 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+# Unrolled distance expressions beat the HOF fold ONLY while the fused
+# whole-stage-codegen method still fits HotSpot's JIT budget (-XX:
+# HugeMethodLimit, 8000 bytecodes; each term costs ~70 with array access
+# + null checks). Measured steady-state on the broadcast self-kNN join,
+# 4M pairs / 32 threads: dim=64 unrolled 1.25 s vs HOF 1.66 s; dim=128
+# unrolled 7.9 s (method too big -> interpreted) vs HOF 2.85 s; dim=256
+# 12 s vs 5.4 s. Past ~384 terms the left-deep sum additionally
+# overflows the plan-conversion stack. Callers must fall back to the
+# HOF form above this cap — identical doubles either way.
+UNROLL_MAX_TERMS = 96
+
+
 def l2_sq(a: Column | str, b: Column | str) -> Column:
     """Squared Euclidean distance between two array<float> columns.
 
     Reference: faiss METRIC_L2 (app.py:47-48, app.py:70).
 
     NB: higher-order functions (zip_with/aggregate) are CodegenFallback in
-    Spark — interpreted, boxed per element. Fine off the hot path; for
-    bulk scoring use `l2_sq_unrolled` / `l2_sq_const` (measured ~6x faster
-    on the self-kNN join), which produce identical doubles (same
-    left-to-right summation order).
+    Spark — interpreted, boxed per element (~8-13 us/pair at dim 64-256).
+    For bulk scoring at dim <= UNROLL_MAX_TERMS use `l2_sq_unrolled` /
+    `l2_sq_const` (~1 us/pair while the generated method JITs), which
+    produce identical doubles (same left-to-right summation order).
     """
     a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
     diffsq = F.zip_with(
@@ -45,6 +57,7 @@ def l2_sq_unrolled(a: Column | str, b: Column | str, dim: int) -> Column:
     left-to-right exactly like the fold in `l2_sq` and DuckDB's list_sum,
     so the resulting doubles are bit-identical. Requires both arrays to
     have exactly `dim` elements (shorter arrays would yield NULL terms).
+    Only profitable while dim <= UNROLL_MAX_TERMS (see note above).
     """
     a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
     expr: Column | None = None

@@ -12,10 +12,11 @@ Spark-first mapping (SURVEY §2.4/§2.5, §4 X1/X2):
 - train (I1): MLlib KMeans with a pinned seed; the centroid set is tiny
   (nlist rows) and is kept as a driver-side list + a `centroids` table.
 - add (I2): cell assignment is an argmin over the centroid set embedded as
-  a *literal* array-of-arrays column — a single whole-stage-codegen'd
-  projection: no join, no shuffle, no Python — while nlist*dim stays
-  JIT-friendly (the reference caps nlist at 10, app.py:220). Beyond the
-  cap, `assign_cells`/`probe_cells` auto-switch to the one-row centroid
+  a *literal* array-of-arrays column — a single projection: no join, no
+  shuffle, no Python (the reference caps nlist at 10, app.py:220; the
+  distances use the HOF fold, not unrolled codegen — see _centroid_dists
+  for the measured JIT-limit rationale). Past _MAX_LITERAL_TERMS,
+  `assign_cells`/`probe_cells` auto-switch to the one-row centroid
   broadcast (`pack_centroids`): the same argmin over a broadcast
   array column — still shuffle-free, with a kilobyte plan at nlist ~ 1e5
   instead of a megabyte literal tree.
@@ -45,13 +46,20 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from vector_search_test_spark.functions.vector import l2_sq, l2_sq_const, l2_sq_unrolled
+from vector_search_test_spark.functions.vector import (
+    UNROLL_MAX_TERMS,
+    l2_sq,
+    l2_sq_const,
+    l2_sq_unrolled,
+)
 
 DEFAULT_SEED = 42
 
-# Above this many unrolled terms (nlist * dim) the codegen method would
-# blow past JIT limits; fall back to the interpreted HOF form.
-_MAX_UNROLLED_TERMS = 16384
+# Above this many literal cells (nlist * dim) the centroid matrix stops
+# riding the plan as a literal array and switches to the one-row
+# broadcast (`pack_centroids`): a 1e5 x 64 literal is megabytes of plan
+# tree per query — serialization, analysis, and UI all choke on it.
+_MAX_LITERAL_TERMS = 16384
 
 
 def _centroid_literal(centroids: list[list[float]]) -> Column:
@@ -102,7 +110,7 @@ def _with_packed(df: DataFrame, centroids: list[list[float]]) -> DataFrame:
 
 def _resolve_strategy(strategy: str, nlist: int, dim: int) -> str:
     if strategy == "auto":
-        return "literal" if nlist * dim <= _MAX_UNROLLED_TERMS else "broadcast"
+        return "literal" if nlist * dim <= _MAX_LITERAL_TERMS else "broadcast"
     if strategy not in ("literal", "broadcast"):
         raise ValueError(
             f"strategy must be auto|literal|broadcast, got {strategy!r}"
@@ -110,24 +118,20 @@ def _resolve_strategy(strategy: str, nlist: int, dim: int) -> str:
     return strategy
 
 
-def _centroid_dists(
-    vec: Column, centroids: list[list[float]], codegen: bool = True
-) -> Column:
-    """array<double> of distances to every centroid.
+def _centroid_dists(vec: Column, centroids: list[list[float]]) -> Column:
+    """array<double> of distances to every centroid, via the HOF fold.
 
-    codegen=True: unrolled scalar-literal expressions (whole-stage
-    codegen) while nlist * dim stays JIT-friendly — right for corpus-wide
-    scans (assign), where the one-time janino compile (~4 s at
-    nlist*dim=512) amortizes over every row of the corpus.
-    codegen=False: interpreted HOF form — right for per-QUERY ranking
-    (probe), which touches Q * nlist * dim values total; there the compile
-    would dominate at any scale. Both forms sum identically
-    (left-to-right), so values never differ.
+    Deliberately NOT the unrolled scalar form: fusing nlist unrolled
+    distances into one projection emits a generated method of
+    ~nlist*dim*20 bytecodes; past HotSpot's JIT limit (8000 bytecodes,
+    ~25 terms/centroid at dim 64) the whole method runs interpreted and
+    loses to the HOF loop. Measured at 2M rows x (nlist=8, dim=64):
+    unrolled 12-14 s, HOF-over-literal 5.0 s, HOF-over-broadcast 4.7 s.
+    Single-pair distances (one query vector, 64 terms) still unroll —
+    see l2_sq_const call sites in knn.py / ivf_search — that method
+    stays under the JIT limit and measured ~6x faster than the fold.
+    Both forms sum identically (left-to-right), so values never differ.
     """
-    nlist = len(centroids)
-    dim = len(centroids[0]) if centroids else 0
-    if codegen and nlist * dim <= _MAX_UNROLLED_TERMS:
-        return F.array(*[l2_sq_const(vec, c) for c in centroids])
     return F.transform(_centroid_literal(centroids), lambda c: l2_sq(c, vec))
 
 
@@ -367,7 +371,7 @@ def probe_cells(
     nprobe = max(1, min(nprobe, nlist))
     dim = len(centroids[0]) if centroids else 0
     if _resolve_strategy(strategy, nlist, dim) == "literal":
-        dists = _centroid_dists(F.col(query_vec_col), centroids, codegen=False)
+        dists = _centroid_dists(F.col(query_vec_col), centroids)
         out = queries
     else:
         out = _with_packed(queries, centroids)
@@ -538,11 +542,11 @@ def ivf_search(
         for i, c in enumerate(index.centroids)
     ]
     probe_ids = [i for _, i in sorted(scored)[:nprobe]]
-    if len(query_vec) <= _MAX_UNROLLED_TERMS:
+    if len(query_vec) <= UNROLL_MAX_TERMS:
         dist = l2_sq_const(F.col("embedding"), list(query_vec))
     else:
-        # same fallback the other call sites use: past the unroll cap the
-        # codegen'd method would exceed janino's limits — evaluate the
+        # wide vectors: the unrolled method would run un-JITed (and past
+        # ~384 terms the plan build overflows the stack) — evaluate the
         # HOF form against a literal array instead (identical doubles)
         qlit = F.array(*[F.lit(float(x)).cast("float") for x in query_vec])
         dist = l2_sq(qlit, F.col("embedding"))
@@ -581,7 +585,7 @@ def ivf_search_all(
     dim = len(index.centroids[0]) if index.centroids else 0
     dist = (
         l2_sq_unrolled(F.col("query_vec"), F.col("embedding"), dim)
-        if 0 < dim <= _MAX_UNROLLED_TERMS
+        if 0 < dim <= UNROLL_MAX_TERMS
         else l2_sq(F.col("query_vec"), F.col("embedding"))
     )
     scored = probed.join(index.postings, "list_id").select(

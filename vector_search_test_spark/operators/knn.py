@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from vector_search_test_spark.functions.vector import (
+    UNROLL_MAX_TERMS,
     cosine_sim,
     l2_sq,
     l2_sq_const,
@@ -55,10 +56,12 @@ def topk_global(
     Mirrors reference search_by_vector (app.py:65-75) with nprobe=nlist.
     Returns (id_col, dist) with deterministic tie-break on id_col.
     """
-    if metric == "l2_sq":
+    if metric == "l2_sq" and len(query_vec) <= UNROLL_MAX_TERMS:
         # unrolled-to-literals form: pure whole-stage codegen (see vector.py)
         dist, asc = l2_sq_const(F.col(vec_col), list(query_vec)), True
     else:
+        # wide vectors: the HOF fold (the unrolled method would blow the
+        # JIT budget / plan-conversion stack — vector.py UNROLL_MAX_TERMS)
         qlit = F.array(*[F.lit(float(x)).cast("float") for x in query_vec])
         dist, asc = _distance(metric, qlit, F.col(vec_col))
     scored = corpus.select(F.col(id_col), dist.alias("dist"))
@@ -131,13 +134,16 @@ def knn_exact(
     (operators/ivf.py), which prunes by cell instead of scoring all pairs.
 
     Pass `dim` (the embedding width) to score with the unrolled codegen
-    expression instead of the interpreted HOF — same doubles, ~6x faster
-    on bulk joins (vector.py note).
+    expression instead of the interpreted HOF — same doubles, ~8x faster
+    on bulk joins while dim <= UNROLL_MAX_TERMS (vector.py note); wider
+    vectors automatically keep the HOF form (the unrolled method would
+    run un-JITed, slower than the fold, and past ~384 terms the plan
+    build itself overflows the stack).
     """
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("__qv")
     )
-    if metric == "l2_sq" and dim is not None:
+    if metric == "l2_sq" and dim is not None and dim <= UNROLL_MAX_TERMS:
         dist, asc = l2_sq_unrolled(F.col("__qv"), F.col(vec_col), dim), True
     else:
         dist, asc = _distance(metric, F.col("__qv"), F.col(vec_col))
