@@ -69,8 +69,40 @@ def test_connected_components_hand_graph(spark):
     edges = spark.createDataFrame(
         [(0, 1), (1, 2), (3, 4), (5, 5)], "src long, dst long"
     )
-    got = {r.id: r.component for r in connected_components(nodes, edges).collect()}
-    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 5, 6: 6}
+    want = {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 5, 6: 6}
+    # both strategies must produce identical labels (auto picks driver
+    # union-find here; 'distributed' forces the label-propagation loop)
+    for strategy in ("driver", "distributed"):
+        got = {
+            r.id: r.component
+            for r in connected_components(
+                nodes, edges, strategy=strategy
+            ).collect()
+        }
+        assert got == want, strategy
+
+
+def test_connected_components_strategies_agree_random(spark):
+    import random
+
+    rng = random.Random(11)
+    n = 120
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    pairs = [
+        (rng.randrange(n), rng.randrange(n)) for _ in range(90)
+    ]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    a = {
+        r.id: r.component
+        for r in connected_components(nodes, edges, strategy="driver").collect()
+    }
+    b = {
+        r.id: r.component
+        for r in connected_components(
+            nodes, edges, strategy="distributed"
+        ).collect()
+    }
+    assert a == b
 
 
 def test_number_clusters_singletons_minus_one(spark):

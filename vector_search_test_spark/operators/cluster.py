@@ -61,18 +61,87 @@ def similarity_edges(
     ).dropDuplicates()
 
 
+def _driver_components(edges: DataFrame) -> dict[int, int]:
+    """Union-find over a collected edge list: component = min node id.
+
+    Unions always attach the larger root under the smaller, so every
+    root IS its component's minimum id; path-halving keeps the scan
+    near-linear. Only nodes that appear in an edge are returned —
+    singletons never leave the cluster.
+    """
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for row in edges.select("src", "dst").toLocalIterator():
+        s, d = int(row[0]), int(row[1])
+        parent.setdefault(s, s)
+        parent.setdefault(d, d)
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[max(rs, rd)] = min(rs, rd)
+    return {v: find(v) for v in parent}
+
+
+# Edge lists at or below this ride the driver union-find; above it, the
+# distributed label-propagation loop. 4M edges collect to ~100 MB of
+# Python dict — trivial for the driver — while the distributed loop's
+# per-round fixed cost (6+ shuffles/round) is seconds of pure overhead
+# at that size. Thresholded on EDGES, not nodes: a billion-node corpus
+# whose threshold graph is sparse still takes the fast path, because
+# singletons never leave the cluster.
+_DRIVER_MAX_EDGES = 4_000_000
+
+
 def connected_components(
     nodes: DataFrame,
     edges: DataFrame,
     id_col: str = "id",
     max_iter: int = 50,
+    strategy: str = "auto",
 ) -> DataFrame:
-    """G2 — connected components, pure DataFrame (app.py:96).
+    """G2 — connected components (app.py:96).
 
     nodes: one row per node (``id_col``); edges: (src, dst), undirected
     (either orientation). Returns (id, component) where component = min
     node id in the component.
+
+    strategy='driver' (auto-picked when the edge list is small): collect
+    edges, union-find on the driver, broadcast the (node -> component)
+    map back over the distributed node set — one join, no iteration.
+    strategy='distributed': the min-label-propagation + pointer-jumping
+    loop below — the 100 TB path, O(log diameter) checkpointed rounds.
+    Both produce identical labels (min id per component).
     """
+    if strategy == "auto":
+        # materialize once: the sizing count and the chosen strategy both
+        # re-read the edges, and the upstream pipeline (kNN join +
+        # window) is far too expensive to execute twice
+        edges = edges.select("src", "dst").localCheckpoint()
+        strategy = (
+            "driver"
+            if edges.count() <= _DRIVER_MAX_EDGES
+            else "distributed"
+        )
+    if strategy == "driver":
+        comp = _driver_components(edges)
+        ids = nodes.select(F.col(id_col).cast("long").alias("id"))
+        if not comp:
+            return ids.withColumn("component", F.col("id"))
+        mapping = nodes.sparkSession.createDataFrame(
+            list(comp.items()), "id long, __label long"
+        )
+        return ids.join(F.broadcast(mapping), "id", "left").select(
+            "id", F.coalesce("__label", "id").alias("component")
+        )
+    if strategy != "distributed":
+        raise ValueError(
+            f"strategy must be auto|driver|distributed, got {strategy!r}"
+        )
     # Materialize the edge list ONCE: without this, every iteration's join
     # re-executes the whole upstream pipeline that produced the edges
     # (kNN join, distance, window) — the dominant cost in practice.
@@ -256,6 +325,15 @@ def similarity_clusters(
     # does not common-subexpression-eliminate repeated subplans — without
     # this each consumer re-runs the groupBy(text) shuffle.
     deduped = dedupe_by_text(corpus, id_col=id_col, text_col=text_col).localCheckpoint()
+    # AQE coalesces the dedup shuffle of a small corpus to ONE partition,
+    # which then serializes the O(n^2)-ish self-kNN scoring downstream
+    # (measured 4x on 2k x 2k). Spread it back out to the cluster's
+    # parallelism (checked AFTER materializing — only the executed plan
+    # shows AQE's real partition count); at scale the shuffle already
+    # has >= that many partitions and this never triggers.
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    if deduped.rdd.getNumPartitions() < par:
+        deduped = deduped.repartition(par).localCheckpoint()
     idx = ivf_build(deduped, nlist=nlist, id_col=id_col, vec_col=vec_col, seed=seed)
     idx.postings = idx.postings.localCheckpoint()
     queries = deduped.select(

@@ -581,8 +581,24 @@ def ivf_search_all(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).alias("query_vec"),
     )
-    probed = probe_cells(q, index.centroids, nprobe, query_vec_col="query_vec")
     dim = len(index.centroids[0]) if index.centroids else 0
+    if nprobe >= index.nlist:
+        # exhaustive probe scans every cell for every query — exactly
+        # knn_exact's broadcast self-join, minus the probe ranking and
+        # the list_id equi-join, which at full probe only add plan (the
+        # join predicate matches every (query, cell) pair). Same rows,
+        # same doubles, two fewer shuffles. This is the oracle config
+        # (SURVEY §2.9 Q3), inherently all-pairs — fine at the small
+        # scales where anyone runs it; partial probe is the scale path.
+        from vector_search_test_spark.operators.knn import knn_exact
+
+        return knn_exact(
+            q,
+            index.postings.select("vec_id", "embedding"),
+            k=k,
+            dim=dim or None,
+        )
+    probed = probe_cells(q, index.centroids, nprobe, query_vec_col="query_vec")
     dist = (
         l2_sq_unrolled(F.col("query_vec"), F.col("embedding"), dim)
         if 0 < dim <= UNROLL_MAX_TERMS
