@@ -846,7 +846,11 @@ def _q_sketch_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     booleans computed against the exact twins, so the oracle hash-matches
     iff every sketch estimate is inside its contract — cross-engine
     sketch equality is neither required nor meaningful."""
-    ev = load_table(spark, sf_dir, "events")
+    from vector_search_test_spark.io import spread
+
+    # the single-file events scan otherwise runs the whole exact-
+    # percentile + distinct partial aggregation on one core
+    ev = spread(load_table(spark, sf_dir, "events"))
     cents = "CAST(round(value * 100, 0) AS BIGINT)"
     exact_u = F.countDistinct("user_id")
     approx_u = F.expr("approx_count_distinct(user_id, 0.05)")

@@ -330,10 +330,12 @@ def similarity_clusters(
     # (measured 4x on 2k x 2k). Spread it back out to the cluster's
     # parallelism (checked AFTER materializing — only the executed plan
     # shows AQE's real partition count); at scale the shuffle already
-    # has >= that many partitions and this never triggers.
-    par = corpus.sparkSession.sparkContext.defaultParallelism
-    if deduped.rdd.getNumPartitions() < par:
-        deduped = deduped.repartition(par).localCheckpoint()
+    # has >= that many partitions and spread() is a no-op.
+    from vector_search_test_spark.io import spread
+
+    respread = spread(deduped)
+    if respread is not deduped:
+        deduped = respread.localCheckpoint()
     idx = ivf_build(deduped, nlist=nlist, id_col=id_col, vec_col=vec_col, seed=seed)
     idx.postings = idx.postings.localCheckpoint()
     queries = deduped.select(

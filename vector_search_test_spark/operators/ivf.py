@@ -421,6 +421,14 @@ def ivf_build(
     The postings DataFrame is lazy; persist with `ivf_save` to get the
     partitioned-parquet layout (and partition pruning on search).
     """
+    # A small corpus often arrives as ONE scan split (or AQE-coalesced
+    # shuffle), which would serialize every downstream scoring join over
+    # the postings. Spread it to the cluster's parallelism; gated inside
+    # spread(), so a 100 TB corpus with thousands of natural partitions
+    # never shuffles.
+    from vector_search_test_spark.io import spread
+
+    corpus = spread(corpus)
     cents = train_centroids(corpus, nlist, vec_col=vec_col, seed=seed, max_iter=max_iter)
     postings = assign_cells(
         corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")),
@@ -481,7 +489,15 @@ def ivf_save(index: IvfIndex, path: str, corpus: DataFrame | None = None) -> Non
     spark.createDataFrame(rows, "list_id int, centroid array<float>").coalesce(
         1
     ).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
-    index.postings.write.mode("overwrite").partitionBy("list_id").parquet(
+    # shuffle on list_id before the partitioned write: without it every
+    # input partition writes one file per list it touches — parts * nlist
+    # files (1000 executors x nlist 1e4 would be 10M files). Hashed on
+    # list_id each list lands in exactly one task: file count is bounded
+    # by nlist, and locally a 4-list index writes 4 files, not 128.
+    par = spark.sparkContext.defaultParallelism
+    index.postings.repartition(
+        max(par, index.nlist), "list_id"
+    ).write.mode("overwrite").partitionBy("list_id").parquet(
         os.path.join(path, "postings")
     )
     if corpus is not None:
