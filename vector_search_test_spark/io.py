@@ -31,18 +31,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # events.ts is Parquet TIMESTAMP(NANOS), which Spark rejects
-        # ([PARQUET_TYPE_ILLEGAL]); read it as raw nanos and floor to
-        # microseconds — the same precision DuckDB/Python datetimes carry.
+        # events.ts has shipped in two fixture flavors: TIMESTAMP(NANOS)
+        # (which Spark rejects unless read as raw longs via
+        # spark.sql.legacy.parquet.nanosAsLong) and plain timestamp[us].
+        # Detect by the inferred Spark type and normalize both to
+        # TimestampType at microsecond precision — the precision
+        # DuckDB/Python datetimes carry, so oracles agree either way.
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        # integer division, NOT `/ 1000` + cast: nano epochs exceed 2^53,
-        # so the double division rounds the last microsecond while
-        # DuckDB's CAST(ts AS TIMESTAMP) truncates — a 1 µs disagreement
-        # that surfaces wherever raw timestamps reach the output
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            # nanos flavor: integer division, NOT `/ 1000` + cast: nano
+            # epochs exceed 2^53, so double division rounds the last
+            # microsecond while DuckDB's CAST truncates — a 1 µs
+            # disagreement wherever raw timestamps reach the output
+            return df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        # micros flavor arrives as TIMESTAMP_NTZ; cast to the session-tz
+        # (UTC) TimestampType every downstream operator expects —
+        # wall-clock values are preserved
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

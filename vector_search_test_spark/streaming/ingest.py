@@ -31,9 +31,11 @@ EMBEDDING_STREAM_SCHEMA = T.StructType(
     ]
 )
 
-# events.parquet carries TIMESTAMP(NANOS); streamed as raw long nanos
-# (spark.sql.legacy.parquet.nanosAsLong) and converted in-plan, same as
-# io.load_table does for batch.
+# events.parquet has shipped in two fixture flavors (see io.load_table):
+# TIMESTAMP(NANOS) — streamed as raw long nanos via
+# spark.sql.legacy.parquet.nanosAsLong and converted in-plan — and plain
+# timestamp[us]. readStream needs an explicit schema, so the flavor is
+# detected from the parquet footer (events_stream_source).
 EVENTS_STREAM_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType(), True),
@@ -44,6 +46,46 @@ EVENTS_STREAM_SCHEMA = T.StructType(
         T.StructField("props", T.StringType(), True),
     ]
 )
+
+
+def _events_ts_is_nanos(input_dir: str) -> bool:
+    """True when the parquet files under `input_dir` carry TIMESTAMP(NANOS)
+    (read via the footer — a stream schema must be declared up front, so
+    the flavor has to be known before the first micro-batch)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(os.path.join(input_dir, "*.parquet")))
+    if not files:
+        return False
+    return str(pq.read_schema(files[0]).field("ts").type) == "timestamp[ns]"
+
+
+def events_stream_source(spark: SparkSession, input_dir: str) -> DataFrame:
+    """readStream over an events parquet directory, normalized to
+    TimestampType micros regardless of the fixture's ts physical type."""
+    if _events_ts_is_nanos(input_dir):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return (
+            spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+            .parquet(input_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+    schema = T.StructType(
+        [
+            f
+            if f.name != "ts"
+            else T.StructField("ts", T.TimestampNTZType(), True)
+            for f in EVENTS_STREAM_SCHEMA.fields
+        ]
+    )
+    return (
+        spark.readStream.schema(schema)
+        .parquet(input_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
 
 
 def stream_assign_cells(
@@ -72,12 +114,7 @@ def stream_event_window_counts(
     """Watermarked tumbling-window event counts: the canonical streaming
     aggregation (late rows beyond the watermark are dropped; state is
     bounded by the watermark horizon)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-        .parquet(input_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    ev = events_stream_source(spark, input_dir)
     return (
         ev.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("win"), F.col("event_type"))

@@ -139,28 +139,46 @@ def stream_sessionize(
     nanos_ts: bool = False,
 ) -> DataFrame:
     """File-stream wrapper: events parquet directory -> closed-session
-    aggregates. `nanos_ts=True` reads the driver fixtures' TIMESTAMP(NANOS)
-    files (raw longs converted in-plan, same as the batch loader); default
-    expects ordinary Spark-written timestamp columns.
-    `max_files_per_trigger` bounds each micro-batch (availableNow then
-    drains the source across several batches — how tests exercise the
-    cross-batch state carry)."""
-    from vector_search_test_spark.streaming.ingest import EVENTS_STREAM_SCHEMA
+    aggregates. The fixture's ts physical type (TIMESTAMP(NANOS) vs
+    timestamp[us] vs Spark-written TIMESTAMP) is detected from the parquet
+    footer and normalized to TimestampType micros — `nanos_ts` is kept for
+    API compatibility but ignored. `max_files_per_trigger` bounds each
+    micro-batch (availableNow then drains the source across several
+    batches — how tests exercise the cross-batch state carry)."""
+    import glob
+    import os
 
-    if nanos_ts:
+    import pyarrow.parquet as pq
+
+    from vector_search_test_spark.streaming.ingest import (
+        EVENTS_STREAM_SCHEMA,
+        _events_ts_is_nanos,
+    )
+
+    del nanos_ts  # auto-detected; see docstring
+    if _events_ts_is_nanos(input_dir):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         schema = EVENTS_STREAM_SCHEMA
+        convert = True
     else:
+        files = sorted(glob.glob(os.path.join(input_dir, "*.parquet")))
+        ts_type = (
+            str(pq.read_schema(files[0]).field("ts").type) if files else ""
+        )
+        ntz = T.TimestampNTZType() if "tz=" not in ts_type else T.TimestampType()
         schema = T.StructType(
             [
-                f if f.name != "ts" else T.StructField("ts", T.TimestampType(), True)
+                f if f.name != "ts" else T.StructField("ts", ntz, True)
                 for f in EVENTS_STREAM_SCHEMA.fields
             ]
         )
+        convert = False
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     ev = reader.parquet(input_dir)
-    if nanos_ts:
+    if convert:
         ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
     return sessionize_stateful(ev, gap_seconds=gap_seconds)
