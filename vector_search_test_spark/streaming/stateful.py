@@ -80,7 +80,10 @@ def sessionize_stateful(
         chunks = [pdf for pdf in pdf_iter if not pdf.empty]
         for pdf in ([pd.concat(chunks)] if chunks else []):
             pdf = pdf.sort_values([ts_col, "event_id"])
-            us = (pdf[ts_col].astype("int64") // 1000).to_numpy()
+            # normalize to datetime64[us] before the int view: under
+            # pandas 2.x the Arrow column may arrive as datetime64[ns] OR
+            # [us]; a bare astype(int64) silently changes unit with it
+            us = pdf[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
             sec = us // 1_000_000
             vals = pdf[value_col].fillna(0.0).to_numpy(dtype="float64")
             brk = np.empty(len(us), dtype=bool)
@@ -139,46 +142,15 @@ def stream_sessionize(
     nanos_ts: bool = False,
 ) -> DataFrame:
     """File-stream wrapper: events parquet directory -> closed-session
-    aggregates. The fixture's ts physical type (TIMESTAMP(NANOS) vs
-    timestamp[us] vs Spark-written TIMESTAMP) is detected from the parquet
-    footer and normalized to TimestampType micros — `nanos_ts` is kept for
-    API compatibility but ignored. `max_files_per_trigger` bounds each
-    micro-batch (availableNow then drains the source across several
-    batches — how tests exercise the cross-batch state carry)."""
-    import glob
-    import os
-
-    import pyarrow.parquet as pq
-
-    from vector_search_test_spark.streaming.ingest import (
-        EVENTS_STREAM_SCHEMA,
-        _events_ts_is_nanos,
-    )
+    aggregates. The fixture's ts physical type (physical INT96 as Spark
+    writes vs INT64 TIMESTAMP(NANOS) vs timestamp[us]) is detected from the
+    parquet footer metadata and normalized to TimestampType micros —
+    `nanos_ts` is kept for API compatibility but ignored.
+    `max_files_per_trigger` bounds each micro-batch (availableNow then
+    drains the source across several batches — how tests exercise the
+    cross-batch state carry)."""
+    from vector_search_test_spark.streaming.ingest import events_stream_reader
 
     del nanos_ts  # auto-detected; see docstring
-    if _events_ts_is_nanos(input_dir):
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        schema = EVENTS_STREAM_SCHEMA
-        convert = True
-    else:
-        files = sorted(glob.glob(os.path.join(input_dir, "*.parquet")))
-        ts_type = (
-            str(pq.read_schema(files[0]).field("ts").type) if files else ""
-        )
-        ntz = T.TimestampNTZType() if "tz=" not in ts_type else T.TimestampType()
-        schema = T.StructType(
-            [
-                f if f.name != "ts" else T.StructField("ts", ntz, True)
-                for f in EVENTS_STREAM_SCHEMA.fields
-            ]
-        )
-        convert = False
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    ev = reader.parquet(input_dir)
-    if convert:
-        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    else:
-        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    ev = events_stream_reader(spark, input_dir, max_files_per_trigger)
     return sessionize_stateful(ev, gap_seconds=gap_seconds)
