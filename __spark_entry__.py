@@ -685,12 +685,12 @@ def _q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom STATEFUL streaming operator through the driver gate
     (streaming/stateful.py::sessionize_stateful, applyInPandasWithState):
     gap-based sessionization drained with availableNow into a memory
-    sink. With the whole fixture in one micro-batch the operator emits
-    exactly the CLOSED sessions — every session except each user's
-    trailing open one, which stays in state — so the oracle is the batch
-    lag/cumsum sessionization minus each user's last session. Only
-    integer/timestamp columns are scored (sum_value is a float sum whose
-    order differs by engine; it stays pytest-gated)."""
+    sink. `final_flush=True` (round-4 verdict #3): the event-time-timeout
+    drain emits each user's trailing open session too, so the streamed
+    result equals the FULL batch sessionization — the oracle is the plain
+    lag/cumsum SQL with no last-session carve-out. Only integer/timestamp
+    columns are scored (sum_value is a float sum whose order differs by
+    engine; it stays pytest-gated)."""
     from vector_search_test_spark.streaming.stateful import stream_sessionize
 
     inp = _stream_staging_dir(sf_dir, "sess")
@@ -698,7 +698,7 @@ def _q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ".", "_"
     )
     q = (
-        stream_sessionize(spark, inp)
+        stream_sessionize(spark, inp, final_flush=True)
         .writeStream.format("memory")
         .queryName(qname)
         .outputMode("append")
@@ -1906,7 +1906,6 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
             )
             SELECT user_id, session_start, session_end, n_events
             FROM agg
-            QUALIFY sid < max(sid) OVER (PARTITION BY user_id)
         """,
         # session_window merges event windows [ts, ts+gap) that OVERLAP,
         # so a gap of exactly 30 min starts a NEW session (>= in the

@@ -1,4 +1,4 @@
-"""Custom stateful streaming operator: gap-based sessionization via
+"""Custom stateful streaming operators: gap-based sessionization via
 `applyInPandasWithState` (SURVEY §7 P6 extension; the reference has no
 streaming — SURVEY §2.8).
 
@@ -12,14 +12,35 @@ session breaks when the whole-second gap to the previous event exceeds
 the stream side floors microseconds identically so the two agree
 bit-for-bit).
 
-A session is emitted ("closed") only when a later event for the same key
-proves the gap was exceeded; each key's trailing open session stays in
-state. Callers that need a final flush append a sentinel event past the
-gap horizon or drain state at teardown — tests compare closed sessions
-against the batch result minus each key's last session, which is exact
-under event-time-ordered arrival (the in-order assumption is documented;
-out-of-order hardening belongs to a watermark buffer upstream, not this
-operator).
+Two operators, by arrival discipline:
+
+- `sessionize_stateful` (ordered arrival, O(1) state per key): a session
+  is emitted when a later event proves the gap was exceeded. With
+  `flush=True` (requires an upstream event-time watermark) the trailing
+  open session is ALSO emitted — via `GroupStateTimeout.EventTimeTimeout`
+  armed at the session's gap horizon `(sec(end) + gap + 1) * 1000` ms:
+  once the watermark passes that, every event Spark would still accept
+  (ts >= watermark) necessarily starts a NEW session, so the flush is
+  provably identical to the batch result. Finite backfills drain fully
+  (round-4 verdict #3: previously each key's last session stayed in
+  state forever).
+
+- `sessionize_buffered` (out-of-order arrival within the watermark delay,
+  O(window) state per key): events are buffered in state and a session is
+  emitted only when the watermark passes its gap horizon — at which point
+  any kept event that could extend, splice, or bridge it would be late
+  (ts < watermark) and dropped upstream, so emitted sessions are final
+  regardless of arrival order (round-4 verdict #4: a late event can no
+  longer splice sessions wrongly; lateness beyond the delay is dropped by
+  the watermark — the standard Structured Streaming contract). State is
+  bounded by the watermark horizon: only events of not-yet-final sessions
+  are retained.
+
+End-of-input drain for both: `stream_sessionize(final_flush=True)` writes
+a single far-future sentinel row (flavor-matched parquet, filtered out of
+the result) into the staging dir; the sentinel advances the global
+watermark past every real key's horizon and the availableNow trailing
+no-data batch fires the timeouts.
 """
 
 from __future__ import annotations
@@ -48,6 +69,27 @@ SESSION_STATE_SCHEMA = T.StructType(
     ]
 )
 
+# buffered mode: the not-yet-final events themselves (bounded by the
+# watermark horizon — events of emitted sessions are dropped from state)
+BUFFER_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("us", T.ArrayType(T.LongType()), True),
+        T.StructField("vals", T.ArrayType(T.DoubleType()), True),
+    ]
+)
+
+# drain sentinel: one synthetic far-future row per staging dir; its key can
+# never collide with a real user and is filtered from every result
+SENTINEL_USER_ID = -(10**15)
+
+
+def _gap_horizon_ms(end_us: int, gap_seconds: int) -> int:
+    """First millisecond at which an accepted event (ts >= watermark)
+    provably starts a new session: batch semantics break on whole-second
+    gaps, so any ts with `ts_ms >= (sec(end) + gap + 1) * 1000` satisfies
+    `sec(ts) - sec(end) > gap`."""
+    return ((end_us // 1_000_000) + gap_seconds + 1) * 1000
+
 
 def sessionize_stateful(
     events: DataFrame,
@@ -55,17 +97,49 @@ def sessionize_stateful(
     ts_col: str = "ts",
     value_col: str = "value",
     gap_seconds: int = 1800,
+    flush: bool = False,
 ) -> DataFrame:
     """Gap-based session aggregates over a stream: (user_id,
     session_start, session_end, n_events, sum_value), one row per CLOSED
-    session, emitted in the micro-batch whose events closed it."""
+    session, emitted in the micro-batch whose events closed it.
+
+    `flush=True` additionally emits each key's trailing open session once
+    the event-time watermark passes its gap horizon (EventTimeTimeout —
+    the input MUST carry `withWatermark` upstream). The flush is exact:
+    the timeout only fires when every event the watermark still admits
+    would start a new session anyway (see module docstring)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     def close_sessions(key_tuple, pdf_iter, state):
         import numpy as np
         import pandas as pd
 
+        def emit(rows):
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "user_id",
+                    "session_start",
+                    "session_end",
+                    "n_events",
+                    "sum_value",
+                ],
+            )
+            out["session_start"] = pd.to_datetime(out["session_start"], unit="us")
+            out["session_end"] = pd.to_datetime(out["session_end"], unit="us")
+            return out
+
         (uid,) = key_tuple
+        if flush and state.hasTimedOut:
+            # the watermark passed this session's gap horizon: no
+            # admissible event can extend it — final by construction
+            if state.exists:
+                s_start, s_end, s_n, s_v = state.get
+                state.remove()
+                yield emit([(uid, s_start, s_end, s_n, s_v)])
+            else:
+                state.remove()
+            return
         if state.exists:
             s_start, s_end, s_n, s_v = state.get
         else:
@@ -113,14 +187,17 @@ def sessionize_stateful(
             s_v = float(g_v[-1])
         if s_start is not None:
             state.update((s_start, s_end, s_n, s_v))
+            if flush:
+                # arm the drain at the open session's gap horizon; the
+                # timestamp must exceed the current watermark, so a stale
+                # horizon degrades to "next watermark advance" (still
+                # exact — see _gap_horizon_ms)
+                wm = state.getCurrentWatermarkMs()
+                state.setTimeoutTimestamp(
+                    max(wm + 1, _gap_horizon_ms(s_end, gap_seconds))
+                )
         if closed:
-            out = pd.DataFrame(
-                closed,
-                columns=["user_id", "session_start", "session_end", "n_events", "sum_value"],
-            )
-            out["session_start"] = pd.to_datetime(out["session_start"], unit="us")
-            out["session_end"] = pd.to_datetime(out["session_end"], unit="us")
-            yield out
+            yield emit(closed)
 
     return (
         events.groupBy(key)
@@ -129,9 +206,168 @@ def sessionize_stateful(
             SESSION_OUT_SCHEMA,
             SESSION_STATE_SCHEMA,
             "append",
-            GroupStateTimeout.NoTimeout,
+            GroupStateTimeout.EventTimeTimeout if flush else GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def sessionize_buffered(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Out-of-order-tolerant sessionization: identical output to the batch
+    `sessionize` for ANY arrival order whose lateness stays within the
+    upstream watermark delay (`events` MUST carry `withWatermark`).
+
+    Events are buffered in per-key state; a session is emitted only when
+    the watermark passes its gap horizon, at which point any event that
+    could extend it, splice into it, or bridge it to a later session would
+    be dropped as late upstream — so emission is final. Sessions are
+    emitted oldest-first (horizons are monotone in session order), and
+    only the events of not-yet-final sessions stay in state, bounding
+    state by the watermark horizon."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key_tuple, pdf_iter, state):
+        import numpy as np
+        import pandas as pd
+
+        (uid,) = key_tuple
+        wm = state.getCurrentWatermarkMs()
+        if state.exists:
+            buf_us, buf_v = state.get
+            buf_us = np.asarray(buf_us, dtype="int64")
+            buf_v = np.asarray(buf_v, dtype="float64")
+        else:
+            buf_us = np.empty(0, dtype="int64")
+            buf_v = np.empty(0, dtype="float64")
+        if not state.hasTimedOut:
+            chunks = [pdf for pdf in pdf_iter if not pdf.empty]
+            if chunks:
+                pdf = pd.concat(chunks)
+                new_us = (
+                    pdf[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
+                )
+                new_v = pdf[value_col].fillna(0.0).to_numpy(dtype="float64")
+                buf_us = np.concatenate([buf_us, new_us])
+                buf_v = np.concatenate([buf_v, new_v])
+        if buf_us.size == 0:
+            if state.exists:
+                state.remove()
+            return
+        order = np.argsort(buf_us, kind="stable")
+        buf_us = buf_us[order]
+        buf_v = buf_v[order]
+        sec = buf_us // 1_000_000
+        brk = np.empty(buf_us.size, dtype=bool)
+        brk[0] = True
+        brk[1:] = (sec[1:] - sec[:-1]) > gap_seconds
+        gid = np.cumsum(brk) - 1
+        last = np.append(brk[1:], True)
+        g_start = buf_us[brk]
+        g_end = buf_us[last]
+        g_n = np.bincount(gid)
+        g_v = np.bincount(gid, weights=buf_v)
+        # final = watermark passed the session's gap horizon; horizons are
+        # monotone across a key's sessions, so finality is a prefix
+        horizons = ((g_end // 1_000_000) + gap_seconds + 1) * 1000
+        n_final = int(np.searchsorted(horizons, wm, side="right"))
+        if n_final:
+            out = pd.DataFrame(
+                {
+                    "user_id": uid,
+                    "session_start": pd.to_datetime(g_start[:n_final], unit="us"),
+                    "session_end": pd.to_datetime(g_end[:n_final], unit="us"),
+                    "n_events": g_n[:n_final].astype("int64"),
+                    "sum_value": g_v[:n_final],
+                }
+            )
+        else:
+            out = None
+        keep = gid >= n_final
+        if keep.any():
+            state.update((buf_us[keep].tolist(), buf_v[keep].tolist()))
+            # arm at the oldest unemitted session's horizon; re-armed on
+            # every invocation, so a quiet key still drains once other
+            # keys (or the sentinel) advance the watermark
+            state.setTimeoutTimestamp(max(wm + 1, int(horizons[n_final])))
+        else:
+            state.remove()
+        if out is not None:
+            yield out
+
+    return (
+        events.groupBy(key)
+        .applyInPandasWithState(
+            fn,
+            SESSION_OUT_SCHEMA,
+            BUFFER_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def _ensure_drain_sentinel(input_dir: str, gap_seconds: int, delay_seconds: int) -> None:
+    """Write `zz_sentinel.parquet` (one far-future row, SENTINEL_USER_ID)
+    into `input_dir` unless already present. The sentinel's event time sits
+    past every real key's gap horizon plus the watermark delay, so the
+    final no-data micro-batch fires every pending event-time timeout and
+    the stream drains completely. The row's parquet flavor matches the
+    directory's (ts physical type — INT96-adjacent dirs get tz-aware
+    micros, nanos dirs get INT64 nanos) so the declared stream schema
+    reads it; its key is filtered from every result."""
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from vector_search_test_spark.streaming.ingest import _events_ts_flavor
+
+    sentinel_path = os.path.join(input_dir, "zz_sentinel.parquet")
+    if os.path.exists(sentinel_path):
+        return
+    files = sorted(glob.glob(os.path.join(input_dir, "*.parquet")))
+    if not files:
+        raise ValueError(f"no parquet files under {input_dir!r} to drain")
+    flavor = _events_ts_flavor(input_dir)
+    max_us = None
+    for f in files:
+        col = pq.read_table(f, columns=["ts"]).column("ts")
+        m = pa.compute.max(col).as_py()
+        if m is not None:
+            m_us = int(pa.scalar(m, type=pa.timestamp("us")).value)
+            max_us = m_us if max_us is None else max(max_us, m_us)
+    if max_us is None:
+        raise ValueError(f"no timestamps under {input_dir!r}")
+    # horizon margin: gap (break any trailing session) + delay (watermark
+    # lag) + a day of slack for second-truncation and tz bookkeeping
+    sentinel_us = max_us + (2 * gap_seconds + delay_seconds + 86_400) * 1_000_000
+    if flavor == "int64_nanos":
+        ts_type = pa.timestamp("ns")
+        ts_val = sentinel_us * 1000
+    elif flavor in ("int96", "ltz"):
+        ts_type = pa.timestamp("us", tz="UTC")
+        ts_val = sentinel_us
+    else:
+        ts_type = pa.timestamp("us")
+        ts_val = sentinel_us
+    tbl = pa.table(
+        {
+            "event_id": pa.array([-1], pa.int64()),
+            "ts": pa.array([ts_val], ts_type),
+            "user_id": pa.array([SENTINEL_USER_ID], pa.int64()),
+            "event_type": pa.array(["sentinel"], pa.string()),
+            "value": pa.array([0.0], pa.float64()),
+            "props": pa.array(["{}"], pa.string()),
+        }
+    )
+    # version 2.6 keeps ns-timestamps as INT64 TIMESTAMP(NANOS)
+    pq.write_table(tbl, sentinel_path, version="2.6")
 
 
 def stream_sessionize(
@@ -140,17 +376,49 @@ def stream_sessionize(
     gap_seconds: int = 1800,
     max_files_per_trigger: int | None = None,
     nanos_ts: bool = False,
+    final_flush: bool = False,
+    watermark_delay_seconds: int | None = None,
 ) -> DataFrame:
-    """File-stream wrapper: events parquet directory -> closed-session
-    aggregates. The fixture's ts physical type (physical INT96 as Spark
-    writes vs INT64 TIMESTAMP(NANOS) vs timestamp[us]) is detected from the
-    parquet footer metadata and normalized to TimestampType micros —
-    `nanos_ts` is kept for API compatibility but ignored.
-    `max_files_per_trigger` bounds each micro-batch (availableNow then
-    drains the source across several batches — how tests exercise the
-    cross-batch state carry)."""
+    """File-stream wrapper: events parquet directory -> session aggregates.
+
+    The fixture's ts physical type (physical INT96 as Spark writes vs
+    INT64 TIMESTAMP(NANOS) vs timestamp[us]) is detected from the parquet
+    footer metadata and normalized to TimestampType micros — `nanos_ts`
+    is kept for API compatibility but ignored. `max_files_per_trigger`
+    bounds each micro-batch (availableNow then drains the source across
+    several batches — how tests exercise the cross-batch state carry).
+
+    Modes:
+    - default: ordered arrival, closed sessions only (trailing open
+      session stays in state).
+    - `final_flush=True`: ALSO emits trailing open sessions at end of
+      input — the result equals the FULL batch sessionize. Writes a
+      drain-sentinel file into `input_dir` (must be a writable staging
+      dir, not the pristine fixture dir).
+    - `watermark_delay_seconds=N`: out-of-order-tolerant buffered mode;
+      arrival may be reordered by up to N seconds of event time (later
+      rows are dropped by the watermark, the standard streaming
+      contract). Combine with `final_flush=True` for full-drain
+      backfills.
+    """
     from vector_search_test_spark.streaming.ingest import events_stream_reader
 
     del nanos_ts  # auto-detected; see docstring
+    if final_flush:
+        _ensure_drain_sentinel(
+            input_dir, gap_seconds, watermark_delay_seconds or 1
+        )
     ev = events_stream_reader(spark, input_dir, max_files_per_trigger)
-    return sessionize_stateful(ev, gap_seconds=gap_seconds)
+    if watermark_delay_seconds is not None:
+        ev = ev.withWatermark("ts", f"{watermark_delay_seconds} seconds")
+        out = sessionize_buffered(ev, gap_seconds=gap_seconds)
+    elif final_flush:
+        # 1-second delay: in-order arrival means nothing is ever late,
+        # while tied max-timestamps stay safely inside the watermark
+        ev = ev.withWatermark("ts", "1 second")
+        out = sessionize_stateful(ev, gap_seconds=gap_seconds, flush=True)
+    else:
+        out = sessionize_stateful(ev, gap_seconds=gap_seconds)
+    if final_flush:
+        out = out.filter(F.col("user_id") != F.lit(SENTINEL_USER_ID))
+    return out
