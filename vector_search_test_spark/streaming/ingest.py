@@ -75,6 +75,11 @@ def _events_ts_flavor(input_dir: str) -> str:
     import pyarrow.parquet as pq
 
     files = sorted(glob.glob(os.path.join(input_dir, "*.parquet")))
+    # the drain sentinel (stateful._ensure_drain_sentinel) only
+    # approximates the fixture's flavor; classify from a real file so
+    # detection never depends on 'zz_' sorting last
+    real = [f for f in files if os.path.basename(f) != "zz_sentinel.parquet"]
+    files = real or files
     if not files:
         return "empty"
     pf = pq.ParquetFile(files[0])
