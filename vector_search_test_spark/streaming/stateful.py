@@ -447,6 +447,7 @@ def stream_sessionize(
     nanos_ts: bool = False,
     final_flush: bool = False,
     watermark_delay_seconds: int | None = None,
+    backend: str = "apws",
 ) -> DataFrame:
     """File-stream wrapper: events parquet directory -> session aggregates.
 
@@ -470,6 +471,10 @@ def stream_sessionize(
       filter late input rows for `applyInPandasWithState` — the explicit
       drop is what keeps emitted sessions final). Combine with
       `final_flush=True` for full-drain backfills.
+    - `backend="tws"` (with `watermark_delay_seconds`): same buffered
+      semantics on the transformWithStateInPandas v2 API (streaming/
+      tws.py — typed ListState + first-class event-time timers; needs the
+      RocksDB state store, which the operator configures).
     """
     from vector_search_test_spark.streaming.ingest import events_stream_reader
 
@@ -479,7 +484,14 @@ def stream_sessionize(
             input_dir, gap_seconds, watermark_delay_seconds or 1
         )
     ev = events_stream_reader(spark, input_dir, max_files_per_trigger)
-    if watermark_delay_seconds is not None:
+    if backend == "tws":
+        from vector_search_test_spark.streaming.tws import sessionize_tws
+
+        if watermark_delay_seconds is None:
+            raise ValueError("backend='tws' requires watermark_delay_seconds")
+        ev = ev.withWatermark("ts", f"{watermark_delay_seconds} seconds")
+        out = sessionize_tws(ev, gap_seconds=gap_seconds)
+    elif watermark_delay_seconds is not None:
         ev = ev.withWatermark("ts", f"{watermark_delay_seconds} seconds")
         out = sessionize_buffered(ev, gap_seconds=gap_seconds)
     elif final_flush:
