@@ -1,0 +1,190 @@
+"""Deterministic sampling / splitting / decontamination
+(operators/sampling.py): cross-engine bit-equality with DuckDB twins,
+split-contract properties, and the scale-critical plan shapes (scan-only
+splits, broadcast-semi contamination)."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from vector_search_test_spark.io import load_table
+from vector_search_test_spark.operators.sampling import (
+    contamination_report,
+    contamination_report_sql,
+    hash_fraction,
+    hash_fraction_sql,
+    hash_sample,
+    hash_split,
+    hash_split_sql,
+    stratified_sample,
+)
+
+WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _ddb(sf_dir):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    return con
+
+
+def test_hash_fraction_matches_duckdb_bitwise(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    got = {
+        r.doc_id: r.f
+        for r in docs.select(
+            "doc_id", hash_fraction("doc_id", "s1").alias("f")
+        ).collect()
+    }
+    con = _ddb(sf_dir)
+    want = dict(
+        con.execute(
+            f"SELECT doc_id, {hash_fraction_sql('doc_id', 's1')} FROM documents"
+        ).fetchall()
+    )
+    assert got == want  # bit-for-bit, not approximately
+
+
+def test_hash_split_matches_duckdb_and_contract(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    got = {
+        r.doc_id: r.split
+        for r in hash_split(docs, WEIGHTS).select("doc_id", "split").collect()
+    }
+    con = _ddb(sf_dir)
+    want = dict(
+        con.execute(
+            f"SELECT doc_id, {hash_split_sql(WEIGHTS, 'doc_id')} FROM documents"
+        ).fetchall()
+    )
+    assert got == want
+    # disjoint + exhaustive: every row got exactly one named split
+    n = docs.count()
+    assert len(got) == n
+    assert set(got.values()) <= set(WEIGHTS)
+    # proportions near the weights (binomial tolerance at n=500)
+    for name, w in WEIGHTS.items():
+        frac = sum(1 for v in got.values() if v == name) / n
+        assert abs(frac - w) < 0.08, (name, frac)
+
+
+def test_hash_split_stable_and_salt_sensitive(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    a = {r.doc_id: r.split for r in hash_split(docs, WEIGHTS).collect()}
+    b = {r.doc_id: r.split for r in hash_split(docs, WEIGHTS).collect()}
+    assert a == b  # re-run identical
+    c = {r.doc_id: r.split for r in hash_split(docs, WEIGHTS, salt="v2").collect()}
+    assert a != c  # a new salt is a new split
+
+
+def test_hash_sample_subset_of_larger_fraction(spark, sf_dir):
+    """Monotone thresholds: the 10% sample is a strict subset of the 30%
+    sample under the same salt — what makes progressive corpus scaling
+    reproducible (growing the budget only ADDS rows)."""
+    docs = load_table(spark, sf_dir, "documents")
+    small = {r.doc_id for r in hash_sample(docs, 0.1, salt="s").collect()}
+    big = {r.doc_id for r in hash_sample(docs, 0.3, salt="s").collect()}
+    assert small and small < big
+
+
+def test_split_and_sample_are_scan_only(spark, sf_dir):
+    """The 100 TB contract: split/sample plans contain NO shuffle — a
+    projection/filter over the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    assert "Exchange" not in _plan(hash_split(docs, WEIGHTS))
+    assert "Exchange" not in _plan(hash_sample(docs, 0.25))
+    assert "Exchange" not in _plan(
+        stratified_sample(docs, {"web": 0.1}, strata_col="source")
+    )
+
+
+def test_stratified_sample_matches_duckdb(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    sources = [r.source for r in docs.select("source").distinct().collect()]
+    fractions = {sources[0]: 1.0, sources[-1]: 0.2}
+    got = {
+        r.doc_id
+        for r in stratified_sample(
+            docs, fractions, strata_col="source"
+        ).collect()
+    }
+    thr = " ".join(
+        f"WHEN source = '{s}' THEN {f}" for s, f in fractions.items()
+    )
+    con = _ddb(sf_dir)
+    want = {
+        i
+        for (i,) in con.execute(
+            f"SELECT doc_id FROM documents WHERE {hash_fraction_sql('doc_id', 'strata')} < "
+            f"(CASE {thr} ELSE 0.0 END)"
+        ).fetchall()
+    }
+    assert got == want
+    # the 100%-stratum is fully kept
+    all_first = {
+        r.doc_id
+        for r in docs.filter(F.col("source") == sources[0]).collect()
+    }
+    assert all_first <= got
+
+
+def test_contamination_planted_benchmark(spark, sf_dir):
+    """Plant the benchmark as 5 verbatim documents + 1 unseen text: the
+    copied docs must flag contaminated at overlap 1.0; a doc sharing no
+    3-gram stays at overlap 0."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 5).select("text")
+    rep = contamination_report(docs, bench, n=3, threshold=0.8)
+    rows = {r.id: r for r in rep.collect()}
+    planted = {r.doc_id for r in docs.filter(F.col("doc_id") < 5).collect()} & set(rows)
+    assert planted
+    for i in planted:
+        assert rows[i].overlap == 1.0 and rows[i].contaminated, rows[i]
+    assert any(not r.contaminated for r in rows.values())
+    # every overlap is a valid fraction
+    assert all(0.0 <= r.overlap <= 1.0 for r in rows.values())
+
+
+def test_contamination_matches_duckdb(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 5).select("text")
+    got = sorted(
+        (r.id, r.n_shingles, r.n_hits, r.overlap, r.contaminated)
+        for r in contamination_report(docs, bench, n=3, threshold=0.5).collect()
+    )
+    con = _ddb(sf_dir)
+    want = sorted(
+        (int(i), int(ns), int(nh), float(ov), bool(c))
+        for i, ns, nh, ov, c in con.execute(
+            contamination_report_sql(
+                n=3,
+                threshold=0.5,
+                bench_sql="SELECT text FROM documents WHERE doc_id < 5",
+            )
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_contamination_plan_broadcasts_benchmark(spark, sf_dir):
+    """Scale shape: the benchmark shingle set is broadcast into a LEFT
+    SEMI join — the full-width corpus never shuffles for the membership
+    test."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 5).select("text")
+    plan = _plan(contamination_report(docs, bench, n=3))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_hash_split_rejects_bad_weights(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    with pytest.raises(ValueError):
+        hash_split(docs, {})
+    with pytest.raises(ValueError):
+        hash_split(docs, {"a": 0.0})

@@ -27,6 +27,12 @@ from vector_search_test_spark.operators.knn import (
     salted_topk_per_key,
     topk_global,
 )
+from vector_search_test_spark.operators.sampling import (
+    contamination_report,
+    hash_sample,
+    hash_split,
+    stratified_sample,
+)
 from vector_search_test_spark.operators.search import build_text_index, search_text
 from vector_search_test_spark.operators.timeseries import (
     asof_join,
@@ -39,6 +45,7 @@ __all__ = [
     "asof_join",
     "build_text_index",
     "connected_components",
+    "contamination_report",
     "dedup_exact",
     "ivf_add",
     "ivf_append",
@@ -50,6 +57,8 @@ __all__ = [
     "interval_join",
     "ivf_search_all",
     "jaccard_join",
+    "hash_sample",
+    "hash_split",
     "knn_exact",
     "ngram_jaccard_pairs",
     "neardup_embedding",
@@ -60,5 +69,6 @@ __all__ = [
     "sessionize",
     "similarity_clusters",
     "simhash_near_pairs",
+    "stratified_sample",
     "topk_global",
 ]

@@ -1,0 +1,214 @@
+"""Deterministic sampling / dataset-splitting / decontamination operators
+for training-data pipelines (extension — the reference has no sampling or
+split surface; its corpus is one in-memory CSV, app.py:198-228).
+
+Everything here is built for the 100 TB case:
+
+- `hash_fraction` maps a key to a uniform [0,1) double via md5 — a pure
+  per-row projection, so `hash_sample` / `hash_split` /
+  `stratified_sample` are SCAN-ONLY: no shuffle, no sort, no state, and
+  the same row always lands in the same split on any cluster size or
+  partitioning (re-runs and incremental appends stay consistent). md5 is
+  chosen over xxhash64 deliberately: every engine speaks it, so the
+  DuckDB twin reproduces the assignment BIT-FOR-BIT (pinned in
+  tests/test_sampling.py) and a downstream system can re-derive splits
+  without Spark.
+- `contamination_report` (benchmark-decontamination) shingles the corpus
+  per row (projection), broadcasts the DISTINCT benchmark shingle set
+  (benchmarks are tiny next to a training corpus), and left-semi joins —
+  the corpus is never shuffled at full width; only (id, hit-count) pairs
+  move, after map-side partial aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vector_search_test_spark.operators.dedup import shingles, shingles_sql
+
+_HASH_DENOM = float(1 << 32)
+
+
+def hash_fraction(key: Column | str, salt: str) -> Column:
+    """Deterministic uniform [0,1) from a key: first 8 hex digits of
+    md5(key ':' salt) as an unsigned 32-bit integer, scaled. Engine-
+    portable — DuckDB twin: `('0x' || substring(md5(key || ':salt'),
+    1, 8))::UBIGINT / 4294967296.0` (bit-identical, see tests)."""
+    k = F.col(key) if isinstance(key, str) else key
+    h = F.md5(F.concat(k.cast("string"), F.lit(":" + salt)))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("double") / F.lit(_HASH_DENOM)
+
+
+def hash_fraction_sql(key_expr: str, salt: str) -> str:
+    """DuckDB twin of `hash_fraction` (same digest, same scaling)."""
+    return (
+        f"CAST(('0x' || substring(md5(CAST({key_expr} AS VARCHAR) || ':{salt}'), 1, 8)) "
+        f"AS UBIGINT) / {_HASH_DENOM}"
+    )
+
+
+def hash_sample(
+    df: DataFrame, fraction: float, id_col: str = "doc_id", salt: str = "sample"
+) -> DataFrame:
+    """Deterministic `fraction`-sample: keep rows whose hash fraction is
+    below `fraction`. A pure filter over a projection — scan-only, no
+    shuffle — and stable under re-runs, repartitioning, and incremental
+    appends (a row's membership never changes)."""
+    return df.filter(hash_fraction(id_col, salt) < F.lit(float(fraction)))
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Add a `split` column assigning each row to exactly one named split
+    (e.g. {'train': .8, 'val': .1, 'test': .1}) by hash-fraction ranges.
+    Deterministic and id-stable: disjoint, exhaustive, and independent of
+    partitioning or row order; weights are normalized. Scan-only."""
+    if not weights:
+        raise ValueError("weights must be a non-empty {name: weight} dict")
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    frac = hash_fraction(id_col, salt)
+    names = list(weights)
+    expr = None
+    cum = 0.0
+    for name in names[:-1]:
+        cum += float(weights[name]) / total
+        cond = frac < F.lit(cum)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    # last split takes the remainder so rounding can't orphan rows
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return df.withColumn("split", expr)
+
+
+def hash_split_sql(
+    weights: dict[str, float], key_expr: str, salt: str = "split"
+) -> str:
+    """DuckDB twin of `hash_split`'s `split` column (same ranges)."""
+    total = float(sum(weights.values()))
+    frac = hash_fraction_sql(key_expr, salt)
+    names = list(weights)
+    parts = []
+    cum = 0.0
+    for name in names[:-1]:
+        cum += float(weights[name]) / total
+        parts.append(f"WHEN {frac} < {cum} THEN '{name}'")
+    if not parts:
+        return f"'{names[-1]}'"
+    return "CASE " + " ".join(parts) + f" ELSE '{names[-1]}' END"
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict,
+    strata_col: str,
+    id_col: str = "doc_id",
+    salt: str = "strata",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep a row of stratum `s` iff
+    its hash fraction is below `fractions[s]` (strata absent from the
+    dict keep `default_fraction`). The per-stratum threshold is a literal
+    CASE over `strata_col` — still scan-only, no shuffle, no per-stratum
+    pass. This is the down-weight/up-weight knob of corpus mixing (e.g.
+    keep 100% of books, 10% of common-crawl)."""
+    thr = None
+    for sval, fr in fractions.items():
+        cond = F.col(strata_col) == F.lit(sval)
+        thr = F.when(cond, F.lit(float(fr))) if thr is None else thr.when(cond, F.lit(float(fr)))
+    thr = (
+        F.lit(float(default_fraction))
+        if thr is None
+        else thr.otherwise(F.lit(float(default_fraction)))
+    )
+    return df.filter(hash_fraction(id_col, salt) < thr)
+
+
+def contamination_report(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: for each document, the fraction of its
+    distinct word n-gram shingles that appear anywhere in the benchmark
+    set, with `contaminated = overlap >= threshold`. Returns
+    (id, n_shingles, n_hits, overlap, contaminated) for every document
+    with at least one shingle.
+
+    Plan shape (the 100 TB story): the benchmark's DISTINCT shingle set
+    is broadcast (benchmark suites are MBs against a corpus of TBs); the
+    corpus side is a projection + explode + broadcast LEFT SEMI join +
+    partial-aggregated count — full-width corpus rows are never
+    shuffled, only (id, count) pairs after the semi join. Per-document
+    totals come from `size(shingles(...))`, a pure projection."""
+    sh = shingles(text_col, n)
+    doc_tot = docs.select(
+        F.col(id_col).alias("id"), F.size(sh).alias("n_shingles")
+    ).filter(F.col("n_shingles") > 0)
+    doc_sh = docs.select(
+        F.col(id_col).alias("id"), F.explode(sh).alias("s")
+    )
+    bench_sh = (
+        benchmark.select(F.explode(shingles(bench_text_col, n)).alias("s"))
+        .distinct()
+    )
+    hits = (
+        doc_sh.join(F.broadcast(bench_sh), "s", "leftsemi")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    overlap = F.col("n_hits") / F.col("n_shingles")
+    return (
+        doc_tot.join(hits, "id", "left")
+        .withColumn("n_hits", F.coalesce(F.col("n_hits"), F.lit(0)))
+        .withColumn("overlap", F.round(overlap, 6))
+        .withColumn("contaminated", overlap >= F.lit(float(threshold)))
+    )
+
+
+def contamination_report_sql(
+    n: int = 3,
+    threshold: float = 0.8,
+    docs_table: str = "documents",
+    bench_sql: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of `contamination_report` (same shingles via
+    shingles_sql, same overlap arithmetic). `bench_sql` is a subquery
+    producing the benchmark rows with a `text` column."""
+    bench_sql = bench_sql or f"SELECT {text_col} AS text FROM {docs_table} LIMIT 0"
+    doc_sh = shingles_sql(text_col, n)
+    return f"""
+WITH doc_shingles AS (
+  SELECT {id_col} AS id, UNNEST({doc_sh}) AS s FROM {docs_table}
+),
+doc_tot AS (
+  SELECT {id_col} AS id, len({doc_sh}) AS n_shingles
+  FROM {docs_table}
+  WHERE len({doc_sh}) > 0
+),
+bench_sh AS (
+  SELECT DISTINCT UNNEST({shingles_sql('text', n)}) AS s FROM ({bench_sql})
+),
+hits AS (
+  SELECT id, COUNT(*) AS n_hits
+  FROM doc_shingles WHERE s IN (SELECT s FROM bench_sh)
+  GROUP BY id
+)
+SELECT t.id,
+       t.n_shingles,
+       COALESCE(h.n_hits, 0) AS n_hits,
+       ROUND(COALESCE(h.n_hits, 0) / CAST(t.n_shingles AS DOUBLE), 6) AS overlap,
+       COALESCE(h.n_hits, 0) / CAST(t.n_shingles AS DOUBLE) >= {float(threshold)} AS contaminated
+FROM doc_tot t LEFT JOIN hits h ON t.id = h.id
+"""
