@@ -74,3 +74,41 @@ def test_fingerprints_match_python_twin(spark):
     toks2 = edited.split()
     sh2 = {" ".join(toks2[i : i + 3]) for i in range(len(toks2) - 2)}
     assert row2.rfp == min(_py_hash48(s, salt=0) for s in sh2)
+
+
+def test_repetition_ratio_planted_and_twin(spark, sf_dir):
+    """Planted loops score high, varied text scores 0, and the DuckDB
+    twin agrees bit-for-bit on the fixture corpus."""
+    import duckdb
+
+    df = spark.createDataFrame(
+        [
+            # bigrams: 5 occurrences, 2 distinct -> 3 repeats -> 0.6
+            ("buy now buy now buy now",),
+            ("alpha beta gamma delta",),  # no repeats
+            ("one",),  # shorter than n -> 0
+        ],
+        "text string",
+    )
+    got = [
+        r.rr for r in df.select(ts.repetition_ratio("text").alias("rr")).collect()
+    ]
+    assert got[0] == round(3 / 5, 6)
+    assert got[1] == 0.0
+    assert got[2] == 0.0
+
+    docs = load_table(spark, sf_dir, "documents")
+    got_fix = {
+        r.doc_id: r.rr
+        for r in docs.select(
+            "doc_id", ts.repetition_ratio("text").alias("rr")
+        ).collect()
+    }
+    con = duckdb.connect()
+    want_fix = dict(
+        con.execute(
+            f"SELECT doc_id, {ts.repetition_ratio_sql('text')} "
+            f"FROM read_parquet('{sf_dir}/documents.parquet')"
+        ).fetchall()
+    )
+    assert got_fix == want_fix

@@ -109,6 +109,24 @@ def lang_id(col: Column | str) -> Column:
     return expr
 
 
+def repetition_ratio(col: Column | str, n: int = 2) -> Column:
+    """Gopher-style intra-document repetition signal: the fraction of a
+    document's word n-gram OCCURRENCES that repeat an earlier occurrence
+    (`1 - distinct/total` over the n-gram multiset — NOT the distinct
+    shingle set dedup uses). 0 = no repetition; approaches 1 as the text
+    degenerates into a loop ("buy now buy now buy now..."). A pure
+    projection over the token array (higher-order functions) — scan-only
+    at any corpus size. Documents shorter than n tokens score 0."""
+    toks = F.split(F.lower(_col(col)), " ")
+    starts = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    grams = F.transform(starts, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    total = F.size(grams).cast("double")
+    distinct = F.size(F.array_distinct(grams)).cast("double")
+    return F.when(
+        F.size(toks) >= n, F.round((total - distinct) / total, 6)
+    ).otherwise(F.lit(0.0))
+
+
 def doc_fingerprint(col: Column | str) -> Column:
     """48-bit fingerprint of the normalized (lower+trim) text."""
     return portable_hash48(F.trim(F.lower(_col(col))))
@@ -241,6 +259,20 @@ def lang_id_sql(expr: str) -> str:
         )
         cases.append(f"WHEN {conds} THEN '{lang}'")
     return "CASE " + " ".join(cases) + f" ELSE '{LANGS[-1]}' END"
+
+
+def repetition_ratio_sql(expr: str, n: int = 2) -> str:
+    """DuckDB twin of `repetition_ratio` (same grams, same arithmetic)."""
+    toks = f"string_split(lower({expr}), ' ')"
+    grams = (
+        f"list_transform(range(1, len({toks}) - {n - 2}), "
+        f"i -> array_to_string({toks}[i:i+{n - 1}], ' '))"
+    )
+    return (
+        f"CASE WHEN len({toks}) >= {n} THEN "
+        f"round((len({grams}) - len(list_distinct({grams}))) "
+        f"/ CAST(len({grams}) AS DOUBLE), 6) ELSE 0.0 END"
+    )
 
 
 def doc_fingerprint_sql(expr: str) -> str:
