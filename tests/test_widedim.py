@@ -110,3 +110,21 @@ def test_topk_global_wide_literal_query(spark):
     expected = _ref_topk(X[:1].copy(), X, K)[0]
     got = topk_global(corpus, [float(x) for x in X[0]], k=K).collect()
     assert [(r.vec_id, r.dist) for r in got] == expected
+
+
+def test_knn_exact_arrow_plan_is_arrow_not_per_row(spark):
+    """Plan pin for the scale claim: the wide-dim path runs ONE
+    Arrow-batched MapInPandas (vectorized numpy) and a WindowGroupLimit
+    merge — never a row-at-a-time BatchEvalPython UDF."""
+    dim = 384
+    X = _corpus(dim, 64, seed=3)
+    corpus, queries = _frames(spark, X, 4)
+    plan = (
+        knn_exact_arrow(queries, corpus, k=K)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    assert "WindowGroupLimit" in plan
