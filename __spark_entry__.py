@@ -333,6 +333,65 @@ def _q_knn_widedim_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _self_check_topk(out, n_queries=20, k=10)
 
 
+# corpus-assembly config shared by the Spark entries and their oracles
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_CONTAM_N = 3
+_CONTAM_THETA = 0.5
+_CONTAM_BENCH_PRED = "doc_id < 5"
+
+
+def _q_corpus_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment over the corpus
+    (operators/sampling.py::hash_split — scan-only md5 ranges, id-stable
+    across re-runs and engines) summarized per split. The oracle replays
+    the SAME md5 arithmetic in DuckDB, so the per-id assignment — not
+    just the proportions — is what the value hash certifies."""
+    from vector_search_test_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        hash_split(docs, _SPLIT_WEIGHTS)
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )
+
+
+def _q_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/sampling.py::
+    contamination_report): per-doc word-3-gram overlap against a planted
+    benchmark (the first 5 documents verbatim), broadcast-semi plan.
+    Self-contamination makes the planted docs overlap 1.0; everything
+    else scores its true partial overlap."""
+    from vector_search_test_spark.operators.sampling import contamination_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.expr(_CONTAM_BENCH_PRED)).select("text")
+    rep = contamination_report(
+        docs, bench, n=_CONTAM_N, threshold=_CONTAM_THETA
+    )
+    return rep.select(
+        "id",
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+        "overlap",
+        "contaminated",
+    )
+
+
+def _q_pii_redaction_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (functions/redact.py) applied to every document,
+    certified by md5 of the redacted text: the oracle re-runs the same
+    ASCII-only regex chain in DuckDB (RE2) and must reproduce every
+    output string byte-for-byte."""
+    from vector_search_test_spark.functions.redact import redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.md5(redact_pii("text")).alias("red_md5"))
+
+
 # Clustering config shared by the Spark queries and the DuckDB oracle.
 # theta=1.2 gives a non-degenerate partition on the fixtures (multi-member
 # clusters AND singletons); nprobe=nlist makes the kNN graph exact so the
@@ -1254,6 +1313,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # no duplicate hits — no oracle by construction)
         "ivf_bignlist_broadcast": _q_ivf_bignlist_broadcast,
         "knn_widedim_arrow": _q_knn_widedim_arrow,
+        # --- position 53+: corpus-assembly ops (r6). Past the driver's
+        # 50-entry scoring cap TODAY, but each carries a full oracle in
+        # oracle_sql(), so tools/check_oracle.py gates them locally and
+        # they score automatically if the cap ever lifts. ---
+        "corpus_split_stats": _q_corpus_split_stats,
+        "contamination_overlap": _q_contamination_overlap,
+        "pii_redaction_hashes": _q_pii_redaction_hashes,
     }
 
 
@@ -2114,7 +2180,40 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "simhash_near_pairs": _simhash_pairs_oracle_sql(),
         "neardup_embedding": _neardup_embedding_oracle_sql(),
         "corpus_curation_pipeline": _curation_oracle_sql(),
+        "corpus_split_stats": _split_stats_oracle_sql(),
+        "contamination_overlap": _contamination_oracle_sql(),
+        "pii_redaction_hashes": _pii_oracle_sql(),
     }
     if _pp_sql is None:
         del out["ivf_search_partial_probe"]
     return out
+
+
+def _split_stats_oracle_sql() -> str:
+    from vector_search_test_spark.operators.sampling import hash_split_sql
+
+    case = hash_split_sql(_SPLIT_WEIGHTS, "doc_id")
+    # CAST the sum: DuckDB SUM(BIGINT) is HUGEINT, which hash-mismatches
+    return f"""
+        SELECT {case} AS split, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM documents GROUP BY 1
+    """
+
+
+def _contamination_oracle_sql() -> str:
+    from vector_search_test_spark.operators.sampling import (
+        contamination_report_sql,
+    )
+
+    return contamination_report_sql(
+        n=_CONTAM_N,
+        threshold=_CONTAM_THETA,
+        bench_sql=f"SELECT text FROM documents WHERE {_CONTAM_BENCH_PRED}",
+    )
+
+
+def _pii_oracle_sql() -> str:
+    from vector_search_test_spark.functions.redact import redact_pii_sql
+
+    return f"SELECT doc_id, md5({redact_pii_sql('text')}) AS red_md5 FROM documents"
