@@ -173,13 +173,16 @@ def test_contamination_matches_duckdb(spark, sf_dir):
 
 
 def test_contamination_plan_broadcasts_benchmark(spark, sf_dir):
-    """Scale shape: the benchmark shingle set is broadcast into a LEFT
-    SEMI join — the full-width corpus never shuffles for the membership
-    test."""
+    """Scale shape: the benchmark shingle set is broadcast into the
+    membership join (never a shuffle join), totals and hits come from
+    ONE aggregation (no second join), and the only Exchange carries
+    post-aggregation (id, counts) rows."""
     docs = load_table(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") < 5).select("text")
     plan = _plan(contamination_report(docs, bench, n=3))
-    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 1
 
 
 def test_hash_split_rejects_bad_weights(spark, sf_dir):

@@ -146,32 +146,31 @@ def contamination_report(
 
     Plan shape (the 100 TB story): the benchmark's DISTINCT shingle set
     is broadcast (benchmark suites are MBs against a corpus of TBs); the
-    corpus side is a projection + explode + broadcast LEFT SEMI join +
-    partial-aggregated count — full-width corpus rows are never
-    shuffled, only (id, count) pairs after the semi join. Per-document
-    totals come from `size(shingles(...))`, a pure projection."""
-    sh = shingles(text_col, n)
-    doc_tot = docs.select(
-        F.col(id_col).alias("id"), F.size(sh).alias("n_shingles")
-    ).filter(F.col("n_shingles") > 0)
+    corpus side is ONE projection + explode + broadcast LEFT OUTER join
+    + a single partial-aggregated count — the shingle array is computed
+    once, full-width corpus rows are never shuffled, and only (id,
+    count, count) triples move after map-side combine. Totals and hits
+    come from the same aggregation (`count(*)` vs `count(hit)`), so
+    there is no second join."""
     doc_sh = docs.select(
-        F.col(id_col).alias("id"), F.explode(sh).alias("s")
+        F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("s")
     )
     bench_sh = (
         benchmark.select(F.explode(shingles(bench_text_col, n)).alias("s"))
         .distinct()
+        .withColumn("hit", F.lit(1))
     )
-    hits = (
-        doc_sh.join(F.broadcast(bench_sh), "s", "leftsemi")
+    agg = (
+        doc_sh.join(F.broadcast(bench_sh), "s", "left")
         .groupBy("id")
-        .agg(F.count("*").alias("n_hits"))
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count("hit").alias("n_hits"),
+        )
     )
     overlap = F.col("n_hits") / F.col("n_shingles")
-    return (
-        doc_tot.join(hits, "id", "left")
-        .withColumn("n_hits", F.coalesce(F.col("n_hits"), F.lit(0)))
-        .withColumn("overlap", F.round(overlap, 6))
-        .withColumn("contaminated", overlap >= F.lit(float(threshold)))
+    return agg.withColumn("overlap", F.round(overlap, 6)).withColumn(
+        "contaminated", overlap >= F.lit(float(threshold))
     )
 
 
