@@ -381,6 +381,24 @@ def _q_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHUNK_SIZE = 64
+_CHUNK_OVERLAP = 8
+
+
+def _q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget document chunking (functions/chunking.py): the full
+    (id, chunk_id, chunk_text, n_tokens) chunk table — boundaries and
+    bytes must match the DuckDB twin exactly. Scan-only: projection +
+    posexplode, no shuffle."""
+    from vector_search_test_spark.functions.chunking import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(
+        docs, size=_CHUNK_SIZE, overlap=_CHUNK_OVERLAP
+    ).select("id", F.col("chunk_id").cast("long").alias("chunk_id"),
+             "chunk_text", F.col("n_tokens").cast("long").alias("n_tokens"))
+
+
 def _q_pii_redaction_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction (functions/redact.py) applied to every document,
     certified by md5 of the redacted text: the oracle re-runs the same
@@ -1320,6 +1338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split_stats": _q_corpus_split_stats,
         "contamination_overlap": _q_contamination_overlap,
         "pii_redaction_hashes": _q_pii_redaction_hashes,
+        "doc_chunks": _q_doc_chunks,
     }
 
 
@@ -2183,6 +2202,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "corpus_split_stats": _split_stats_oracle_sql(),
         "contamination_overlap": _contamination_oracle_sql(),
         "pii_redaction_hashes": _pii_oracle_sql(),
+        "doc_chunks": _chunks_oracle_sql(),
     }
     if _pp_sql is None:
         del out["ivf_search_partial_probe"]
@@ -2217,3 +2237,9 @@ def _pii_oracle_sql() -> str:
     from vector_search_test_spark.functions.redact import redact_pii_sql
 
     return f"SELECT doc_id, md5({redact_pii_sql('text')}) AS red_md5 FROM documents"
+
+
+def _chunks_oracle_sql() -> str:
+    from vector_search_test_spark.functions.chunking import chunk_documents_sql
+
+    return chunk_documents_sql(size=_CHUNK_SIZE, overlap=_CHUNK_OVERLAP)
