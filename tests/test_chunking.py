@@ -98,3 +98,74 @@ def test_chunking_rejects_bad_overlap(spark, sf_dir):
         chunk_documents(docs, size=8, overlap=8)
     with pytest.raises(ValueError):
         chunk_documents(docs, size=8, overlap=-1)
+
+
+def test_greedy_pack_reference_semantics():
+    from vector_search_test_spark.functions.chunking import greedy_pack
+
+    assert greedy_pack([3, 3, 3], 6) == [0, 0, 1]
+    assert greedy_pack([5, 5, 5], 4) == [0, 1, 2]  # oversized: own packs
+    assert greedy_pack([], 8) == []
+    assert greedy_pack([2, 2, 2, 2], 4) == [0, 0, 1, 1]
+
+
+def test_pack_chunks_invariants_and_python_twin(spark, sf_dir):
+    """No pack exceeds the budget (chunk size <= budget here), chunks are
+    preserved exactly, assignment is deterministic, equals the reference
+    greedy fill per bucket, and mean fill beats budget/2 in every bucket
+    with 2+ packs (the greedy guarantee)."""
+    from vector_search_test_spark.functions.chunking import (
+        greedy_pack,
+        pack_chunks,
+        packing_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, size=32, overlap=8)
+    budget = 96
+    packed = pack_chunks(chunks, budget=budget, n_buckets=8)
+    rows = packed.collect()
+    assert len(rows) == chunks.count()  # nothing lost or duplicated
+    assert {(r.id, r.chunk_id) for r in rows} == {
+        (r.id, r.chunk_id) for r in chunks.collect()
+    }
+
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r.bucket, []).append(r)
+    fills = []
+    for bucket, brows in by_bucket.items():
+        brows.sort(key=lambda r: (r.id, r.chunk_id))
+        want = greedy_pack([r.n_tokens for r in brows], budget)
+        assert [r.pack_id for r in brows] == want, f"bucket {bucket}"
+        pack_fill = {}
+        for r in brows:
+            pack_fill[r.pack_id] = pack_fill.get(r.pack_id, 0) + r.n_tokens
+        assert all(v <= budget for v in pack_fill.values())
+        if len(pack_fill) >= 2:
+            fills.append(sum(pack_fill.values()) / len(pack_fill))
+    assert fills and all(f > budget / 2 for f in fills)
+
+    stats = packing_stats(packed, budget)
+    srow = stats.agg(F.min("waste").alias("lo"), F.max("waste").alias("hi")).first()
+    assert 0 <= srow.lo and srow.hi <= budget
+
+    again = {(r.id, r.chunk_id): (r.bucket, r.pack_id) for r in
+             pack_chunks(chunks, budget=budget, n_buckets=8).collect()}
+    assert again == {(r.id, r.chunk_id): (r.bucket, r.pack_id) for r in rows}
+
+
+def test_pack_chunks_single_shuffle(spark, sf_dir):
+    """Scale shape: exactly one Exchange (the bucket shuffle) feeds the
+    per-bucket greedy fill."""
+    from vector_search_test_spark.functions.chunking import pack_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, size=32, overlap=8)
+    plan = (
+        pack_chunks(chunks, budget=96, n_buckets=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1

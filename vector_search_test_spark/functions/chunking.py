@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def chunk_documents(
@@ -77,3 +78,76 @@ def chunk_documents_sql(
                len(toks[s:s + {size - 1}]) AS n_tokens
         FROM starts
     """
+
+
+def greedy_pack(sizes: list[int], budget: int) -> list[int]:
+    """Reference greedy first-fit-in-order packing: item i goes to the
+    current pack unless it would overflow `budget`, else opens the next
+    pack. Returns the pack id per item. Any item larger than `budget`
+    gets a pack of its own. Python twin used by both the operator (per
+    bucket) and the tests."""
+    packs = []
+    pack, fill = 0, 0
+    for s in sizes:
+        s = int(s)
+        if fill > 0 and fill + s > budget:
+            pack += 1
+            fill = 0
+        packs.append(pack)
+        fill += s
+    return packs
+
+
+def pack_chunks(
+    chunks: DataFrame,
+    budget: int = 2048,
+    n_buckets: int = 64,
+    id_col: str = "id",
+    order_col: str = "chunk_id",
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """Assign every chunk to a training pack of at most `budget` tokens
+    (greedy first-fit in deterministic (id, chunk_id) order), returning
+    the input plus (bucket, pack_id). Pack identity is (bucket, pack_id).
+
+    Scale shape: a single global greedy scan is inherently sequential,
+    so the corpus is hash-bucketed into `n_buckets` INDEPENDENT streams
+    (deterministic pmod(xxhash64(id))) and the greedy fill runs per
+    bucket inside applyInPandas — ONE shuffle on `bucket`, per-task
+    state bounded by its bucket, no driver involvement. At 100 TB,
+    n_buckets scales with the cluster (any value >= total-cores keeps
+    every core busy); packing quality is unaffected because greedy
+    first-fit's guarantee — consecutive packs sum past the budget, so
+    mean fill exceeds budget/2 — holds within every bucket
+    independently. Documents never straddle buckets (bucketing is by
+    document id), so a pack only mixes whole documents' chunk runs."""
+    out_schema = T.StructType(
+        chunks.schema.fields
+        + [
+            T.StructField("bucket", T.IntegerType(), False),
+            T.StructField("pack_id", T.LongType(), False),
+        ]
+    )
+    in_cols = [f.name for f in chunks.schema.fields]
+
+    def fill(pdf):
+        pdf = pdf.sort_values([id_col, order_col]).reset_index(drop=True)
+        pdf["pack_id"] = greedy_pack(pdf[token_col].tolist(), budget)
+        return pdf[in_cols + ["bucket", "pack_id"]]
+
+    with_bucket = chunks.withColumn(
+        "bucket",
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets)).cast("int"),
+    )
+    return with_bucket.groupBy("bucket").applyInPandas(fill, out_schema)
+
+
+def packing_stats(packed: DataFrame, budget: int, token_col: str = "n_tokens") -> DataFrame:
+    """Per-(bucket, pack) fill and waste plus a corpus utilization row is
+    one groupBy away; kept as a helper so callers audit packing quality
+    without re-deriving the aggregation."""
+    return (
+        packed.groupBy("bucket", "pack_id")
+        .agg(F.sum(token_col).alias("fill"), F.count("*").alias("n_chunks"))
+        .withColumn("waste", F.lit(budget) - F.col("fill"))
+    )
