@@ -191,3 +191,52 @@ def test_hash_split_rejects_bad_weights(spark, sf_dir):
         hash_split(docs, {})
     with pytest.raises(ValueError):
         hash_split(docs, {"a": 0.0})
+
+
+def test_mix_corpus_matches_duckdb_and_semantics(spark, sf_dir):
+    """(doc_id, epoch) multiset equals the DuckDB twin exactly; integer
+    weights give exact copy counts; fractional weights land near the
+    expected multiplicity; the mix is scan-only."""
+    from vector_search_test_spark.operators.sampling import (
+        mix_corpus,
+        mix_corpus_sql,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sources = sorted(r.source for r in docs.select("source").distinct().collect())
+    weights = {sources[0]: 3.0, sources[1]: 0.5, sources[-1]: 1.25}
+    mixed = mix_corpus(docs, weights, default_weight=1.0)
+    got = sorted((r.doc_id, r.epoch) for r in mixed.select("doc_id", "epoch").collect())
+    con = _ddb(sf_dir)
+    want = sorted(
+        (int(i), int(e))
+        for i, e in con.execute(mix_corpus_sql(weights)).fetchall()
+    )
+    assert got == want
+
+    # integer weight -> exact copies with epochs 0..w-1
+    n_s0 = docs.filter(F.col("source") == sources[0]).count()
+    s0_rows = [e for i, e in got if i in
+               {r.doc_id for r in docs.filter(F.col("source") == sources[0]).collect()}]
+    assert len(s0_rows) == 3 * n_s0
+    # fractional stratum lands near expected multiplicity
+    n_s1 = docs.filter(F.col("source") == sources[1]).count()
+    s1_ids = {r.doc_id for r in docs.filter(F.col("source") == sources[1]).collect()}
+    n_kept = sum(1 for i, _ in got if i in s1_ids)
+    assert abs(n_kept / n_s1 - 0.5) < 0.15
+    assert "Exchange" not in _plan(mixed)
+
+
+def test_mix_downsample_equals_stratified_sample(spark, sf_dir):
+    """w < 1 under a shared salt picks the SAME rows as
+    stratified_sample — mixing and sampling are one consistent family."""
+    from vector_search_test_spark.operators.sampling import mix_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    sources = sorted(r.source for r in docs.select("source").distinct().collect())
+    frac = {sources[0]: 0.3}
+    a = {r.doc_id for r in mix_corpus(
+        docs, frac, salt="strata", default_weight=0.0).collect()}
+    b = {r.doc_id for r in stratified_sample(
+        docs, frac, strata_col="source").collect()}
+    assert a == b and a

@@ -31,6 +31,7 @@ from vector_search_test_spark.operators.sampling import (
     contamination_report,
     hash_sample,
     hash_split,
+    mix_corpus,
     stratified_sample,
 )
 from vector_search_test_spark.operators.search import build_text_index, search_text
@@ -60,6 +61,7 @@ __all__ = [
     "hash_sample",
     "hash_split",
     "knn_exact",
+    "mix_corpus",
     "ngram_jaccard_pairs",
     "neardup_embedding",
     "neardup_minhash",

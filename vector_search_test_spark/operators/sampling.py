@@ -129,6 +129,71 @@ def stratified_sample(
     return df.filter(hash_fraction(id_col, salt) < thr)
 
 
+def mix_corpus(
+    df: DataFrame,
+    weights: dict,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+    default_weight: float = 1.0,
+) -> DataFrame:
+    """Deterministic corpus mixing with BOTH up- and down-sampling: a
+    stratum with weight w contributes floor(w) full copies of every row
+    plus one extra copy for the hash-chosen frac(w) of rows (so the
+    expected multiplicity is exactly w). Output rows carry an `epoch`
+    column (0-based copy index) so repeats stay distinguishable through
+    downstream shuffles and packing. w < 1 is plain down-sampling —
+    bit-identical row choice to `stratified_sample` under the same salt.
+
+    Scan-only like the rest of this module: the weight is a literal CASE
+    over `strata_col`, the extra-copy choice is the md5 hash fraction,
+    and the duplication is `explode(sequence(...))` — a generator, not a
+    shuffle; multiplicities are id-stable across re-runs and engines."""
+    w = None
+    for sval, wt in weights.items():
+        cond = F.col(strata_col) == F.lit(sval)
+        w = F.when(cond, F.lit(float(wt))) if w is None else w.when(cond, F.lit(float(wt)))
+    w = (
+        F.lit(float(default_weight))
+        if w is None
+        else w.otherwise(F.lit(float(default_weight)))
+    )
+    n_full = F.floor(w).cast("int")
+    extra = (hash_fraction(id_col, salt) < (w - F.floor(w))).cast("int")
+    copies = n_full + extra
+    return (
+        df.withColumn("__copies", copies)
+        .filter(F.col("__copies") > 0)
+        .withColumn(
+            "epoch", F.explode(F.sequence(F.lit(0), F.col("__copies") - 1))
+        )
+        .drop("__copies")
+    )
+
+
+def mix_corpus_sql(
+    weights: dict,
+    strata_col: str = "source",
+    key_expr: str = "doc_id",
+    salt: str = "mix",
+    default_weight: float = 1.0,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of `mix_corpus`, yielding ({key}, epoch) rows."""
+    parts = " ".join(
+        f"WHEN {strata_col} = '{s}' THEN CAST({float(w)} AS DOUBLE)"
+        for s, w in weights.items()
+    )
+    w = f"(CASE {parts} ELSE CAST({float(default_weight)} AS DOUBLE) END)"
+    frac = hash_fraction_sql(key_expr, salt)
+    copies = f"(CAST(floor({w}) AS INT) + CASE WHEN {frac} < {w} - floor({w}) THEN 1 ELSE 0 END)"
+    return f"""
+        SELECT {key_expr}, UNNEST(range(0, {copies})) AS epoch
+        FROM {table}
+        WHERE {copies} > 0
+    """
+
+
 def contamination_report(
     docs: DataFrame,
     benchmark: DataFrame,
