@@ -104,3 +104,61 @@ def test_jaccard_prefix_join_lossless_on_random_corpora(spark, texts, theta):
         for r in ngram_jaccard_pairs(df, n=2, threshold=theta).collect()
     }
     assert fast == slow
+
+
+# --- pure-python kernels (no Spark per example -> generous max_examples) ---
+
+_PURE_SETTINGS = dict(max_examples=200, deadline=None)
+
+
+@settings(**_PURE_SETTINGS)
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=50), max_size=60),
+    budget=st.integers(min_value=1, max_value=100),
+)
+def test_greedy_pack_invariants(sizes, budget):
+    """For ANY item sequence: pack ids are a non-decreasing 0-based
+    sequence without gaps; no pack exceeds the budget unless one of its
+    items alone does (then it holds exactly that item); and any two
+    consecutive packs together overflow the budget (the fill >
+    budget/2-on-average guarantee)."""
+    from vector_search_test_spark.functions.chunking import greedy_pack
+
+    packs = greedy_pack(sizes, budget)
+    assert len(packs) == len(sizes)
+    if not packs:
+        return
+    assert packs[0] == 0
+    assert all(0 <= b - a <= 1 for a, b in zip(packs, packs[1:]))
+    fill: dict[int, int] = {}
+    for s, p in zip(sizes, packs):
+        fill[p] = fill.get(p, 0) + s
+    items: dict[int, list] = {}
+    for s, p in zip(sizes, packs):
+        items.setdefault(p, []).append(s)
+    for p, f in fill.items():
+        if f > budget:
+            assert len(items[p]) == 1 and items[p][0] > budget
+    for p in range(len(fill) - 1):
+        assert fill[p] + fill[p + 1] > budget
+
+
+@settings(**_PURE_SETTINGS)
+@given(
+    n=st.integers(min_value=1, max_value=200),
+    size=st.integers(min_value=1, max_value=40),
+    overlap_frac=st.floats(min_value=0.0, max_value=0.99),
+)
+def test_chunk_starts_cover_every_token(n, size, overlap_frac):
+    """The chunk-start arithmetic (mirrored from chunk_documents and its
+    DuckDB twin) covers every token exactly, for any doc length, chunk
+    size, and overlap."""
+    overlap = min(int(size * overlap_frac), size - 1)
+    step = size - overlap
+    last_start = (max(n - 1, 0) // step) * step + 1
+    starts = list(range(1, last_start + 1, step))
+    covered = set()
+    for s in starts:
+        covered.update(range(s, min(s + size, n + 1)))
+    assert covered == set(range(1, n + 1))
+    assert all(s2 - s1 == step for s1, s2 in zip(starts, starts[1:]))
