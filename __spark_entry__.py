@@ -410,6 +410,54 @@ def _q_pii_redaction_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", F.md5(redact_pii("text")).alias("red_md5"))
 
 
+_PACK_BUDGET = 256
+_PACK_BUCKETS = 16
+# non-trivial mixture: >1 up-samples (fractional part hash-chosen),
+# <1 down-samples, 0 drops the stratum, absent strata keep weight 1.0
+_MIX_WEIGHTS = {"src0": 2.5, "src1": 2.0, "src2": 0.5, "src3": 0.25, "src4": 0.0}
+
+
+def _q_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing (functions/chunking.py::pack_chunks):
+    chunk every document, then first-fit-pack chunks into
+    <=_PACK_BUDGET-token training packs inside md5-bucketed independent
+    streams (one shuffle on `bucket`, applyInPandas greedy fill). The
+    oracle replays the SAME bucket hash and greedy recurrence as a
+    DuckDB recursive CTE, so per-chunk pack assignment — not just pack
+    counts — is value-certified."""
+    from vector_search_test_spark.functions.chunking import (
+        chunk_documents,
+        pack_chunks,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, size=_CHUNK_SIZE, overlap=_CHUNK_OVERLAP)
+    packed = pack_chunks(
+        chunks, budget=_PACK_BUDGET, n_buckets=_PACK_BUCKETS
+    )
+    return packed.select(
+        "id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "bucket",
+        "pack_id",
+    )
+
+
+def _q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus mixing (operators/sampling.py::mix_corpus):
+    per-stratum weights up-/down-sample sources (floor(w) full copies +
+    hash-chosen extras, epoch column per copy), scan-only — explode of a
+    literal-CASE sequence, no shuffle. The oracle replays the identical
+    md5 arithmetic, certifying the per-id multiplicity."""
+    from vector_search_test_spark.operators.sampling import mix_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mix_corpus(docs, _MIX_WEIGHTS, strata_col="source").select(
+        "doc_id", F.col("epoch").cast("long").alias("epoch")
+    )
+
+
 # Clustering config shared by the Spark queries and the DuckDB oracle.
 # theta=1.2 gives a non-degenerate partition on the fixtures (multi-member
 # clusters AND singletons); nprobe=nlist makes the kNN graph exact so the
@@ -1339,6 +1387,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_overlap": _q_contamination_overlap,
         "pii_redaction_hashes": _q_pii_redaction_hashes,
         "doc_chunks": _q_doc_chunks,
+        "packed_sequences": _q_packed_sequences,
+        "corpus_mixture": _q_corpus_mixture,
     }
 
 
@@ -2203,6 +2253,8 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "contamination_overlap": _contamination_oracle_sql(),
         "pii_redaction_hashes": _pii_oracle_sql(),
         "doc_chunks": _chunks_oracle_sql(),
+        "packed_sequences": _packing_oracle_sql(),
+        "corpus_mixture": _mixture_oracle_sql(),
     }
     if _pp_sql is None:
         del out["ivf_search_partial_probe"]
@@ -2243,3 +2295,22 @@ def _chunks_oracle_sql() -> str:
     from vector_search_test_spark.functions.chunking import chunk_documents_sql
 
     return chunk_documents_sql(size=_CHUNK_SIZE, overlap=_CHUNK_OVERLAP)
+
+
+def _packing_oracle_sql() -> str:
+    from vector_search_test_spark.functions.chunking import (
+        chunk_documents_sql,
+        pack_chunks_sql,
+    )
+
+    return pack_chunks_sql(
+        chunk_documents_sql(size=_CHUNK_SIZE, overlap=_CHUNK_OVERLAP),
+        budget=_PACK_BUDGET,
+        n_buckets=_PACK_BUCKETS,
+    )
+
+
+def _mixture_oracle_sql() -> str:
+    from vector_search_test_spark.operators.sampling import mix_corpus_sql
+
+    return mix_corpus_sql(_MIX_WEIGHTS)

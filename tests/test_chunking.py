@@ -155,6 +155,39 @@ def test_pack_chunks_invariants_and_python_twin(spark, sf_dir):
     assert again == {(r.id, r.chunk_id): (r.bucket, r.pack_id) for r in rows}
 
 
+def test_pack_chunks_matches_duckdb_recursive_twin(spark, sf_dir):
+    """Cross-engine bit-equality of the full packing pipeline: the md5
+    bucket hash AND the greedy first-fit recurrence (DuckDB recursive
+    CTE) reproduce every (bucket, pack_id) assignment."""
+    from vector_search_test_spark.functions.chunking import (
+        pack_chunks,
+        pack_chunks_sql,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, size=32, overlap=8)
+    got = sorted(
+        (r.id, r.chunk_id, r.n_tokens, r.bucket, r.pack_id)
+        for r in pack_chunks(chunks, budget=96, n_buckets=8).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = sorted(
+        tuple(int(v) for v in row)
+        for row in con.execute(
+            pack_chunks_sql(
+                chunk_documents_sql(size=32, overlap=8),
+                budget=96,
+                n_buckets=8,
+            )
+        ).fetchall()
+    )
+    assert got == want
+    assert len({b for *_, b, _p in got}) > 1  # multiple buckets exercised
+
+
 def test_pack_chunks_single_shuffle(spark, sf_dir):
     """Scale shape: exactly one Exchange (the bucket shuffle) feeds the
     per-bucket greedy fill."""

@@ -112,7 +112,9 @@ def pack_chunks(
 
     Scale shape: a single global greedy scan is inherently sequential,
     so the corpus is hash-bucketed into `n_buckets` INDEPENDENT streams
-    (deterministic pmod(xxhash64(id))) and the greedy fill runs per
+    (deterministic md5 bucket — engine-portable like the sampling
+    module, so the DuckDB twin `pack_chunks_sql` reproduces pack ids
+    bit-for-bit) and the greedy fill runs per
     bucket inside applyInPandas — ONE shuffle on `bucket`, per-task
     state bounded by its bucket, no driver involvement. At 100 TB,
     n_buckets scales with the cluster (any value >= total-cores keeps
@@ -136,10 +138,65 @@ def pack_chunks(
         return pdf[in_cols + ["bucket", "pack_id"]]
 
     with_bucket = chunks.withColumn(
-        "bucket",
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets)).cast("int"),
+        "bucket", _pack_bucket(id_col, n_buckets)
     )
     return with_bucket.groupBy("bucket").applyInPandas(fill, out_schema)
+
+
+def _pack_bucket(id_col: str, n_buckets: int):
+    """Engine-portable bucket id: first 8 md5 hex digits of
+    'id:packbucket' as uint32, mod n_buckets (same scheme as
+    operators/sampling.py::hash_fraction; < 2^32 so pmod == %)."""
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":packbucket")))
+    return F.pmod(
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(n_buckets)
+    ).cast("int")
+
+
+def pack_chunks_sql(
+    chunks_sql: str,
+    budget: int = 2048,
+    n_buckets: int = 64,
+    id_col: str = "id",
+    order_col: str = "chunk_id",
+    token_col: str = "n_tokens",
+) -> str:
+    """DuckDB twin of `pack_chunks` over a chunk subquery (e.g. the
+    output of `chunk_documents_sql`), yielding (id, chunk_id, n_tokens,
+    bucket, pack_id). The greedy first-fit recurrence is inherently
+    sequential per bucket, so the twin is a recursive CTE advancing one
+    row per bucket per step (rows within a step run set-at-a-time, so
+    depth = max rows in any bucket — fine at oracle scale). The
+    condition drops greedy_pack's `fill > 0` guard because every chunk
+    has n_tokens >= 1, so fill is always positive after the first row."""
+    bucket = (
+        f"CAST(CAST(('0x' || substring(md5(CAST({id_col} AS VARCHAR) || ':packbucket'), 1, 8)) "
+        f"AS UBIGINT) % {n_buckets} AS INT)"
+    )
+    return f"""
+WITH RECURSIVE chunk_rows AS ({chunks_sql}),
+ordered AS (
+  SELECT {id_col} AS id, {order_col} AS chunk_id, {token_col} AS n_tokens,
+         {bucket} AS bucket,
+         row_number() OVER (
+           PARTITION BY {bucket} ORDER BY {id_col}, {order_col}
+         ) AS rn
+  FROM chunk_rows
+),
+packs AS (
+  SELECT bucket, rn, id, chunk_id, n_tokens,
+         CAST(0 AS BIGINT) AS pack_id, n_tokens AS fill
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.bucket, o.rn, o.id, o.chunk_id, o.n_tokens,
+         CASE WHEN p.fill + o.n_tokens > {budget}
+              THEN p.pack_id + 1 ELSE p.pack_id END,
+         CASE WHEN p.fill + o.n_tokens > {budget}
+              THEN o.n_tokens ELSE p.fill + o.n_tokens END
+  FROM packs p JOIN ordered o ON o.bucket = p.bucket AND o.rn = p.rn + 1
+)
+SELECT id, chunk_id, n_tokens, bucket, pack_id FROM packs
+"""
 
 
 def packing_stats(packed: DataFrame, budget: int, token_col: str = "n_tokens") -> DataFrame:
