@@ -458,6 +458,19 @@ def _q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_unigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality scoring (functions/textstats.py::
+    unigram_lm_scores): corpus-trained add-one-smoothed token
+    log-probabilities, mean per document + perplexity — the cheap "LM
+    filter" stage of a pretraining pipeline. One tf shuffle, broadcast
+    vocab, scalar cross join; the oracle replays the identical
+    smoothing arithmetic."""
+    from vector_search_test_spark.functions.textstats import unigram_lm_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_lm_scores(docs)
+
+
 # Clustering config shared by the Spark queries and the DuckDB oracle.
 # theta=1.2 gives a non-degenerate partition on the fixtures (multi-member
 # clusters AND singletons); nprobe=nlist makes the kNN graph exact so the
@@ -1389,6 +1402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": _q_doc_chunks,
         "packed_sequences": _q_packed_sequences,
         "corpus_mixture": _q_corpus_mixture,
+        "unigram_lm_scores": _q_unigram_lm_scores,
     }
 
 
@@ -2255,6 +2269,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "doc_chunks": _chunks_oracle_sql(),
         "packed_sequences": _packing_oracle_sql(),
         "corpus_mixture": _mixture_oracle_sql(),
+        "unigram_lm_scores": _unigram_lm_oracle(),
     }
     if _pp_sql is None:
         del out["ivf_search_partial_probe"]
@@ -2314,3 +2329,11 @@ def _mixture_oracle_sql() -> str:
     from vector_search_test_spark.operators.sampling import mix_corpus_sql
 
     return mix_corpus_sql(_MIX_WEIGHTS)
+
+
+def _unigram_lm_oracle() -> str:
+    from vector_search_test_spark.functions.textstats import (
+        unigram_lm_oracle_sql,
+    )
+
+    return unigram_lm_oracle_sql()

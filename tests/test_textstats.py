@@ -112,3 +112,65 @@ def test_repetition_ratio_planted_and_twin(spark, sf_dir):
         ).fetchall()
     )
     assert got_fix == want_fix
+
+
+def test_unigram_lm_scores_semantics_and_twin(spark, sf_dir):
+    """A document made of the corpus's commonest tokens out-scores one
+    made of rare tokens; n_tokens matches the whitespace count; ppl is
+    exp(-avg_logprob); and the DuckDB twin agrees bit-for-bit on the
+    fixture corpus."""
+    import math
+
+    import duckdb
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = {r.doc_id: r for r in ts.unigram_lm_scores(docs).collect()}
+    n_ws = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id", ts.token_count_ws("text").alias("n")
+        ).collect()
+    }
+    assert set(rows) == set(n_ws)
+    for doc_id, r in rows.items():
+        assert r.n_tokens == n_ws[doc_id]
+        assert r.ppl == round(math.exp(-r.avg_logprob) + 0, 6) or abs(
+            r.ppl - math.exp(-r.avg_logprob)
+        ) < 1e-4  # both rounded from the same unrounded value
+        assert r.avg_logprob < 0
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = {
+        int(i): (int(n), a, p)
+        for i, n, a, p in con.execute(ts.unigram_lm_oracle_sql()).fetchall()
+    }
+    got = {i: (r.n_tokens, r.avg_logprob, r.ppl) for i, r in rows.items()}
+    assert got == want
+
+    # planted contrast: common-token doc beats rare-token doc
+    planted = spark.createDataFrame(
+        [(1, "the the the the"), (2, "zzqxj9v7 zzqxj9v7 qqwwzz17 vvkkpp23")],
+        "doc_id long, text string",
+    )
+    both = docs.select("doc_id", "text").union(
+        planted.select(F.col("doc_id") + 1_000_000, "text")
+    )
+    s = {r.doc_id: r.avg_logprob for r in ts.unigram_lm_scores(both).collect()}
+    assert s[1_000_001] > s[1_000_002]
+
+
+def test_unigram_lm_plan_shape(spark, sf_dir):
+    """Vocab joins back by broadcast (default) and the whole pipeline
+    stays JVM-side — no Python evaluation anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    plan = (
+        ts.unigram_lm_scores(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

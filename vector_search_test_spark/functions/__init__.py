@@ -14,6 +14,7 @@ from vector_search_test_spark.functions.redact import pii_counts, redact_pii
 from vector_search_test_spark.functions.textstats import (
     quality_score,
     repetition_ratio,
+    unigram_lm_scores,
 )
 
 __all__ = [
@@ -29,4 +30,5 @@ __all__ = [
     "redact_pii",
     "quality_score",
     "repetition_ratio",
+    "unigram_lm_scores",
 ]

@@ -190,6 +190,88 @@ def tfidf_top_terms(
     )
 
 
+def unigram_lm_scores(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_vocab: bool = True,
+):
+    """Unigram language-model quality scores — the classic cheap "LM
+    filter" a pretraining pipeline runs before expensive model-based
+    scoring: train token unigram counts over the WHOLE corpus, then
+    score every document by its mean token log-probability (add-one
+    smoothing: p(w) = (c(w)+1)/(N+V)) and the equivalent perplexity.
+    Returns (id_col, n_tokens, avg_logprob, ppl); low avg_logprob / high
+    ppl marks documents whose token distribution diverges from the
+    corpus (gibberish, boilerplate, wrong-language).
+
+    Plan (the 100 TB story): ONE explode -> (doc, term) count shuffle
+    with map-side combine, a second small shuffle down to the term
+    vocabulary, then the vocabulary re-joins the per-doc counts. A
+    natural-language vocabulary is sublinear in corpus size, so the
+    vocab side broadcasts (default); set broadcast_vocab=False to flip
+    to a shuffle hash join on `term` when the vocabulary itself is too
+    big for one executor (e.g. no token cutoff over 100 TB of web
+    text). The corpus scalars (N, V) ride a 1-row cross join. Scoring
+    reuses the per-doc tf counts — tokens are never exploded twice."""
+    from vector_search_test_spark.io import spread
+    from vector_search_test_spark.operators.dedup import tokens
+
+    toks = spread(
+        docs.select(F.col(id_col).alias("id"), F.col(text_col)), "id"
+    ).select("id", F.explode(tokens(text_col)).alias("term"))
+    tf = toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    vocab = tf.groupBy("term").agg(F.sum("tf").alias("c"))
+    scalars = vocab.agg(
+        F.sum("c").alias("n_total"), F.count("*").alias("v_size")
+    )
+    vocab_side = F.broadcast(vocab) if broadcast_vocab else vocab
+    logp = F.log(
+        (F.col("c") + 1) / (F.col("n_total") + F.col("v_size"))
+    )
+    per_doc = (
+        tf.join(vocab_side, "term")
+        .crossJoin(F.broadcast(scalars))
+        .groupBy("id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            (F.sum(F.col("tf") * logp) / F.sum("tf")).alias("alp"),
+        )
+    )
+    return per_doc.select(
+        F.col("id").alias(id_col),
+        "n_tokens",
+        F.round("alp", 6).alias("avg_logprob"),
+        F.round(F.exp(-F.col("alp")), 6).alias("ppl"),
+    )
+
+
+def unigram_lm_oracle_sql() -> str:
+    """DuckDB twin of unigram_lm_scores over the documents view (same
+    tokens, same smoothing, same double math)."""
+    return """
+        WITH toks AS (
+            SELECT doc_id AS id, unnest(string_split(lower(text), ' ')) AS term
+            FROM documents
+        ),
+        tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY id, term),
+        vocab AS (SELECT term, sum(tf) AS c FROM tf GROUP BY term),
+        scalars AS (
+            SELECT CAST(sum(c) AS DOUBLE) AS n_total,
+                   CAST(count(*) AS DOUBLE) AS v_size
+            FROM vocab
+        )
+        SELECT tf.id AS doc_id,
+               CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+               round(sum(tf.tf * ln((vocab.c + 1) / (n_total + v_size)))
+                     / sum(tf.tf), 6) AS avg_logprob,
+               round(exp(-(sum(tf.tf * ln((vocab.c + 1) / (n_total + v_size)))
+                     / sum(tf.tf))), 6) AS ppl
+        FROM tf JOIN vocab USING (term) CROSS JOIN scalars
+        GROUP BY tf.id
+    """
+
+
 def tfidf_oracle_sql(top_n: int = 3) -> str:
     """DuckDB twin of tfidf_top_terms over the documents view."""
     return f"""
