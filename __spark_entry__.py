@@ -225,6 +225,66 @@ def _q_ivf_search_partial_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "vec_id", F.round("dist", 6).alias("dist"))
 
 
+# PQ config shared by the Spark entry and the DuckDB oracle
+_PQ_M = 8
+_PQ_KSUB = 16
+_PQ_K = 5
+_PQ_NQ = 10
+_PQ_MEMO: dict[str, tuple] = {}
+
+
+def _pq_artifacts(sf_dir: str):
+    """Deterministic PQ codebooks + query LUTs for the ADC entry,
+    produced OUTSIDE any engine (pyarrow read in canonical vec_id order,
+    seeded per-subspace Lloyd's, Python-float LUT accumulation) so the
+    DuckDB oracle can replay encode + ADC value-for-value — the same
+    shared-trainer pattern as _partial_probe_centroids."""
+    key = sf_dir.rstrip("/")
+    if key not in _PQ_MEMO:
+        import numpy as np
+        import pyarrow.parquet as pq_pa
+
+        from vector_search_test_spark.operators.pq import adc_lut, train_pq_numpy
+
+        tbl = pq_pa.read_table(
+            os.path.join(key, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+        )
+        pdf = tbl.to_pandas().sort_values("vec_id")
+        X = np.array(
+            [np.asarray(v, dtype=np.float32) for v in pdf["embedding"]],
+            dtype=np.float64,
+        )
+        books = train_pq_numpy(X, m=_PQ_M, ksub=_PQ_KSUB)
+        qids = pdf["vec_id"].tolist()[: _PQ_NQ]
+        luts = [
+            (int(qid), adc_lut([float(np.float32(v)) for v in vec], books))
+            for qid, vec in zip(
+                qids, pdf["embedding"].tolist()[: _PQ_NQ]
+            )
+        ]
+        _PQ_MEMO[key] = (books, luts)
+    return _PQ_MEMO[key]
+
+
+def _q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC search (operators/pq.py) — the
+    compressed-index scale path (raw float32 embeddings don't fit at
+    100 TB; PQ codes are dim*4/m times smaller). Encode is scan-only
+    Arrow numpy; search is a broadcast LUT join + per-query
+    WindowGroupLimit top-k over the codes. Value-checked end to end:
+    the shared trainer (_pq_artifacts) pins codebooks and LUTs, and the
+    oracle re-encodes the corpus and replays ADC in SQL."""
+    from vector_search_test_spark.io import spread
+    from vector_search_test_spark.operators.pq import pq_adc_topk_all, pq_encode
+
+    books, luts = _pq_artifacts(sf_dir)
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    codes = pq_encode(emb.select("vec_id", "embedding"), books)
+    out = pq_adc_topk_all(codes, luts, k=_PQ_K)
+    return out.select("query_id", "vec_id", F.round("dist", 6).alias("dist"))
+
+
 def _self_check_topk(out: DataFrame, n_queries: int, k: int) -> DataFrame:
     """Rows-only sanity gate for bench-only entries (they sit past the
     driver's 50-entry correctness cap, so nothing else would catch silent
@@ -892,6 +952,7 @@ def reset_memos() -> None:
             pass
     _CLUSTER_MEMO.clear()
     _PP_CENTS_MEMO.clear()
+    _PQ_MEMO.clear()
     for inp in _STREAM_STAGE_MEMO.values():
         shutil.rmtree(os.path.dirname(inp), ignore_errors=True)
     _STREAM_STAGE_MEMO.clear()
@@ -1403,6 +1464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packed_sequences": _q_packed_sequences,
         "corpus_mixture": _q_corpus_mixture,
         "unigram_lm_scores": _q_unigram_lm_scores,
+        "pq_adc_topk": _q_pq_adc_topk,
     }
 
 
@@ -1825,6 +1887,10 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         _pp_sql = _partial_probe_oracle_sql(sf_dir)
     except Exception:
         _pp_sql = None
+    try:
+        _pq_sql = _pq_oracle_sql(sf_dir)
+    except Exception:
+        _pq_sql = None
     out = {
         "knn_topk_global": f"""
             SELECT e.vec_id, round({d}, 6) AS dist
@@ -2270,10 +2336,25 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "packed_sequences": _packing_oracle_sql(),
         "corpus_mixture": _mixture_oracle_sql(),
         "unigram_lm_scores": _unigram_lm_oracle(),
+        "pq_adc_topk": _pq_sql,
     }
     if _pp_sql is None:
         del out["ivf_search_partial_probe"]
+    if _pq_sql is None:
+        del out["pq_adc_topk"]
     return out
+
+
+def _pq_oracle_sql(sf_dir: str | None = None) -> str:
+    """DuckDB twin of _q_pq_adc_topk over the shared-trainer artifacts
+    (fail-soft at oracle_sql() time like the partial-probe oracle)."""
+    from vector_search_test_spark.operators.pq import pq_adc_oracle_sql
+
+    sf_dir = sf_dir or os.environ.get(
+        "ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    books, luts = _pq_artifacts(sf_dir)
+    return pq_adc_oracle_sql(books, luts, k=_PQ_K)
 
 
 def _split_stats_oracle_sql() -> str:

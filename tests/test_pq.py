@@ -1,0 +1,190 @@
+"""Product quantization (operators/pq.py): encode invariants,
+cross-engine bit-equality of the full encode+ADC pipeline vs the DuckDB
+twin, ADC-vs-exact semantics (reconstruction identity, recall floor,
+full-rerank equality with exact kNN), and the scale-critical plan shapes
+(scan-only encode, broadcast LUT + WindowGroupLimit search)."""
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vector_search_test_spark.io import load_table
+from vector_search_test_spark.operators.knn import knn_exact
+from vector_search_test_spark.operators.pq import (
+    adc_lut,
+    pq_adc_oracle_sql,
+    pq_adc_topk_all,
+    pq_encode,
+    pq_rerank,
+    train_pq_numpy,
+)
+
+M, KSUB, K = 8, 8, 5
+
+
+def _fixture_matrix(sf_dir):
+    import pyarrow.parquet as pq_pa
+
+    pdf = (
+        pq_pa.read_table(f"{sf_dir}/embeddings.parquet")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    X = np.array(
+        [np.asarray(v, dtype=np.float32) for v in pdf["embedding"]],
+        dtype=np.float64,
+    )
+    return pdf, X
+
+
+def _books_and_luts(sf_dir, nq=5):
+    pdf, X = _fixture_matrix(sf_dir)
+    books = train_pq_numpy(X, m=M, ksub=KSUB)
+    luts = [
+        (int(qid), adc_lut([float(np.float32(v)) for v in vec], books))
+        for qid, vec in zip(pdf["vec_id"][:nq], pdf["embedding"][:nq])
+    ]
+    return pdf, X, books, luts
+
+
+def test_train_shapes_and_determinism(sf_dir):
+    _, X = _fixture_matrix(sf_dir)
+    books = train_pq_numpy(X, m=M, ksub=KSUB)
+    assert len(books) == M
+    dsub = X.shape[1] // M
+    for book in books:
+        assert 1 <= len(book) <= KSUB
+        assert all(len(c) == dsub for c in book)
+    again = train_pq_numpy(X, m=M, ksub=KSUB)
+    assert books == again  # seeded: bit-identical retrain
+    with pytest.raises(ValueError):
+        train_pq_numpy(X, m=7)  # 64 % 7 != 0
+
+
+def test_encode_invariants_and_reconstruction_identity(spark, sf_dir):
+    """m codes per vector, all in range, each code IS the argmin
+    centroid (verified against a straightforward python re-encode), and
+    the ADC distance equals the exact query-to-reconstruction squared
+    L2 computed independently."""
+    pdf, X, books, luts = _books_and_luts(sf_dir, nq=3)
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = {r.vec_id: list(r.codes) for r in pq_encode(emb, books).collect()}
+    assert set(rows) == set(pdf["vec_id"])
+    dsub = X.shape[1] // M
+    cents = [np.array(b, dtype=np.float64) for b in books]
+    for vid, codes in rows.items():
+        assert len(codes) == M
+        x = X[list(pdf["vec_id"]).index(vid)]
+        for j, code in enumerate(codes):
+            assert 0 <= code < len(books[j])
+            d = ((cents[j] - x[j * dsub : (j + 1) * dsub]) ** 2).sum(axis=1)
+            assert code == int(np.argmin(d))
+
+    out = pq_adc_topk_all(
+        pq_encode(emb, books), luts, k=K
+    ).collect()
+    lut_by_q = dict(luts)
+    for r in out:
+        want = sum(
+            lut_by_q[r.query_id][j][rows[r.vec_id][j]] for j in range(M)
+        )
+        assert abs(r.dist - want) < 1e-9
+
+
+def test_full_pipeline_matches_duckdb_twin(spark, sf_dir):
+    _, _, books, luts = _books_and_luts(sf_dir, nq=5)
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = sorted(
+        (r.query_id, r.vec_id, round(r.dist, 6))
+        for r in pq_adc_topk_all(pq_encode(emb, books), luts, k=K).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    want = sorted(
+        (int(q), int(v), d)
+        for q, v, d in con.execute(
+            pq_adc_oracle_sql(books, luts, k=K)
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_adc_recall_floor_vs_exact(spark, sf_dir):
+    """ADC is approximate — and the fixture's embeddings are isotropic
+    random vectors, the hardest case for any quantizer (no cluster
+    structure to exploit), so absolute recall is intrinsically low.
+    What MUST hold: every query retrieves itself (its reconstruction is
+    the closest of all reconstructions), k rows per query, and overlap
+    with the exact top-k beats the random-subset baseline K/N. The
+    production answer for high recall is pq_rerank (tested below to be
+    EXACT given enough candidates), not raw ADC."""
+    pdf, X, books, luts = _books_and_luts(sf_dir, nq=5)
+    emb = load_table(spark, sf_dir, "embeddings")
+    adc = {}
+    for r in pq_adc_topk_all(pq_encode(emb, books), luts, k=K).collect():
+        adc.setdefault(r.query_id, set()).add(r.vec_id)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {}
+    for r in knn_exact(q, emb, k=K).collect():
+        exact.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [
+        len(adc[qid] & exact[qid]) / K for qid in exact
+    ]
+    n = emb.count()
+    assert min(len(v) for v in adc.values()) == K
+    assert all(qid in adc[qid] for qid in exact)  # self always found
+    assert sum(recalls) / len(recalls) >= 1.5 * K / n  # beats random
+
+
+def test_rerank_with_full_candidates_equals_exact(spark, sf_dir):
+    """pq_rerank is exact on its candidate set, so reranking R=ntotal
+    ADC candidates must reproduce the exact kNN result row-for-row —
+    pinning that the refinement stage computes true distances."""
+    pdf, X, books, luts = _books_and_luts(sf_dir, nq=3)
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    codes = pq_encode(emb, books)
+    topr = pq_adc_topk_all(codes, luts[:3], k=n)
+    queries = [
+        (int(qid), [float(np.float32(v)) for v in vec])
+        for qid, vec in zip(pdf["vec_id"][:3], pdf["embedding"][:3])
+    ]
+    got = sorted(
+        (r.query_id, r.vec_id, round(r.dist, 6))
+        for r in pq_rerank(topr, emb, queries, k=K).collect()
+    )
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    want = sorted(
+        (r.query_id, r.vec_id, round(r.dist, 6))
+        for r in knn_exact(q, emb, k=K).collect()
+    )
+    assert got == want
+
+
+def test_pq_plan_shapes(spark, sf_dir):
+    """Encode: one Arrow python stage, no Exchange (scan-only). Search:
+    broadcast LUT join + WindowGroupLimit partial top-k before the
+    single shuffle."""
+    _, _, books, luts = _books_and_luts(sf_dir, nq=2)
+    emb = load_table(spark, sf_dir, "embeddings")
+    enc_plan = (
+        pq_encode(emb, books)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in enc_plan
+    assert enc_plan.count("MapInPandas") == 1
+
+    search_plan = (
+        pq_adc_topk_all(pq_encode(emb, books), luts, k=K)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in search_plan or "BroadcastHashJoin" in search_plan
+    assert "WindowGroupLimit" in search_plan

@@ -34,6 +34,12 @@ from vector_search_test_spark.operators.sampling import (
     mix_corpus,
     stratified_sample,
 )
+from vector_search_test_spark.operators.pq import (
+    pq_adc_topk_all,
+    pq_encode,
+    pq_rerank,
+    train_pq_numpy,
+)
 from vector_search_test_spark.operators.search import build_text_index, search_text
 from vector_search_test_spark.operators.timeseries import (
     asof_join,
@@ -65,7 +71,11 @@ __all__ = [
     "ngram_jaccard_pairs",
     "neardup_embedding",
     "neardup_minhash",
+    "pq_adc_topk_all",
+    "pq_encode",
+    "pq_rerank",
     "salted_topk_per_key",
+    "train_pq_numpy",
     "search_text",
     "semantic_dedup",
     "sessionize",

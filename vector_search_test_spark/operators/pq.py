@@ -1,0 +1,307 @@
+"""Product quantization (PQ) — compressed embeddings + ADC search
+(extension; the reference holds raw float32 vectors in a faiss
+IndexIVFFlat, app.py:47-48, and has no compressed index).
+
+THE 100 TB problem this solves: raw embeddings don't fit. A 384-dim
+float32 vector is 1536 bytes; 100 TB of documents with one vector each
+is tens of TB of vectors that every ANN probe must scan. PQ splits each
+vector into `m` contiguous subvectors and replaces each subvector with
+the id of its nearest centroid from a per-subspace codebook of `ksub`
+entries — m bytes per vector at ksub<=256 (e.g. 384-dim float32 ->
+m=48 codes = 48 B, a 32x compression), so the scan reads codes, not
+floats.
+
+Spark-first shapes:
+
+- TRAIN (`train_pq_numpy`): per-subspace seeded k-means++/Lloyd's on a
+  driver subsample — the same bounded-collect contract as IVF training
+  (operators/ivf.py::_lloyd_numpy); codebooks are m*ksub*dsub floats
+  (KBs), a broadcast-sized artifact.
+- ENCODE (`pq_encode`): scan-only mapInPandas — each Arrow batch is
+  scored against every codebook with vectorized numpy and emits
+  (id, codes array<int>). No shuffle at any corpus size.
+- SEARCH (`pq_adc_topk_all`): asymmetric distance computation (ADC,
+  Jegou et al., "Product Quantization for Nearest Neighbor Search",
+  TPAMI 2011): per query, a tiny m x ksub lookup table of exact
+  query-to-centroid distances is built driver-side; the corpus-side
+  distance is then m table lookups + m adds per code row — no float
+  vectors are read. The LUTs ride a broadcast join; per-query top-k is
+  the same WindowGroupLimit pruning the exact kNN path uses.
+- RERANK (`pq_rerank`): ADC is an approximation (it scores against
+  reconstructed vectors), so the standard refinement fetches exact
+  distances for the ADC top-R only — a broadcast-able R-row join back
+  to the float table, never a full scan.
+
+Precision contract (shared with the DuckDB oracle, like
+functions/vector.py): float32 storage, float64 arithmetic, and every
+distance accumulates per-dimension LEFT-TO-RIGHT — numpy encode loops
+over dimensions with vectorized adds (bit-identical to the scalar
+chain), LUT entries accumulate sequentially in Python floats, and the
+ADC sum folds lookups left-to-right (F.aggregate / DuckDB list_sum) —
+so Spark, numpy, and the oracle produce identical doubles, and argmin
+tie-breaks (first minimum) agree everywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from vector_search_test_spark.operators.ivf import DEFAULT_SEED, _lloyd_numpy
+
+Books = "list[list[list[float]]]"  # [m][ksub][dsub], float32-rounded
+
+
+def train_pq_numpy(
+    X, m: int, ksub: int = 16, seed: int = DEFAULT_SEED, max_iter: int = 15
+):
+    """Train PQ codebooks on a (driver-subsampled) float64 matrix: the
+    columns are split into `m` contiguous subspaces and each runs the
+    seeded k-means++/Lloyd's kernel IVF training uses (seed offset by
+    subspace so codebooks differ). Centroids are rounded to float32 —
+    the storage precision every engine sees. Training needs only
+    O(ksub * dim) samples, so the driver-side collect stays bounded
+    exactly like IVF train (operators/ivf.py)."""
+    import numpy as np
+
+    n, dim = X.shape
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    books = []
+    for j in range(m):
+        sub = np.ascontiguousarray(X[:, j * dsub : (j + 1) * dsub])
+        cents = _lloyd_numpy(sub, min(ksub, n), seed + j, max_iter=max_iter)
+        books.append([[float(np.float32(x)) for x in c] for c in cents])
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    books,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector to its PQ codes: (id_col, codes array<int>).
+
+    Scan-only mapInPandas: each Arrow batch is scored against each
+    subspace's codebook with vectorized numpy — distances accumulate
+    per-dimension left-to-right (NOT matmul) so the doubles match the
+    scalar chain the DuckDB twin evaluates, and np.argmin's first-min
+    tie-break matches list_position(list_min). No shuffle, no state;
+    at 100 TB this is a pure map over the column batches."""
+    import numpy as np
+
+    m = len(books)
+    dsub = len(books[0][0])
+    cents = [
+        np.array(book, dtype=np.float64) for book in books
+    ]  # [m] x (ksub, dsub)
+
+    schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("codes", T.ArrayType(T.IntegerType(), False), False),
+        ]
+    )
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Xf = np.array(pdf[vec_col].tolist(), dtype=np.float32)
+            X = Xf.astype(np.float64)
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for j in range(m):
+                sub = X[:, j * dsub : (j + 1) * dsub]
+                C = cents[j]  # (ksub, dsub)
+                d = np.zeros((len(pdf), C.shape[0]), dtype=np.float64)
+                for i in range(dsub):  # per-dimension, left-to-right
+                    t = sub[:, i : i + 1] - C[None, :, i]
+                    d += t * t
+                codes[:, j] = np.argmin(d, axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "codes": list(codes)}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(encode, schema)
+
+
+def adc_lut(query, books):
+    """ADC lookup table for one query: lut[j][c] = squared L2 between
+    the query's j-th subvector and codebook entry c, accumulated
+    left-to-right in Python float64 — the literal values both the Spark
+    plan and the oracle embed, so there is nothing to drift."""
+    m = len(books)
+    dsub = len(books[0][0])
+    lut = []
+    for j in range(m):
+        row = []
+        for cent in books[j]:
+            acc = 0.0
+            for i in range(dsub):
+                t = float(query[j * dsub + i]) - cent[i]
+                acc = acc + t * t
+            row.append(acc)
+        lut.append(row)
+    return lut
+
+
+def pq_adc_topk_all(
+    codes: DataFrame,
+    luts: "list[tuple[int, list[list[float]]]]",
+    k: int = 5,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Batched ADC top-k over an encoded corpus: (query_id, vec_id,
+    dist), k rows per query, deterministic (dist, vec_id) order.
+
+    The LUT table (one row per query, m*ksub doubles each) is broadcast
+    — queries x codebook is KBs — and the per-row distance is m array
+    lookups folded left-to-right (F.aggregate over zip_with: the
+    CodegenFallback cost is m=O(10) boxed steps per row against codes
+    already 32x smaller than the floats they replace). Per-query top-k
+    is row_number over (dist, vec_id) — WindowGroupLimit prunes each
+    partition to k rows before the single shuffle, exactly like the
+    uncompressed kNN path."""
+    from pyspark.sql import Window
+
+    spark = codes.sparkSession
+    lut_df = spark.createDataFrame(
+        [(int(q), lut) for q, lut in luts],
+        "query_id long, lut array<array<double>>",
+    )
+    scored = codes.crossJoin(F.broadcast(lut_df)).withColumn(
+        "dist",
+        F.aggregate(
+            F.zip_with(
+                F.col("lut"),
+                F.col("codes"),
+                lambda l, c: F.element_at(l, c + F.lit(1)),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy("dist", id_col)
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", id_col, "dist")
+    )
+
+
+def pq_rerank(
+    adc_topr: DataFrame,
+    corpus: DataFrame,
+    queries: "list[tuple[int, list[float]]]",
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Refine ADC candidates with exact distances: join the top-R code
+    rows back to the float table (the candidate set is R rows per query
+    — broadcast-able at any corpus size) and re-rank by true squared L2
+    against each query vector (unrolled literal arithmetic, the same
+    doubles as the exact kNN path)."""
+    from pyspark.sql import Window
+
+    from vector_search_test_spark.functions.vector import l2_sq_const
+
+    cand = adc_topr.select("query_id", id_col).join(
+        corpus.select(id_col, vec_col), id_col
+    )
+    expr = None
+    for qid, vec in queries:
+        e = l2_sq_const(F.col(vec_col), [float(v) for v in vec])
+        cond = F.col("query_id") == F.lit(int(qid))
+        expr = F.when(cond, e) if expr is None else expr.when(cond, e)
+    scored = cand.withColumn("dist", expr)
+    w = Window.partitionBy("query_id").orderBy("dist", id_col)
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", id_col, "dist")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB twins
+# ---------------------------------------------------------------------------
+
+
+def _l2_chain_sql(vec_expr: str, offset: int, cent) -> str:
+    """Left-deep squared-L2 chain between vec[offset+1..] and a constant
+    subvector — the same order numpy's per-dimension loop and the l2_sq
+    fold accumulate in."""
+    terms = []
+    for i, c in enumerate(cent):
+        e = f"(CAST({vec_expr}[{offset + i + 1}] AS DOUBLE) - {float(c)!r})"
+        terms.append(f"{e} * {e}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def pq_codes_sql(books, vec_expr: str = "embedding") -> str:
+    """DuckDB expression for the PQ code list of `vec_expr` (0-based
+    codes; list_position's first-minimum tie-break matches np.argmin)."""
+    parts = []
+    m = len(books)
+    dsub = len(books[0][0])
+    for j in range(m):
+        dlist = ", ".join(
+            _l2_chain_sql(vec_expr, j * dsub, cent) for cent in books[j]
+        )
+        parts.append(f"(list_position([{dlist}], list_min([{dlist}])) - 1)")
+    return "[" + ", ".join(parts) + "]"
+
+
+def pq_adc_oracle_sql(
+    books,
+    luts,
+    k: int = 5,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_expr: str = "embedding",
+) -> str:
+    """DuckDB twin of pq_encode + pq_adc_topk_all: re-encodes the corpus
+    with the same codebook arithmetic, embeds the same Python-computed
+    LUT literals, folds lookups with list_sum (sequential, matching
+    F.aggregate), and takes the same (dist, vec_id) top-k."""
+    m = len(books)
+    # literals must be CAST AS DOUBLE: DuckDB types a bare decimal literal
+    # as DECIMAL, and with no DOUBLE column in the VALUES row to force
+    # coercion the ADC sum would run (and format) in decimal arithmetic
+    lut_rows = ", ".join(
+        "({}, [{}])".format(
+            int(qid),
+            ", ".join(
+                "["
+                + ", ".join(
+                    f"CAST({float(v)!r} AS DOUBLE)" for v in row
+                )
+                + "]"
+                for row in lut
+            ),
+        )
+        for qid, lut in luts
+    )
+    return f"""
+        WITH code_rows AS (
+            SELECT {id_col}, {pq_codes_sql(books, vec_expr)} AS codes
+            FROM {table}
+        ),
+        luts(query_id, lut) AS (VALUES {lut_rows}),
+        scored AS (
+            SELECT CAST(query_id AS BIGINT) AS query_id, {id_col},
+                   list_sum(list_transform(range(1, {m + 1}),
+                            j -> lut[j][codes[j] + 1])) AS dist
+            FROM code_rows CROSS JOIN luts
+        )
+        SELECT query_id, {id_col}, round(dist, 6) AS dist FROM scored
+        QUALIFY row_number() OVER (
+            PARTITION BY query_id ORDER BY dist, {id_col}
+        ) <= {k}
+    """
