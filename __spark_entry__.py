@@ -256,14 +256,15 @@ def _pq_artifacts(sf_dir: str):
             dtype=np.float64,
         )
         books = train_pq_numpy(X, m=_PQ_M, ksub=_PQ_KSUB)
-        qids = pdf["vec_id"].tolist()[: _PQ_NQ]
-        luts = [
-            (int(qid), adc_lut([float(np.float32(v)) for v in vec], books))
+        queries = [
+            (int(qid), [float(np.float32(v)) for v in vec])
             for qid, vec in zip(
-                qids, pdf["embedding"].tolist()[: _PQ_NQ]
+                pdf["vec_id"].tolist()[: _PQ_NQ],
+                pdf["embedding"].tolist()[: _PQ_NQ],
             )
         ]
-        _PQ_MEMO[key] = (books, luts)
+        luts = [(qid, adc_lut(vec, books)) for qid, vec in queries]
+        _PQ_MEMO[key] = (books, luts, queries)
     return _PQ_MEMO[key]
 
 
@@ -278,10 +279,36 @@ def _q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_search_test_spark.io import spread
     from vector_search_test_spark.operators.pq import pq_adc_topk_all, pq_encode
 
-    books, luts = _pq_artifacts(sf_dir)
+    books, luts, _ = _pq_artifacts(sf_dir)
     emb = spread(load_table(spark, sf_dir, "embeddings"))
     codes = pq_encode(emb.select("vec_id", "embedding"), books)
     out = pq_adc_topk_all(codes, luts, k=_PQ_K)
+    return out.select("query_id", "vec_id", F.round("dist", 6).alias("dist"))
+
+
+_PQ_RERANK_R = 20
+
+
+def _q_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production two-stage compressed search: ADC over the codes
+    picks a per-query shortlist of R=20 candidates (never reading
+    floats), then ONLY those R rows join back to the float table for
+    exact re-ranking (operators/pq.py::pq_rerank) — at 100 TB the
+    expensive float scan is replaced by an R-row broadcast-able join.
+    Value-checked: the oracle replays encode, ADC shortlist, and the
+    exact refinement stage."""
+    from vector_search_test_spark.io import spread
+    from vector_search_test_spark.operators.pq import (
+        pq_adc_topk_all,
+        pq_encode,
+        pq_rerank,
+    )
+
+    books, luts, queries = _pq_artifacts(sf_dir)
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    codes = pq_encode(emb.select("vec_id", "embedding"), books)
+    topr = pq_adc_topk_all(codes, luts, k=_PQ_RERANK_R)
+    out = pq_rerank(topr, emb, queries, k=_PQ_K)
     return out.select("query_id", "vec_id", F.round("dist", 6).alias("dist"))
 
 
@@ -1465,6 +1492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mixture": _q_corpus_mixture,
         "unigram_lm_scores": _q_unigram_lm_scores,
         "pq_adc_topk": _q_pq_adc_topk,
+        "pq_rerank_topk": _q_pq_rerank_topk,
     }
 
 
@@ -1891,6 +1919,10 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         _pq_sql = _pq_oracle_sql(sf_dir)
     except Exception:
         _pq_sql = None
+    try:
+        _pqr_sql = _pq_rerank_oracle(sf_dir)
+    except Exception:
+        _pqr_sql = None
     out = {
         "knn_topk_global": f"""
             SELECT e.vec_id, round({d}, 6) AS dist
@@ -2337,11 +2369,14 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "corpus_mixture": _mixture_oracle_sql(),
         "unigram_lm_scores": _unigram_lm_oracle(),
         "pq_adc_topk": _pq_sql,
+        "pq_rerank_topk": _pqr_sql,
     }
     if _pp_sql is None:
         del out["ivf_search_partial_probe"]
     if _pq_sql is None:
         del out["pq_adc_topk"]
+    if _pqr_sql is None:
+        del out["pq_rerank_topk"]
     return out
 
 
@@ -2353,8 +2388,20 @@ def _pq_oracle_sql(sf_dir: str | None = None) -> str:
     sf_dir = sf_dir or os.environ.get(
         "ORACLE_SF_DIR", "/root/testdata/sf0.01"
     )
-    books, luts = _pq_artifacts(sf_dir)
+    books, luts, _ = _pq_artifacts(sf_dir)
     return pq_adc_oracle_sql(books, luts, k=_PQ_K)
+
+
+def _pq_rerank_oracle(sf_dir: str | None = None) -> str:
+    from vector_search_test_spark.operators.pq import pq_rerank_oracle_sql
+
+    sf_dir = sf_dir or os.environ.get(
+        "ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    books, luts, queries = _pq_artifacts(sf_dir)
+    return pq_rerank_oracle_sql(
+        books, luts, queries, r=_PQ_RERANK_R, k=_PQ_K
+    )
 
 
 def _split_stats_oracle_sql() -> str:

@@ -188,3 +188,33 @@ def test_pq_plan_shapes(spark, sf_dir):
     )
     assert "BroadcastNestedLoopJoin" in search_plan or "BroadcastHashJoin" in search_plan
     assert "WindowGroupLimit" in search_plan
+
+
+def test_rerank_pipeline_matches_duckdb_twin(spark, sf_dir):
+    """The two-stage (ADC shortlist -> exact refine) pipeline matches
+    the DuckDB twin row-for-row at R=10, k=5."""
+    from vector_search_test_spark.operators.pq import pq_rerank_oracle_sql
+
+    pdf, X, books, luts = _books_and_luts(sf_dir, nq=3)
+    queries = [
+        (int(qid), [float(np.float32(v)) for v in vec])
+        for qid, vec in zip(pdf["vec_id"][:3], pdf["embedding"][:3])
+    ]
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes = pq_encode(emb, books)
+    topr = pq_adc_topk_all(codes, luts[:3], k=10)
+    got = sorted(
+        (r.query_id, r.vec_id, round(r.dist, 6))
+        for r in pq_rerank(topr, emb, queries, k=K).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    want = sorted(
+        (int(q), int(v), d)
+        for q, v, d in con.execute(
+            pq_rerank_oracle_sql(books, luts[:3], queries, r=10, k=K)
+        ).fetchall()
+    )
+    assert got == want

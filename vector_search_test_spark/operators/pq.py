@@ -258,22 +258,13 @@ def pq_codes_sql(books, vec_expr: str = "embedding") -> str:
     return "[" + ", ".join(parts) + "]"
 
 
-def pq_adc_oracle_sql(
-    books,
-    luts,
-    k: int = 5,
-    table: str = "embeddings",
-    id_col: str = "vec_id",
-    vec_expr: str = "embedding",
-) -> str:
-    """DuckDB twin of pq_encode + pq_adc_topk_all: re-encodes the corpus
-    with the same codebook arithmetic, embeds the same Python-computed
-    LUT literals, folds lookups with list_sum (sequential, matching
-    F.aggregate), and takes the same (dist, vec_id) top-k."""
+def _adc_cte_sql(books, luts, table: str, id_col: str, vec_expr: str) -> str:
+    """Shared WITH-fragment: encode the corpus + score every (query,
+    code-row) pair by ADC. LUT literals must be CAST AS DOUBLE: DuckDB
+    types a bare decimal literal as DECIMAL, and with no DOUBLE column
+    in the VALUES row to force coercion the ADC sum would run (and
+    format) in decimal arithmetic."""
     m = len(books)
-    # literals must be CAST AS DOUBLE: DuckDB types a bare decimal literal
-    # as DECIMAL, and with no DOUBLE column in the VALUES row to force
-    # coercion the ADC sum would run (and format) in decimal arithmetic
     lut_rows = ", ".join(
         "({}, [{}])".format(
             int(qid),
@@ -289,7 +280,7 @@ def pq_adc_oracle_sql(
         for qid, lut in luts
     )
     return f"""
-        WITH code_rows AS (
+        code_rows AS (
             SELECT {id_col}, {pq_codes_sql(books, vec_expr)} AS codes
             FROM {table}
         ),
@@ -299,8 +290,73 @@ def pq_adc_oracle_sql(
                    list_sum(list_transform(range(1, {m + 1}),
                             j -> lut[j][codes[j] + 1])) AS dist
             FROM code_rows CROSS JOIN luts
-        )
+        )"""
+
+
+def pq_adc_oracle_sql(
+    books,
+    luts,
+    k: int = 5,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_expr: str = "embedding",
+) -> str:
+    """DuckDB twin of pq_encode + pq_adc_topk_all: re-encodes the corpus
+    with the same codebook arithmetic, embeds the same Python-computed
+    LUT literals, folds lookups with list_sum (sequential, matching
+    F.aggregate), and takes the same (dist, vec_id) top-k."""
+    return f"""
+        WITH {_adc_cte_sql(books, luts, table, id_col, vec_expr)}
         SELECT query_id, {id_col}, round(dist, 6) AS dist FROM scored
+        QUALIFY row_number() OVER (
+            PARTITION BY query_id ORDER BY dist, {id_col}
+        ) <= {k}
+    """
+
+
+def pq_rerank_oracle_sql(
+    books,
+    luts,
+    queries,
+    r: int = 20,
+    k: int = 5,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_expr: str = "embedding",
+) -> str:
+    """DuckDB twin of the production two-stage search (pq_adc_topk_all
+    at k=r, then pq_rerank): ADC shortlist per query, then exact
+    squared L2 against the float table for the shortlist only, same
+    (dist, vec_id) ordering at both stages. The exact stage's
+    list-folded sum matches l2_sq_const's left-to-right scalar chain."""
+    dim = len(queries[0][1])
+    qrows = ", ".join(
+        "({}, [{}])".format(
+            int(qid),
+            ", ".join(f"CAST({float(v)!r} AS DOUBLE)" for v in vec),
+        )
+        for qid, vec in queries
+    )
+    t = f"(CAST(e.{vec_expr}[i] AS DOUBLE) - q.qvec[i])"
+    exact_d = (
+        f"list_sum(list_transform(range(1, {dim + 1}), i -> {t} * {t}))"
+    )
+    return f"""
+        WITH {_adc_cte_sql(books, luts, table, id_col, vec_expr)},
+        shortlist AS (
+            SELECT query_id, {id_col} FROM scored
+            QUALIFY row_number() OVER (
+                PARTITION BY query_id ORDER BY dist, {id_col}
+            ) <= {r}
+        ),
+        qvecs(query_id, qvec) AS (VALUES {qrows}),
+        exact AS (
+            SELECT s.query_id, s.{id_col}, {exact_d} AS dist
+            FROM shortlist s
+            JOIN {table} e ON s.{id_col} = e.{id_col}
+            JOIN qvecs q ON s.query_id = CAST(q.query_id AS BIGINT)
+        )
+        SELECT query_id, {id_col}, round(dist, 6) AS dist FROM exact
         QUALIFY row_number() OVER (
             PARTITION BY query_id ORDER BY dist, {id_col}
         ) <= {k}
