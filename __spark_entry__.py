@@ -1037,6 +1037,34 @@ def _q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact deduplication (streaming/ingest.py::stream_dedup,
+    global mode): each (user_id, event_type) key's first arrival only,
+    drained with availableNow into a memory sink — the emitted key set
+    must equal SELECT DISTINCT over the same input (exactly-once over a
+    static source). The watermark-bounded-state variant
+    (dropDuplicatesWithinWatermark) is pinned by expiry-semantics
+    pytests (tests/test_stream_dedup.py)."""
+    from vector_search_test_spark.streaming.ingest import (
+        stream_dedup_event_keys,
+    )
+
+    inp = _stream_staging_dir(sf_dir, "dedup")
+    qname = "sg_dedup_" + os.path.basename(sf_dir.rstrip("/")).replace(
+        ".", "_"
+    )
+    q = (
+        stream_dedup_event_keys(spark, inp)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname).select("user_id", "event_type")
+
+
 def _q_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native Spark session windows (F.session_window, gap 30 min) —
     the built-in twin of operators/timeseries.py::sessionize; one shuffle,
@@ -1493,6 +1521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_lm_scores": _q_unigram_lm_scores,
         "pq_adc_topk": _q_pq_adc_topk,
         "pq_rerank_topk": _q_pq_rerank_topk,
+        "stream_dedup_keys": _q_stream_dedup_keys,
     }
 
 
@@ -2370,6 +2399,9 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "unigram_lm_scores": _unigram_lm_oracle(),
         "pq_adc_topk": _pq_sql,
         "pq_rerank_topk": _pqr_sql,
+        "stream_dedup_keys": (
+            "SELECT DISTINCT user_id, event_type FROM events"
+        ),
     }
     if _pp_sql is None:
         del out["ivf_search_partial_probe"]

@@ -192,6 +192,56 @@ def stream_event_window_counts(
     )
 
 
+def stream_dedup(
+    stream_df: DataFrame,
+    keys: "list[str] | tuple[str, ...]",
+    watermark_col: str | None = None,
+    delay: str | None = None,
+) -> DataFrame:
+    """Streaming exact deduplication — the ingest-time guard an LLM-data
+    pipeline runs on a document firehose (the streaming twin of
+    operators/dedup.py::dedup_exact). Emits each key's FIRST arrival
+    only; output is the key columns, so the result set equals
+    SELECT DISTINCT keys over everything ingested.
+
+    Two state contracts:
+    - delay=None: global dedup via `dropDuplicates` — state holds every
+      distinct key forever. Correct at any arrival pattern; use when the
+      key space is bounded (ids, fingerprints of a bounded catalog).
+    - delay='1 hour' (+ watermark_col): `dropDuplicatesWithinWatermark`
+      — state for a key is dropped once the watermark passes its event
+      time + delay, so state is bounded by the watermark horizon (the
+      100 TB continuous-ingest story). The guarantee weakens exactly as
+      documented upstream: a duplicate arriving AFTER its original's
+      state expired is re-emitted (pinned in
+      tests/test_stream_dedup.py), which downstream exact dedup
+      compacts — the streaming stage is a state-bounded prefilter."""
+    if delay is None:
+        return stream_df.dropDuplicates(list(keys)).select(*keys)
+    if watermark_col is None:
+        raise ValueError("delay requires watermark_col")
+    return (
+        stream_df.withWatermark(watermark_col, delay)
+        .dropDuplicatesWithinWatermark(list(keys))
+        .select(*keys)
+    )
+
+
+def stream_dedup_event_keys(
+    spark: SparkSession,
+    input_dir: str,
+    keys: "tuple[str, ...]" = ("user_id", "event_type"),
+    delay: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """`stream_dedup` over the events stream source (flavor-normalized
+    ts): distinct (user_id, event_type) first arrivals."""
+    ev = events_stream_reader(
+        spark, input_dir, max_files_per_trigger=max_files_per_trigger
+    )
+    return stream_dedup(ev, keys, watermark_col="ts", delay=delay)
+
+
 def run_stream_to_parquet(
     stream_df: DataFrame,
     out_dir: str,
