@@ -545,6 +545,19 @@ def _q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_source_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped vector statistics (operators/vstats.py): per-(source,
+    dim) mean embedding in long form — the corpus-analytics view behind
+    topic-drift / mixture-reweighting dashboards. One posexplode + one
+    partial-aggregated shuffle; element values quantized to integers
+    first so the grouped sum is order-independent and the oracle exact."""
+    from vector_search_test_spark.operators.vstats import source_centroids
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return source_centroids(docs, emb)
+
+
 def _q_unigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM quality scoring (functions/textstats.py::
     unigram_lm_scores): corpus-trained add-one-smoothed token
@@ -1522,6 +1535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_adc_topk": _q_pq_adc_topk,
         "pq_rerank_topk": _q_pq_rerank_topk,
         "stream_dedup_keys": _q_stream_dedup_keys,
+        "source_centroids": _q_source_centroids,
     }
 
 
@@ -2402,6 +2416,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "stream_dedup_keys": (
             "SELECT DISTINCT user_id, event_type FROM events"
         ),
+        "source_centroids": _centroids_oracle_sql(),
     }
     if _pp_sql is None:
         del out["ivf_search_partial_probe"]
@@ -2497,3 +2512,9 @@ def _unigram_lm_oracle() -> str:
     )
 
     return unigram_lm_oracle_sql()
+
+
+def _centroids_oracle_sql() -> str:
+    from vector_search_test_spark.operators.vstats import source_centroids_sql
+
+    return source_centroids_sql()

