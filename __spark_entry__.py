@@ -545,6 +545,21 @@ def _q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_neardup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dedup decision pipeline (operators/dedup.py::
+    neardup_dedup_decisions): MinHash-LSH pairs -> connected components
+    over the duplicate graph -> one keep-decision row per document.
+    The oracle replays banding, exact-Jaccard verification, AND the
+    reachability closure (WITH RECURSIVE), so the certified value is
+    the dedup decision itself."""
+    from vector_search_test_spark.operators.dedup import (
+        neardup_dedup_decisions,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return neardup_dedup_decisions(docs)
+
+
 def _q_source_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped vector statistics (operators/vstats.py): per-(source,
     dim) mean embedding in long form — the corpus-analytics view behind
@@ -1536,6 +1551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_rerank_topk": _q_pq_rerank_topk,
         "stream_dedup_keys": _q_stream_dedup_keys,
         "source_centroids": _q_source_centroids,
+        "neardup_decisions": _q_neardup_decisions,
     }
 
 
@@ -1555,13 +1571,10 @@ def _cos_sql(a: str, b: str) -> str:
     return f"({dot} / ({na} * {nb}))"
 
 
-def _minhash_oracle_sql() -> str:
-    """DuckDB twin of neardup_minhash (n=3, H=16, 4x4 banding, theta=0.9).
-
-    Same hash family (hash48_sql = portable_hash48), same band keys; the
-    candidate join is all-pairs-free here too, so the twin validates the
-    banding itself, not just the verify step.
-    """
+def _minhash_cte() -> tuple[str, str]:
+    """Shared CTE body of the MinHash-LSH pipeline (sh/sig/band/cand)
+    plus the exact-Jaccard expression — used by both the pairs oracle
+    (_minhash_oracle_sql) and the dedup-decisions oracle."""
     from vector_search_test_spark.functions.hashing import hash48_sql
     from vector_search_test_spark.operators.dedup import shingles_sql
 
@@ -1577,8 +1590,7 @@ def _minhash_oracle_sql() -> str:
         "len(list_intersect(sa.sh, sb.sh))::DOUBLE"
         " / len(list_distinct(sa.sh || sb.sh))"
     )
-    return f"""
-        WITH sh AS (
+    body = f"""sh AS (
             SELECT doc_id AS id, {shingles_sql('text', 3)} AS sh FROM documents
         ),
         sig AS (
@@ -1595,12 +1607,55 @@ def _minhash_oracle_sql() -> str:
             JOIN band y
               ON x.band_id = y.band_id AND x.band_key = y.band_key
              AND x.id < y.id
-        )
+        )"""
+    return body, jac
+
+
+def _minhash_oracle_sql() -> str:
+    """DuckDB twin of neardup_minhash (n=3, H=16, 4x4 banding, theta=0.9).
+
+    Same hash family (hash48_sql = portable_hash48), same band keys; the
+    candidate join is all-pairs-free here too, so the twin validates the
+    banding itself, not just the verify step.
+    """
+    body, jac = _minhash_cte()
+    return f"""
+        WITH {body}
         SELECT c.a, c.b, round({jac}, 6) AS jaccard
         FROM cand c
         JOIN sh sa ON c.a = sa.id
         JOIN sh sb ON c.b = sb.id
         WHERE {jac} >= 0.9
+    """
+
+
+def _neardup_decisions_oracle_sql() -> str:
+    """DuckDB twin of neardup_dedup_decisions: the MinHash pipeline's
+    verified pairs, then min-label reachability (WITH RECURSIVE walk,
+    the same shape as the clustering oracle) over ALL documents — docs
+    with no near-duplicate are their own representative."""
+    body, jac = _minhash_cte()
+    return f"""
+        WITH RECURSIVE {body},
+        verified AS (
+            SELECT c.a, c.b
+            FROM cand c
+            JOIN sh sa ON c.a = sa.id
+            JOIN sh sb ON c.b = sb.id
+            WHERE {jac} >= 0.9
+        ),
+        edges AS (
+            SELECT a, b FROM verified
+            UNION SELECT b AS a, a AS b FROM verified
+        ),
+        nodes AS (SELECT doc_id AS id FROM documents),
+        walk(id, label) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.id
+        )
+        SELECT id, min(label) AS rep_id, id = min(label) AS keep
+        FROM walk GROUP BY id
     """
 
 
@@ -2417,6 +2472,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
             "SELECT DISTINCT user_id, event_type FROM events"
         ),
         "source_centroids": _centroids_oracle_sql(),
+        "neardup_decisions": _neardup_decisions_oracle_sql(),
     }
     if _pp_sql is None:
         del out["ivf_search_partial_probe"]

@@ -121,3 +121,40 @@ def test_dedup_operators_handle_empty_corpus(spark):
     assert topk_global(empty_emb, [0.0, 1.0], k=5).count() == 0
     with pytest.raises(ValueError, match="empty corpus"):
         ivf_build(empty_emb, nlist=2)
+
+
+def test_neardup_decisions_chain_and_consistency(spark, sf_dir):
+    """Decision pipeline semantics: a planted duplicate CHAIN (A~B and
+    B~C verified pairs, A~C possibly below threshold) collapses to ONE
+    representative (min id) — the connected-component closure near-dedup
+    requires because similarity is not transitive; untouched docs keep
+    themselves; the kept set equals (corpus - non-rep members). Also
+    cross-checked against neardup_minhash: every pair's two sides map to
+    the same rep."""
+    from vector_search_test_spark.operators.dedup import (
+        neardup_dedup_decisions,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    chain = [
+        (1001, base + " endA"),
+        (1002, base + " endB"),  # ~ both neighbors
+        (1003, base + " endC"),
+    ]
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.union(
+        spark.createDataFrame(chain, "doc_id long, text string")
+    )
+    dec = {r.id: (r.rep_id, r.keep) for r in
+           neardup_dedup_decisions(planted).collect()}
+    assert dec[1001] == (1001, True)
+    assert dec[1002] == (1001, False)
+    assert dec[1003] == (1001, False)
+
+    pairs = neardup_minhash(planted).collect()
+    assert any({p.a, p.b} == {1001, 1002} for p in pairs)
+    for p in pairs:
+        assert dec[p.a][0] == dec[p.b][0], (p.a, p.b)
+    n_nonrep = sum(1 for rep, keep in dec.values() if not keep)
+    assert sum(1 for _, keep in dec.values() if keep) == len(dec) - n_nonrep
+    assert len(dec) == planted.count()

@@ -498,3 +498,59 @@ def neardup_embedding(
         .filter(F.col("cos") >= threshold)
         .select("a", "b", F.round("cos", 6).alias("cos"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dedup decisions: pairs -> clusters -> canonical representative
+# ---------------------------------------------------------------------------
+
+
+def neardup_dedup_decisions(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """The COMPLETE near-dedup pipeline, pair detection through keep
+    decision: MinHash-LSH candidate pairs verified by exact Jaccard
+    (`neardup_minhash`), connected components over the duplicate graph
+    (near-duplication is not transitive at a fixed threshold, so the
+    standard practice — e.g. the C4/Gopher pipelines — collapses whole
+    connected groups), and one canonical representative per group (min
+    id). Returns one row per input document: (id, rep_id, keep) with
+    keep = (id == rep_id); downstream keeps `WHERE keep` rows.
+
+    Scale shape: the pair stage is the banded equi-join (never
+    all-pairs); the component stage runs on the EDGE LIST only —
+    duplicate pairs are a tiny fraction of the corpus — via
+    operators/cluster.py::connected_components (driver union-find under
+    the edge bound, checkpointed pointer-jumping past it); the final
+    label map joins back broadcast-sized. Documents without duplicates
+    never enter the graph machinery — they fall out of the left join as
+    their own representative."""
+    from vector_search_test_spark.operators.cluster import (
+        connected_components,
+    )
+
+    pairs = neardup_minhash(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        n=n,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
+    )
+    nodes = df.select(F.col(id_col).cast("long").alias("id"))
+    comp = connected_components(
+        nodes,
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")),
+    )
+    return comp.select(
+        "id",
+        F.col("component").alias("rep_id"),
+        (F.col("id") == F.col("component")).alias("keep"),
+    )
