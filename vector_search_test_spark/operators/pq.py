@@ -205,21 +205,28 @@ def pq_rerank(
     """Refine ADC candidates with exact distances: join the top-R code
     rows back to the float table (the candidate set is R rows per query
     — broadcast-able at any corpus size) and re-rank by true squared L2
-    against each query vector (unrolled literal arithmetic, the same
-    doubles as the exact kNN path)."""
+    against each query vector. The query vectors ride a broadcast join
+    and the distance is the sequential l2_sq fold — identical doubles
+    to the unrolled literal path, without the nq*dim-term CASE
+    expression a per-query literal chain would generate (past the
+    codegen budget it compiles nothing and costs janino retries; the
+    fold scores only R rows per query, so interpreted evaluation is
+    free here)."""
     from pyspark.sql import Window
 
-    from vector_search_test_spark.functions.vector import l2_sq_const
+    from vector_search_test_spark.functions.vector import l2_sq
 
-    cand = adc_topr.select("query_id", id_col).join(
-        corpus.select(id_col, vec_col), id_col
+    spark = adc_topr.sparkSession
+    qdf = spark.createDataFrame(
+        [(int(qid), [float(v) for v in vec]) for qid, vec in queries],
+        "query_id long, __qvec array<double>",
     )
-    expr = None
-    for qid, vec in queries:
-        e = l2_sq_const(F.col(vec_col), [float(v) for v in vec])
-        cond = F.col("query_id") == F.lit(int(qid))
-        expr = F.when(cond, e) if expr is None else expr.when(cond, e)
-    scored = cand.withColumn("dist", expr)
+    cand = (
+        adc_topr.select("query_id", id_col)
+        .join(corpus.select(id_col, vec_col), id_col)
+        .join(F.broadcast(qdf), "query_id")
+    )
+    scored = cand.withColumn("dist", l2_sq(vec_col, "__qvec"))
     w = Window.partitionBy("query_id").orderBy("dist", id_col)
     return (
         scored.withColumn("rn", F.row_number().over(w))
