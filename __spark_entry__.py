@@ -545,6 +545,28 @@ def _q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup (operators/dedup.py::incremental_dedup):
+    docs 0..249 are the standing corpus; the incoming batch is docs
+    250+ plus two deterministic re-ingests of docs 0..19 (shifted ids
+    10000+/20000+ — the fixture has no natural exact duplicates, so the
+    overlap is planted in-plan and the oracle replays the same UNION).
+    Survivors: the genuinely-new texts, once each, anti-joined against
+    the existing corpus's distinct normalized-text projection."""
+    from vector_search_test_spark.operators.dedup import incremental_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    existing = docs.filter(F.col("doc_id") < 250)
+    redo = docs.filter(F.col("doc_id") < 20)
+    incoming = (
+        docs.filter(F.col("doc_id") >= 250)
+        .select("doc_id", "text")
+        .union(redo.select(F.col("doc_id") + 10000, "text"))
+        .union(redo.select(F.col("doc_id") + 20000, "text"))
+    )
+    return incremental_dedup(incoming, existing)
+
+
 def _q_neardup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full near-dedup decision pipeline (operators/dedup.py::
     neardup_dedup_decisions): MinHash-LSH pairs -> connected components
@@ -1552,6 +1574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup_keys": _q_stream_dedup_keys,
         "source_centroids": _q_source_centroids,
         "neardup_decisions": _q_neardup_decisions,
+        "incremental_dedup": _q_incremental_dedup,
     }
 
 
@@ -2473,6 +2496,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         ),
         "source_centroids": _centroids_oracle_sql(),
         "neardup_decisions": _neardup_decisions_oracle_sql(),
+        "incremental_dedup": _incremental_dedup_oracle_sql(),
     }
     if _pp_sql is None:
         del out["ivf_search_partial_probe"]
@@ -2574,3 +2598,28 @@ def _centroids_oracle_sql() -> str:
     from vector_search_test_spark.operators.vstats import source_centroids_sql
 
     return source_centroids_sql()
+
+
+def _incremental_dedup_oracle_sql() -> str:
+    from vector_search_test_spark.functions.hashing import hash48_sql
+
+    return f"""
+        WITH existing AS (
+            SELECT DISTINCT trim(lower(text)) AS n
+            FROM documents WHERE doc_id < 250
+        ),
+        incoming AS (
+            SELECT doc_id AS id, text FROM documents WHERE doc_id >= 250
+            UNION ALL
+            SELECT doc_id + 10000, text FROM documents WHERE doc_id < 20
+            UNION ALL
+            SELECT doc_id + 20000, text FROM documents WHERE doc_id < 20
+        ),
+        batch_unique AS (
+            SELECT trim(lower(text)) AS n, min(id) AS id
+            FROM incoming GROUP BY 1
+        )
+        SELECT id, {hash48_sql('n')} AS text_hash
+        FROM batch_unique
+        WHERE n NOT IN (SELECT n FROM existing)
+    """

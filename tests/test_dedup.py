@@ -158,3 +158,32 @@ def test_neardup_decisions_chain_and_consistency(spark, sf_dir):
     n_nonrep = sum(1 for rep, keep in dec.values() if not keep)
     assert sum(1 for _, keep in dec.values() if keep) == len(dec) - n_nonrep
     assert len(dec) == planted.count()
+
+
+def test_incremental_dedup_semantics_and_plan(spark, sf_dir):
+    """Incoming rows that duplicate the existing corpus are dropped;
+    within-batch duplicates survive once (min id); genuinely new texts
+    survive; normalization (lower+trim) applies across the boundary.
+    Plan: the existing side reduces to a distinct projection feeding a
+    LeftAnti join."""
+    from vector_search_test_spark.operators.dedup import incremental_dedup
+
+    existing = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id long, text string"
+    )
+    incoming = spark.createDataFrame(
+        [
+            (10, "  ALPHA beta "),   # dup of existing after normalize
+            (11, "epsilon zeta"),    # new
+            (12, "epsilon zeta"),    # within-batch dup -> min id wins
+            (13, "eta theta"),       # new
+        ],
+        "doc_id long, text string",
+    )
+    out = incremental_dedup(incoming, existing)
+    got = sorted(r.id for r in out.collect())
+    assert got == [11, 13]
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+    assert "BatchEvalPython" not in plan

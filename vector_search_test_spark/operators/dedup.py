@@ -554,3 +554,41 @@ def neardup_dedup_decisions(
         F.col("component").alias("rep_id"),
         (F.col("id") == F.col("component")).alias("keep"),
     )
+
+
+def incremental_dedup(
+    incoming: DataFrame,
+    existing: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental-ingest exact dedup: keep only incoming documents
+    whose normalized text (lower+trim, the dedup_exact key) appears
+    NOWHERE in the existing corpus, and only once per incoming batch
+    (min id wins within the batch). The shape every continuously-fed
+    training corpus needs: the existing side reduces to its DISTINCT
+    normalized-text projection before the join, so the anti-join probes
+    a deduplicated single-column build side — broadcast-able when the
+    existing fingerprint set fits (or hashed equi-join when not), and
+    the incoming batch is never compared against itself quadratically.
+
+    Grouping/joining is on the normalized TEXT, not its hash, for the
+    same collision reason as dedup_exact (a 48-bit key silently merges
+    distinct docs at corpus scale); at 100 TB the existing side would
+    persist this projection as its own bucketed fingerprint table so
+    re-ingests skip the full-corpus scan. Returns the surviving incoming
+    rows as (id, text_hash)."""
+    norm_in = incoming.select(
+        F.col(id_col).alias("id"),
+        F.trim(F.lower(F.col(text_col))).alias("__norm"),
+    )
+    seen = existing.select(
+        F.trim(F.lower(F.col(text_col))).alias("__norm")
+    ).distinct()
+    batch_unique = (
+        norm_in.groupBy("__norm").agg(F.min("id").alias("id"))
+    )
+    return (
+        batch_unique.join(seen, "__norm", "left_anti")
+        .select("id", portable_hash48(F.col("__norm")).alias("text_hash"))
+    )
