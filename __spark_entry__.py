@@ -288,6 +288,72 @@ def _q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PQ_RERANK_R = 20
 
+# IVF-PQ config (coarse cells + residual codebooks; nprobe < nlist is
+# the production pruned configuration)
+_IVFPQ_NLIST = 8
+_IVFPQ_NPROBE = 2
+_IVFPQ_MEMO: dict[str, tuple] = {}
+
+
+def _ivfpq_artifacts(sf_dir: str):
+    """Deterministic IVF-PQ artifacts (coarse centroids, residual
+    codebooks, per-(query, probed-cell) LUTs) from the shared trainer —
+    same pyarrow/canonical-order contract as _pq_artifacts."""
+    key = sf_dir.rstrip("/")
+    if key not in _IVFPQ_MEMO:
+        import numpy as np
+        import pyarrow.parquet as pq_pa
+
+        from vector_search_test_spark.operators.pq import (
+            ivfpq_luts,
+            train_ivfpq_numpy,
+        )
+
+        tbl = pq_pa.read_table(
+            os.path.join(key, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+        )
+        pdf = tbl.to_pandas().sort_values("vec_id")
+        X = np.array(
+            [np.asarray(v, dtype=np.float32) for v in pdf["embedding"]],
+            dtype=np.float64,
+        )
+        coarse, books = train_ivfpq_numpy(
+            X, nlist=_IVFPQ_NLIST, m=_PQ_M, ksub=_PQ_KSUB
+        )
+        queries = [
+            (int(qid), [float(np.float32(v)) for v in vec])
+            for qid, vec in zip(
+                pdf["vec_id"].tolist()[: _PQ_NQ],
+                pdf["embedding"].tolist()[: _PQ_NQ],
+            )
+        ]
+        luts = ivfpq_luts(queries, coarse, books, nprobe=_IVFPQ_NPROBE)
+        _IVFPQ_MEMO[key] = (coarse, books, luts)
+    return _IVFPQ_MEMO[key]
+
+
+def _q_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ADC search (operators/pq.py) — the two-level compressed
+    index faiss graduates to at scale (IndexIVFPQ, successor of the
+    reference's IndexIVFFlat): coarse cells prune the scan to nprobe
+    inverted lists (broadcast equi-join on list_id — static partition
+    pruning over persisted postings), PQ codes on the residuals replace
+    the floats (m bytes/vector), ADC scores via per-(query, cell) LUT
+    lookups. Value-certified: the oracle replays coarse assignment,
+    residual encode, and the pruned ADC top-k."""
+    from vector_search_test_spark.io import spread
+    from vector_search_test_spark.operators.pq import (
+        ivfpq_adc_topk_all,
+        ivfpq_encode,
+    )
+
+    coarse, books, luts = _ivfpq_artifacts(sf_dir)
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    postings = ivfpq_encode(emb.select("vec_id", "embedding"), coarse, books)
+    out = ivfpq_adc_topk_all(postings, luts, k=_PQ_K)
+    return out.select("query_id", "vec_id", F.round("dist", 6).alias("dist"))
+
 
 def _q_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production two-stage compressed search: ADC over the codes
@@ -1030,6 +1096,7 @@ def reset_memos() -> None:
     _CLUSTER_MEMO.clear()
     _PP_CENTS_MEMO.clear()
     _PQ_MEMO.clear()
+    _IVFPQ_MEMO.clear()
     for inp in _STREAM_STAGE_MEMO.values():
         shutil.rmtree(os.path.dirname(inp), ignore_errors=True)
     _STREAM_STAGE_MEMO.clear()
@@ -1575,6 +1642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_centroids": _q_source_centroids,
         "neardup_decisions": _q_neardup_decisions,
         "incremental_dedup": _q_incremental_dedup,
+        "ivfpq_adc_topk": _q_ivfpq_adc_topk,
     }
 
 
@@ -2044,6 +2112,10 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         _pqr_sql = _pq_rerank_oracle(sf_dir)
     except Exception:
         _pqr_sql = None
+    try:
+        _ivfpq_sql = _ivfpq_oracle(sf_dir)
+    except Exception:
+        _ivfpq_sql = None
     out = {
         "knn_topk_global": f"""
             SELECT e.vec_id, round({d}, 6) AS dist
@@ -2497,6 +2569,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "source_centroids": _centroids_oracle_sql(),
         "neardup_decisions": _neardup_decisions_oracle_sql(),
         "incremental_dedup": _incremental_dedup_oracle_sql(),
+        "ivfpq_adc_topk": _ivfpq_sql,
     }
     if _pp_sql is None:
         del out["ivf_search_partial_probe"]
@@ -2504,6 +2577,8 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         del out["pq_adc_topk"]
     if _pqr_sql is None:
         del out["pq_rerank_topk"]
+    if _ivfpq_sql is None:
+        del out["ivfpq_adc_topk"]
     return out
 
 
@@ -2529,6 +2604,16 @@ def _pq_rerank_oracle(sf_dir: str | None = None) -> str:
     return pq_rerank_oracle_sql(
         books, luts, queries, r=_PQ_RERANK_R, k=_PQ_K
     )
+
+
+def _ivfpq_oracle(sf_dir: str | None = None) -> str:
+    from vector_search_test_spark.operators.pq import ivfpq_oracle_sql
+
+    sf_dir = sf_dir or os.environ.get(
+        "ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    coarse, books, luts = _ivfpq_artifacts(sf_dir)
+    return ivfpq_oracle_sql(coarse, books, luts, k=_PQ_K)
 
 
 def _split_stats_oracle_sql() -> str:

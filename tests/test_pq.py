@@ -218,3 +218,88 @@ def test_rerank_pipeline_matches_duckdb_twin(spark, sf_dir):
         ).fetchall()
     )
     assert got == want
+
+
+def test_ivfpq_pipeline_matches_duckdb_twin(spark, sf_dir):
+    """Coarse assign -> residual encode -> pruned ADC matches the DuckDB
+    twin row-for-row (nlist=4, nprobe=2, the pruned configuration)."""
+    from vector_search_test_spark.operators.pq import (
+        ivfpq_adc_topk_all,
+        ivfpq_encode,
+        ivfpq_luts,
+        ivfpq_oracle_sql,
+        train_ivfpq_numpy,
+    )
+
+    pdf, X = _fixture_matrix(sf_dir)
+    coarse, books = train_ivfpq_numpy(X, nlist=4, m=M, ksub=KSUB)
+    queries = [
+        (int(qid), [float(np.float32(v)) for v in vec])
+        for qid, vec in zip(pdf["vec_id"][:4], pdf["embedding"][:4])
+    ]
+    luts = ivfpq_luts(queries, coarse, books, nprobe=2)
+    emb = load_table(spark, sf_dir, "embeddings")
+    postings = ivfpq_encode(emb, coarse, books)
+    got = sorted(
+        (r.query_id, r.vec_id, round(r.dist, 6))
+        for r in ivfpq_adc_topk_all(postings, luts, k=K).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    want = sorted(
+        (int(q), int(v), d)
+        for q, v, d in con.execute(
+            ivfpq_oracle_sql(coarse, books, luts, k=K)
+        ).fetchall()
+    )
+    assert got == want
+    assert len(got) > 0
+
+
+def test_ivfpq_encode_and_pruning_semantics(spark, sf_dir):
+    """Postings cover every vector exactly once with in-range cell/code
+    ids; every ADC hit comes from a cell the query actually probed; each
+    query gets k rows; and the query's own coarse cell is always probed
+    first (rank-1 probe = own assignment), so self is always scanned."""
+    from vector_search_test_spark.operators.pq import (
+        ivfpq_adc_topk_all,
+        ivfpq_encode,
+        ivfpq_luts,
+        train_ivfpq_numpy,
+    )
+
+    pdf, X = _fixture_matrix(sf_dir)
+    coarse, books = train_ivfpq_numpy(X, nlist=4, m=M, ksub=KSUB)
+    queries = [
+        (int(qid), [float(np.float32(v)) for v in vec])
+        for qid, vec in zip(pdf["vec_id"][:4], pdf["embedding"][:4])
+    ]
+    luts = ivfpq_luts(queries, coarse, books, nprobe=2)
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = ivfpq_encode(emb, coarse, books).collect()
+    assert sorted(r.vec_id for r in rows) == sorted(pdf["vec_id"])
+    cell_of = {}
+    for r in rows:
+        assert 0 <= r.list_id < len(coarse)
+        assert len(r.codes) == M
+        assert all(0 <= c < len(books[j]) for j, c in enumerate(r.codes))
+        cell_of[r.vec_id] = r.list_id
+
+    probed = {}
+    for qid, cell, _ in luts:
+        probed.setdefault(qid, []).append(cell)
+    for qid, _ in queries:
+        # rank-1 probe is the query's own assignment cell
+        assert probed[qid][0] == cell_of[qid]
+
+    hits = ivfpq_adc_topk_all(
+        ivfpq_encode(emb, coarse, books), luts, k=K
+    ).collect()
+    per_q = {}
+    for r in hits:
+        per_q.setdefault(r.query_id, []).append(r)
+        assert cell_of[r.vec_id] in probed[r.query_id]  # pruning honored
+    assert all(len(v) == K for v in per_q.values())
+    assert set(per_q) == {qid for qid, _ in queries}

@@ -35,9 +35,12 @@ from vector_search_test_spark.operators.sampling import (
     stratified_sample,
 )
 from vector_search_test_spark.operators.pq import (
+    ivfpq_adc_topk_all,
+    ivfpq_encode,
     pq_adc_topk_all,
     pq_encode,
     pq_rerank,
+    train_ivfpq_numpy,
     train_pq_numpy,
 )
 from vector_search_test_spark.operators.search import build_text_index, search_text
@@ -71,8 +74,11 @@ __all__ = [
     "ngram_jaccard_pairs",
     "neardup_embedding",
     "neardup_minhash",
+    "ivfpq_adc_topk_all",
+    "ivfpq_encode",
     "pq_adc_topk_all",
     "pq_encode",
+    "train_ivfpq_numpy",
     "pq_rerank",
     "salted_topk_per_key",
     "train_pq_numpy",

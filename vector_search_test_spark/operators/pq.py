@@ -236,6 +236,170 @@ def pq_rerank(
 
 
 # ---------------------------------------------------------------------------
+# IVF-PQ: coarse quantizer + PQ on residuals (faiss IndexIVFPQ analogue)
+# ---------------------------------------------------------------------------
+
+
+def train_ivfpq_numpy(
+    X,
+    nlist: int,
+    m: int,
+    ksub: int = 16,
+    seed: int = DEFAULT_SEED,
+    max_iter: int = 15,
+):
+    """Train the two-level quantizer faiss's IndexIVFPQ uses (the scale
+    successor of the reference's IndexIVFFlat, app.py:47-48): a coarse
+    nlist-cell quantizer, then PQ codebooks on the RESIDUALS
+    (x - coarse_centroid) — residuals concentrate around zero, so the
+    same code budget quantizes them much more accurately than raw
+    vectors. Returns (coarse, books), both float32-rounded. Training
+    assignment accumulates per-dimension left-to-right like the
+    engines, so the trainer is deterministic end to end."""
+    import numpy as np
+
+    coarse = [
+        [float(np.float32(x)) for x in c]
+        for c in _lloyd_numpy(X, min(nlist, X.shape[0]), seed, max_iter=max_iter)
+    ]
+    C = np.array(coarse, dtype=np.float64)
+    d = np.zeros((X.shape[0], C.shape[0]), dtype=np.float64)
+    for i in range(X.shape[1]):
+        t = X[:, i : i + 1] - C[None, :, i]
+        d += t * t
+    resid = X - C[np.argmin(d, axis=1)]
+    books = train_pq_numpy(resid, m=m, ksub=ksub, seed=seed + 1000, max_iter=max_iter)
+    return coarse, books
+
+
+def ivfpq_encode(
+    df: DataFrame,
+    coarse,
+    books,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode to IVF-PQ postings: (list_id, id, codes). Scan-only
+    mapInPandas: coarse argmin (per-dimension left-to-right, first-min
+    ties), residual against the winning centroid, PQ codes of the
+    residual — each step bit-matching the SQL twin's arithmetic. At
+    scale the output persists partitionBy('list_id') exactly like the
+    float postings (operators/ivf.py::ivf_save), but m bytes per vector
+    instead of dim*4."""
+    import numpy as np
+
+    m = len(books)
+    dsub = len(books[0][0])
+    C = np.array(coarse, dtype=np.float64)
+    cents = [np.array(b, dtype=np.float64) for b in books]
+
+    schema = T.StructType(
+        [
+            T.StructField("list_id", T.IntegerType(), False),
+            df.schema[id_col],
+            T.StructField("codes", T.ArrayType(T.IntegerType(), False), False),
+        ]
+    )
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float32).astype(
+                np.float64
+            )
+            d = np.zeros((len(pdf), C.shape[0]), dtype=np.float64)
+            for i in range(X.shape[1]):
+                t = X[:, i : i + 1] - C[None, :, i]
+                d += t * t
+            cell = np.argmin(d, axis=1)
+            R = X - C[cell]
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for j in range(m):
+                sub = R[:, j * dsub : (j + 1) * dsub]
+                Cd = cents[j]
+                dj = np.zeros((len(pdf), Cd.shape[0]), dtype=np.float64)
+                for i in range(dsub):
+                    t = sub[:, i : i + 1] - Cd[None, :, i]
+                    dj += t * t
+                codes[:, j] = np.argmin(dj, axis=1)
+            yield pd.DataFrame(
+                {
+                    "list_id": cell.astype(np.int32),
+                    id_col: pdf[id_col],
+                    "codes": list(codes),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(encode, schema)
+
+
+def ivfpq_luts(queries, coarse, books, nprobe: int):
+    """Per-(query, probed cell) ADC tables: rank cells by exact
+    query-to-coarse-centroid distance (sequential accumulation, ties to
+    the lowest cell id), keep nprobe, and build the residual LUT
+    lut[j][c] = ||(q - coarse_cell)_j - books[j][c]||^2 in Python
+    float64 — nq * nprobe * m * ksub doubles, broadcast-sized at any
+    corpus size. Returns [(query_id, list_id, lut)]."""
+    out = []
+    for qid, vec in queries:
+        q = [float(v) for v in vec]
+        ranked = []
+        for cell, cent in enumerate(coarse):
+            acc = 0.0
+            for i in range(len(cent)):
+                t = q[i] - cent[i]
+                acc = acc + t * t
+            ranked.append((acc, cell))
+        ranked.sort()
+        for _, cell in ranked[:nprobe]:
+            resid = [q[i] - coarse[cell][i] for i in range(len(q))]
+            out.append((int(qid), int(cell), adc_lut(resid, books)))
+    return out
+
+
+def ivfpq_adc_topk_all(
+    postings: DataFrame,
+    luts: "list[tuple[int, int, list[list[float]]]]",
+    k: int = 5,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Batched IVF-PQ ADC top-k: the per-(query, cell) LUT table rides a
+    broadcast EQUI-join on list_id — unprobed cells never join (with
+    partitioned postings that is static partition pruning, the Catalyst
+    replay of faiss scanning nprobe inverted lists) — then m lookups +
+    adds per surviving code row and the WindowGroupLimit per-query
+    top-k. No float vector is read anywhere."""
+    from pyspark.sql import Window
+
+    spark = postings.sparkSession
+    lut_df = spark.createDataFrame(
+        [(q, c, l) for q, c, l in luts],
+        "query_id long, list_id int, lut array<array<double>>",
+    )
+    scored = postings.join(F.broadcast(lut_df), "list_id").withColumn(
+        "dist",
+        F.aggregate(
+            F.zip_with(
+                F.col("lut"),
+                F.col("codes"),
+                lambda l, c: F.element_at(l, c + F.lit(1)),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy("dist", id_col)
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", id_col, "dist")
+    )
+
+
+# ---------------------------------------------------------------------------
 # DuckDB twins
 # ---------------------------------------------------------------------------
 
@@ -364,6 +528,83 @@ def pq_rerank_oracle_sql(
             JOIN qvecs q ON s.query_id = CAST(q.query_id AS BIGINT)
         )
         SELECT query_id, {id_col}, round(dist, 6) AS dist FROM exact
+        QUALIFY row_number() OVER (
+            PARTITION BY query_id ORDER BY dist, {id_col}
+        ) <= {k}
+    """
+
+
+def ivfpq_oracle_sql(
+    coarse,
+    books,
+    luts,
+    k: int = 5,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_expr: str = "embedding",
+) -> str:
+    """DuckDB twin of ivfpq_encode + ivfpq_adc_topk_all: coarse argmin
+    (ties to the lowest list_id, like np.argmin / array_position),
+    residual against the winning centroid, PQ codes of the residual
+    (same left-to-right chains), then ADC over the SAME Python-computed
+    per-(query, cell) LUT literals with an equi-join on list_id — so
+    unprobed cells are excluded exactly like the Spark plan."""
+    dim = len(coarse[0])
+    m = len(books)
+    cent_rows = ",\n                   ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            i, ", ".join(repr(float(x)) for x in c)
+        )
+        for i, c in enumerate(coarse)
+    )
+    t_assign = f"(CAST(e.{vec_expr}[i] AS DOUBLE) - c.centroid[i])"
+    d_assign = (
+        f"list_sum(list_transform(range(1, {dim + 1}), i -> {t_assign} * {t_assign}))"
+    )
+    lut_rows = ",\n                   ".join(
+        "({}, {}, [{}])".format(
+            int(q),
+            int(cell),
+            ", ".join(
+                "["
+                + ", ".join(f"CAST({float(v)!r} AS DOUBLE)" for v in row)
+                + "]"
+                for row in lut
+            ),
+        )
+        for q, cell, lut in luts
+    )
+    return f"""
+        WITH cents(list_id, centroid) AS (
+            VALUES {cent_rows}
+        ),
+        assign AS (
+            SELECT e.{id_col}, e.{vec_expr}, c.list_id, c.centroid
+            FROM {table} e CROSS JOIN cents c
+            QUALIFY row_number() OVER (
+                PARTITION BY e.{id_col} ORDER BY {d_assign}, c.list_id
+            ) = 1
+        ),
+        resid AS (
+            SELECT {id_col}, list_id,
+                   list_transform(range(1, {dim + 1}),
+                       i -> CAST({vec_expr}[i] AS DOUBLE) - centroid[i]) AS r
+            FROM assign
+        ),
+        code_rows AS (
+            SELECT {id_col}, list_id, {pq_codes_sql(books, 'r')} AS codes
+            FROM resid
+        ),
+        luts(query_id, list_id, lut) AS (
+            VALUES {lut_rows}
+        ),
+        scored AS (
+            SELECT CAST(l.query_id AS BIGINT) AS query_id, c.{id_col},
+                   list_sum(list_transform(range(1, {m + 1}),
+                            j -> lut[j][codes[j] + 1])) AS dist
+            FROM code_rows c JOIN luts l ON c.list_id = l.list_id
+        )
+        SELECT query_id, {id_col}, round(dist, 6) AS dist FROM scored
         QUALIFY row_number() OVER (
             PARTITION BY query_id ORDER BY dist, {id_col}
         ) <= {k}
