@@ -303,3 +303,45 @@ def test_ivfpq_encode_and_pruning_semantics(spark, sf_dir):
         assert cell_of[r.vec_id] in probed[r.query_id]  # pruning honored
     assert all(len(v) == K for v in per_q.values())
     assert set(per_q) == {qid for qid, _ in queries}
+
+
+def test_ivfpq_save_load_roundtrip_and_pruning(spark, sf_dir, tmp_path):
+    """Persistence: save -> load reproduces the identical search result,
+    and the loaded postings scan statically prunes to the probed
+    list_id directories (the faiss scan-nprobe-lists replay, now over
+    compressed codes)."""
+    from vector_search_test_spark.operators.pq import (
+        ivfpq_adc_topk_all,
+        ivfpq_encode,
+        ivfpq_load,
+        ivfpq_luts,
+        ivfpq_save,
+        train_ivfpq_numpy,
+    )
+
+    pdf, X = _fixture_matrix(sf_dir)
+    coarse, books = train_ivfpq_numpy(X, nlist=4, m=M, ksub=KSUB)
+    queries = [
+        (int(qid), [float(np.float32(v)) for v in vec])
+        for qid, vec in zip(pdf["vec_id"][:3], pdf["embedding"][:3])
+    ]
+    luts = ivfpq_luts(queries, coarse, books, nprobe=2)
+    emb = load_table(spark, sf_dir, "embeddings")
+    postings = ivfpq_encode(emb, coarse, books)
+    want = sorted(
+        (r.query_id, r.vec_id, round(r.dist, 6))
+        for r in ivfpq_adc_topk_all(postings, luts, k=K).collect()
+    )
+
+    path = str(tmp_path / "ivfpq_idx")
+    ivfpq_save(postings, coarse, books, path)
+    lp, lc, lb = ivfpq_load(spark, path)
+    assert lc == coarse and lb == books  # quantizer round-trips exactly
+    out = ivfpq_adc_topk_all(lp, luts, k=K)
+    got = sorted(
+        (r.query_id, r.vec_id, round(r.dist, 6)) for r in out.collect()
+    )
+    assert got == want
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list_id" in plan

@@ -379,6 +379,12 @@ def ivfpq_adc_topk_all(
         [(q, c, l) for q, c, l in luts],
         "query_id long, list_id int, lut array<array<double>>",
     )
+    # static probe filter BEFORE the join: the probed cell set is known
+    # driver-side, so against saved partitioned postings this is static
+    # partition pruning (only nprobe directories are even listed) rather
+    # than relying on runtime filter pushdown through the join
+    probed = sorted({int(c) for _, c, _ in luts})
+    postings = postings.filter(F.col("list_id").isin(probed))
     scored = postings.join(F.broadcast(lut_df), "list_id").withColumn(
         "dist",
         F.aggregate(
@@ -609,3 +615,66 @@ def ivfpq_oracle_sql(
             PARTITION BY query_id ORDER BY dist, {id_col}
         ) <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# Persistence: the compressed index on disk
+# ---------------------------------------------------------------------------
+
+
+def ivfpq_save(postings: DataFrame, coarse, books, path: str) -> None:
+    """Persist the compressed index: `<path>/coarse/` and
+    `<path>/books/` (tiny parquet — the whole quantizer is KBs), and
+    `<path>/postings/` partitioned by list_id — the same inverted-list
+    directory layout as the float index (operators/ivf.py::ivf_save),
+    with the same repartition-before-write file-count bound, but m
+    bytes of codes per vector instead of dim*4 of floats. A probe then
+    reads only nprobe directories of already-compressed codes."""
+    import os as _os
+
+    spark = postings.sparkSession
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(coarse)],
+        "list_id int, centroid array<float>",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        _os.path.join(path, "coarse")
+    )
+    spark.createDataFrame(
+        [
+            (j, c, cent)
+            for j, book in enumerate(books)
+            for c, cent in enumerate(book)
+        ],
+        "sub int, code int, centroid array<float>",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        _os.path.join(path, "books")
+    )
+    par = spark.sparkContext.defaultParallelism
+    postings.repartition(max(par, len(coarse)), "list_id").write.mode(
+        "overwrite"
+    ).partitionBy("list_id").parquet(_os.path.join(path, "postings"))
+
+
+def ivfpq_load(spark, path: str):
+    """Load a saved compressed index: (postings, coarse, books). Pure
+    IO — nothing is re-encoded; the partitioned postings scan prunes to
+    the probed list_id directories (pinned in tests/test_pq.py)."""
+    import os as _os
+
+    coarse_rows = (
+        spark.read.parquet(_os.path.join(path, "coarse"))
+        .orderBy("list_id")
+        .collect()
+    )
+    coarse = [[float(x) for x in r.centroid] for r in coarse_rows]
+    book_rows = spark.read.parquet(_os.path.join(path, "books")).orderBy(
+        "sub", "code"
+    ).collect()
+    m = max(r.sub for r in book_rows) + 1
+    books = [[] for _ in range(m)]
+    for r in book_rows:
+        books[r.sub].append([float(x) for x in r.centroid])
+    postings = spark.read.parquet(_os.path.join(path, "postings")).select(
+        F.col("list_id").cast("int").alias("list_id"), "vec_id", "codes"
+    )
+    return postings, coarse, books
