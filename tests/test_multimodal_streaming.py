@@ -196,3 +196,44 @@ def test_stream_window_counts_match_batch(spark, sf_dir, tmp_path):
         .collect()
     )
     assert got == want
+
+
+def test_stream_ivfpq_encode_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming compressed add: encoding a vector stream against the
+    frozen two-level quantizer yields exactly the batch ivfpq_encode
+    postings (stateless map — identical per row no matter how the
+    micro-batches split)."""
+    import numpy as np
+
+    from vector_search_test_spark.operators.pq import (
+        ivfpq_encode,
+        train_ivfpq_numpy,
+    )
+    from vector_search_test_spark.streaming.ingest import stream_ivfpq_encode
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    X = np.array(
+        [np.asarray(r.embedding, dtype=np.float32) for r in
+         emb.orderBy("vec_id").collect()],
+        dtype=np.float64,
+    )
+    coarse, books = train_ivfpq_numpy(X, nlist=4, m=8, ksub=8)
+    inp = str(tmp_path / "pq_stream_in")
+    emb.write.parquet(inp)
+    out = str(tmp_path / "pq_stream_out")
+    ckpt = str(tmp_path / "pq_ckpt")
+    run_stream_to_parquet(
+        stream_ivfpq_encode(spark, inp, coarse, books),
+        out,
+        ckpt,
+        partition_by="list_id",
+    )
+    got = sorted(
+        (r.vec_id, r.list_id, tuple(r.codes))
+        for r in spark.read.parquet(out).collect()
+    )
+    want = sorted(
+        (r.vec_id, r.list_id, tuple(r.codes))
+        for r in ivfpq_encode(emb, coarse, books).collect()
+    )
+    assert got == want and len(got) > 0

@@ -192,6 +192,29 @@ def stream_event_window_counts(
     )
 
 
+def stream_ivfpq_encode(
+    spark: SparkSession,
+    input_dir: str,
+    coarse: "list[list[float]]",
+    books: "list[list[list[float]]]",
+) -> DataFrame:
+    """Streaming IVF-PQ `add`: encode arriving vectors into compressed
+    (list_id, vec_id, codes) postings against the FROZEN two-level
+    quantizer — the same train/add split as `stream_assign_cells`, but
+    emitting m-byte codes instead of float vectors (operators/pq.py::
+    ivfpq_encode is a stateless Arrow map, so it lifts onto a stream
+    unchanged). Write with `.writeStream.partitionBy('list_id')` to grow
+    the saved compressed index's inverted-list layout incrementally."""
+    from vector_search_test_spark.operators.pq import ivfpq_encode
+
+    stream = (
+        spark.readStream.schema(EMBEDDING_STREAM_SCHEMA)
+        .parquet(input_dir)
+        .select("vec_id", "embedding")
+    )
+    return ivfpq_encode(stream, coarse, books)
+
+
 def stream_dedup(
     stream_df: DataFrame,
     keys: "list[str] | tuple[str, ...]",
