@@ -611,6 +611,49 @@ def _q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_knn_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered vector search (operators/knn.py::filtered_topk):
+    nearest neighbors of vec 0 among ENGLISH documents only — the
+    WHERE + ANN composition every retrieval API exposes. The predicate
+    runs before any distance arithmetic (filter-then-rank, correct by
+    construction where post-filtering the top-k is not), pushed to the
+    scan side of the doc-embedding join."""
+    from vector_search_test_spark.operators.knn import filtered_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 0).first().embedding]
+    corpus = emb.join(
+        docs.select(F.col("doc_id").alias("vec_id"), "lang"), "vec_id"
+    )
+    out = filtered_topk(corpus, qvec, predicate=F.col("lang") == "en", k=5)
+    return out.select("vec_id", F.round("dist", 6).alias("dist"))
+
+
+_HYBRID_TOPN = 50
+_HYBRID_K = 5
+
+
+def _q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (operators/search.py::hybrid_search_rrf): BM25
+    keyword ranking + exact vector ranking fused by reciprocal-rank
+    fusion, querying with doc 0's text and embedding. Both legs reduce
+    to top_n via TakeOrdered before any rank window; per-term BM25
+    contributions are quantized to integers so the grouped sum (and so
+    every rank) is engine- and order-exact against the oracle."""
+    from vector_search_test_spark.operators.search import hybrid_search_rrf
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qtext = docs.filter(F.col("doc_id") == 0).first().text
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 0).first().embedding]
+    return hybrid_search_rrf(
+        docs, emb, qtext, qvec, k=_HYBRID_K, top_n=_HYBRID_TOPN
+    )
+
+
 def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingest dedup (operators/dedup.py::incremental_dedup):
     docs 0..249 are the standing corpus; the incoming batch is docs
@@ -1643,6 +1686,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_decisions": _q_neardup_decisions,
         "incremental_dedup": _q_incremental_dedup,
         "ivfpq_adc_topk": _q_ivfpq_adc_topk,
+        "knn_filtered_topk": _q_knn_filtered_topk,
+        "hybrid_search_rrf": _q_hybrid_search_rrf,
     }
 
 
@@ -2570,6 +2615,14 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "neardup_decisions": _neardup_decisions_oracle_sql(),
         "incremental_dedup": _incremental_dedup_oracle_sql(),
         "ivfpq_adc_topk": _ivfpq_sql,
+        "knn_filtered_topk": f"""
+            SELECT e.vec_id, round({d}, 6) AS dist
+            FROM embeddings e JOIN documents dd ON e.vec_id = dd.doc_id
+            WHERE dd.lang = 'en'
+            ORDER BY {d}, e.vec_id
+            LIMIT 5
+        """,
+        "hybrid_search_rrf": _hybrid_rrf_oracle_sql(),
     }
     if _pp_sql is None:
         del out["ivf_search_partial_probe"]
@@ -2683,6 +2736,90 @@ def _centroids_oracle_sql() -> str:
     from vector_search_test_spark.operators.vstats import source_centroids_sql
 
     return source_centroids_sql()
+
+
+def _hybrid_rrf_oracle_sql() -> str:
+    """DuckDB twin of hybrid_search_rrf (query = doc 0's text + vec 0's
+    embedding, k1=1.2 b=0.75 rrf_k=60 top_n=50). Every numeric literal
+    is CAST AS DOUBLE (DuckDB types bare decimals as DECIMAL) and the
+    BM25 arithmetic mirrors the Spark expression tree term for term;
+    per-term contributions quantize to 1e-9 integers before the grouped
+    sum, so ranks — and therefore the fused scores — are exact."""
+    d = _l2_sq_sql("e.embedding", _QVEC0)
+    toks = "string_split(lower(text), ' ')"
+    idf = (
+        "ln(CAST(1.0 AS DOUBLE) + "
+        "(CAST(s.n AS DOUBLE) - t.df + CAST(0.5 AS DOUBLE)) "
+        "/ (CAST(t.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))"
+    )
+    tfpart = (
+        "(CAST(t.tf AS DOUBLE) * CAST(2.2 AS DOUBLE)) "
+        "/ (CAST(t.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) * "
+        "(CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) "
+        "* CAST(t.dl AS DOUBLE) / s.avgdl))"
+    )
+    return f"""
+        WITH qterms AS (
+            SELECT DISTINCT t AS term FROM (
+                SELECT unnest({toks}) AS t
+                FROM documents WHERE doc_id = 0
+            ) WHERE t <> ''
+        ),
+        s AS (
+            SELECT count(*) AS n,
+                   CAST(sum(len({toks})) AS DOUBLE) / count(*) AS avgdl
+            FROM documents
+        ),
+        toks AS (
+            SELECT doc_id AS id, len({toks}) AS dl,
+                   unnest({toks}) AS term
+            FROM documents
+        ),
+        tf AS (
+            SELECT id, dl, term, count(*) AS tf FROM toks
+            WHERE term IN (SELECT term FROM qterms)
+            GROUP BY 1, 2, 3
+        ),
+        t AS (
+            SELECT tf.*, dft.df
+            FROM tf JOIN (
+                SELECT term, count(*) AS df FROM tf GROUP BY term
+            ) dft USING (term)
+        ),
+        lexq AS (
+            SELECT t.id,
+                   CAST(sum(CAST(round({idf} * {tfpart} * 1e9, 0) AS BIGINT))
+                        AS BIGINT) AS lexq
+            FROM t CROSS JOIN s
+            GROUP BY t.id
+        ),
+        lex_top AS (
+            SELECT id, lexq FROM lexq ORDER BY lexq DESC, id LIMIT 50
+        ),
+        lex_ranked AS (
+            SELECT id,
+                   row_number() OVER (ORDER BY lexq DESC, id) AS lex_rank
+            FROM lex_top
+        ),
+        vec_top AS (
+            SELECT e.vec_id AS id, {d} AS dd
+            FROM embeddings e ORDER BY {d}, e.vec_id LIMIT 50
+        ),
+        vec_ranked AS (
+            SELECT id, row_number() OVER (ORDER BY dd, id) AS vec_rank
+            FROM vec_top
+        ),
+        fused AS (
+            SELECT COALESCE(l.id, v.id) AS id, l.lex_rank, v.vec_rank,
+                   COALESCE(CAST(1.0 AS DOUBLE) / (60 + l.lex_rank),
+                            CAST(0 AS DOUBLE))
+                 + COALESCE(CAST(1.0 AS DOUBLE) / (60 + v.vec_rank),
+                            CAST(0 AS DOUBLE)) AS rrf
+            FROM lex_ranked l FULL OUTER JOIN vec_ranked v ON l.id = v.id
+        )
+        SELECT id AS doc_id, round(rrf, 6) AS rrf, lex_rank, vec_rank
+        FROM fused ORDER BY rrf DESC, id LIMIT 5
+    """
 
 
 def _incremental_dedup_oracle_sql() -> str:

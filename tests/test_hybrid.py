@@ -1,0 +1,108 @@
+"""Filtered vector search (operators/knn.py::filtered_topk) and hybrid
+BM25+vector RRF retrieval (operators/search.py::hybrid_search_rrf):
+filter-then-rank correctness, scan pushdown, fusion arithmetic, and the
+DuckDB twin on the fixture."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from vector_search_test_spark.io import load_table
+from vector_search_test_spark.operators.knn import filtered_topk, topk_global
+from vector_search_test_spark.operators.search import hybrid_search_rrf
+
+
+def test_filtered_topk_filter_then_rank(spark, sf_dir):
+    """Excluding the best match must promote the next-nearest (the
+    post-filter composition would return k-1 rows instead); with a
+    vacuous predicate the result equals the unfiltered top-k."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+    plain = [r.vec_id for r in topk_global(emb, qvec, k=5).collect()]
+    assert plain[0] == 0  # self is nearest
+    excl = [
+        r.vec_id
+        for r in filtered_topk(
+            emb, qvec, predicate=F.col("vec_id") != 0, k=5
+        ).collect()
+    ]
+    assert len(excl) == 5 and 0 not in excl
+    assert excl[:4] == plain[1:5]  # rank shifted, not truncated
+    vac = [
+        r.vec_id
+        for r in filtered_topk(emb, qvec, predicate=F.lit(True), k=5).collect()
+    ]
+    assert vac == plain
+
+
+def test_filtered_topk_pushes_predicate_to_scan(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.join(
+        docs.select(F.col("doc_id").alias("vec_id"), "lang"), "vec_id"
+    )
+    qvec = [float(x) for x in emb.first().embedding]
+    plan = (
+        filtered_topk(corpus, qvec, predicate=F.col("lang") == "en", k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "lang" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_hybrid_rrf_semantics(spark, sf_dir):
+    """The query document tops both legs, so it must rank first with
+    rrf = 2/(60+1); every fused score equals the recomputed
+    1/(60+lex)+1/(60+vec) with NULL legs contributing 0."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qtext = docs.filter(F.col("doc_id") == 0).first().text
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+    rows = hybrid_search_rrf(docs, emb, qtext, qvec, k=10).collect()
+    by_id = {r.doc_id: r for r in rows}
+    # the query doc's own embedding is distance 0 -> vector rank 1 is
+    # guaranteed; BM25 rank 1 is NOT (a shorter doc with higher tf of
+    # the rare query terms can outscore the source doc), but the query
+    # doc must appear in the lexical leg (it contains every query term)
+    assert 0 in by_id
+    assert by_id[0].vec_rank == 1
+    assert by_id[0].lex_rank is not None
+    for r in rows:
+        want = (1.0 / (60 + r.lex_rank) if r.lex_rank else 0.0) + (
+            1.0 / (60 + r.vec_rank) if r.vec_rank else 0.0
+        )
+        assert r.rrf == round(want, 6)
+    # descending, tie-broken by id
+    key = [(-r.rrf, r.doc_id) for r in rows]
+    assert key == sorted(key)
+
+
+def test_hybrid_rrf_matches_duckdb_twin(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    got = sorted(
+        tuple(r)
+        for r in entrymod._q_hybrid_search_rrf(spark, sf_dir).collect()
+    )
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    want = sorted(
+        (int(i), rr, None if lr is None else int(lr),
+         None if vr is None else int(vr))
+        for i, rr, lr, vr in con.execute(
+            entrymod._hybrid_rrf_oracle_sql()
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_hybrid_rejects_empty_query(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError):
+        hybrid_search_rrf(docs, emb, "   ", [0.0] * 64)

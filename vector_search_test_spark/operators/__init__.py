@@ -23,6 +23,7 @@ from vector_search_test_spark.operators.ivf import (
     ivf_search_all,
 )
 from vector_search_test_spark.operators.knn import (
+    filtered_topk,
     knn_exact,
     salted_topk_per_key,
     topk_global,
@@ -43,7 +44,11 @@ from vector_search_test_spark.operators.pq import (
     train_ivfpq_numpy,
     train_pq_numpy,
 )
-from vector_search_test_spark.operators.search import build_text_index, search_text
+from vector_search_test_spark.operators.search import (
+    build_text_index,
+    hybrid_search_rrf,
+    search_text,
+)
 from vector_search_test_spark.operators.timeseries import (
     asof_join,
     interval_join,
@@ -57,6 +62,8 @@ __all__ = [
     "connected_components",
     "contamination_report",
     "dedup_exact",
+    "filtered_topk",
+    "hybrid_search_rrf",
     "ivf_add",
     "ivf_append",
     "ivf_build",

@@ -239,3 +239,32 @@ def knn_exact_arrow(
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def filtered_topk(
+    corpus: DataFrame,
+    query_vec: list,
+    predicate,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    metric: str = "l2_sq",
+) -> DataFrame:
+    """Metadata-filtered vector search (WHERE + ANN in one plan) — the
+    composition every retrieval API exposes ("nearest docs where
+    lang = 'en'"). The predicate is a plain Catalyst filter evaluated
+    BEFORE any distance arithmetic, so it pushes to the parquet scan
+    when it references scan columns (PushedFilters / partition pruning)
+    and selective predicates cut IO and scoring together; the survivors
+    flow into the same TakeOrderedAndProject top-k as the unfiltered
+    path. Post-filtering top-k results (the naive composition) would
+    instead return FEWER than k rows whenever the filter removes
+    near neighbors — this form is correct by construction."""
+    return topk_global(
+        corpus.filter(predicate),
+        query_vec,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        metric=metric,
+    )

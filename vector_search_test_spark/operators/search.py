@@ -65,3 +65,115 @@ def search_text(
     emb = embedder or HashingEmbedder(dim)
     qvec = [float(x) for x in emb.encode([query_text])[0]]
     return ivf_search(index, qvec, k=k, nprobe=nprobe)
+
+
+def hybrid_search_rrf(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_text: str,
+    query_vec: "list[float]",
+    k: int = 5,
+    top_n: int = 50,
+    k1: float = 1.2,
+    b: float = 0.75,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical ranking fused with exact vector
+    ranking by reciprocal-rank fusion (Cormack et al., SIGIR 2009:
+    score = sum over legs of 1/(rrf_k + rank)) — the standard modern
+    search stack (keyword recall + semantic recall, rank-level fusion so
+    neither leg's score scale dominates). Returns
+    (doc_id, rrf, lex_rank, vec_rank), top-k by (rrf desc, id), ranks
+    NULL for a doc that appears in only one leg.
+
+    Scale shape: the lexical leg explodes tokens but filters to the
+    QUERY's terms before the (doc, term) aggregation — corpus tokens
+    not in the query never shuffle; document length and term stats are
+    exact integer aggregates. Each leg independently reduces to top_n
+    rows via TakeOrdered BEFORE any rank window (the row_number runs on
+    <= top_n rows in one partition — constant work at any corpus
+    size), and the fusion is an outer join of two top_n-row sets.
+
+    Determinism contract: per-(doc, term) BM25 contributions are
+    deterministic doubles (exact-int tf/df/dl + literal scalars), but a
+    grouped FLOAT sum is order-dependent — so contributions are
+    quantized to 1e-9 integers and summed exactly; ranks tie-break on
+    id. The DuckDB twin reproduces rank-for-rank."""
+    from pyspark.sql import Window
+
+    from vector_search_test_spark.functions.vector import l2_sq_const
+    from vector_search_test_spark.operators.dedup import tokens
+
+    qterms = sorted({t for t in query_text.lower().split(" ") if t})
+    if not qterms:
+        raise ValueError("query_text has no tokens")
+
+    base = docs.select(F.col(id_col).alias("id"), F.col(text_col))
+    n_docs_row = base.agg(
+        F.count("*").alias("n"),
+        F.sum(F.size(tokens(text_col))).cast("long").alias("sum_dl"),
+    ).first()
+    n_docs = int(n_docs_row.n)
+    avgdl = float(n_docs_row.sum_dl) / n_docs
+
+    toks = base.select(
+        "id",
+        F.size(tokens(text_col)).alias("dl"),
+        F.explode(tokens(text_col)).alias("term"),
+    ).filter(F.col("term").isin(qterms))
+    tf = toks.groupBy("id", "dl", "term").agg(F.count("*").alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    contrib = idf * (
+        (F.col("tf") * (k1 + 1))
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+        )
+    )
+    lex_scores = (
+        tf.join(F.broadcast(df_t), "term")
+        .withColumn("q", F.round(contrib * 1e9, 0).cast("long"))
+        .groupBy("id")
+        .agg(F.sum("q").alias("lexq"))
+    )
+    lex_top = lex_scores.orderBy(F.desc("lexq"), F.asc("id")).limit(top_n)
+    w_lex = Window.orderBy(F.desc("lexq"), F.asc("id"))
+    lex_ranked = lex_top.withColumn(
+        "lex_rank", F.row_number().over(w_lex).cast("long")
+    ).select("id", "lex_rank")
+
+    dist = l2_sq_const(F.col(vec_col), [float(v) for v in query_vec])
+    vec_top = (
+        embeddings.select(F.col(vec_id_col).alias("id"), dist.alias("d"))
+        .orderBy(F.asc("d"), F.asc("id"))
+        .limit(top_n)
+    )
+    w_vec = Window.orderBy(F.asc("d"), F.asc("id"))
+    vec_ranked = vec_top.withColumn(
+        "vec_rank", F.row_number().over(w_vec).cast("long")
+    ).select("id", "vec_rank")
+
+    fused = lex_ranked.join(vec_ranked, "id", "full_outer").withColumn(
+        "rrf",
+        F.coalesce(F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("lex_rank")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("vec_rank")), F.lit(0.0)),
+    )
+    return (
+        fused.orderBy(F.desc("rrf"), F.asc("id"))
+        .limit(k)
+        .select(
+            F.col("id").alias(id_col),
+            F.round("rrf", 6).alias("rrf"),
+            "lex_rank",
+            "vec_rank",
+        )
+    )
