@@ -1668,7 +1668,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # no duplicate hits — no oracle by construction)
         "ivf_bignlist_broadcast": _q_ivf_bignlist_broadcast,
         "knn_widedim_arrow": _q_knn_widedim_arrow,
-        # --- position 53+: corpus-assembly ops (r6). Past the driver's
+        # --- position 53+: round-6 extension entries (corpus assembly,
+        # PQ / IVF-PQ compressed search, streaming dedup, vector
+        # analytics, filtered + hybrid retrieval). Past the driver's
         # 50-entry scoring cap TODAY, but each carries a full oracle in
         # oracle_sql(), so tools/check_oracle.py gates them locally and
         # they score automatically if the cap ever lifts. ---
