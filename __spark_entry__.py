@@ -1225,6 +1225,33 @@ def _q_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(qname).select("user_id", "event_type")
 
 
+def _q_stream_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join through the driver gate (streaming/ingest.py::
+    stream_enriched_segment_counts): the events stream broadcast-joined
+    to the static customer dimension, aggregated per market segment,
+    drained with availableNow — must equal the plain batch join+GROUP BY
+    the oracle runs."""
+    from vector_search_test_spark.streaming.ingest import (
+        stream_enriched_segment_counts,
+    )
+
+    inp = _stream_staging_dir(sf_dir, "enrich")
+    cust = load_table(spark, sf_dir, "customer")
+    qname = "sg_enrich_" + os.path.basename(sf_dir.rstrip("/")).replace(
+        ".", "_"
+    )
+    q = (
+        stream_enriched_segment_counts(spark, inp, cust)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname)
+
+
 def _q_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native Spark session windows (F.session_window, gap 30 min) —
     the built-in twin of operators/timeseries.py::sessionize; one shuffle,
@@ -1690,6 +1717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_adc_topk": _q_ivfpq_adc_topk,
         "knn_filtered_topk": _q_knn_filtered_topk,
         "hybrid_search_rrf": _q_hybrid_search_rrf,
+        "stream_enriched_counts": _q_stream_enriched_counts,
     }
 
 
@@ -2625,6 +2653,13 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
             LIMIT 5
         """,
         "hybrid_search_rrf": _hybrid_rrf_oracle_sql(),
+        "stream_enriched_counts": """
+            SELECT c.c_mktsegment, count(*) AS n_events,
+                   CAST(sum(CAST(e.value AS DECIMAL(38,2))) AS DOUBLE)
+                       AS sum_value
+            FROM events e JOIN customer c ON e.user_id = c.c_custkey
+            GROUP BY c.c_mktsegment
+        """,
     }
     if _pp_sql is None:
         del out["ivf_search_partial_probe"]

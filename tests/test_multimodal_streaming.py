@@ -237,3 +237,58 @@ def test_stream_ivfpq_encode_matches_batch(spark, sf_dir, tmp_path):
         for r in ivfpq_encode(emb, coarse, books).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-static join: the streamed events-x-customer segment rollup
+    (availableNow, two micro-batches) equals the batch join + GROUP BY."""
+    from vector_search_test_spark.streaming.ingest import (
+        stream_enriched_segment_counts,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    inp = tmp_path / "enrich_in"
+    inp.mkdir()
+    b = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+    mid = b.lo + (b.hi - b.lo) / 2
+    for i, part in enumerate(
+        [ev.filter(F.col("ts") <= F.lit(mid)), ev.filter(F.col("ts") > F.lit(mid))]
+    ):
+        sub = tmp_path / f"enr_stage{i}"
+        part.coalesce(1).write.parquet(str(sub))
+        import os as _os
+
+        (pq,) = [f for f in _os.listdir(sub) if f.endswith(".parquet")]
+        _os.rename(sub / pq, inp / f"{i:02d}.parquet")
+        _os.utime(inp / f"{i:02d}.parquet", (1_700_000_000 + i,) * 2)
+
+    q = (
+        stream_enriched_segment_counts(spark, str(inp), cust)
+        .writeStream.format("memory")
+        .queryName("enrich_twin")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "enr_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r.c_mktsegment, r.n_events, round(r.sum_value, 2))
+        for r in spark.sql("SELECT * FROM enrich_twin").collect()
+    )
+    want = sorted(
+        (r.c_mktsegment, r.n_events, round(r.sum_value, 2))
+        for r in ev.join(
+            cust, ev.user_id == cust.c_custkey
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .collect()
+    )
+    assert got == want and len(got) > 1

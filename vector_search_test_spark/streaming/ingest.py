@@ -265,6 +265,35 @@ def stream_dedup_event_keys(
     return stream_dedup(ev, keys, watermark_col="ts", delay=delay)
 
 
+def stream_enriched_segment_counts(
+    spark: SparkSession,
+    input_dir: str,
+    customer: DataFrame,
+) -> DataFrame:
+    """Stream-static join + aggregation: arriving events are enriched
+    against the static customer dimension (events.user_id =
+    c_custkey) and rolled up per market segment — the canonical
+    "enrich the firehose with a dimension table" pattern. The static
+    side rides an explicit broadcast, so each micro-batch plans a
+    BroadcastHashJoin with no stream-side shuffle before the
+    aggregation; Structured Streaming re-resolves the static relation
+    per micro-batch, so a dimension refresh is picked up without
+    restarting the query. Value sums use decimal (exact, order-free)
+    cast back to double, like the windowed aggregation."""
+    ev = events_stream_source(spark, input_dir)
+    dim = customer.select("c_custkey", "c_mktsegment")
+    return (
+        ev.join(F.broadcast(dim), ev.user_id == dim.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
 def run_stream_to_parquet(
     stream_df: DataFrame,
     out_dir: str,
