@@ -1252,6 +1252,32 @@ def _q_stream_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(qname)
 
 
+def _q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join through the driver gate (streaming/
+    ingest.py::stream_click_purchase_join): purchases x same-user clicks
+    within a 1-hour event-time window, both sides watermarked, drained
+    with availableNow — emitted pairs must equal the batch inner join
+    the oracle runs."""
+    from vector_search_test_spark.streaming.ingest import (
+        stream_click_purchase_join,
+    )
+
+    inp = _stream_staging_dir(sf_dir, "ssjoin")
+    qname = "sg_ssjoin_" + os.path.basename(sf_dir.rstrip("/")).replace(
+        ".", "_"
+    )
+    q = (
+        stream_click_purchase_join(spark, inp)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname)
+
+
 def _q_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native Spark session windows (F.session_window, gap 30 min) —
     the built-in twin of operators/timeseries.py::sessionize; one shuffle,
@@ -1718,6 +1744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_filtered_topk": _q_knn_filtered_topk,
         "hybrid_search_rrf": _q_hybrid_search_rrf,
         "stream_enriched_counts": _q_stream_enriched_counts,
+        "stream_stream_join": _q_stream_stream_join,
     }
 
 
@@ -2659,6 +2686,15 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
                        AS sum_value
             FROM events e JOIN customer c ON e.user_id = c.c_custkey
             GROUP BY c.c_mktsegment
+        """,
+        "stream_stream_join": """
+            SELECT p.user_id, p.event_id AS purchase_id,
+                   c.event_id AS click_id
+            FROM events p JOIN events c ON p.user_id = c.user_id
+            WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+              AND CAST(c.ts AS TIMESTAMP)
+                  BETWEEN CAST(p.ts AS TIMESTAMP) - INTERVAL 1 HOUR
+                      AND CAST(p.ts AS TIMESTAMP)
         """,
     }
     if _pp_sql is None:

@@ -292,3 +292,62 @@ def test_stream_static_enrichment_matches_batch(spark, sf_dir, tmp_path):
         .collect()
     )
     assert got == want and len(got) > 1
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-stream inner join across two micro-batches equals the
+    batch interval join (watermark delay >= window keeps each side's
+    state alive for every possible cross-batch match)."""
+    import os as _os
+
+    from vector_search_test_spark.streaming.ingest import (
+        stream_click_purchase_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    inp = tmp_path / "ssj_in"
+    inp.mkdir()
+    b = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+    mid = b.lo + (b.hi - b.lo) / 2
+    for i, part in enumerate(
+        [ev.filter(F.col("ts") <= F.lit(mid)), ev.filter(F.col("ts") > F.lit(mid))]
+    ):
+        sub = tmp_path / f"ssj_stage{i}"
+        part.coalesce(1).write.parquet(str(sub))
+        (pq,) = [f for f in _os.listdir(sub) if f.endswith(".parquet")]
+        _os.rename(sub / pq, inp / f"{i:02d}.parquet")
+        _os.utime(inp / f"{i:02d}.parquet", (1_700_000_000 + i,) * 2)
+
+    q = (
+        stream_click_purchase_join(spark, str(inp))
+        .writeStream.format("memory")
+        .queryName("ssj_twin")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ssj_ckpt"))
+        .option("maxFilesPerTrigger", 1)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r.user_id, r.purchase_id, r.click_id)
+        for r in spark.sql("SELECT * FROM ssj_twin").collect()
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u"), F.col("event_id").alias("pid"),
+        F.col("ts").alias("pts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("event_id").alias("cid"),
+        F.col("ts").alias("cts"),
+    )
+    want = sorted(
+        (r.u, r.pid, r.cid)
+        for r in p.join(
+            c,
+            (F.col("u") == F.col("cu"))
+            & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("cts") <= F.col("pts")),
+        ).collect()
+    )
+    assert got == want and len(got) > 0

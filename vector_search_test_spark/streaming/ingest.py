@@ -294,6 +294,57 @@ def stream_enriched_segment_counts(
     )
 
 
+def stream_click_purchase_join(
+    spark: SparkSession,
+    input_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-STREAM inner join with an event-time range constraint:
+    purchases matched to same-user clicks that happened within `window`
+    before them — the streaming twin of the batch interval/as-of ops
+    (operators/timeseries.py). Both sides carry watermarks and the join
+    condition bounds event time, so each side's state is dropped once
+    the watermark passes its possible-match horizon (bounded state; the
+    correctness requirement is watermark delay >= window, else a
+    match's partner could be evicted before it arrives). Drained with
+    availableNow the emitted pairs equal the batch inner join exactly.
+    Returns (user_id, purchase_id, click_id)."""
+    purchases = (
+        events_stream_reader(spark, input_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    clicks = (
+        events_stream_reader(spark, input_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            f"""
+            p_user = c_user AND
+            click_ts BETWEEN purchase_ts - INTERVAL {window}
+                         AND purchase_ts
+            """
+        ),
+    )
+    return joined.select(
+        F.col("p_user").alias("user_id"), "purchase_id", "click_id"
+    )
+
+
 def run_stream_to_parquet(
     stream_df: DataFrame,
     out_dir: str,
