@@ -1278,6 +1278,43 @@ def _q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(qname)
 
 
+def _q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join with watermark finality: every
+    purchase emits, matched to in-window clicks or with a NULL click_id
+    — the outer rows only materialize on state eviction, so the staging
+    dir carries the far-future drain sentinel (the session-flush
+    finality mechanism reused) riding both streams. Drained result must
+    equal the batch LEFT JOIN."""
+    from vector_search_test_spark.streaming.ingest import (
+        stream_click_purchase_join,
+    )
+    from vector_search_test_spark.streaming.stateful import (
+        SENTINEL_USER_ID,
+        _ensure_drain_sentinel,
+    )
+
+    inp = _stream_staging_dir(sf_dir, "ssouter")
+    _ensure_drain_sentinel(inp, gap_seconds=3600, delay_seconds=7200)
+    qname = "sg_ssouter_" + os.path.basename(sf_dir.rstrip("/")).replace(
+        ".", "_"
+    )
+    q = (
+        stream_click_purchase_join(spark, inp, how="left_outer")
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # sentinel filtered from the BATCH result: an in-plan filter would be
+    # pushed beneath the watermark nodes and defeat the drain (see
+    # stream_click_purchase_join docstring)
+    return spark.table(qname).filter(
+        F.col("user_id") != F.lit(SENTINEL_USER_ID)
+    )
+
+
 def _q_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native Spark session windows (F.session_window, gap 30 min) —
     the built-in twin of operators/timeseries.py::sessionize; one shuffle,
@@ -1745,6 +1782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search_rrf": _q_hybrid_search_rrf,
         "stream_enriched_counts": _q_stream_enriched_counts,
         "stream_stream_join": _q_stream_stream_join,
+        "stream_stream_left_join": _q_stream_stream_left_join,
     }
 
 
@@ -2695,6 +2733,16 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
               AND CAST(c.ts AS TIMESTAMP)
                   BETWEEN CAST(p.ts AS TIMESTAMP) - INTERVAL 1 HOUR
                       AND CAST(p.ts AS TIMESTAMP)
+        """,
+        "stream_stream_left_join": """
+            SELECT p.user_id, p.event_id AS purchase_id,
+                   c.event_id AS click_id
+            FROM events p LEFT JOIN events c
+              ON p.user_id = c.user_id AND c.event_type = 'click'
+             AND CAST(c.ts AS TIMESTAMP)
+                 BETWEEN CAST(p.ts AS TIMESTAMP) - INTERVAL 1 HOUR
+                     AND CAST(p.ts AS TIMESTAMP)
+            WHERE p.event_type = 'purchase'
         """,
     }
     if _pp_sql is None:

@@ -351,3 +351,71 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
         ).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_stream_stream_left_outer_drains_completely(spark, sf_dir, tmp_path):
+    """Left-outer stream-stream join with the drain sentinel: EVERY
+    purchase emits (matched or NULL click) — including the trailing
+    watermark-delay window, which only drains because the sentinel
+    advances both watermarks. Guards the Catalyst trap: a sentinel
+    filter INSIDE the streaming plan gets pushed beneath the watermark
+    nodes (directly, and via the join-key constraint onto the other
+    side) and silently un-drains the tail, so the filter must run on
+    the sink table."""
+    import os as _os
+    import shutil as _shutil
+
+    from vector_search_test_spark.streaming.ingest import (
+        stream_click_purchase_join,
+    )
+    from vector_search_test_spark.streaming.stateful import (
+        SENTINEL_USER_ID,
+        _ensure_drain_sentinel,
+    )
+
+    src = load_table(spark, sf_dir, "events")
+    inp = tmp_path / "ssouter_in"
+    inp.mkdir()
+    _shutil.copy(
+        f"{sf_dir}/events.parquet", str(inp / "events.parquet")
+    )
+    _ensure_drain_sentinel(str(inp), gap_seconds=3600, delay_seconds=7200)
+    q = (
+        stream_click_purchase_join(spark, str(inp), how="left_outer")
+        .writeStream.format("memory")
+        .queryName("ssouter_twin")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sso_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.sql("SELECT * FROM ssouter_twin").where(
+        F.col("user_id") != SENTINEL_USER_ID
+    )
+    got = sorted(
+        (r.user_id, r.purchase_id, r.click_id) for r in out.collect()
+    )
+    p = src.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u"), F.col("event_id").alias("pid"),
+        F.col("ts").alias("pts"),
+    )
+    c = src.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("event_id").alias("cid"),
+        F.col("ts").alias("cts"),
+    )
+    want = sorted(
+        (r.u, r.pid, r.cid)
+        for r in p.join(
+            c,
+            (F.col("u") == F.col("cu"))
+            & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("cts") <= F.col("pts")),
+            "left_outer",
+        ).collect()
+    )
+    assert got == want
+    assert any(cid is None for _, _, cid in got)  # outer rows present
+    # the trailing watermark-delay window actually drained
+    n_purchases = src.filter(F.col("event_type") == "purchase").count()
+    assert len({(u, pid) for u, pid, _ in got}) == n_purchases

@@ -299,8 +299,9 @@ def stream_click_purchase_join(
     input_dir: str,
     window: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-STREAM inner join with an event-time range constraint:
+    """Stream-STREAM join with an event-time range constraint:
     purchases matched to same-user clicks that happened within `window`
     before them — the streaming twin of the batch interval/as-of ops
     (operators/timeseries.py). Both sides carry watermarks and the join
@@ -309,10 +310,26 @@ def stream_click_purchase_join(
     correctness requirement is watermark delay >= window, else a
     match's partner could be evicted before it arrives). Drained with
     availableNow the emitted pairs equal the batch inner join exactly.
-    Returns (user_id, purchase_id, click_id)."""
+    Returns (user_id, purchase_id, click_id).
+
+    how='left_outer' additionally emits every unmatched purchase with a
+    NULL click_id — but an outer row only materializes when the
+    watermark passes the purchase's match horizon (its state eviction),
+    so a drained outer join needs the input dir to carry the far-future
+    drain sentinel (stateful._ensure_drain_sentinel, the same finality
+    mechanism the session flush uses): the sentinel rides BOTH streams
+    to advance both watermarks and joins only itself (same user, same
+    instant). The CALLER must filter user_id = stateful.SENTINEL_USER_ID
+    from the drained RESULT — it cannot be filtered inside this plan,
+    because Catalyst pushes the predicate (and, via the p_user = c_user
+    join constraint, its inferred twin on the click side) beneath BOTH
+    watermark nodes, silently removing the sentinel before event-time
+    tracking and defeating the drain (observed: the trailing
+    watermark-delay window of purchases never emitted)."""
+    types = ("sentinel",) if how != "inner" else ()
     purchases = (
         events_stream_reader(spark, input_dir)
-        .filter(F.col("event_type") == "purchase")
+        .filter(F.col("event_type").isin("purchase", *types))
         .select(
             F.col("user_id").alias("p_user"),
             F.col("event_id").alias("purchase_id"),
@@ -322,7 +339,7 @@ def stream_click_purchase_join(
     )
     clicks = (
         events_stream_reader(spark, input_dir)
-        .filter(F.col("event_type") == "click")
+        .filter(F.col("event_type").isin("click", *types))
         .select(
             F.col("user_id").alias("c_user"),
             F.col("event_id").alias("click_id"),
@@ -339,6 +356,7 @@ def stream_click_purchase_join(
                          AND purchase_ts
             """
         ),
+        how,
     )
     return joined.select(
         F.col("p_user").alias("user_id"), "purchase_id", "click_id"
