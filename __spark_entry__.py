@@ -1145,6 +1145,31 @@ def reset_memos() -> None:
     _STREAM_STAGE_MEMO.clear()
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _stream_state_partitions(spark: SparkSession, n: int = 8):
+    """Pin spark.sql.shuffle.partitions for a streaming query's startup.
+
+    Every stateful streaming operator creates one state store PER
+    shuffle partition (pinned at first start from the checkpoint), and
+    each store has fixed setup/commit cost per micro-batch — at bench
+    scale that fixed cost dominates the actual work (measured on the
+    stream-stream join at sf0.1: 13.8 s with the relational default of
+    32 partitions vs 3.3 s with 8; state partitioning never affects
+    results, which hash-match either way). The right setting scales
+    with stateful KEY cardinality, not with the relational shuffle
+    width — at 100 TB you'd raise it with the cluster; here the driver
+    fixture's key counts (150 users, 5 segments) merit few stores."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def _q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming through the driver gate: the watermarked
     tumbling-window aggregation (streaming/ingest.py) drained with
@@ -1155,15 +1180,16 @@ def _q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     inp = _stream_staging_dir(sf_dir, "win")
     qname = f"sg_win_counts_{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}"
-    q = (
-        stream_event_window_counts(spark, inp)
-        .writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_state_partitions(spark):
+        q = (
+            stream_event_window_counts(spark, inp)
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(qname)
 
 
@@ -1183,15 +1209,16 @@ def _q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     qname = "sg_sessions_" + os.path.basename(sf_dir.rstrip("/")).replace(
         ".", "_"
     )
-    q = (
-        stream_sessionize(spark, inp, final_flush=True)
-        .writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_state_partitions(spark):
+        q = (
+            stream_sessionize(spark, inp, final_flush=True)
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(qname).select(
         "user_id", "session_start", "session_end", "n_events"
     )
@@ -1213,15 +1240,16 @@ def _q_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     qname = "sg_dedup_" + os.path.basename(sf_dir.rstrip("/")).replace(
         ".", "_"
     )
-    q = (
-        stream_dedup_event_keys(spark, inp)
-        .writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_state_partitions(spark):
+        q = (
+            stream_dedup_event_keys(spark, inp)
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(qname).select("user_id", "event_type")
 
 
@@ -1240,15 +1268,16 @@ def _q_stream_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     qname = "sg_enrich_" + os.path.basename(sf_dir.rstrip("/")).replace(
         ".", "_"
     )
-    q = (
-        stream_enriched_segment_counts(spark, inp, cust)
-        .writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_state_partitions(spark):
+        q = (
+            stream_enriched_segment_counts(spark, inp, cust)
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(qname)
 
 
@@ -1266,15 +1295,16 @@ def _q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     qname = "sg_ssjoin_" + os.path.basename(sf_dir.rstrip("/")).replace(
         ".", "_"
     )
-    q = (
-        stream_click_purchase_join(spark, inp)
-        .writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_state_partitions(spark):
+        q = (
+            stream_click_purchase_join(spark, inp)
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(qname)
 
 
@@ -1298,15 +1328,16 @@ def _q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     qname = "sg_ssouter_" + os.path.basename(sf_dir.rstrip("/")).replace(
         ".", "_"
     )
-    q = (
-        stream_click_purchase_join(spark, inp, how="left_outer")
-        .writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_state_partitions(spark):
+        q = (
+            stream_click_purchase_join(spark, inp, how="left_outer")
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     # sentinel filtered from the BATCH result: an in-plan filter would be
     # pushed beneath the watermark nodes and defeat the drain (see
     # stream_click_purchase_join docstring)
