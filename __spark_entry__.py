@@ -654,6 +654,28 @@ def _q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_corpus_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write corpus refresh (operators/snapshot.py::upsert):
+    docs 0..9 arrive re-edited ('[v2] ' prefix) and five brand-new docs
+    append (shifted ids) — the next snapshot must keep every other base
+    row untouched, replace the edited ten, and append the five. One
+    broadcast left-anti + union; certified by md5 of the resulting
+    text per id."""
+    from vector_search_test_spark.operators.snapshot import upsert
+
+    docs = load_table(spark, sf_dir, "documents")
+    edited = docs.filter(F.col("doc_id") < 10).withColumn(
+        "text", F.concat(F.lit("[v2] "), F.col("text"))
+    )
+    appended = docs.filter(F.col("doc_id") < 5).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    snap = upsert(docs, edited.unionByName(appended))
+    return snap.select(
+        "doc_id", F.md5("text").alias("text_md5"), "source"
+    )
+
+
 def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingest dedup (operators/dedup.py::incremental_dedup):
     docs 0..249 are the standing corpus; the incoming batch is docs
@@ -1814,6 +1836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_enriched_counts": _q_stream_enriched_counts,
         "stream_stream_join": _q_stream_stream_join,
         "stream_stream_left_join": _q_stream_stream_left_join,
+        "corpus_upsert": _q_corpus_upsert,
     }
 
 
@@ -2775,6 +2798,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
                      AND CAST(p.ts AS TIMESTAMP)
             WHERE p.event_type = 'purchase'
         """,
+        "corpus_upsert": _upsert_oracle_sql(),
     }
     if _pp_sql is None:
         del out["ivf_search_partial_probe"]
@@ -2971,6 +2995,23 @@ def _hybrid_rrf_oracle_sql() -> str:
         )
         SELECT id AS doc_id, round(rrf, 6) AS rrf, lex_rank, vec_rank
         FROM fused ORDER BY rrf DESC, id LIMIT 5
+    """
+
+
+def _upsert_oracle_sql() -> str:
+    from vector_search_test_spark.operators.snapshot import upsert_sql
+
+    updates = """
+        SELECT doc_id, '[v2] ' || text AS text, lang, source, n_chars
+        FROM documents WHERE doc_id < 10
+        UNION ALL
+        SELECT doc_id + 100000, text, lang, source, n_chars
+        FROM documents WHERE doc_id < 5
+    """
+    merged = upsert_sql("SELECT * FROM documents", updates)
+    return f"""
+        SELECT doc_id, md5(text) AS text_md5, source
+        FROM ({merged})
     """
 
 
