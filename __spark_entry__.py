@@ -1246,6 +1246,32 @@ def _q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING-window streaming aggregation (1 h windows every 15 min —
+    each event lands in 4 overlapping windows): the windowing mode
+    dashboards actually use. Oracle replays Spark's epoch-aligned
+    window expansion with timezone-free microsecond arithmetic."""
+    from vector_search_test_spark.streaming.ingest import (
+        stream_event_window_counts,
+    )
+
+    inp = _stream_staging_dir(sf_dir, "win")
+    qname = "sg_slide_" + os.path.basename(sf_dir.rstrip("/")).replace(
+        ".", "_"
+    )
+    with _stream_state_partitions(spark):
+        q = (
+            stream_event_window_counts(spark, inp, slide="15 minutes")
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(qname)
+
+
 def _q_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact deduplication (streaming/ingest.py::stream_dedup,
     global mode): each (user_id, event_type) key's first arrival only,
@@ -1837,6 +1863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_stream_join": _q_stream_stream_join,
         "stream_stream_left_join": _q_stream_stream_left_join,
         "corpus_upsert": _q_corpus_upsert,
+        "stream_sliding_counts": _q_stream_sliding_counts,
     }
 
 
@@ -2799,6 +2826,24 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
             WHERE p.event_type = 'purchase'
         """,
         "corpus_upsert": _upsert_oracle_sql(),
+        # sliding windows: Spark assigns each event to window/slide
+        # epoch-aligned windows; the twin expands via (epoch_us mod
+        # slide) + k*slide microsecond offsets — timezone-free
+        "stream_sliding_counts": """
+            WITH b AS (
+                SELECT CAST(ts AS TIMESTAMP) AS mts, event_type, value
+                FROM events
+            )
+            SELECT b.mts - to_microseconds(
+                       (epoch_us(b.mts) % 900000000) + i.i * 900000000
+                   ) AS win_start,
+                   event_type,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(38,2))) AS DOUBLE)
+                       AS sum_value
+            FROM b, (SELECT unnest(range(0, 4)) AS i) i
+            GROUP BY 1, 2
+        """,
     }
     if _pp_sql is None:
         del out["ivf_search_partial_probe"]

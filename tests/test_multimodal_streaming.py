@@ -419,3 +419,37 @@ def test_stream_stream_left_outer_drains_completely(spark, sf_dir, tmp_path):
     # the trailing watermark-delay window actually drained
     n_purchases = src.filter(F.col("event_type") == "purchase").count()
     assert len({(u, pid) for u, pid, _ in got}) == n_purchases
+
+
+def test_sliding_window_expansion_factor(spark, sf_dir, tmp_path):
+    """Sliding 1 h windows every 15 min: every event lands in exactly
+    window/slide = 4 windows, so the summed counts are 4x the corpus
+    and each event's 4 window starts are 15 min apart."""
+    from vector_search_test_spark.streaming.ingest import (
+        stream_event_window_counts,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    inp = tmp_path / "slide_in"
+    inp.mkdir()
+    import shutil as _shutil
+
+    _shutil.copy(f"{sf_dir}/events.parquet", str(inp / "events.parquet"))
+    q = (
+        stream_event_window_counts(spark, str(inp), slide="15 minutes")
+        .writeStream.format("memory")
+        .queryName("slide_twin")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "slide_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    t = spark.sql("SELECT * FROM slide_twin")
+    total = t.agg(F.sum("n_events")).first()[0]
+    assert total == 4 * ev.count()
+    # window starts align to the 15-minute grid
+    bad = t.filter(
+        F.unix_timestamp("win_start") % 900 != 0
+    ).count()
+    assert bad == 0

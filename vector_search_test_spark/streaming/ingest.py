@@ -166,14 +166,22 @@ def stream_event_window_counts(
     input_dir: str,
     window: str = "1 hour",
     watermark: str = "2 hours",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Watermarked tumbling-window event counts: the canonical streaming
+    """Watermarked windowed event counts: the canonical streaming
     aggregation (late rows beyond the watermark are dropped; state is
-    bounded by the watermark horizon)."""
+    bounded by the watermark horizon). `slide=None` is a tumbling
+    window; a `slide` shorter than `window` makes it SLIDING — each
+    event lands in window/slide overlapping windows (Spark expands the
+    row per window before the aggregation, so state grows by the same
+    factor; the watermark still bounds it)."""
     ev = events_stream_source(spark, input_dir)
+    win = (
+        F.window("ts", window, slide) if slide else F.window("ts", window)
+    )
     return (
         ev.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window).alias("win"), F.col("event_type"))
+        .groupBy(win.alias("win"), F.col("event_type"))
         .agg(
             F.count("*").alias("n_events"),
             # decimal sum: exact and summation-order-independent (fixture
