@@ -70,3 +70,59 @@ def upsert_sql(
         UNION ALL
         SELECT * FROM ({updates_sql})
     """
+
+
+def stream_upsert_snapshots(
+    stream: DataFrame,
+    base_dir: str,
+    key: str = "doc_id",
+):
+    """foreachBatch sink that maintains a copy-on-write snapshot from a
+    stream of row upserts — the standard production pattern for "keep a
+    queryable corpus current from a firehose" when the sink format has
+    no native MERGE.
+
+    Per micro-batch: read the current snapshot version, `upsert` the
+    batch into it, write the result as a NEW version directory
+    (`v<batch_id>`), then atomically repoint the `_CURRENT` marker.
+    Restart safety: foreachBatch may replay a batch after recovery; the
+    version dir is keyed by batch id, so a replay overwrites ITS OWN
+    output and repoints to the same version — the previous snapshot is
+    never mutated (copy-on-write), so a crash mid-write leaves
+    `_CURRENT` on the last complete version. The local-file `_CURRENT`
+    marker is the commit-protocol seam: on a real deployment that
+    rename is a metastore / table-format commit (the plan shape —
+    broadcast anti-join upsert + full rewrite, or partition-scoped
+    rewrite per SCALE.md — is unchanged).
+
+    Returns the DataStreamWriter (caller adds trigger/checkpoint and
+    starts it)."""
+    import os
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        cur_file = os.path.join(base_dir, "_CURRENT")
+        if os.path.exists(cur_file):
+            with open(cur_file) as f:
+                cur = f.read().strip()
+            base = spark.read.parquet(os.path.join(base_dir, cur))
+            nxt = upsert(base, batch_df, key=key)
+        else:
+            nxt = batch_df
+        vdir = f"v{batch_id}"
+        nxt.write.mode("overwrite").parquet(os.path.join(base_dir, vdir))
+        tmp = cur_file + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(vdir)
+        os.replace(tmp, cur_file)
+
+    return stream.writeStream.foreachBatch(_apply)
+
+
+def read_current_snapshot(spark, base_dir: str) -> DataFrame:
+    """Read the live snapshot the `_CURRENT` marker points at."""
+    import os
+
+    with open(os.path.join(base_dir, "_CURRENT")) as f:
+        cur = f.read().strip()
+    return spark.read.parquet(os.path.join(base_dir, cur))
