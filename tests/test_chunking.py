@@ -202,3 +202,39 @@ def test_pack_chunks_single_shuffle(spark, sf_dir):
         .toString()
     )
     assert plan.count("Exchange") == 1
+
+
+def test_chunking_unicode_twin_and_empty_inputs(spark):
+    """Unicode text (multi-byte tokens) chunks byte-identically across
+    engines, and empty inputs yield empty outputs without error for
+    chunking and packing."""
+    import duckdb
+
+    from vector_search_test_spark.functions.chunking import pack_chunks
+
+    df = spark.createDataFrame(
+        [(1, "héllo wörld 中文 токены emoji🙂 mixé"), (2, "")],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r.id, r.chunk_id, r.chunk_text, r.n_tokens)
+        for r in chunk_documents(df, size=3, overlap=1).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.execute(
+        "INSERT INTO documents VALUES (1, 'héllo wörld 中文 токены emoji🙂 mixé'), (2, '')"
+    )
+    want = sorted(
+        (int(i), int(c), t, int(n))
+        for i, c, t, n in con.execute(
+            chunk_documents_sql(size=3, overlap=1)
+        ).fetchall()
+    )
+    assert got == want
+    assert any("中文" in t for _, _, t, _ in got)
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    ch = chunk_documents(empty, size=4, overlap=1)
+    assert ch.count() == 0
+    assert pack_chunks(ch, budget=8, n_buckets=4).count() == 0

@@ -162,3 +162,22 @@ def test_chunk_starts_cover_every_token(n, size, overlap_frac):
         covered.update(range(s, min(s + size, n + 1)))
     assert covered == set(range(1, n + 1))
     assert all(s2 - s1 == step for s1, s2 in zip(starts, starts[1:]))
+
+
+@settings(**_PURE_SETTINGS)
+@given(
+    base_keys=st.sets(st.integers(min_value=0, max_value=60), min_size=0, max_size=40),
+    upd_keys=st.sets(st.integers(min_value=0, max_value=60), min_size=0, max_size=40),
+)
+def test_upsert_count_algebra(base_keys, upd_keys):
+    """Pure twin of operators/snapshot.py::upsert's row algebra:
+    |result| = |base| - |base∩updates| + |updates|; updated keys carry
+    the update's payload, untouched keys the base's, and the key sets
+    union exactly."""
+    base = {k: f"b{k}" for k in base_keys}
+    upd = {k: f"u{k}" for k in upd_keys}
+    result = {**{k: v for k, v in base.items() if k not in upd}, **upd}
+    assert len(result) == len(base) - len(base_keys & upd_keys) + len(upd)
+    assert set(result) == base_keys | upd_keys
+    for k, v in result.items():
+        assert v == (f"u{k}" if k in upd_keys else f"b{k}")
