@@ -654,6 +654,30 @@ def _q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _q_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per-user event counts spread into one column per event
+    type (`groupBy(user_id).pivot(event_type, <explicit values>)`) —
+    the wide-format operator dashboards and feature tables use.
+    Passing the value list explicitly matters at scale: without it
+    Spark runs an extra distinct-collect job over the full input to
+    discover the columns. The unpivot (melt) inverse is pinned as a
+    round-trip in tests/test_pivot.py. Oracle: one FILTERed aggregate
+    per value column."""
+    ev = load_table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _PIVOT_TYPES)
+        .count()
+        .na.fill(0, _PIVOT_TYPES)
+    )
+    return out.select(
+        "user_id", *[F.col(t).cast("long").alias(t) for t in _PIVOT_TYPES]
+    )
+
+
 def _q_corpus_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Copy-on-write corpus refresh (operators/snapshot.py::upsert):
     docs 0..9 arrive re-edited ('[v2] ' prefix) and five brand-new docs
@@ -1864,6 +1888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_stream_left_join": _q_stream_stream_left_join,
         "corpus_upsert": _q_corpus_upsert,
         "stream_sliding_counts": _q_stream_sliding_counts,
+        "pivot_event_counts": _q_pivot_event_counts,
     }
 
 
@@ -2843,6 +2868,15 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
                        AS sum_value
             FROM b, (SELECT unnest(range(0, 4)) AS i) i
             GROUP BY 1, 2
+        """,
+        "pivot_event_counts": """
+            SELECT user_id,
+                   count(*) FILTER (WHERE event_type = 'click') AS click,
+                   count(*) FILTER (WHERE event_type = 'error') AS error,
+                   count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+                   count(*) FILTER (WHERE event_type = 'signup') AS signup,
+                   count(*) FILTER (WHERE event_type = 'view') AS view
+            FROM events GROUP BY user_id
         """,
     }
     if _pp_sql is None:
