@@ -654,6 +654,20 @@ def _q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL divergence from the corpus token distribution
+    (functions/textstats.py::source_kl_divergence) — the drift /
+    mixture-skew metric: one (source, term) shuffle, broadcast scalars,
+    integer-quantized contributions so the grouped sum (and the oracle)
+    is exact."""
+    from vector_search_test_spark.functions.textstats import (
+        source_kl_divergence,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return source_kl_divergence(docs)
+
+
 _PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -1889,6 +1903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_upsert": _q_corpus_upsert,
         "stream_sliding_counts": _q_stream_sliding_counts,
         "pivot_event_counts": _q_pivot_event_counts,
+        "source_kl_divergence": _q_source_kl_divergence,
     }
 
 
@@ -2878,6 +2893,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
                    count(*) FILTER (WHERE event_type = 'view') AS view
             FROM events GROUP BY user_id
         """,
+        "source_kl_divergence": _source_kl_oracle(),
     }
     if _pp_sql is None:
         del out["ivf_search_partial_probe"]
@@ -2985,6 +3001,14 @@ def _unigram_lm_oracle() -> str:
     )
 
     return unigram_lm_oracle_sql()
+
+
+def _source_kl_oracle() -> str:
+    from vector_search_test_spark.functions.textstats import (
+        source_kl_oracle_sql,
+    )
+
+    return source_kl_oracle_sql()
 
 
 def _centroids_oracle_sql() -> str:

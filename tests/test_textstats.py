@@ -174,3 +174,36 @@ def test_unigram_lm_plan_shape(spark, sf_dir):
     )
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_source_kl_divergence_semantics_and_twin(spark, sf_dir):
+    """KL >= 0 (up to quantization), a planted disjoint-vocabulary
+    source dominates every natural source, and the DuckDB twin agrees
+    bit-for-bit."""
+    import duckdb
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    rows = {r.source: r for r in ts.source_kl_divergence(docs).collect()}
+    assert all(r.kl >= -1e-6 for r in rows.values())  # Gibbs, quantized
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = {
+        s: (int(n), k)
+        for s, n, k in con.execute(ts.source_kl_oracle_sql()).fetchall()
+    }
+    got = {s: (r.n_tokens, r.kl) for s, r in rows.items()}
+    assert got == want
+
+    alien = spark.createDataFrame(
+        [(900_000 + i, "zz%d qq%d vv%d" % (i, i, i), "alien")
+         for i in range(10)],
+        "doc_id long, text string, source string",
+    )
+    both = docs.union(alien)
+    kl2 = {r.source: r.kl for r in ts.source_kl_divergence(both).collect()}
+    assert kl2["alien"] > max(v for s, v in kl2.items() if s != "alien")

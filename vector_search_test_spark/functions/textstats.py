@@ -246,6 +246,99 @@ def unigram_lm_scores(
     )
 
 
+def source_kl_divergence(
+    docs,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Per-stratum KL divergence from the corpus token distribution —
+    the drift / mixture-skew metric corpus dashboards track:
+    KL(p_s || p) = sum_w p_s(w) * ln(p_s(w) / p(w)) with add-one
+    smoothing over the shared vocabulary, where p_s is stratum s's
+    unigram distribution and p the whole corpus's. Returns
+    (source, n_tokens, kl) with kl rounded to 6dp; 0 means the stratum
+    reads like the corpus, large means skewed vocabulary.
+
+    Plan: ONE (stratum, term) count shuffle with map-side combine; the
+    corpus-level term counts derive from the same aggregate (a second
+    tiny shuffle on term); scalars ride a broadcast. Per-(stratum,
+    term) contributions are deterministic doubles, but a grouped float
+    sum is order-dependent — so contributions quantize to 1e-12-scaled
+    integers and the per-stratum sum is exact, making the DuckDB twin
+    value-identical."""
+    from vector_search_test_spark.operators.dedup import tokens
+
+    toks = docs.select(
+        F.col(strata_col).alias("source"),
+        F.explode(tokens(text_col)).alias("term"),
+    )
+    st = toks.groupBy("source", "term").agg(F.count("*").alias("c_s"))
+    vocab = st.groupBy("term").agg(F.sum("c_s").alias("c"))
+    v_size = vocab.count()
+    totals = st.groupBy("source").agg(
+        F.sum("c_s").cast("long").alias("n_s")
+    )
+    n_total = vocab.agg(F.sum("c").cast("long")).first()[0]
+    joined = (
+        st.join(F.broadcast(vocab), "term")
+        .join(F.broadcast(totals), "source")
+    )
+    p_s = (F.col("c_s") + 1) / (F.col("n_s") + F.lit(v_size))
+    p = (F.col("c") + 1) / (F.lit(n_total) + F.lit(v_size))
+    contrib = p_s * F.log(p_s / p)
+    q = F.round(contrib * 1e12, 0).cast("long")
+    return (
+        joined.withColumn("q", q)
+        .groupBy("source")
+        .agg(
+            F.max("n_s").alias("n_tokens"),
+            F.round(F.sum("q") / 1e12, 6).alias("kl"),
+        )
+    )
+
+
+def source_kl_oracle_sql() -> str:
+    """DuckDB twin of source_kl_divergence (same smoothing, same
+    quantization; every literal coerced to DOUBLE by the column
+    operands)."""
+    return """
+        WITH toks AS (
+            SELECT source, unnest(string_split(lower(text), ' ')) AS term
+            FROM documents
+        ),
+        st AS (
+            SELECT source, term, count(*) AS c_s
+            FROM toks GROUP BY source, term
+        ),
+        vocab AS (SELECT term, sum(c_s) AS c FROM st GROUP BY term),
+        scalars AS (
+            SELECT CAST(count(*) AS BIGINT) AS v_size,
+                   CAST(sum(c) AS BIGINT) AS n_total
+            FROM vocab
+        ),
+        totals AS (
+            SELECT source, CAST(sum(c_s) AS BIGINT) AS n_s
+            FROM st GROUP BY source
+        ),
+        contrib AS (
+            SELECT st.source, totals.n_s,
+                   CAST(round(
+                       ((st.c_s + 1) / (totals.n_s + CAST(s.v_size AS DOUBLE)))
+                       * ln(((st.c_s + 1) / (totals.n_s + CAST(s.v_size AS DOUBLE)))
+                            / ((vocab.c + 1) / (CAST(s.n_total AS DOUBLE) + s.v_size)))
+                       * 1e12, 0) AS BIGINT) AS q
+            FROM st
+            JOIN vocab USING (term)
+            JOIN totals USING (source)
+            CROSS JOIN scalars s
+        )
+        SELECT source, max(n_s) AS n_tokens,
+               round(sum(q) / 1e12, 6) AS kl
+        FROM contrib GROUP BY source
+    """
+
+
 def unigram_lm_oracle_sql() -> str:
     """DuckDB twin of unigram_lm_scores over the documents view (same
     tokens, same smoothing, same double math)."""
