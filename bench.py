@@ -5,7 +5,21 @@ Runs every query declared in ``__spark_entry__.queries()`` against
 ``local[$SPARK_GRAFT_CPUS]`` and prints exactly ONE JSON line:
 
     {"metric": "total_wall", "value": <sum-sec>, "unit": "sec",
-     "queries": {"<name>": <sec>, ...}, "sf": <sf>, "repeat": N}
+     "sf": <sf>, "repeat": N, "scored50": <sum-sec over the first 50
+     entries — the driver-scored set BASELINE.md compares>,
+     "queries": {"<name>": <sec>, ...}, ...}
+
+Artifact-size discipline (VERDICT r6 #1): with 75+ entries the old
+single line outgrew the driver's stdout tail-capture window and the
+recorded BENCH_r06.json came back `parsed: null` — the head of the
+line (total_wall + the first per-query numbers) was simply cut off.
+The printed line is therefore kept SHORT and totals-FIRST: scalars
+lead, the per-query dict is restricted to the scored-50 entries at
+2-decimal precision with compact separators, and if even that would
+exceed the capture budget the dict is dropped from stdout entirely.
+The FULL per-query detail (all entries, 4-decimal, per-pass minima)
+is always written to the ``BENCH.local.json`` sidecar next to this
+file, so nothing is lost — only the stdout line is bounded.
 
 Execution is forced with the `noop` sink (full plan runs, nothing is
 collected to the driver) so timings measure the whole pipeline, not just
@@ -99,18 +113,55 @@ def main() -> int:
         entrymod.reset_memos()
 
     total = round(sum(v for v in timings.values() if v >= 0), 4)
-    print(
-        json.dumps(
+    scored_names = list(timings)[:50]  # driver scores the first 50 entries
+    scored50 = round(
+        sum(timings[n] for n in scored_names if timings[n] >= 0), 4
+    )
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH.local.json"
+    )
+    with open(sidecar, "w") as f:
+        json.dump(
             {
                 "metric": "total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": _sf_from_dir(SF_DIR),
                 "repeat": repeat,
-            }
+                "scored50": scored50,
+                "n_entries": len(timings),
+                "queries": timings,
+            },
+            f,
+            indent=1,
         )
+        f.write("\n")
+
+    # stdout line: totals FIRST, scored-50 per-query at 2dp, compact
+    # separators; hard byte budget so driver tail-capture can never
+    # truncate it mid-JSON again (full detail lives in the sidecar)
+    head = {
+        "metric": "total_wall",
+        "value": total,
+        "unit": "sec",
+        "sf": _sf_from_dir(SF_DIR),
+        "repeat": repeat,
+        "scored50": scored50,
+        "n_entries": len(timings),
+        "detail": "BENCH.local.json",
+    }
+    line_with_q = json.dumps(
+        {
+            **head,
+            "queries": {
+                n: (round(timings[n], 2) if timings[n] >= 0 else -1.0)
+                for n in scored_names
+            },
+        },
+        separators=(",", ":"),
     )
+    print(line_with_q if len(line_with_q) <= 1900
+          else json.dumps(head, separators=(",", ":")))
     spark.stop()
     return 0
 

@@ -101,6 +101,36 @@ def test_hybrid_rrf_matches_duckdb_twin(spark, sf_dir):
     assert got == want
 
 
+def test_hybrid_precomputed_stats_identical_and_actionless(spark, sf_dir):
+    """Supplying corpus_stats=(n_docs, avgdl) must (a) change nothing in
+    the result — the precomputed scalars are exact — and (b) remove the
+    corpus-wide scalar aggregate from the QUERY path: building the plan
+    triggers no Spark action at all (jobs only run when the caller
+    executes the returned DataFrame)."""
+    from vector_search_test_spark.operators.search import bm25_corpus_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qtext = docs.filter(F.col("doc_id") == 0).first().text
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+    stats = bm25_corpus_stats(docs)
+
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    df = hybrid_search_rrf(
+        docs, emb, qtext, qvec, k=10, corpus_stats=stats
+    )
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, "plan construction ran a Spark job"
+
+    got = sorted(tuple(r) for r in df.collect())
+    want = sorted(
+        tuple(r) for r in hybrid_search_rrf(docs, emb, qtext, qvec, k=10).collect()
+    )
+    assert got == want
+
+
 def test_hybrid_rejects_empty_query(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")

@@ -207,3 +207,47 @@ def test_source_kl_divergence_semantics_and_twin(spark, sf_dir):
     both = docs.union(alien)
     kl2 = {r.source: r.kl for r in ts.source_kl_divergence(both).collect()}
     assert kl2["alien"] > max(v for s, v in kl2.items() if s != "alien")
+
+
+def test_source_kl_is_full_vocabulary_kl(spark):
+    """Pin the TRUE-KL semantics (ADVICE r6: the r6 version truncated
+    the sum to stratum-present terms): on a tiny fixture the result
+    must equal a brute-force Python KL computed over the FULL shared
+    vocabulary — including terms absent from the stratum, whose
+    smoothed probability 1/(n_s+V) is nonzero. The truncated variant
+    differs on this fixture (vocabularies only partially overlap), so
+    the equality is discriminating."""
+    import math
+    from collections import Counter
+
+    data = [
+        (0, "a a b c", "s1"),
+        (1, "a b b d", "s1"),
+        (2, "c d d e e e", "s2"),
+        (3, "f f g", "s2"),
+    ]
+    docs = spark.createDataFrame(data, "doc_id long, text string, source string")
+    got = {r.source: r.kl for r in ts.source_kl_divergence(docs).collect()}
+
+    per_src: dict[str, Counter] = {}
+    corpus: Counter = Counter()
+    for _, text, src in data:
+        toks = text.split(" ")
+        per_src.setdefault(src, Counter()).update(toks)
+        corpus.update(toks)
+    V = len(corpus)
+    N = sum(corpus.values())
+    for src, cnt in per_src.items():
+        n_s = sum(cnt.values())
+        full = sum(
+            ((cnt[t] + 1) / (n_s + V))
+            * math.log(((cnt[t] + 1) / (n_s + V)) / ((corpus[t] + 1) / (N + V)))
+            for t in corpus  # FULL vocabulary, absent terms included
+        )
+        assert abs(got[src] - full) < 1e-6, (src, got[src], full)
+        truncated = sum(
+            ((cnt[t] + 1) / (n_s + V))
+            * math.log(((cnt[t] + 1) / (n_s + V)) / ((corpus[t] + 1) / (N + V)))
+            for t in cnt
+        )
+        assert abs(truncated - full) > 1e-4  # the fixture discriminates

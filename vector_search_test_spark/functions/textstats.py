@@ -254,19 +254,33 @@ def source_kl_divergence(
 ):
     """Per-stratum KL divergence from the corpus token distribution —
     the drift / mixture-skew metric corpus dashboards track:
-    KL(p_s || p) = sum_w p_s(w) * ln(p_s(w) / p(w)) with add-one
-    smoothing over the shared vocabulary, where p_s is stratum s's
-    unigram distribution and p the whole corpus's. Returns
-    (source, n_tokens, kl) with kl rounded to 6dp; 0 means the stratum
-    reads like the corpus, large means skewed vocabulary.
+    KL(p_s || p) = sum over the FULL shared vocabulary of
+    p_s(w) * ln(p_s(w) / p(w)) with add-one smoothing, where p_s is
+    stratum s's unigram distribution and p the whole corpus's (so p_s
+    normalizes to 1 and the metric is a true KL — ADVICE r6 fixed the
+    round-6 version, which silently truncated the sum to
+    stratum-present terms). Returns (source, n_tokens, kl) rounded to
+    6dp; 0 means the stratum reads like the corpus.
+
+    Absent terms never materialize: for a term absent from stratum s,
+    p_s(w) = 1/(n_s+V) is CONSTANT, so the absent-terms mass folds into
+    two closed-form pieces — sum over ALL terms of the absent-form
+    contribution p_s0*(ln p_s0 - ln p(w)) = p_s0*(V*ln p_s0 - L) with
+    L = sum_w ln p(w) a corpus scalar, minus the absent-form value at
+    each PRESENT term (subtracted row-wise where the real contribution
+    is added). A sources x vocabulary cross join would compute the same
+    number at |S|*V rows; this stays at the present-(stratum, term)
+    cardinality.
 
     Plan: ONE (stratum, term) count shuffle with map-side combine; the
-    corpus-level term counts derive from the same aggregate (a second
-    tiny shuffle on term); scalars ride a broadcast. Per-(stratum,
-    term) contributions are deterministic doubles, but a grouped float
-    sum is order-dependent — so contributions quantize to 1e-12-scaled
-    integers and the per-stratum sum is exact, making the DuckDB twin
-    value-identical."""
+    vocabulary, the per-stratum totals, and the corpus scalars (N, V,
+    quantized L) all derive lazily from that aggregate and re-join it
+    (broadcasts + 1-row cross joins, identical subtrees reused via
+    exchange reuse — no separate driver actions, ADVICE r6).
+    Per-(stratum, term) contributions are deterministic doubles, but a
+    grouped float sum is order-dependent — so contributions (and the
+    ln p(w) terms of L) quantize to 1e-12-scaled integers and the sums
+    are exact, making the DuckDB twin value-identical."""
     from vector_search_test_spark.operators.dedup import tokens
 
     toks = docs.select(
@@ -275,33 +289,56 @@ def source_kl_divergence(
     )
     st = toks.groupBy("source", "term").agg(F.count("*").alias("c_s"))
     vocab = st.groupBy("term").agg(F.sum("c_s").alias("c"))
-    v_size = vocab.count()
     totals = st.groupBy("source").agg(
         F.sum("c_s").cast("long").alias("n_s")
     )
-    n_total = vocab.agg(F.sum("c").cast("long")).first()[0]
+    nv = vocab.agg(
+        F.sum("c").cast("long").alias("n_total"),
+        F.count("*").cast("long").alias("v_size"),
+    )
+    # corpus scalars incl. L = sum_w ln p(w), quantized for order-exactness
+    lnp = F.log((F.col("c") + 1) / (F.col("n_total") + F.col("v_size")))
+    scalars = (
+        vocab.crossJoin(F.broadcast(nv))
+        .agg(
+            F.max("n_total").alias("n_total"),
+            F.max("v_size").alias("v_size"),
+            F.sum(F.round(lnp * 1e12, 0).cast("long")).alias("l_q"),
+        )
+    )
     joined = (
         st.join(F.broadcast(vocab), "term")
         .join(F.broadcast(totals), "source")
+        .crossJoin(F.broadcast(scalars))
     )
-    p_s = (F.col("c_s") + 1) / (F.col("n_s") + F.lit(v_size))
-    p = (F.col("c") + 1) / (F.lit(n_total) + F.lit(v_size))
-    contrib = p_s * F.log(p_s / p)
-    q = F.round(contrib * 1e12, 0).cast("long")
+    p_s = (F.col("c_s") + 1) / (F.col("n_s") + F.col("v_size"))
+    p = (F.col("c") + 1) / (F.col("n_total") + F.col("v_size"))
+    p_s0 = F.lit(1.0) / (F.col("n_s") + F.col("v_size"))
+    # present-term contribution MINUS the absent-form value the global
+    # closed form below will add back for this term
+    delta = p_s * F.log(p_s / p) - p_s0 * F.log(p_s0 / p)
+    q = F.round(delta * 1e12, 0).cast("long")
+    g_p_s0 = F.lit(1.0) / (F.max("n_s") + F.max("v_size"))
     return (
         joined.withColumn("q", q)
         .groupBy("source")
         .agg(
             F.max("n_s").alias("n_tokens"),
-            F.round(F.sum("q") / 1e12, 6).alias("kl"),
+            F.round(
+                F.sum("q") / 1e12
+                + g_p_s0
+                * (F.max("v_size") * F.log(g_p_s0) - F.max("l_q") / 1e12),
+                6,
+            ).alias("kl"),
         )
     )
 
 
 def source_kl_oracle_sql() -> str:
     """DuckDB twin of source_kl_divergence (same smoothing, same
-    quantization; every literal coerced to DOUBLE by the column
-    operands)."""
+    full-vocabulary closed-form absent-terms correction, same
+    quantization; every division is BIGINT/BIGINT -> DOUBLE in both
+    engines so the ln arguments are bit-identical)."""
     return """
         WITH toks AS (
             SELECT source, unnest(string_split(lower(text), ' ')) AS term
@@ -311,30 +348,43 @@ def source_kl_oracle_sql() -> str:
             SELECT source, term, count(*) AS c_s
             FROM toks GROUP BY source, term
         ),
-        vocab AS (SELECT term, sum(c_s) AS c FROM st GROUP BY term),
-        scalars AS (
-            SELECT CAST(count(*) AS BIGINT) AS v_size,
-                   CAST(sum(c) AS BIGINT) AS n_total
+        vocab AS (SELECT term, CAST(sum(c_s) AS BIGINT) AS c FROM st GROUP BY term),
+        nv AS (
+            SELECT CAST(sum(c) AS BIGINT) AS n_total,
+                   CAST(count(*) AS BIGINT) AS v_size
             FROM vocab
+        ),
+        scalars AS (
+            SELECT max(n_total) AS n_total, max(v_size) AS v_size,
+                   CAST(sum(CAST(round(
+                       ln((vocab.c + 1) / (nv.n_total + nv.v_size)) * 1e12,
+                   0) AS BIGINT)) AS BIGINT) AS l_q
+            FROM vocab CROSS JOIN nv
         ),
         totals AS (
             SELECT source, CAST(sum(c_s) AS BIGINT) AS n_s
             FROM st GROUP BY source
         ),
         contrib AS (
-            SELECT st.source, totals.n_s,
-                   CAST(round(
-                       ((st.c_s + 1) / (totals.n_s + CAST(s.v_size AS DOUBLE)))
-                       * ln(((st.c_s + 1) / (totals.n_s + CAST(s.v_size AS DOUBLE)))
-                            / ((vocab.c + 1) / (CAST(s.n_total AS DOUBLE) + s.v_size)))
-                       * 1e12, 0) AS BIGINT) AS q
+            SELECT st.source, totals.n_s, s.v_size, s.l_q,
+                   CAST(round((
+                       ((st.c_s + 1) / (totals.n_s + s.v_size))
+                       * ln(((st.c_s + 1) / (totals.n_s + s.v_size))
+                            / ((vocab.c + 1) / (s.n_total + s.v_size)))
+                       - (1.0 / (totals.n_s + s.v_size))
+                       * ln((1.0 / (totals.n_s + s.v_size))
+                            / ((vocab.c + 1) / (s.n_total + s.v_size)))
+                       ) * 1e12, 0) AS BIGINT) AS q
             FROM st
             JOIN vocab USING (term)
             JOIN totals USING (source)
             CROSS JOIN scalars s
         )
         SELECT source, max(n_s) AS n_tokens,
-               round(sum(q) / 1e12, 6) AS kl
+               round(sum(q) / 1e12
+                     + (1.0 / (max(n_s) + max(v_size)))
+                     * (max(v_size) * ln(1.0 / (max(n_s) + max(v_size)))
+                        - max(l_q) / 1e12), 6) AS kl
         FROM contrib GROUP BY source
     """
 

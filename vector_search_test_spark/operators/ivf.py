@@ -493,13 +493,17 @@ def ivf_save(index: IvfIndex, path: str, corpus: DataFrame | None = None) -> Non
     # input partition writes one file per list it touches — parts * nlist
     # files (1000 executors x nlist 1e4 would be 10M files). Hashed on
     # list_id each list lands in exactly one task: file count is bounded
-    # by nlist, and locally a 4-list index writes 4 files, not 128.
+    # by nlist at ANY partition count, and locally a 4-list index writes
+    # 4 files, not 128. Task count is defaultParallelism — tasks beyond
+    # the core count add scheduler/committer overhead with no
+    # throughput (measured on the IVF-PQ twin: 12.2 s -> 7.8 s at
+    # nlist=192 on local[32]); on a real cluster defaultParallelism
+    # already tracks total cores, so write parallelism scales with the
+    # cluster, not with nlist.
     par = spark.sparkContext.defaultParallelism
-    index.postings.repartition(
-        max(par, index.nlist), "list_id"
-    ).write.mode("overwrite").partitionBy("list_id").parquet(
-        os.path.join(path, "postings")
-    )
+    index.postings.repartition(par, "list_id").write.mode(
+        "overwrite"
+    ).partitionBy("list_id").parquet(os.path.join(path, "postings"))
     if corpus is not None:
         corpus.write.mode("overwrite").parquet(os.path.join(path, "corpus"))
 

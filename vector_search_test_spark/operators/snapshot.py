@@ -14,17 +14,32 @@ and write it out. These operators build that plan Spark-first:
 - `delete_keys(base, keys, key)`: left-anti against the (broadcast)
   tombstone set — the GDPR / takedown path.
 
-At 100 TB the practical refinement is PARTITION-scoped copy-on-write:
-partition the base by a stable hash bucket of the key
-(`partitionBy(pmod(hash(key), N))`), compute affected buckets from the
-change set (tiny), and rewrite only those directories — the plan shape
-here is unchanged; only the write targets fewer files. Row counts obey
-|upsert| = |base| - |matched| + |updates| and |delete| = |base| -
-|matched|, pinned in tests."""
+At 100 TB the practical refinement is PARTITION-scoped copy-on-write,
+implemented below (`upsert_bucketed` + the manifest protocol, VERDICT
+r6 next-#3): the base lives as hash-bucket directories
+(`bucket=pmod(xxhash64(key), N)`), a JSON manifest maps every bucket to
+the version directory that last rewrote it, and an upsert (a) computes
+the affected buckets from the change set (a <=N-row distinct — tiny),
+(b) reads ONLY those buckets of the base, (c) writes ONLY those buckets
+into a new version directory, and (d) publishes a new manifest with
+just those buckets repointed. Untouched bucket files are never opened,
+let alone rewritten (byte-identity pinned in tests) — a micro-batch
+that touches 0.1% of keys rewrites ~0.1% of the corpus instead of all
+of it. This is the same snapshot-isolation idea table formats
+(Delta/Iceberg) implement; the manifest file + `_CURRENT` rename stand
+in for their metastore commit (documented seam — the PLANS are what
+carry to a real deployment). Version retention is keep-last-K with a
+vacuum that deletes only version directories no retained manifest
+references (VERDICT r6 next-#4). Row counts obey |upsert| = |base| -
+|matched| + |updates| and |delete| = |base| - |matched|, pinned in
+tests."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import json
+import os
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -63,66 +78,228 @@ def upsert_sql(
     base_sql: str, updates_sql: str, key: str = "doc_id"
 ) -> str:
     """DuckDB twin of `upsert` over two subqueries with identical
-    column lists."""
+    column lists. NOT EXISTS, not NOT IN: a NULL key on the updates
+    side would make NOT IN never-true (three-valued logic) and
+    silently drop every base row, diverging from Spark's left_anti
+    (which keeps non-matching rows regardless of NULLs elsewhere)."""
     return f"""
         SELECT * FROM ({base_sql}) b
-        WHERE b.{key} NOT IN (SELECT {key} FROM ({updates_sql}))
+        WHERE NOT EXISTS (
+            SELECT 1 FROM ({updates_sql}) u WHERE u.{key} = b.{key}
+        )
         UNION ALL
         SELECT * FROM ({updates_sql})
     """
+
+
+# ---------------------------------------------------------------------------
+# Partition-scoped copy-on-write: bucketed snapshot + manifest protocol
+# ---------------------------------------------------------------------------
+
+
+def bucket_col(key: str, n_buckets: int) -> Column:
+    """Stable hash bucket of the key: pmod(xxhash64(key), N). Purely a
+    function of the key value, so the same key always lands in the same
+    bucket across batches, engines, and cluster sizes."""
+    return F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
+
+
+def _current_version(base_dir: str) -> "str | None":
+    cur_file = os.path.join(base_dir, "_CURRENT")
+    if not os.path.exists(cur_file):
+        return None
+    with open(cur_file) as f:
+        return f.read().strip()
+
+
+def _read_manifest(base_dir: str, version: str) -> dict:
+    with open(os.path.join(base_dir, f"_MANIFEST_{version}.json")) as f:
+        return json.load(f)
+
+
+def _publish(base_dir: str, version: str, manifest: dict) -> None:
+    """Write the manifest, then atomically repoint `_CURRENT` — the
+    local-filesystem stand-in for a metastore/table-format commit
+    (documented seam; the data-plane plans are deployment-portable)."""
+    mpath = os.path.join(base_dir, f"_MANIFEST_{version}.json")
+    tmp = mpath + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, sort_keys=True)
+    os.replace(tmp, mpath)
+    cur_file = os.path.join(base_dir, "_CURRENT")
+    tmp = cur_file + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(version)
+    os.replace(tmp, cur_file)
+
+
+def upsert_bucketed(
+    updates: DataFrame,
+    base_dir: str,
+    version: str,
+    key: str = "doc_id",
+    n_buckets: int = 16,
+) -> None:
+    """Partition-scoped copy-on-write upsert: apply `updates` to the
+    bucketed snapshot under `base_dir`, writing ONLY the hash buckets
+    the change set touches into `<base_dir>/<version>/bucket=<b>/` and
+    publishing a manifest that repoints just those buckets.
+
+    The 100 TB shape: affected buckets come from a <=N-row distinct
+    over the (small) change set; the base read lists only the affected
+    buckets' directories (all other buckets are never opened); the
+    anti-join upsert broadcasts the updates; the rewrite shuffles once
+    on `bucket` so each bucket lands in one task. Cost scales with
+    |touched buckets| * bucket size, not with the corpus."""
+    spark = updates.sparkSession
+    cur = _current_version(base_dir)
+    if cur == version:
+        # replay after a crash in the commit window (marker repointed,
+        # stream checkpoint not yet committed): the batch is already
+        # fully applied — recomputing would read a version dir while
+        # overwriting it. Nothing to do (ADVICE r6).
+        return
+    upd = updates.withColumn("bucket", bucket_col(key, n_buckets))
+    vpath = os.path.join(base_dir, version)
+    if cur is None:
+        manifest = {"n_buckets": n_buckets, "buckets": {}}
+        affected = sorted(
+            r.bucket for r in upd.select("bucket").distinct().collect()
+        )
+        nxt = upd
+    else:
+        manifest = _read_manifest(base_dir, cur)
+        assert manifest["n_buckets"] == n_buckets, (
+            f"snapshot was bucketed with n_buckets="
+            f"{manifest['n_buckets']}, got {n_buckets}"
+        )
+        affected = sorted(
+            r.bucket for r in upd.select("bucket").distinct().collect()
+        )
+        base_paths = [
+            os.path.join(base_dir, manifest["buckets"][str(b)], f"bucket={b}")
+            for b in affected
+            if str(b) in manifest["buckets"]
+        ]
+        if base_paths:
+            base = spark.read.parquet(*base_paths).select(*updates.columns)
+            nxt = upsert(base, updates, key=key).withColumn(
+                "bucket", bucket_col(key, n_buckets)
+            )
+        else:
+            nxt = upd
+    par = spark.sparkContext.defaultParallelism
+    # static-overwrite the version dir: a replay that crashed mid-write
+    # purges its own partial output before rewriting
+    nxt.repartition(min(par, max(len(affected), 1)), "bucket").write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(vpath)
+    new_buckets = dict(manifest["buckets"])
+    for b in affected:
+        new_buckets[str(b)] = version
+    _publish(
+        base_dir,
+        version,
+        {"n_buckets": n_buckets, "buckets": new_buckets},
+    )
+
+
+def vacuum_snapshots(base_dir: str, keep_last: int) -> "list[str]":
+    """Retention: keep the last `keep_last` manifests (by version
+    number) and delete every version directory that NO retained
+    manifest references (VERDICT r6 next-#4). A version dir stays
+    alive as long as ANY retained manifest still points a bucket at it
+    — so an old version holding a never-again-touched bucket survives
+    until that bucket is rewritten, exactly like table-format vacuum.
+    Returns the deleted version names."""
+    import re
+    import shutil
+
+    manifests = sorted(
+        (
+            f[len("_MANIFEST_") : -len(".json")]
+            for f in os.listdir(base_dir)
+            if f.startswith("_MANIFEST_") and f.endswith(".json")
+        ),
+        key=lambda v: int(v.lstrip("v")),
+    )
+    keep = manifests[-keep_last:] if keep_last > 0 else manifests
+    referenced = set()
+    for v in keep:
+        referenced.update(_read_manifest(base_dir, v)["buckets"].values())
+    cur = _current_version(base_dir)
+    if cur is not None:
+        referenced.add(cur)
+    deleted = []
+    for name in sorted(os.listdir(base_dir)):
+        path = os.path.join(base_dir, name)
+        if re.fullmatch(r"v\d+", name) and os.path.isdir(path):
+            # any unreferenced version dir goes — including ones whose
+            # manifest was dropped in an earlier vacuum while the dir
+            # was still referenced, and partial dirs from crashed
+            # batches (the current version is always in `referenced`)
+            if name not in referenced:
+                shutil.rmtree(path)
+                deleted.append(name)
+        elif name.startswith("_MANIFEST_") and name.endswith(".json"):
+            v = name[len("_MANIFEST_") : -len(".json")]
+            if v not in keep:
+                os.remove(path)
+    return deleted
 
 
 def stream_upsert_snapshots(
     stream: DataFrame,
     base_dir: str,
     key: str = "doc_id",
+    n_buckets: int = 16,
+    keep_last: "int | None" = 4,
 ):
-    """foreachBatch sink that maintains a copy-on-write snapshot from a
-    stream of row upserts — the standard production pattern for "keep a
-    queryable corpus current from a firehose" when the sink format has
-    no native MERGE.
+    """foreachBatch sink that maintains a partition-scoped copy-on-write
+    snapshot from a stream of row upserts — the production pattern for
+    "keep a queryable corpus current from a firehose" when the sink
+    format has no native MERGE.
 
-    Per micro-batch: read the current snapshot version, `upsert` the
-    batch into it, write the result as a NEW version directory
-    (`v<batch_id>`), then atomically repoint the `_CURRENT` marker.
-    Restart safety: foreachBatch may replay a batch after recovery; the
-    version dir is keyed by batch id, so a replay overwrites ITS OWN
-    output and repoints to the same version — the previous snapshot is
-    never mutated (copy-on-write), so a crash mid-write leaves
-    `_CURRENT` on the last complete version. The local-file `_CURRENT`
-    marker is the commit-protocol seam: on a real deployment that
-    rename is a metastore / table-format commit (the plan shape —
-    broadcast anti-join upsert + full rewrite, or partition-scoped
-    rewrite per SCALE.md — is unchanged).
+    Per micro-batch: `upsert_bucketed` rewrites ONLY the hash buckets
+    the batch touches into `v<batch_id>/` and publishes a manifest
+    repointing those buckets; previous versions are never mutated.
+    Restart safety: a replay that crashed mid-write static-overwrites
+    its own version dir; a replay that crashed AFTER the `_CURRENT`
+    repoint (but before the stream checkpoint committed) is detected by
+    `_CURRENT` already naming `v<batch_id>` and skipped outright — the
+    batch is already applied, and recomputing would read the version
+    dir it is overwriting (ADVICE r6). Retention: after each publish,
+    keep the last `keep_last` manifests and vacuum version dirs no
+    retained manifest references (pass None to keep everything).
 
     Returns the DataStreamWriter (caller adds trigger/checkpoint and
     starts it)."""
-    import os
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        cur_file = os.path.join(base_dir, "_CURRENT")
-        if os.path.exists(cur_file):
-            with open(cur_file) as f:
-                cur = f.read().strip()
-            base = spark.read.parquet(os.path.join(base_dir, cur))
-            nxt = upsert(base, batch_df, key=key)
-        else:
-            nxt = batch_df
-        vdir = f"v{batch_id}"
-        nxt.write.mode("overwrite").parquet(os.path.join(base_dir, vdir))
-        tmp = cur_file + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(vdir)
-        os.replace(tmp, cur_file)
+        upsert_bucketed(
+            batch_df, base_dir, f"v{batch_id}", key=key, n_buckets=n_buckets
+        )
+        if keep_last is not None:
+            vacuum_snapshots(base_dir, keep_last)
 
     return stream.writeStream.foreachBatch(_apply)
 
 
 def read_current_snapshot(spark, base_dir: str) -> DataFrame:
-    """Read the live snapshot the `_CURRENT` marker points at."""
-    import os
-
-    with open(os.path.join(base_dir, "_CURRENT")) as f:
-        cur = f.read().strip()
-    return spark.read.parquet(os.path.join(base_dir, cur))
+    """Read the live snapshot: the `_CURRENT` manifest maps each bucket
+    to the version directory that last rewrote it; the scan lists
+    exactly those directories (one path per bucket — no other version
+    data is touched). Falls back to reading `<base_dir>/<_CURRENT>`
+    directly when `_CURRENT` names a plain (non-manifest) directory."""
+    cur = _current_version(base_dir)
+    if cur is None:
+        raise FileNotFoundError(f"no _CURRENT marker under {base_dir}")
+    mpath = os.path.join(base_dir, f"_MANIFEST_{cur}.json")
+    if not os.path.exists(mpath):
+        return spark.read.parquet(os.path.join(base_dir, cur))
+    manifest = _read_manifest(base_dir, cur)
+    paths = [
+        os.path.join(base_dir, v, f"bucket={b}")
+        for b, v in sorted(manifest["buckets"].items(), key=lambda kv: int(kv[0]))
+    ]
+    return spark.read.parquet(*paths)
