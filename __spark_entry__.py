@@ -818,6 +818,160 @@ def _q_corpus_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_snapshot_bucketed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-scoped copy-on-write THROUGH DISK (operators/
+    snapshot.py::upsert_bucketed + read_current_snapshot): the same
+    refresh fixture as corpus_upsert, but applied via the bucketed
+    snapshot store — base written as bucket=pmod(xxhash64(key),16)
+    directories (v0), the change set upserted by rewriting ONLY its
+    affected buckets (v1, manifest repoints just those), then the live
+    snapshot read back off the manifest. Same oracle as corpus_upsert:
+    the on-disk bucket/manifest mechanics must be invisible to the
+    result — every byte certified by md5(text) per id. Untouched-bucket
+    byte-identity and replay/retention semantics are pinned in
+    tests/test_snapshot.py."""
+    import shutil
+    import tempfile
+
+    from vector_search_test_spark.operators.snapshot import (
+        read_current_snapshot,
+        upsert_bucketed,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    edited = docs.filter(F.col("doc_id") < 10).withColumn(
+        "text", F.concat(F.lit("[v2] "), F.col("text"))
+    )
+    appended = docs.filter(F.col("doc_id") < 5).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_snap_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path)
+    upsert_bucketed(docs, path, "v0", key="doc_id", n_buckets=16)
+    upsert_bucketed(
+        edited.unionByName(appended), path, "v1", key="doc_id", n_buckets=16
+    )
+    return read_current_snapshot(spark, path).select(
+        "doc_id", F.md5("text").alias("text_md5"), "source"
+    )
+
+
+_DUPGRAM_N = 5
+_DUPGRAM_MIN_DOCS = 2
+
+
+def _q_dup_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated n-gram mass per document (operators/dedup.py::
+    dup_ngram_profile) — the Lee et al. 2022 exact-substring-dedup
+    signal: for every document, what fraction of its 5-gram occurrences
+    also appears in at least one other document. One corpus scan, a
+    checkpointed (doc, gram) aggregate feeding both the gram
+    document-frequency aggregate and the join back (skew-safe SMJ on
+    gram, not a window). The oracle replays the identical gram stream
+    and counts in DuckDB."""
+    from vector_search_test_spark.operators.dedup import dup_ngram_profile
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dup_ngram_profile(docs, n=_DUPGRAM_N, min_docs=_DUPGRAM_MIN_DOCS)
+
+
+def _dup_ngram_oracle_sql() -> str:
+    from vector_search_test_spark.operators.dedup import shingles_all_sql
+
+    g = shingles_all_sql("text", _DUPGRAM_N)
+    return f"""
+        WITH sh AS (
+            SELECT doc_id AS id, unnest({g}) AS g FROM documents
+        ),
+        st AS (
+            SELECT id, g, count(*) AS cnt FROM sh GROUP BY id, g
+        ),
+        df_g AS (
+            SELECT g, count(*) AS docs_with FROM st GROUP BY g
+        )
+        SELECT st.id AS doc_id,
+               CAST(sum(st.cnt) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN df_g.docs_with >= {_DUPGRAM_MIN_DOCS}
+                             THEN st.cnt ELSE 0 END) AS BIGINT) AS n_dup,
+               round(sum(CASE WHEN df_g.docs_with >= {_DUPGRAM_MIN_DOCS}
+                              THEN st.cnt ELSE 0 END)
+                     / CAST(sum(st.cnt) AS DOUBLE), 6) AS dup_frac
+        FROM st JOIN df_g USING (g)
+        GROUP BY st.id
+    """
+
+
+def _q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span removal (operators/dedup.py::strip_dup_ngrams)
+    — the destructive half of Lee-et-al exact-substring dedup: every
+    token covered by a 5-gram shared with another document is deleted
+    and the surviving tokens re-joined. Certified by md5 of the cleaned
+    text per doc plus the kept/dropped token counts; the oracle replays
+    gram positions, coverage expansion, and the indexed-lambda filter
+    in DuckDB."""
+    from vector_search_test_spark.operators.dedup import strip_dup_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = strip_dup_ngrams(docs, n=_DUPGRAM_N, min_docs=_DUPGRAM_MIN_DOCS)
+    return out.select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_md5"),
+        "n_tokens",
+        "n_dropped",
+    )
+
+
+def _dup_span_oracle_sql() -> str:
+    n = _DUPGRAM_N
+    return f"""
+        WITH base AS (
+            SELECT doc_id AS id, string_split(lower(text), ' ') AS tk
+            FROM documents
+        ),
+        gr AS (
+            SELECT id, tk,
+                   CASE WHEN len(tk) >= {n} THEN
+                       list_transform(range(1, len(tk) - {n - 2}),
+                                      i -> array_to_string(tk[i:i+{n - 1}], ' '))
+                   ELSE [array_to_string(tk, ' ')] END AS grams,
+                   CASE WHEN len(tk) >= {n} THEN {n} ELSE len(tk) END AS glen
+            FROM base
+        ),
+        sh AS (
+            SELECT id, glen, p.pos AS pos, grams[p.pos] AS g
+            FROM gr, unnest(range(1, len(grams) + 1)) AS p(pos)
+        ),
+        st AS (SELECT DISTINCT id, g FROM sh),
+        shared AS (
+            SELECT g FROM st GROUP BY g
+            HAVING count(*) >= {_DUPGRAM_MIN_DOCS}
+        ),
+        cov AS (
+            SELECT id,
+                   list_sort(list_distinct(flatten(list(range(pos, pos + glen)))))
+                       AS cov
+            FROM sh JOIN shared USING (g)
+            GROUP BY id
+        )
+        SELECT b.id AS doc_id,
+               -- coalesce: DuckDB's array_to_string([]) is NULL where
+               -- Spark's array_join([]) is '' (fully-dropped docs)
+               md5(coalesce(array_to_string(
+                   list_filter(b.tk,
+                       (x, i) -> NOT list_contains(coalesce(cov.cov, []), i)),
+                   ' '), '')) AS clean_md5,
+               CAST(len(b.tk) AS BIGINT) AS n_tokens,
+               CAST(len(b.tk) - len(list_filter(b.tk,
+                       (x, i) -> NOT list_contains(coalesce(cov.cov, []), i)))
+                    AS BIGINT) AS n_dropped
+        FROM base b LEFT JOIN cov ON b.id = cov.id
+    """
+
+
 def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingest dedup (operators/dedup.py::incremental_dedup):
     docs 0..249 are the standing corpus; the incoming batch is docs
@@ -2014,6 +2168,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_enriched_counts": _q_stream_enriched_counts,
         "stream_stream_left_join": _q_stream_stream_left_join,
         "corpus_upsert": _q_corpus_upsert,
+        "snapshot_bucketed_roundtrip": _q_snapshot_bucketed_roundtrip,
+        "dup_ngram_profile": _q_dup_ngram_profile,
+        "dup_span_removal": _q_dup_span_removal,
         "stream_sliding_counts": _q_stream_sliding_counts,
         "pivot_event_counts": _q_pivot_event_counts,
         "source_kl_divergence": _q_source_kl_divergence,
@@ -2979,6 +3136,9 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
             WHERE p.event_type = 'purchase'
         """,
         "corpus_upsert": _upsert_oracle_sql(),
+        "snapshot_bucketed_roundtrip": _upsert_oracle_sql(),
+        "dup_ngram_profile": _dup_ngram_oracle_sql(),
+        "dup_span_removal": _dup_span_oracle_sql(),
         # sliding windows: Spark assigns each event to window/slide
         # epoch-aligned windows; the twin expands via (epoch_us mod
         # slide) + k*slide microsecond offsets — timezone-free

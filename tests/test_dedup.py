@@ -187,3 +187,81 @@ def test_incremental_dedup_semantics_and_plan(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "LeftAnti" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_dup_ngram_profile_semantics_and_twin(spark, sf_dir):
+    """A verbatim copy scores dup_frac 1.0 on both twins, a
+    disjoint-vocabulary doc scores 0.0, internal-only repetition does
+    NOT count as duplication (min_docs=2 is cross-document), a short
+    doc falls back to the whole-text gram, and the DuckDB twin agrees
+    on the planted fixture."""
+    import duckdb
+
+    from vector_search_test_spark.operators.dedup import dup_ngram_profile
+
+    data = [
+        (0, "a b c d e f g h"),
+        (1, "a b c d e f g h"),          # verbatim copy of 0
+        (2, "p q r s t u v w"),          # fully unique
+        (3, "x y x y x y x y"),          # internal repetition only
+        (4, "zz qq"),                    # shorter than n -> whole-text gram
+        (5, "a b c d e tail1 tail2 tail3"),  # partial overlap with 0/1
+    ]
+    docs = spark.createDataFrame(data, "doc_id long, text string")
+    rows = {
+        r.doc_id: r for r in dup_ngram_profile(docs, n=5, min_docs=2).collect()
+    }
+    assert rows[0].dup_frac == 1.0 and rows[1].dup_frac == 1.0
+    assert rows[2].dup_frac == 0.0
+    # doc 3's grams repeat internally but exist in no other doc
+    assert rows[3].dup_frac == 0.0 and rows[3].n_grams == 4
+    assert rows[4].n_grams == 1  # whole-text fallback
+    # doc 5 shares exactly the gram "a b c d e" with docs 0/1
+    assert rows[5].n_dup == 1 and rows[5].n_grams == 4
+    assert rows[5].dup_frac == 0.25
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in data)
+        + ") AS t(doc_id, text)"
+    )
+    import __spark_entry__ as entrymod
+
+    want = {
+        int(i): (int(ng), int(nd), frac)
+        for i, ng, nd, frac in con.execute(
+            entrymod._dup_ngram_oracle_sql()
+        ).fetchall()
+    }
+    got = {
+        i: (r.n_grams, r.n_dup, r.dup_frac) for i, r in rows.items()
+    }
+    assert got == want
+
+
+def test_strip_dup_ngrams_semantics(spark):
+    """Span removal (Lee et al. second half): a verbatim copy is fully
+    stripped (clean_text '', n_dropped == n_tokens), a unique doc is
+    untouched (normalized re-join), and a doc sharing exactly one
+    5-gram loses exactly those 5 tokens while its unique tail
+    survives."""
+    from vector_search_test_spark.operators.dedup import strip_dup_ngrams
+
+    data = [
+        (0, "a b c d e f g h"),
+        (1, "a b c d e f g h"),              # verbatim copy
+        (2, "p q r s t u v w"),              # unique
+        (3, "a b c d e tail1 tail2 tail3 tail4"),  # shares "a b c d e"
+    ]
+    docs = spark.createDataFrame(data, "doc_id long, text string")
+    rows = {
+        r.doc_id: r for r in strip_dup_ngrams(docs, n=5, min_docs=2).collect()
+    }
+    assert rows[0].clean_text == "" and rows[0].n_dropped == 8
+    assert rows[1].clean_text == "" and rows[1].n_dropped == 8
+    assert rows[2].clean_text == "p q r s t u v w"
+    assert rows[2].n_dropped == 0
+    # doc 3: gram "a b c d e" covers tokens 1..5; tail survives
+    assert rows[3].clean_text == "tail1 tail2 tail3 tail4"
+    assert rows[3].n_tokens == 9 and rows[3].n_dropped == 5

@@ -124,6 +124,14 @@ def test_hybrid_precomputed_stats_identical_and_actionless(spark, sf_dir):
     after = len(tracker.getJobIdsForGroup(None) or [])
     assert after == before, "plan construction ran a Spark job"
 
+    # one scan per leg: the lexical leg derives document frequency from
+    # the same tf subtree (window over term), not a second branch that
+    # would re-scan the docs table (plan captured pre-execution — the
+    # post-AQE string repeats every node in its Initial Plan section)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("documents.parquet") == 1
+    assert plan.count("embeddings.parquet") == 1
+
     got = sorted(tuple(r) for r in df.collect())
     want = sorted(
         tuple(r) for r in hybrid_search_rrf(docs, emb, qtext, qvec, k=10).collect()

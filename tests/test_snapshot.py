@@ -255,6 +255,147 @@ def test_upsert_bucketed_replay_after_commit_is_noop(spark, tmp_path):
     assert after == before
 
 
+def test_delete_keys_bucketed_and_time_travel(spark, tmp_path):
+    """Bucketed GDPR delete rewrites only the tombstones' buckets (other
+    bucket files byte-identical), a fully-emptied bucket drops out of
+    the manifest, and read_snapshot_at reconstructs the pre-delete
+    state from the retained old manifest."""
+    import hashlib
+    import json
+    import os
+
+    from vector_search_test_spark.operators.snapshot import (
+        bucket_col,
+        delete_keys_bucketed,
+        read_current_snapshot,
+        read_snapshot_at,
+        upsert_bucketed,
+    )
+
+    base = spark.createDataFrame(
+        [(i, f"text-{i}") for i in range(100)], "doc_id long, text string"
+    )
+    out = tmp_path / "gdpr"
+    out.mkdir()
+    upsert_bucketed(base, str(out), "v0", n_buckets=8)
+
+    # tombstone every key of ONE bucket (empties it) plus one key of
+    # another (partial delete)
+    buckets = {
+        r.doc_id: r.b
+        for r in base.select(
+            "doc_id", bucket_col("doc_id", 8).alias("b")
+        ).collect()
+    }
+    empty_b = buckets[0]
+    all_of_b = [k for k, b in buckets.items() if b == empty_b]
+    partial_key = next(k for k, b in buckets.items() if b != empty_b)
+    tomb = spark.createDataFrame(
+        [(k,) for k in all_of_b + [partial_key]], "doc_id long"
+    )
+
+    def file_state():
+        st = {}
+        for root, _d, files in os.walk(out):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    with open(p, "rb") as fh:
+                        st[os.path.relpath(p, out)] = hashlib.md5(
+                            fh.read()
+                        ).hexdigest()
+        return st
+
+    before = file_state()
+    delete_keys_bucketed(tomb, str(out), "v1", n_buckets=8)
+    after = file_state()
+
+    touched = {empty_b, buckets[partial_key]}
+    for p, h in before.items():
+        b = int(p.split("/")[1].split("=")[1])
+        if b not in touched:
+            assert after[p] == h
+
+    with open(out / "_MANIFEST_v1.json") as f:
+        m1 = json.load(f)
+    assert str(empty_b) not in m1["buckets"]  # emptied bucket dropped
+    assert m1["buckets"][str(buckets[partial_key])] == "v1"
+
+    live = {
+        r.doc_id
+        for r in read_current_snapshot(spark, str(out))
+        .select("doc_id")
+        .collect()
+    }
+    assert live == set(range(100)) - set(all_of_b) - {partial_key}
+    # time travel: v0 manifest still retained -> full pre-delete state
+    old = {
+        r.doc_id
+        for r in read_snapshot_at(spark, str(out), "v0")
+        .select("doc_id")
+        .collect()
+    }
+    assert old == set(range(100))
+
+
+def test_compact_snapshot_rehomes_all_buckets(spark, tmp_path):
+    """After a run of small upserts scatters the live snapshot across
+    versions, compaction rewrites every live bucket under ONE version,
+    the manifest points everywhere at it, content is unchanged, and a
+    subsequent keep-last-1 vacuum deletes every older version dir."""
+    import json
+    import os
+
+    from vector_search_test_spark.operators.snapshot import (
+        compact_snapshot,
+        read_current_snapshot,
+        upsert_bucketed,
+        vacuum_snapshots,
+    )
+
+    out = tmp_path / "compact"
+    out.mkdir()
+    base = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(60)], "doc_id long, text string"
+    )
+    upsert_bucketed(base, str(out), "v0", n_buckets=4)
+    for i in range(1, 4):
+        upd = spark.createDataFrame(
+            [(i * 7, f"edit-{i}")], "doc_id long, text string"
+        )
+        upsert_bucketed(upd, str(out), f"v{i}", n_buckets=4)
+    want = sorted(
+        tuple(r)
+        for r in read_current_snapshot(spark, str(out))
+        .select("doc_id", "text")
+        .collect()
+    )
+
+    compact_snapshot(spark, str(out), "v4")
+    with open(out / "_MANIFEST_v4.json") as f:
+        m = json.load(f)
+    assert set(m["buckets"].values()) == {"v4"}
+    got = sorted(
+        tuple(r)
+        for r in read_current_snapshot(spark, str(out))
+        .select("doc_id", "text")
+        .collect()
+    )
+    assert got == want
+
+    vacuum_snapshots(str(out), keep_last=1)
+    vdirs = sorted(
+        d for d in os.listdir(out) if d.startswith("v") and (out / d).is_dir()
+    )
+    assert vdirs == ["v4"]
+    assert sorted(
+        tuple(r)
+        for r in read_current_snapshot(spark, str(out))
+        .select("doc_id", "text")
+        .collect()
+    ) == want
+
+
 def test_stream_upsert_retention_vacuum(spark, tmp_path):
     """VERDICT r6 next-#4: after N>K batches with keep_last=K, exactly
     K manifests remain, read_current_snapshot still reconstructs the

@@ -68,6 +68,28 @@ def shingles_sql(expr: str, n: int = 3) -> str:
     )
 
 
+def shingles_all(col: Column | str, n: int = 3) -> Column:
+    """Every word n-gram occurrence (NOT distinct — multiplicity kept):
+    the positional gram stream duplicated-span analysis needs. Same
+    short-document guard as `shingles`."""
+    toks = tokens(col)
+    starts = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    grams = F.transform(starts, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    whole = F.array(F.array_join(toks, " "))
+    return F.when(F.size(toks) >= n, grams).otherwise(whole)
+
+
+def shingles_all_sql(expr: str, n: int = 3) -> str:
+    """DuckDB twin of `shingles_all`."""
+    toks = f"string_split(lower({expr}), ' ')"
+    return (
+        f"CASE WHEN len({toks}) >= {n} THEN "
+        f"list_transform(range(1, len({toks}) - {n - 2}), "
+        f"i -> array_to_string({toks}[i:i+{n - 1}], ' ')) "
+        f"ELSE [array_to_string({toks}, ' ')] END"
+    )
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -94,6 +116,144 @@ def dedup_exact(
         .agg(F.min(id_col).alias("rep_id"), F.count("*").alias("n_dupes"))
         .select(
             "rep_id", "n_dupes", portable_hash48(F.col("__norm")).alias("text_hash")
+        )
+    )
+
+
+def dup_ngram_profile(
+    df: DataFrame,
+    n: int = 5,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document duplicated n-gram mass against the WHOLE corpus —
+    the scalable core of exact-substring deduplication (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better"):
+    a document whose n-grams mostly appear in other documents is
+    boilerplate / template / near-copy, and the per-doc fraction is the
+    ranking signal span-removal and doc-dropping policies both consume.
+
+    Returns (id_col, n_grams, n_dup, dup_frac): total n-gram
+    occurrences, occurrences whose gram appears in >= min_docs distinct
+    documents, and their ratio (6dp). min_docs=2 means "shared with at
+    least one OTHER document" (a doc repeating a gram only internally
+    does not count).
+
+    Plan (the 100 TB story): ONE corpus scan -> gram explode -> the
+    (doc, gram) count aggregate, localCheckpoint'ed because two
+    consumers read it (Spark does not CSE shared subplans): the
+    gram-level document-frequency aggregate, and the equi-join that
+    brings df_g back to the (doc, gram) rows. The join runs
+    shuffle-hash/SMJ on `gram` with AQE skew splitting — deliberately
+    NOT a window over gram, whose per-partition materialization cannot
+    be split when a boilerplate gram appears in millions of documents.
+    Output is one row per document."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles_all(text_col, n)).alias("g"),
+    )
+    st = sh.groupBy("id", "g").agg(
+        F.count("*").alias("cnt")
+    ).localCheckpoint()  # two consumers; ContextCleaner-released
+    df_g = st.groupBy("g").agg(F.count("*").alias("docs_with"))
+    return (
+        st.join(df_g, "g")
+        .groupBy("id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_grams"),
+            F.sum(
+                F.when(F.col("docs_with") >= min_docs, F.col("cnt")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("n_dup"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_grams",
+            "n_dup",
+            F.round(F.col("n_dup") / F.col("n_grams"), 6).alias("dup_frac"),
+        )
+    )
+
+
+def strip_dup_ngrams(
+    df: DataFrame,
+    n: int = 5,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Duplicated-span REMOVAL — the second half of exact-substring
+    dedup (Lee et al. 2022): delete every token covered by an n-gram
+    that appears in >= min_docs distinct documents, keeping the rest of
+    the document. Returns (id_col, clean_text, n_tokens, n_dropped)
+    where clean_text is the surviving tokens re-joined with single
+    spaces over the NORMALIZED (lowercased, space-split) token stream —
+    span removal is a destructive normalization pass by nature, so the
+    output is the cleaned training text, not a byte-preserving edit of
+    the original.
+
+    Plan: one scan projects the token array (checkpointed — it feeds
+    the gram stream AND the final reconstruction); the positional gram
+    stream (posexplode) is checkpointed once and feeds (a) the distinct
+    (doc, gram) -> gram document-frequency chain and (b) the
+    occurrence join that recovers WHERE each shared gram sits; covered
+    token positions explode from bounded n-length ranges and aggregate
+    to a per-doc sorted set; the rewrite is a JVM higher-order filter
+    over (token, index) — no Python anywhere. The shared-gram join is
+    an equi-join on gram (AQE-skew-safe), never a window. Per-doc cost
+    of the final filter is O(len * |covered|): documents are assumed
+    pre-chunked/bounded, the standing contract of every per-doc array
+    op in this engine."""
+    tk = tokens(text_col)
+    base = df.select(F.col(id_col).alias("id"), tk.alias("tk")).localCheckpoint()
+    glen = F.when(F.size("tk") >= n, F.lit(n)).otherwise(F.size("tk"))
+    # grams straight from the checkpointed token array (same stream as
+    # shingles_all, without re-splitting the text)
+    starts = F.sequence(F.lit(1), F.size("tk") - (n - 1))
+    grams = F.when(
+        F.size("tk") >= n,
+        F.transform(starts, lambda i: F.array_join(F.slice("tk", i, n), " ")),
+    ).otherwise(F.array(F.array_join("tk", " ")))
+    sh = base.select(
+        "id",
+        glen.alias("glen"),
+        F.posexplode(grams).alias("pos0", "g"),
+    ).localCheckpoint()  # feeds document-frequency AND occurrence join
+    st = sh.select("id", "g").distinct()
+    shared = (
+        st.groupBy("g")
+        .agg(F.count("*").alias("docs_with"))
+        .filter(F.col("docs_with") >= min_docs)
+        .select("g")
+    )
+    cov = (
+        sh.join(shared, "g")
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.col("pos0") + 1, F.col("pos0") + F.col("glen"))
+            ).alias("cpos"),
+        )
+        .distinct()
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_set("cpos")).alias("cov"))
+    )
+    covered = F.coalesce(F.col("cov"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.col("tk"),
+        lambda x, i: ~F.array_contains(covered, (i + 1).cast("int")),
+    )
+    return (
+        base.join(cov, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.array_join(kept, " ").alias("clean_text"),
+            F.size("tk").cast("long").alias("n_tokens"),
+            (F.size("tk") - F.size(kept)).cast("long").alias("n_dropped"),
         )
     )
 

@@ -166,7 +166,13 @@ def pq_adc_topk_all(
     already 32x smaller than the floats they replace). Per-query top-k
     is row_number over (dist, vec_id) — WindowGroupLimit prunes each
     partition to k rows before the single shuffle, exactly like the
-    uncompressed kNN path."""
+    uncompressed kNN path.
+
+    Scale note: the crossJoin fans every code row out nq times — a
+    full-scan ADC, inherent to flat PQ. Use the IVF-PQ variant
+    (`ivfpq_adc_topk_all`) for scale: its broadcast EQUI-join on
+    list_id scans only the nprobe probed cells per query instead of
+    the whole corpus per query."""
     from pyspark.sql import Window
 
     spark = codes.sparkSession

