@@ -265,3 +265,22 @@ def test_strip_dup_ngrams_semantics(spark):
     # doc 3: gram "a b c d e" covers tokens 1..5; tail survives
     assert rows[3].clean_text == "tail1 tail2 tail3 tail4"
     assert rows[3].n_tokens == 9 and rows[3].n_dropped == 5
+
+
+def test_dup_ngram_ops_stay_jvm_side(spark):
+    """Neither exact-substring-dedup operator ships rows to Python: the
+    gram stream, coverage expansion, and the indexed-lambda rewrite are
+    all Catalyst expressions."""
+    from vector_search_test_spark.operators.dedup import (
+        dup_ngram_profile,
+        strip_dup_ngrams,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2} w{i+3} w{i+4} w{i+5}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    for out in (dup_ngram_profile(docs), strip_dup_ngrams(docs)):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
