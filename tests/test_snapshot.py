@@ -396,6 +396,48 @@ def test_compact_snapshot_rehomes_all_buckets(spark, tmp_path):
     ) == want
 
 
+def test_bucketed_protocol_edges(spark, tmp_path):
+    """Review-pinned edges: deleting EVERY key reads back as an empty
+    DataFrame with the recorded schema (not a zero-path scan error);
+    version names must be v<digits> commit ids; a bucket-layout or key
+    mismatch raises ValueError."""
+    import pytest
+
+    from vector_search_test_spark.operators.snapshot import (
+        delete_keys_bucketed,
+        read_current_snapshot,
+        upsert_bucketed,
+    )
+
+    base = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(10)], "doc_id long, text string"
+    )
+    out = tmp_path / "edges"
+    out.mkdir()
+    upsert_bucketed(base, str(out), "v0", n_buckets=4)
+
+    with pytest.raises(ValueError, match="v<digits>"):
+        upsert_bucketed(base, str(out), "compacted-1", n_buckets=4)
+    with pytest.raises(ValueError, match="n_buckets"):
+        upsert_bucketed(base, str(out), "v1", n_buckets=8)
+    with pytest.raises(ValueError, match="keyed by"):
+        delete_keys_bucketed(
+            base.select(F.col("doc_id").alias("text")),
+            str(out),
+            "v1",
+            key="text",
+            n_buckets=4,
+        )
+
+    # delete every key -> empty current snapshot, schema intact
+    delete_keys_bucketed(
+        base.select("doc_id"), str(out), "v1", n_buckets=4
+    )
+    cur = read_current_snapshot(spark, str(out))
+    assert cur.count() == 0
+    assert [f.name for f in cur.schema.fields] == ["doc_id", "text"]
+
+
 def test_stream_upsert_retention_vacuum(spark, tmp_path):
     """VERDICT r6 next-#4: after N>K batches with keep_last=K, exactly
     K manifests remain, read_current_snapshot still reconstructs the

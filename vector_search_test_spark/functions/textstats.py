@@ -296,14 +296,20 @@ def source_kl_divergence(
         F.sum("c").cast("long").alias("n_total"),
         F.count("*").cast("long").alias("v_size"),
     )
-    # corpus scalars incl. L = sum_w ln p(w), quantized for order-exactness
+    # corpus scalars incl. L = sum_w ln p(w), quantized for order-exactness.
+    # The L sum accumulates V terms of magnitude ~|ln p|*1e12 (~1e13 each
+    # for rare terms), so a 64-bit sum overflows around V ~ 1e6 — the
+    # accumulator is DECIMAL(38,0) (Spark) / HUGEINT (DuckDB), both
+    # exact, then converted to double ONCE for the closed form.
     lnp = F.log((F.col("c") + 1) / (F.col("n_total") + F.col("v_size")))
     scalars = (
         vocab.crossJoin(F.broadcast(nv))
         .agg(
             F.max("n_total").alias("n_total"),
             F.max("v_size").alias("v_size"),
-            F.sum(F.round(lnp * 1e12, 0).cast("long")).alias("l_q"),
+            F.sum(
+                F.round(lnp * 1e12, 0).cast("decimal(38,0)")
+            ).alias("l_q"),
         )
     )
     joined = (
@@ -327,7 +333,10 @@ def source_kl_divergence(
             F.round(
                 F.sum("q") / 1e12
                 + g_p_s0
-                * (F.max("v_size") * F.log(g_p_s0) - F.max("l_q") / 1e12),
+                * (
+                    F.max("v_size") * F.log(g_p_s0)
+                    - F.max("l_q").cast("double") / 1e12
+                ),
                 6,
             ).alias("kl"),
         )
@@ -355,10 +364,13 @@ def source_kl_oracle_sql() -> str:
             FROM vocab
         ),
         scalars AS (
+            -- sum stays HUGEINT (exact; Spark's twin accumulator is
+            -- DECIMAL(38,0)) — a BIGINT cast here overflows around
+            -- vocabulary sizes of ~1e6
             SELECT max(n_total) AS n_total, max(v_size) AS v_size,
-                   CAST(sum(CAST(round(
+                   sum(CAST(round(
                        ln((vocab.c + 1) / (nv.n_total + nv.v_size)) * 1e12,
-                   0) AS BIGINT)) AS BIGINT) AS l_q
+                   0) AS BIGINT)) AS l_q
             FROM vocab CROSS JOIN nv
         ),
         totals AS (
@@ -384,7 +396,7 @@ def source_kl_oracle_sql() -> str:
                round(sum(q) / 1e12
                      + (1.0 / (max(n_s) + max(v_size)))
                      * (max(v_size) * ln(1.0 / (max(n_s) + max(v_size)))
-                        - max(l_q) / 1e12), 6) AS kl
+                        - CAST(max(l_q) AS DOUBLE) / 1e12), 6) AS kl
         FROM contrib GROUP BY source
     """
 

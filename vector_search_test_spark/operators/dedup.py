@@ -42,19 +42,22 @@ def tokens(col: Column | str) -> Column:
     return F.split(F.lower(c), " ")
 
 
-def shingles(col: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a text column.
-
-    Documents shorter than n tokens yield their whole text as the single
-    shingle's worth of tokens joined (guard: Spark's sequence(1, x) with
-    x < 1 would count DOWN; DuckDB's range(1, x) is empty — so short docs
-    are handled explicitly to keep the twins identical).
-    """
-    toks = tokens(col)
+def grams_of(toks: Column, n: int) -> Column:
+    """Every word n-gram of a token-array column, in position order
+    (multiplicity kept). Documents shorter than n tokens yield their
+    whole text as the single gram (guard: Spark's sequence(1, x) with
+    x < 1 would count DOWN; DuckDB's range(1, x) is empty — so short
+    docs are handled explicitly to keep the twins identical)."""
     starts = F.sequence(F.lit(1), F.size(toks) - (n - 1))
     grams = F.transform(starts, lambda i: F.array_join(F.slice(toks, i, n), " "))
     whole = F.array(F.array_join(toks, " "))
-    return F.array_distinct(F.when(F.size(toks) >= n, grams).otherwise(whole))
+    return F.when(F.size(toks) >= n, grams).otherwise(whole)
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column (see grams_of for
+    the short-document guard)."""
+    return F.array_distinct(grams_of(tokens(col), n))
 
 
 def shingles_sql(expr: str, n: int = 3) -> str:
@@ -69,14 +72,10 @@ def shingles_sql(expr: str, n: int = 3) -> str:
 
 
 def shingles_all(col: Column | str, n: int = 3) -> Column:
-    """Every word n-gram occurrence (NOT distinct — multiplicity kept):
-    the positional gram stream duplicated-span analysis needs. Same
-    short-document guard as `shingles`."""
-    toks = tokens(col)
-    starts = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    grams = F.transform(starts, lambda i: F.array_join(F.slice(toks, i, n), " "))
-    whole = F.array(F.array_join(toks, " "))
-    return F.when(F.size(toks) >= n, grams).otherwise(whole)
+    """Every word n-gram occurrence of a text column (NOT distinct —
+    multiplicity kept): the positional gram stream duplicated-span
+    analysis needs."""
+    return grams_of(tokens(col), n)
 
 
 def shingles_all_sql(expr: str, n: int = 3) -> str:
@@ -211,17 +210,12 @@ def strip_dup_ngrams(
     tk = tokens(text_col)
     base = df.select(F.col(id_col).alias("id"), tk.alias("tk")).localCheckpoint()
     glen = F.when(F.size("tk") >= n, F.lit(n)).otherwise(F.size("tk"))
-    # grams straight from the checkpointed token array (same stream as
-    # shingles_all, without re-splitting the text)
-    starts = F.sequence(F.lit(1), F.size("tk") - (n - 1))
-    grams = F.when(
-        F.size("tk") >= n,
-        F.transform(starts, lambda i: F.array_join(F.slice("tk", i, n), " ")),
-    ).otherwise(F.array(F.array_join("tk", " ")))
     sh = base.select(
         "id",
         glen.alias("glen"),
-        F.posexplode(grams).alias("pos0", "g"),
+        # grams straight from the checkpointed token array (same stream
+        # as shingles_all, without re-splitting the text)
+        F.posexplode(grams_of(F.col("tk"), n)).alias("pos0", "g"),
     ).localCheckpoint()  # feeds document-frequency AND occurrence join
     st = sh.select("id", "g").distinct()
     shared = (

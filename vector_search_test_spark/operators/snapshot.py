@@ -117,6 +117,50 @@ def _read_manifest(base_dir: str, version: str) -> dict:
         return json.load(f)
 
 
+def _check_version_name(version: str) -> None:
+    """Version names are commit ids with a total order; the vacuum
+    orders them numerically, so the protocol requires `v<digits>`."""
+    import re
+
+    if not re.fullmatch(r"v\d+", version):
+        raise ValueError(
+            f"snapshot version must match v<digits>, got {version!r}"
+        )
+
+
+def _check_layout(manifest: dict, n_buckets: int, key: str) -> None:
+    """Hard errors, not asserts — a layout mismatch silently corrupts
+    the bucket map (keys hash to directories the manifest never
+    rewrote), and asserts vanish under python -O."""
+    if manifest["n_buckets"] != n_buckets:
+        raise ValueError(
+            f"snapshot was bucketed with n_buckets="
+            f"{manifest['n_buckets']}, got {n_buckets}"
+        )
+    if manifest.get("key", key) != key:
+        raise ValueError(
+            f"snapshot is keyed by {manifest['key']!r}, got {key!r}"
+        )
+
+
+def _manifest_df(spark, base_dir: str, manifest: dict) -> DataFrame:
+    """The snapshot a manifest describes: one path per bucket. An empty
+    bucket map (every row deleted) reads as an EMPTY DataFrame with the
+    schema the manifest recorded — not a zero-path scan error."""
+    from pyspark.sql import types as T
+
+    paths = [
+        os.path.join(base_dir, v, f"bucket={b}")
+        for b, v in sorted(
+            manifest["buckets"].items(), key=lambda kv: int(kv[0])
+        )
+    ]
+    if not paths:
+        schema = T.StructType.fromJson(json.loads(manifest["schema"]))
+        return spark.createDataFrame([], schema)
+    return spark.read.parquet(*paths)
+
+
 def _publish(base_dir: str, version: str, manifest: dict) -> None:
     """Write the manifest, then atomically repoint `_CURRENT` — the
     local-filesystem stand-in for a metastore/table-format commit
@@ -150,8 +194,14 @@ def upsert_bucketed(
     buckets' directories (all other buckets are never opened); the
     anti-join upsert broadcasts the updates; the rewrite shuffles once
     on `bucket` so each bucket lands in one task. Cost scales with
-    |touched buckets| * bucket size, not with the corpus."""
+    |touched buckets| * bucket size, not with the corpus.
+
+    The version name is a COMMIT ID (`v<digits>`): calling again with a
+    version that is already `_CURRENT` is interpreted as a foreachBatch
+    replay of an applied batch and skipped — do not reuse a committed
+    version name for new data."""
     spark = updates.sparkSession
+    _check_version_name(version)
     cur = _current_version(base_dir)
     if cur == version:
         # replay after a crash in the commit window (marker repointed,
@@ -169,10 +219,7 @@ def upsert_bucketed(
         nxt = upd
     else:
         manifest = _read_manifest(base_dir, cur)
-        assert manifest["n_buckets"] == n_buckets, (
-            f"snapshot was bucketed with n_buckets="
-            f"{manifest['n_buckets']}, got {n_buckets}"
-        )
+        _check_layout(manifest, n_buckets, key)
         affected = sorted(
             r.bucket for r in upd.select("bucket").distinct().collect()
         )
@@ -200,7 +247,12 @@ def upsert_bucketed(
     _publish(
         base_dir,
         version,
-        {"n_buckets": n_buckets, "key": key, "buckets": new_buckets},
+        {
+            "n_buckets": n_buckets,
+            "key": key,
+            "schema": updates.schema.json(),
+            "buckets": new_buckets,
+        },
     )
 
 
@@ -219,15 +271,18 @@ def delete_keys_bucketed(
     thousand keys from a 100 TB corpus rewrites a few buckets, not the
     corpus. A bucket whose rows are ALL deleted is dropped from the
     manifest entirely (its directory simply stops being referenced and
-    is vacuumed with its version)."""
+    is vacuumed with its version). Same commit-id contract as
+    upsert_bucketed: a call whose version is already `_CURRENT` is a
+    replay and is skipped."""
     spark = keys.sparkSession
+    _check_version_name(version)
     cur = _current_version(base_dir)
     if cur == version:
         return  # replay after commit (same contract as upsert_bucketed)
     if cur is None:
         raise FileNotFoundError(f"no snapshot to delete from under {base_dir}")
     manifest = _read_manifest(base_dir, cur)
-    assert manifest["n_buckets"] == n_buckets
+    _check_layout(manifest, n_buckets, key)
     tomb = keys.select(key).withColumn("bucket", bucket_col(key, n_buckets))
     affected = sorted(
         r.bucket for r in tomb.select("bucket").distinct().collect()
@@ -240,8 +295,12 @@ def delete_keys_bucketed(
             for b in affected
         ]
         base = spark.read.parquet(*base_paths)
-        kept = delete_keys(base, keys.select(key), key=key).withColumn(
-            "bucket", bucket_col(key, n_buckets)
+        # materialize once: both the survivors collect and the write
+        # consume the anti-join (bucket-scoped, ContextCleaner-released)
+        kept = (
+            delete_keys(base, keys.select(key), key=key)
+            .withColumn("bucket", bucket_col(key, n_buckets))
+            .localCheckpoint()
         )
         survivors = {
             r.bucket
@@ -259,7 +318,12 @@ def delete_keys_bucketed(
     _publish(
         base_dir,
         version,
-        {"n_buckets": n_buckets, "key": key, "buckets": new_buckets},
+        {
+            "n_buckets": n_buckets,
+            "key": key,
+            "schema": manifest["schema"],
+            "buckets": new_buckets,
+        },
     )
 
 
@@ -274,14 +338,7 @@ def read_snapshot_at(spark, base_dir: str, version: str) -> DataFrame:
             f"version {version} is not retained (vacuumed or never "
             f"published) under {base_dir}"
         )
-    manifest = _read_manifest(base_dir, version)
-    paths = [
-        os.path.join(base_dir, v, f"bucket={b}")
-        for b, v in sorted(
-            manifest["buckets"].items(), key=lambda kv: int(kv[0])
-        )
-    ]
-    return spark.read.parquet(*paths)
+    return _manifest_df(spark, base_dir, _read_manifest(base_dir, version))
 
 
 def compact_snapshot(spark, base_dir: str, version: str) -> None:
@@ -295,6 +352,7 @@ def compact_snapshot(spark, base_dir: str, version: str) -> None:
     are retained batches). The key column comes from the manifest
     (recorded at publish time), so compaction needs no caller input
     beyond where and what to name the new version."""
+    _check_version_name(version)
     cur = _current_version(base_dir)
     if cur == version:
         return
@@ -316,6 +374,7 @@ def compact_snapshot(spark, base_dir: str, version: str) -> None:
         {
             "n_buckets": n_buckets,
             "key": key,
+            "schema": manifest["schema"],
             "buckets": {b: version for b in manifest["buckets"]},
         },
     )
@@ -336,15 +395,21 @@ def vacuum_snapshots(base_dir: str, keep_last: int) -> "list[str]":
         (
             f[len("_MANIFEST_") : -len(".json")]
             for f in os.listdir(base_dir)
-            if f.startswith("_MANIFEST_") and f.endswith(".json")
+            if re.fullmatch(r"_MANIFEST_v\d+\.json", f)
         ),
-        key=lambda v: int(v.lstrip("v")),
+        key=lambda v: int(v[1:]),
     )
-    keep = manifests[-keep_last:] if keep_last > 0 else manifests
+    keep = set(manifests[-keep_last:] if keep_last > 0 else manifests)
+    cur = _current_version(base_dir)
+    # the CURRENT manifest is never vacuumable, whatever its position in
+    # the numeric order — deleting it would downgrade reads to the
+    # legacy non-manifest fallback against a PARTIAL version dir
+    if cur is not None:
+        keep.add(cur)
     referenced = set()
     for v in keep:
-        referenced.update(_read_manifest(base_dir, v)["buckets"].values())
-    cur = _current_version(base_dir)
+        if os.path.exists(os.path.join(base_dir, f"_MANIFEST_{v}.json")):
+            referenced.update(_read_manifest(base_dir, v)["buckets"].values())
     if cur is not None:
         referenced.add(cur)
     deleted = []
@@ -414,9 +479,4 @@ def read_current_snapshot(spark, base_dir: str) -> DataFrame:
     mpath = os.path.join(base_dir, f"_MANIFEST_{cur}.json")
     if not os.path.exists(mpath):
         return spark.read.parquet(os.path.join(base_dir, cur))
-    manifest = _read_manifest(base_dir, cur)
-    paths = [
-        os.path.join(base_dir, v, f"bucket={b}")
-        for b, v in sorted(manifest["buckets"].items(), key=lambda kv: int(kv[0]))
-    ]
-    return spark.read.parquet(*paths)
+    return _manifest_df(spark, base_dir, _read_manifest(base_dir, cur))
