@@ -860,6 +860,48 @@ def _q_snapshot_bucketed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def _q_sq8_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized search (operators/sq.py): encode the corpus to
+    int8 codes + per-vector float32 scale (4x scan compression, no
+    codebook), then exact L2 top-k for vec 0 over the DECODED codes —
+    the faiss IndexScalarQuantizer compression point between raw floats
+    and PQ. Scan-only columnar encode (JVM HOFs, no Python, no
+    shuffle); the oracle replays the float32 scale rounding, the
+    round-and-clamp code arithmetic, and the decoded distance fold
+    bit-for-bit."""
+    from vector_search_test_spark.io import spread
+    from vector_search_test_spark.operators.sq import sq8_encode, sq8_l2_topk
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 0).first().embedding]
+    codes = sq8_encode(emb)
+    out = sq8_l2_topk(codes, qvec, k=5)
+    return out.select("vec_id", F.round("dist", 6).alias("dist"))
+
+
+def _sq8_oracle_sql() -> str:
+    from vector_search_test_spark.operators.sq import sq8_encode_sql
+
+    d = (
+        "(codes[i] * CAST(scale AS DOUBLE) - CAST(qv[i] AS DOUBLE))"
+        " * (codes[i] * CAST(scale AS DOUBLE) - CAST(qv[i] AS DOUBLE))"
+    )
+    return f"""
+        WITH enc AS (
+            SELECT vec_id, {sq8_encode_sql("embedding")} FROM embeddings
+        ),
+        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id,
+               round(list_sum(list_transform(range(1, len(codes) + 1),
+                     i -> {d})), 6) AS dist
+        FROM enc, q
+        ORDER BY list_sum(list_transform(range(1, len(codes) + 1),
+                 i -> {d})), vec_id
+        LIMIT 5
+    """
+
+
 _DUPGRAM_N = 5
 _DUPGRAM_MIN_DOCS = 2
 
@@ -2171,6 +2213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_bucketed_roundtrip": _q_snapshot_bucketed_roundtrip,
         "dup_ngram_profile": _q_dup_ngram_profile,
         "dup_span_removal": _q_dup_span_removal,
+        "sq8_search_topk": _q_sq8_search_topk,
         "stream_sliding_counts": _q_stream_sliding_counts,
         "pivot_event_counts": _q_pivot_event_counts,
         "source_kl_divergence": _q_source_kl_divergence,
@@ -3139,6 +3182,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "snapshot_bucketed_roundtrip": _upsert_oracle_sql(),
         "dup_ngram_profile": _dup_ngram_oracle_sql(),
         "dup_span_removal": _dup_span_oracle_sql(),
+        "sq8_search_topk": _sq8_oracle_sql(),
         # sliding windows: Spark assigns each event to window/slide
         # epoch-aligned windows; the twin expands via (epoch_us mod
         # slide) + k*slide microsecond offsets — timezone-free

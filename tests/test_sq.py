@@ -1,0 +1,62 @@
+"""Scalar quantization (operators/sq.py): code-range and
+reconstruction-error invariants, zero-vector edge, recall against the
+exact float path, and the JVM-only plan pin."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from vector_search_test_spark.io import load_table
+from vector_search_test_spark.operators.knn import topk_global
+from vector_search_test_spark.operators.sq import sq8_encode, sq8_l2_topk
+
+
+def test_sq8_codes_and_reconstruction_error(spark, sf_dir):
+    """Codes live in [-127, 127]; per-dimension reconstruction error is
+    bounded by scale/2 (round-to-nearest)."""
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    enc = sq8_encode(emb).join(emb, "vec_id")
+    rows = enc.collect()
+    assert rows
+    for r in rows:
+        assert all(-127 <= c <= 127 for c in r.codes)
+        assert len(r.codes) == len(r.embedding)
+        for c, v in zip(r.codes, r.embedding):
+            assert abs(c * r.scale - v) <= r.scale / 2 + 1e-7
+
+
+def test_sq8_zero_vector(spark):
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0]), (1, [1.0, -2.0, 0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r.vec_id: r for r in sq8_encode(df).collect()}
+    assert rows[0].scale == 0.0 and rows[0].codes == [0, 0, 0]
+    assert rows[1].codes[1] == -127  # max-|x| dim saturates the range
+
+
+def test_sq8_recall_vs_exact(spark, sf_dir):
+    """int8 decode error is tiny relative to inter-vector distances at
+    this dim/scale: the SQ8 top-5 for vec 0 must equal the exact float
+    top-5 (self first), and distances must agree to ~1e-3."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+    exact = topk_global(emb, qvec, k=5).collect()
+    sq = sq8_l2_topk(sq8_encode(emb), qvec, k=5).collect()
+    assert [r.vec_id for r in sq] == [r.vec_id for r in exact]
+    assert sq[0].vec_id == 0 and sq[0].dist < 1e-4
+    for a, b in zip(sq, exact):
+        assert math.isclose(a.dist, b.dist, abs_tol=2e-2)
+
+
+def test_sq8_stays_jvm_side(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [0.0] * 64
+    plan = (
+        sq8_l2_topk(sq8_encode(emb), qvec, k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
