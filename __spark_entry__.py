@@ -902,6 +902,83 @@ def _sq8_oracle_sql() -> str:
     """
 
 
+_IVFSQ_NPROBE = 2
+
+
+def _q_ivfsq8_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + SQ8 (operators/sq.py::ivfsq8_search) — faiss's workhorse
+    production index (IndexIVFScalarQuantizer): the shared-trainer
+    coarse cells (same 8 centroids as the partial-probe entry) prune
+    the scan to nprobe=2 lists; int8 codes quarter the bytes of what
+    remains; exact L2 on the decoded codes ranks the survivors. The
+    oracle replays cell assignment (VALUES centroid table, chain L2),
+    probe ranking, SQ8 encode, and the decoded-distance top-k."""
+    from vector_search_test_spark.io import spread
+    from vector_search_test_spark.operators.ivf import assign_cells
+    from vector_search_test_spark.operators.sq import ivfsq8_search, sq8_encode
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    cents = _partial_probe_centroids(sf_dir)
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 0).first().embedding]
+    postings = sq8_encode(
+        assign_cells(emb.select("vec_id", "embedding"), cents),
+        extra_cols=("list_id",),
+    )
+    out = ivfsq8_search(postings, qvec, cents, k=5, nprobe=_IVFSQ_NPROBE)
+    return out.select("vec_id", F.round("dist", 6).alias("dist"))
+
+
+def _ivfsq8_oracle_sql(sf_dir: str | None = None) -> str:
+    from vector_search_test_spark.operators.sq import sq8_encode_sql
+
+    if sf_dir is None:
+        sf_dir = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    cents = _partial_probe_centroids(sf_dir)
+    values = ",\n                   ".join(
+        "({}, [{}]::DOUBLE[])".format(i, ", ".join(repr(x) for x in c))
+        for i, c in enumerate(cents)
+    )
+    d_assign = _l2_sq_sql("e.embedding", "c.centroid")
+    d_probe = _l2_sq_sql("q.embedding", "c.centroid")
+    dd = (
+        "(enc.codes[i] * CAST(enc.scale AS DOUBLE) - CAST(p.qv[i] AS DOUBLE))"
+        " * (enc.codes[i] * CAST(enc.scale AS DOUBLE)"
+        " - CAST(p.qv[i] AS DOUBLE))"
+    )
+    return f"""
+        WITH cents(list_id, centroid) AS (
+            VALUES {values}
+        ),
+        assign AS (
+            SELECT e.vec_id, e.embedding, c.list_id
+            FROM embeddings e CROSS JOIN cents c
+            QUALIFY row_number() OVER (
+                PARTITION BY e.vec_id ORDER BY {d_assign}, c.list_id
+            ) = 1
+        ),
+        probes AS (
+            SELECT q.embedding AS qv, c.list_id
+            FROM embeddings q CROSS JOIN cents c
+            WHERE q.vec_id = 0
+            QUALIFY row_number() OVER (
+                ORDER BY {d_probe}, c.list_id
+            ) <= {_IVFSQ_NPROBE}
+        ),
+        enc AS (
+            SELECT a.vec_id, a.list_id, {sq8_encode_sql("a.embedding")}
+            FROM assign a
+        )
+        SELECT enc.vec_id,
+               round(list_sum(list_transform(range(1, len(enc.codes) + 1),
+                     i -> {dd})), 6) AS dist
+        FROM enc JOIN probes p ON enc.list_id = p.list_id
+        ORDER BY list_sum(list_transform(range(1, len(enc.codes) + 1),
+                 i -> {dd})), enc.vec_id
+        LIMIT 5
+    """
+
+
 _DUPGRAM_N = 5
 _DUPGRAM_MIN_DOCS = 2
 
@@ -2214,6 +2291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_ngram_profile": _q_dup_ngram_profile,
         "dup_span_removal": _q_dup_span_removal,
         "sq8_search_topk": _q_sq8_search_topk,
+        "ivfsq8_search_topk": _q_ivfsq8_search_topk,
         "stream_sliding_counts": _q_stream_sliding_counts,
         "pivot_event_counts": _q_pivot_event_counts,
         "source_kl_divergence": _q_source_kl_divergence,
@@ -2690,6 +2768,10 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         _ivfpq_sql = _ivfpq_oracle(sf_dir)
     except Exception:
         _ivfpq_sql = None
+    try:
+        _ivfsq8_sql = _ivfsq8_oracle_sql(sf_dir)
+    except Exception:
+        _ivfsq8_sql = None
     out = {
         "knn_topk_global": f"""
             SELECT e.vec_id, round({d}, 6) AS dist
@@ -3183,6 +3265,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "dup_ngram_profile": _dup_ngram_oracle_sql(),
         "dup_span_removal": _dup_span_oracle_sql(),
         "sq8_search_topk": _sq8_oracle_sql(),
+        "ivfsq8_search_topk": _ivfsq8_sql,
         # sliding windows: Spark assigns each event to window/slide
         # epoch-aligned windows; the twin expands via (epoch_us mod
         # slide) + k*slide microsecond offsets — timezone-free

@@ -49,6 +49,31 @@ def test_sq8_recall_vs_exact(spark, sf_dir):
         assert math.isclose(a.dist, b.dist, abs_tol=2e-2)
 
 
+def test_ivfsq8_full_probe_equals_flat_sq8(spark, sf_dir):
+    """IVF-SQ8 at nprobe = nlist degenerates to the flat SQ8 scan (the
+    same exactness gate the float IVF path pins); at nprobe=2 the
+    result is a subset drawn only from the probed cells."""
+    import __spark_entry__ as entrymod
+    from vector_search_test_spark.operators.ivf import assign_cells
+    from vector_search_test_spark.operators.sq import ivfsq8_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = entrymod._partial_probe_centroids(sf_dir)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+    postings = assign_cells(emb.select("vec_id", "embedding"), cents)
+    enc = sq8_encode(postings, extra_cols=("list_id",))
+
+    full = ivfsq8_search(enc, qvec, cents, k=5, nprobe=len(cents)).collect()
+    flat = sq8_l2_topk(sq8_encode(emb), qvec, k=5).collect()
+    assert [(r.vec_id, r.dist) for r in full] == [
+        (r.vec_id, r.dist) for r in flat
+    ]
+
+    pruned = ivfsq8_search(enc, qvec, cents, k=5, nprobe=2).collect()
+    assert len(pruned) == 5
+    assert pruned[0].vec_id == 0  # self lives in the nearest cell
+
+
 def test_sq8_stays_jvm_side(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = [0.0] * 64

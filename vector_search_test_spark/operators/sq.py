@@ -27,6 +27,7 @@ def sq8_encode(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    extra_cols: "tuple[str, ...]" = (),
 ) -> DataFrame:
     """Encode float vectors to (id, scale float, codes array<int>).
 
@@ -36,11 +37,14 @@ def sq8_encode(
     Codes are ints in [-127, 127] — stored as array<int> here because
     Spark has no int8 array, but the INFORMATION is one byte per dim
     (+4 bytes per vector for the scale), which is what a real sink
-    would write."""
+    would write. `extra_cols` pass through untouched (e.g. an IVF
+    list_id riding alongside the codes)."""
     x = F.col(vec_col)
     amax = F.array_max(F.transform(x, lambda v: F.abs(v)))
     scale = (amax / F.lit(127.0)).cast("float")
-    staged = df.select(F.col(id_col), scale.alias("scale"), x.alias("__v"))
+    staged = df.select(
+        *extra_cols, F.col(id_col), scale.alias("scale"), x.alias("__v")
+    )
     codes = F.when(
         F.col("scale") == 0.0,
         F.transform(F.col("__v"), lambda v: F.lit(0)),
@@ -56,7 +60,7 @@ def sq8_encode(
             ),
         )
     )
-    return staged.select(id_col, "scale", codes.alias("codes"))
+    return staged.select(*extra_cols, id_col, "scale", codes.alias("codes"))
 
 
 def sq8_l2_topk(
@@ -86,6 +90,48 @@ def sq8_l2_topk(
         codes_df.select(F.col(id_col), dist.alias("dist"))
         .orderBy(F.asc("dist"), F.asc(id_col))
         .limit(k)
+    )
+
+
+def rank_cells(query_vec: "list[float]", centroids, nprobe: int) -> "list[int]":
+    """The nprobe nearest coarse cells for a query, ranked by exact
+    sequential-accumulation L2 (the same left-to-right arithmetic the
+    JVM fold, the numpy trainers, and the DuckDB chain SQL all use),
+    ties to the lowest cell id — driver-side Python over a KB-sized
+    centroid table."""
+    ranked = []
+    for cell, cent in enumerate(centroids):
+        acc = 0.0
+        for i in range(len(cent)):
+            t = float(query_vec[i]) - float(cent[i])
+            acc = acc + t * t
+        ranked.append((acc, cell))
+    ranked.sort()
+    return [cell for _, cell in ranked[:nprobe]]
+
+
+def ivfsq8_search(
+    postings: DataFrame,
+    query_vec: "list[float]",
+    centroids,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF + SQ8 — faiss's workhorse large-scale configuration
+    (IndexIVFScalarQuantizer): coarse cells prune the scan to nprobe
+    inverted lists, int8 codes quarter the bytes of what remains.
+    `postings` is (list_id, id, scale, codes) — assign_cells composed
+    with sq8_encode(extra_cols=("list_id",)). The probed-cell set is
+    computed driver-side and applied as a static IN filter, so against
+    postings persisted partitionBy(list_id) this is partition pruning,
+    exactly like the float-IVF and IVF-PQ paths."""
+    probed = rank_cells(query_vec, centroids, nprobe)
+    return sq8_l2_topk(
+        postings.filter(F.col("list_id").isin(probed)),
+        query_vec,
+        k=k,
+        id_col=id_col,
     )
 
 
