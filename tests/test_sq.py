@@ -74,6 +74,39 @@ def test_ivfsq8_full_probe_equals_flat_sq8(spark, sf_dir):
     assert pruned[0].vec_id == 0  # self lives in the nearest cell
 
 
+def test_ivfsq8_save_load_roundtrip_and_pruning(spark, sf_dir, tmp_path):
+    """Disk round-trip returns the identical result, and a probe over
+    the loaded postings prunes to the probed list_id partitions
+    (PartitionFilters in the scan — the same contract as the float IVF
+    and IVF-PQ indexes)."""
+    import __spark_entry__ as entrymod
+    from vector_search_test_spark.operators.ivf import assign_cells
+    from vector_search_test_spark.operators.sq import (
+        ivfsq8_load,
+        ivfsq8_save,
+        ivfsq8_search,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = entrymod._partial_probe_centroids(sf_dir)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+    enc = sq8_encode(
+        assign_cells(emb.select("vec_id", "embedding"), cents),
+        extra_cols=("list_id",),
+    )
+    want = [tuple(r) for r in ivfsq8_search(enc, qvec, cents, k=5).collect()]
+
+    path = str(tmp_path / "ivfsq8")
+    ivfsq8_save(enc, cents, path)
+    loaded, lcents = ivfsq8_load(spark, path)
+    assert lcents == cents
+    out = ivfsq8_search(loaded, qvec, lcents, k=5)
+    assert [tuple(r) for r in out.collect()] == want
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list_id" in plan
+
+
 def test_sq8_stays_jvm_side(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = [0.0] * 64

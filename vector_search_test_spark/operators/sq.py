@@ -135,6 +135,50 @@ def ivfsq8_search(
     )
 
 
+def ivfsq8_save(postings: DataFrame, centroids, path: str) -> None:
+    """Persist the IVF-SQ8 index: `<path>/centroids/` (KBs) and
+    `<path>/postings/` partitioned by list_id — the same inverted-list
+    directory layout as the float index (ivf.py::ivf_save) and the
+    IVF-PQ index (pq.py::ivfpq_save), at 1 byte/dim + 4 bytes/vector.
+    Same hash-shuffle-on-list_id write: file count bounded by nlist at
+    defaultParallelism tasks."""
+    import os as _os
+
+    spark = postings.sparkSession
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)],
+        "list_id int, centroid array<float>",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        _os.path.join(path, "centroids")
+    )
+    par = spark.sparkContext.defaultParallelism
+    postings.repartition(par, "list_id").write.mode(
+        "overwrite"
+    ).partitionBy("list_id").parquet(_os.path.join(path, "postings"))
+
+
+def ivfsq8_load(spark, path: str, id_col: str = "vec_id"):
+    """Load a saved IVF-SQ8 index: (postings, centroids). Pure IO; the
+    partitioned postings scan prunes to the probed list_id directories
+    exactly like the float and PQ variants. `id_col` must match the
+    column the index was encoded with."""
+    import os as _os
+
+    cent_rows = (
+        spark.read.parquet(_os.path.join(path, "centroids"))
+        .orderBy("list_id")
+        .collect()
+    )
+    centroids = [[float(x) for x in r.centroid] for r in cent_rows]
+    postings = spark.read.parquet(_os.path.join(path, "postings")).select(
+        F.col("list_id").cast("int").alias("list_id"),
+        id_col,
+        "scale",
+        "codes",
+    )
+    return postings, centroids
+
+
 def sq8_encode_sql(vec_expr: str = "embedding") -> str:
     """DuckDB twin of sq8_encode's (scale, codes) for one vector
     expression. Every arithmetic step is forced to the same type Spark
