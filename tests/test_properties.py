@@ -181,3 +181,50 @@ def test_upsert_count_algebra(base_keys, upd_keys):
     assert set(result) == base_keys | upd_keys
     for k, v in result.items():
         assert v == (f"u{k}" if k in upd_keys else f"b{k}")
+
+
+@settings(**_SETTINGS)
+@given(
+    base_keys=st.lists(
+        st.integers(0, 30), min_size=1, max_size=15, unique=True
+    ),
+    upd_keys=st.lists(st.integers(0, 40), min_size=1, max_size=8, unique=True),
+    n_buckets=st.sampled_from([1, 3, 8]),
+)
+def test_bucketed_upsert_equals_plain_upsert(
+    spark, base_keys, upd_keys, n_buckets
+):
+    """The partition-scoped disk path must be semantically invisible:
+    for arbitrary key sets and bucket counts (including n_buckets=1,
+    where every upsert rewrites the single bucket), writing base then
+    updates through upsert_bucketed and reading the manifest back
+    equals the in-memory upsert plan."""
+    import shutil
+    import tempfile
+
+    from vector_search_test_spark.operators.snapshot import (
+        read_current_snapshot,
+        upsert,
+        upsert_bucketed,
+    )
+
+    base = spark.createDataFrame(
+        [(k, f"b{k}") for k in sorted(base_keys)], "doc_id long, text string"
+    )
+    upd = spark.createDataFrame(
+        [(k, f"u{k}") for k in sorted(upd_keys)], "doc_id long, text string"
+    )
+    d = tempfile.mkdtemp(prefix="sg_bucketed_prop_")
+    try:
+        upsert_bucketed(base, d, "v0", n_buckets=n_buckets)
+        upsert_bucketed(upd, d, "v1", n_buckets=n_buckets)
+        got = sorted(
+            tuple(r)
+            for r in read_current_snapshot(spark, d)
+            .select("doc_id", "text")
+            .collect()
+        )
+        want = sorted(tuple(r) for r in upsert(base, upd).collect())
+        assert got == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
