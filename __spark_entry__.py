@@ -979,6 +979,44 @@ def _ivfsq8_oracle_sql(sf_dir: str | None = None) -> str:
     """
 
 
+def _q_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary quantization + Hamming search (operators/sq.py::bq_*) —
+    the 1-bit end of the compression ladder (float32 -> SQ8 -> PQ ->
+    binary, faiss IndexBinaryFlat): one sign bit per dimension packed
+    32/chunk, distance = XOR + popcount, 32x scan compression. Pure
+    integer arithmetic end to end, so the oracle is exact by
+    construction — no float parity argument needed."""
+    from vector_search_test_spark.io import spread
+    from vector_search_test_spark.operators.sq import bq_encode, bq_hamming_topk
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 0).first().embedding]
+    return bq_hamming_topk(bq_encode(emb), qvec, k=5)
+
+
+def _bq_oracle_sql() -> str:
+    from vector_search_test_spark.operators.sq import bq_encode_sql
+
+    return f"""
+        WITH enc AS (
+            SELECT vec_id, {bq_encode_sql("embedding")} AS bits
+            FROM embeddings
+        ),
+        q AS (
+            SELECT {bq_encode_sql("embedding")} AS qb
+            FROM embeddings WHERE vec_id = 0
+        )
+        SELECT vec_id,
+               CAST(list_sum(list_transform(range(1, len(bits) + 1),
+                    i -> bit_count(xor(bits[i], q.qb[i])))) AS BIGINT)
+                   AS hamming
+        FROM enc, q
+        ORDER BY hamming, vec_id
+        LIMIT 5
+    """
+
+
 _DUPGRAM_N = 5
 _DUPGRAM_MIN_DOCS = 2
 
@@ -2292,6 +2330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_removal": _q_dup_span_removal,
         "sq8_search_topk": _q_sq8_search_topk,
         "ivfsq8_search_topk": _q_ivfsq8_search_topk,
+        "binary_hamming_topk": _q_binary_hamming_topk,
         "stream_sliding_counts": _q_stream_sliding_counts,
         "pivot_event_counts": _q_pivot_event_counts,
         "source_kl_divergence": _q_source_kl_divergence,
@@ -3266,6 +3305,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "dup_span_removal": _dup_span_oracle_sql(),
         "sq8_search_topk": _sq8_oracle_sql(),
         "ivfsq8_search_topk": _ivfsq8_sql,
+        "binary_hamming_topk": _bq_oracle_sql(),
         # sliding windows: Spark assigns each event to window/slide
         # epoch-aligned windows; the twin expands via (epoch_us mod
         # slide) + k*slide microsecond offsets — timezone-free

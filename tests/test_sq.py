@@ -107,6 +107,54 @@ def test_ivfsq8_save_load_roundtrip_and_pruning(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan and "list_id" in plan
 
 
+def test_bq_packing_and_hamming(spark):
+    """Known-vector bit packing (strictly-positive -> bit set; zero and
+    negative -> clear), self-distance 0, sign-flip distance = number of
+    flipped strictly-positive/negative transitions, and a dimension not
+    divisible by 32 packs into a final partial word."""
+    from vector_search_test_spark.operators.sq import (
+        bq_encode,
+        bq_hamming_topk,
+        bq_pack,
+    )
+
+    v = [1.0, -1.0, 0.0, 2.5] + [0.0] * 28       # bits 0 and 3 -> 9
+    w = [-x for x in v]                           # bit 1 only -> 2
+    df = spark.createDataFrame(
+        [(0, v), (1, w)], "vec_id long, embedding array<float>"
+    )
+    rows = {r.vec_id: r.bits for r in bq_encode(df).collect()}
+    assert rows[0] == [9] and rows[1] == [2]
+    assert bq_pack(v) == [9] and bq_pack(w) == [2]
+
+    out = {
+        r.vec_id: r.hamming
+        for r in bq_hamming_topk(bq_encode(df), v, k=2).collect()
+    }
+    assert out[0] == 0
+    assert out[1] == 3  # bits {0,3} vs {1}: symmetric difference
+
+    odd = spark.createDataFrame(
+        [(0, [1.0] * 40)], "vec_id long, embedding array<float>"
+    )
+    (r,) = bq_encode(odd).collect()
+    assert r.bits == [2**32 - 1, 2**8 - 1]  # 32 full bits + 8 in word 2
+
+
+def test_bq_stays_jvm_side(spark, sf_dir):
+    from vector_search_test_spark.operators.sq import bq_encode, bq_hamming_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = (
+        bq_hamming_topk(bq_encode(emb), [0.1] * 64, k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_sq8_stays_jvm_side(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = [0.0] * 64

@@ -179,6 +179,88 @@ def ivfsq8_load(spark, path: str, id_col: str = "vec_id"):
     return postings, centroids
 
 
+def bq_encode(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Binary quantization — the 1-bit end of the compression ladder
+    (float32 -> SQ8 -> PQ -> binary; faiss's IndexBinaryFlat): one sign
+    bit per dimension, packed 32 bits per array element (32-bit chunks
+    in BIGINT slots keep every value positive — a 64-bit pack would
+    overflow the sign bit on dimension 63). 32x compression; distances
+    become XOR+popcount integer ops. Scan-only JVM projection."""
+    x = F.col(vec_col)
+    nchunks = F.ceil(F.size(x) / F.lit(32)).cast("int")
+    codes = F.transform(
+        F.sequence(F.lit(0), nchunks - 1),
+        lambda j: F.aggregate(
+            F.sequence(F.lit(0), F.lit(31)),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc
+            + F.when(
+                # F.get (0-based) returns NULL past the end — element_at
+                # would THROW under Spark 4's default ANSI mode when the
+                # dimension is not a multiple of 32. shiftleft() needs a
+                # Python-int bit count, so the bit weight is pow(2, i) —
+                # exact in doubles through 2^52, cast back to long.
+                F.get(x, (j * 32 + i).cast("int")) > 0,
+                F.pow(F.lit(2.0), i).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+    )
+    return df.select(F.col(id_col), codes.alias("bits"))
+
+
+def bq_pack(vec: "list[float]") -> "list[int]":
+    """Driver-side twin of bq_encode for a query vector."""
+    out = []
+    for j in range(0, len(vec), 32):
+        word = 0
+        for i, v in enumerate(vec[j : j + 32]):
+            if v > 0:
+                word += 1 << i
+        out.append(word)
+    return out
+
+
+def bq_hamming_topk(
+    bits_df: DataFrame,
+    query_vec: "list[float]",
+    k: int = 5,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Global top-k by Hamming distance between packed sign bits:
+    per-chunk XOR + popcount, summed — pure integer arithmetic (the
+    oracle is exact by construction, no float parity argument needed),
+    TakeOrderedAndProject over a 32x-compressed scan. The standard
+    first-pass filter in a binary-then-rerank stack."""
+    q = F.array(*[F.lit(int(w)).cast("long") for w in bq_pack(query_vec)])
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("bits"), q, lambda a, b: F.bit_count(a.bitwiseXOR(b))
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        bits_df.select(F.col(id_col), dist.alias("hamming"))
+        .orderBy(F.asc("hamming"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def bq_encode_sql(vec_expr: str = "embedding") -> str:
+    """DuckDB twin of bq_encode: same 32-bit chunking, same sign
+    predicate, BIGINT shifts."""
+    return (
+        f"list_transform(range(0, CAST(ceil(len({vec_expr}) / 32.0) AS INTEGER)), "
+        f"j -> list_sum(list_transform(range(0, 32), "
+        f"i -> CASE WHEN {vec_expr}[j * 32 + i + 1] > 0 "
+        f"THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)))"
+    )
+
+
 def sq8_encode_sql(vec_expr: str = "embedding") -> str:
     """DuckDB twin of sq8_encode's (scale, codes) for one vector
     expression. Every arithmetic step is forced to the same type Spark
