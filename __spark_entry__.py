@@ -1017,6 +1017,56 @@ def _bq_oracle_sql() -> str:
     """
 
 
+_BQ_RERANK_R = 50
+
+
+def _q_binary_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-then-rerank (operators/sq.py::bq_rerank): Hamming over
+    packed sign bits shortlists R=50 candidates from the
+    32x-compressed scan, then only those rows join the float table for
+    exact L2 — the production closure of the binary path, mirroring
+    pq_rerank. The oracle replays the integer Hamming shortlist (exact
+    by construction) and the float re-rank."""
+    from vector_search_test_spark.io import spread
+    from vector_search_test_spark.operators.sq import bq_encode, bq_rerank
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 0).first().embedding]
+    out = bq_rerank(bq_encode(emb), emb, qvec, k=5, r=_BQ_RERANK_R)
+    return out.select("vec_id", F.round("dist", 6).alias("dist"))
+
+
+def _bq_rerank_oracle_sql() -> str:
+    from vector_search_test_spark.operators.sq import bq_encode_sql
+
+    # exact-L2 replay via the same chain SQL every knn oracle uses —
+    # bit-identical to l2_sq_const's fold
+    d = _l2_sq_sql("e.embedding", "q.qv")
+    return f"""
+        WITH enc AS (
+            SELECT vec_id, {bq_encode_sql("embedding")} AS bits
+            FROM embeddings
+        ),
+        qb AS (
+            SELECT {bq_encode_sql("embedding")} AS b
+            FROM embeddings WHERE vec_id = 0
+        ),
+        shortlist AS (
+            SELECT enc.vec_id
+            FROM enc, qb
+            ORDER BY list_sum(list_transform(range(1, len(bits) + 1),
+                     i -> bit_count(xor(bits[i], qb.b[i])))), enc.vec_id
+            LIMIT {_BQ_RERANK_R}
+        ),
+        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        SELECT e.vec_id, round({d}, 6) AS dist
+        FROM embeddings e JOIN shortlist USING (vec_id), q
+        ORDER BY {d}, e.vec_id
+        LIMIT 5
+    """
+
+
 _DUPGRAM_N = 5
 _DUPGRAM_MIN_DOCS = 2
 
@@ -2331,6 +2381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq8_search_topk": _q_sq8_search_topk,
         "ivfsq8_search_topk": _q_ivfsq8_search_topk,
         "binary_hamming_topk": _q_binary_hamming_topk,
+        "binary_rerank_topk": _q_binary_rerank_topk,
         "stream_sliding_counts": _q_stream_sliding_counts,
         "pivot_event_counts": _q_pivot_event_counts,
         "source_kl_divergence": _q_source_kl_divergence,
@@ -3306,6 +3357,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "sq8_search_topk": _sq8_oracle_sql(),
         "ivfsq8_search_topk": _ivfsq8_sql,
         "binary_hamming_topk": _bq_oracle_sql(),
+        "binary_rerank_topk": _bq_rerank_oracle_sql(),
         # sliding windows: Spark assigns each event to window/slide
         # epoch-aligned windows; the twin expands via (epoch_us mod
         # slide) + k*slide microsecond offsets — timezone-free

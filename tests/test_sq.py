@@ -141,6 +141,28 @@ def test_bq_packing_and_hamming(spark):
     assert r.bits == [2**32 - 1, 2**8 - 1]  # 32 full bits + 8 in word 2
 
 
+def test_bq_rerank_recovers_exact_topk(spark, sf_dir):
+    """With a generous shortlist (r = corpus size) the binary-then-
+    rerank result IS the exact float top-k; with r=50 the refined
+    distances are exact L2 for whatever the shortlist surfaced, and the
+    self-match still tops the list (its Hamming distance is 0)."""
+    from vector_search_test_spark.operators.sq import bq_encode, bq_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+    exact = [tuple(r) for r in topk_global(emb, qvec, k=5).collect()]
+    bits = bq_encode(emb)
+    full = [tuple(r) for r in bq_rerank(bits, emb, qvec, k=5, r=n).collect()]
+    assert full == exact
+
+    pruned = bq_rerank(bits, emb, qvec, k=5, r=50).collect()
+    assert len(pruned) == 5 and pruned[0].vec_id == 0
+    assert all(
+        pruned[i].dist <= pruned[i + 1].dist for i in range(len(pruned) - 1)
+    )
+
+
 def test_bq_stays_jvm_side(spark, sf_dir):
     from vector_search_test_spark.operators.sq import bq_encode, bq_hamming_topk
 

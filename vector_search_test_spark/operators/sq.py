@@ -250,6 +250,33 @@ def bq_hamming_topk(
     )
 
 
+def bq_rerank(
+    bits_df: DataFrame,
+    corpus: DataFrame,
+    query_vec: "list[float]",
+    k: int = 5,
+    r: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The binary-then-rerank stack closed: Hamming over the packed
+    bits picks an R-candidate shortlist (32x-compressed scan, integer
+    ops), then ONLY those R rows join back to the float table for exact
+    L2 re-ranking — the same two-stage shape as pq_rerank, with the
+    cheapest possible first pass. At scale the float scan is replaced
+    by an R-row broadcast join; returns (id, dist) ascending."""
+    from vector_search_test_spark.functions.vector import l2_sq_const
+
+    shortlist = bq_hamming_topk(bits_df, query_vec, k=r, id_col=id_col)
+    dist = l2_sq_const(F.col(vec_col), [float(v) for v in query_vec])
+    return (
+        corpus.join(F.broadcast(shortlist.select(id_col)), id_col)
+        .select(F.col(id_col), dist.alias("dist"))
+        .orderBy(F.asc("dist"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def bq_encode_sql(vec_expr: str = "embedding") -> str:
     """DuckDB twin of bq_encode: same 32-bit chunking, same sign
     predicate, BIGINT shifts."""
