@@ -438,6 +438,65 @@ def test_bucketed_protocol_edges(spark, tmp_path):
     assert [f.name for f in cur.schema.fields] == ["doc_id", "text"]
 
 
+def test_stream_delete_snapshots_tombstone_sink(spark, tmp_path):
+    """Tombstone stream over a standing bucketed snapshot: each batch
+    deletes its keys (versions continue AFTER the upsert's, no batch-id
+    collision), the final snapshot holds exactly the never-tombstoned
+    rows, and a dir-wide vacuum with keep_last=1 leaves a readable
+    single-manifest state."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from vector_search_test_spark.operators.snapshot import (
+        read_current_snapshot,
+        stream_delete_snapshots,
+        upsert_bucketed,
+        vacuum_snapshots,
+    )
+
+    base = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(30)], "doc_id long, text string"
+    )
+    out = tmp_path / "tomb"
+    out.mkdir()
+    upsert_bucketed(base, str(out), "v0", n_buckets=4)
+
+    schema = T.StructType([T.StructField("doc_id", T.LongType(), True)])
+    batches = [
+        spark.createDataFrame([(i,) for i in range(0, 10)], schema),
+        spark.createDataFrame([(i,) for i in range(20, 25)], schema),
+    ]
+    stream = _stage_stream_batches(spark, tmp_path, schema, batches)
+    q = (
+        stream_delete_snapshots(stream, str(out), n_buckets=4, keep_last=3)
+        .option("checkpointLocation", str(tmp_path / "tomb_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    live = {
+        r.doc_id
+        for r in read_current_snapshot(spark, str(out))
+        .select("doc_id")
+        .collect()
+    }
+    assert live == set(range(10, 20)) | set(range(25, 30))
+    # versions continued after the base's v0 (no collision): v1, v2
+    assert os.path.exists(out / "_MANIFEST_v2.json")
+
+    vacuum_snapshots(str(out), keep_last=1)
+    manifests = [f for f in os.listdir(out) if f.startswith("_MANIFEST_")]
+    assert manifests == ["_MANIFEST_v2.json"]
+    assert {
+        r.doc_id
+        for r in read_current_snapshot(spark, str(out))
+        .select("doc_id")
+        .collect()
+    } == live
+
+
 def test_stream_upsert_retention_vacuum(spark, tmp_path):
     """VERDICT r6 next-#4: after N>K batches with keep_last=K, exactly
     K manifests remain, read_current_snapshot still reconstructs the

@@ -327,6 +327,50 @@ def delete_keys_bucketed(
     )
 
 
+def stream_delete_snapshots(
+    stream: DataFrame,
+    base_dir: str,
+    key: str = "doc_id",
+    n_buckets: int = 16,
+    keep_last: "int | None" = 4,
+):
+    """foreachBatch sink for a TOMBSTONE stream — the takedown / GDPR
+    pipeline: each micro-batch of keys is deleted from the bucketed
+    snapshot via `delete_keys_bucketed` (only the tombstones' buckets
+    rewrite), with keep-last-K vacuum after each publish.
+
+    Versioning: this sink's batch ids are NOT the snapshot's version
+    space (a tombstone stream's batch 0 must not collide with the
+    upsert stream's v0), so each batch commits as the NEXT numeric
+    version after `_CURRENT`. Replay safety still holds because delete
+    is content-idempotent: a replay that crashed mid-write re-derives
+    the same next version and static-overwrites it; a replay that
+    crashed after the `_CURRENT` repoint re-deletes the same keys from
+    the already-deleted snapshot, publishing a redundant version with
+    identical content. The manifest protocol is SINGLE-WRITER: run one
+    active sink (upsert or tombstone) against a snapshot dir at a time.
+
+    Retention and right-to-erasure interact: a deleted row remains
+    readable through RETAINED older manifests until vacuum passes them
+    — set keep_last to the compliance window (or vacuum explicitly
+    after a legal-hold delete)."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        cur = _current_version(base_dir)
+        if cur is None:
+            raise FileNotFoundError(
+                f"no snapshot to delete from under {base_dir}"
+            )
+        version = f"v{int(cur[1:]) + 1}"
+        delete_keys_bucketed(
+            batch_df, base_dir, version, key=key, n_buckets=n_buckets
+        )
+        if keep_last is not None:
+            vacuum_snapshots(base_dir, keep_last)
+
+    return stream.writeStream.foreachBatch(_apply)
+
+
 def read_snapshot_at(spark, base_dir: str, version: str) -> DataFrame:
     """Time travel: read the snapshot as of `version` (its manifest
     must still be retained — vacuum keeps the last K). The manifest IS
