@@ -215,3 +215,64 @@ def test_ivf_search_wide_embedding_falls_back_interpreted(spark):
     )
     got = [r.vec_id for r in ivf_search(idx, [2.0] * dim, k=2, nprobe=1).collect()]
     assert got == [2, 1] or got == [2, 3]  # vec 2 exact, then tie on dist
+
+
+def test_ivf_rebalance_splits_hot_list_only(spark):
+    """A hot list holding two separable clusters splits into sub-cells;
+    untouched lists keep their (vec_id, list_id) pairs bit-for-bit;
+    ntotal is preserved; nprobe=nlist search stays exact; a balanced
+    index is returned unchanged."""
+    from vector_search_test_spark.operators.ivf import (
+        IvfIndex,
+        assign_cells,
+        ivf_rebalance,
+        ivf_search,
+    )
+
+    rows = (
+        [(i, [0.0 + i * 0.01, 0.0]) for i in range(40)]
+        + [(100 + i, [5.0 + i * 0.01, 5.0]) for i in range(40)]
+        + [(200 + i, [100.0, 100.0 + i]) for i in range(5)]
+    )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [[0.0, 0.0], [100.0, 100.0]]
+    postings = assign_cells(df, cents).select("list_id", "vec_id", "embedding")
+    idx = IvfIndex(centroids=cents, postings=postings)
+    before = {
+        r.list_id: r.n
+        for r in postings.groupBy("list_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert before[0] == 80 and before[1] == 5  # cell 0 is hot
+
+    out = ivf_rebalance(idx, max_list_frac=0.5, sub_k=2)
+    assert out.nlist == 3  # hot slot reused + one appended
+    after = {
+        r.list_id: r.n
+        for r in out.postings.groupBy("list_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert after[1] == 5  # untouched list intact
+    assert sum(after.values()) == 85  # ntotal preserved
+    assert max(after.values()) < before[0]  # the hot list actually split
+    # the two planted clusters land in different sub-cells
+    pairs = {
+        r.vec_id: r.list_id for r in out.postings.select("vec_id", "list_id").collect()
+    }
+    assert len({pairs[i] for i in range(40)}) == 1
+    assert len({pairs[100 + i] for i in range(40)}) == 1
+    assert pairs[0] != pairs[100]
+    assert all(pairs[200 + i] == 1 for i in range(5))
+
+    # exactness at nprobe = nlist survives the rebalance
+    got = [
+        r.vec_id
+        for r in ivf_search(out, [5.05, 5.0], k=3, nprobe=out.nlist).collect()
+    ]
+    want = [
+        r.vec_id for r in topk_global(df, [5.05, 5.0], k=3).collect()
+    ]
+    assert got == want
+
+    balanced = ivf_rebalance(out, max_list_frac=0.9, sub_k=2)
+    assert balanced is out  # nothing hot -> unchanged handle

@@ -475,6 +475,74 @@ def ivf_append(index: IvfIndex, path: str, df: DataFrame,
     )
 
 
+def ivf_rebalance(
+    index: IvfIndex,
+    max_list_frac: float = 0.1,
+    sub_k: int = 4,
+    seed: int = DEFAULT_SEED,
+) -> IvfIndex:
+    """Skew maintenance (extension — faiss leaves rebalancing to the
+    operator): split every inverted list holding more than
+    `max_list_frac` of the corpus into up to `sub_k` sub-cells, leaving
+    every other list untouched. Long-running indexes drift — appends
+    concentrate in a few hot cells (new data is rarely uniform over the
+    trained quantizer), and a hot list makes every probe that touches
+    it scan-heavy. Rebalancing retrains ONLY the hot lists' vectors
+    (train_centroids' subsampling applies per list) and reassigns ONLY
+    those rows among their own sub-centroids; the first sub-centroid
+    reuses the hot list's id, the rest append after nlist — untouched
+    postings keep their (vec_id, list_id) pairs bit-for-bit, so a saved
+    index only rewrites the hot directories.
+
+    Scale shape: the per-list counts collect is bounded by nlist; each
+    hot list's train/reassign reads only that list (partition pruning
+    on a saved index); the driver loop runs once per hot list — skew
+    means FEW lists by definition. Search semantics are unchanged:
+    nprobe=nlist remains exact (pinned in tests), and recall at fixed
+    nprobe improves because probes stop paying for the hot list's
+    unrelated mass."""
+    from functools import reduce
+
+    counts = {
+        r.list_id: r.n
+        for r in index.postings.groupBy("list_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    total = sum(counts.values())
+    if total == 0:
+        return index
+    hot = sorted(
+        l for l, n in counts.items() if n > max_list_frac * total and n > 1
+    )
+    if not hot:
+        return index
+    cents = [list(c) for c in index.centroids]
+    cols = index.postings.columns
+    pieces = [
+        index.postings.filter(~F.col("list_id").isin([int(h) for h in hot]))
+    ]
+    for l in hot:
+        rows = index.postings.filter(F.col("list_id") == int(l)).drop(
+            "list_id"
+        )
+        k = min(sub_k, counts[l])
+        sub = train_centroids(rows, nlist=k, seed=seed + int(l))
+        ids = [int(l)] + list(range(len(cents), len(cents) + len(sub) - 1))
+        cents[l] = sub[0]
+        cents.extend(sub[1:])
+        id_map = F.array(*[F.lit(i).cast("int") for i in ids])
+        re = assign_cells(rows, sub, out_col="__sub")
+        mapped = re.withColumn(
+            "list_id", F.element_at(id_map, F.col("__sub") + 1)
+        ).drop("__sub")
+        pieces.append(mapped.select(*cols))
+    return IvfIndex(
+        centroids=cents,
+        postings=reduce(lambda a, b: a.unionByName(b), pieces),
+    )
+
+
 def ivf_save(index: IvfIndex, path: str, corpus: DataFrame | None = None) -> None:
     """S3 — index sink (reference app.py:116-123 `faiss.write_index` + pickle).
 
