@@ -3395,6 +3395,8 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         del out["pq_rerank_topk"]
     if _ivfpq_sql is None:
         del out["ivfpq_adc_topk"]
+    if _ivfsq8_sql is None:
+        del out["ivfsq8_search_topk"]
     return out
 
 

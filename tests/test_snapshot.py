@@ -438,6 +438,36 @@ def test_bucketed_protocol_edges(spark, tmp_path):
     assert [f.name for f in cur.schema.fields] == ["doc_id", "text"]
 
 
+def test_noop_batches_do_not_burn_retention(spark, tmp_path):
+    """Review pin: an empty update batch, and a tombstone batch whose
+    keys hit no existing bucket, must NOT publish a new version — K
+    consecutive no-ops would otherwise vacuum every data-bearing
+    manifest out of the keep-last-K window."""
+    from vector_search_test_spark.operators.snapshot import (
+        delete_keys_bucketed,
+        upsert_bucketed,
+    )
+
+    out = tmp_path / "noop"
+    out.mkdir()
+    base = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(10)], "doc_id long, text string"
+    )
+    upsert_bucketed(base, str(out), "v0", n_buckets=4)
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    upsert_bucketed(empty, str(out), "v1", n_buckets=4)
+    # tombstones for keys that were never ingested
+    miss = spark.createDataFrame([(999,), (1000,)], "doc_id long")
+    delete_keys_bucketed(miss, str(out), "v2", n_buckets=4)
+
+    import os
+
+    assert (out / "_CURRENT").read_text() == "v0"
+    manifests = [f for f in os.listdir(out) if f.startswith("_MANIFEST_")]
+    assert manifests == ["_MANIFEST_v0.json"]
+
+
 def test_stream_delete_snapshots_tombstone_sink(spark, tmp_path):
     """Tombstone stream over a standing bucketed snapshot: each batch
     deletes its keys (versions continue AFTER the upsert's, no batch-id

@@ -163,6 +163,24 @@ def test_bq_rerank_recovers_exact_topk(spark, sf_dir):
     )
 
 
+def test_bq_degenerate_rows_sink(spark):
+    """Review pin: an empty embedding packs to [] (not the garbage
+    [0, 0] a descending sequence(0,-1) would produce), and its NULL
+    Hamming distance sorts LAST — a degenerate row must never outrank a
+    real match."""
+    from vector_search_test_spark.operators.sq import bq_encode, bq_hamming_topk
+
+    df = spark.createDataFrame(
+        [(0, []), (1, [1.0, -2.0, 3.0])],
+        "vec_id long, embedding array<float>",
+    )
+    bits = {r.vec_id: r.bits for r in bq_encode(df).collect()}
+    assert bits[0] == []
+    out = bq_hamming_topk(bq_encode(df), [1.0, -2.0, 3.0], k=2).collect()
+    assert [r.vec_id for r in out] == [1, 0]
+    assert out[0].hamming == 0 and out[1].hamming is None
+
+
 def test_bq_stays_jvm_side(spark, sf_dir):
     from vector_search_test_spark.operators.sq import bq_encode, bq_hamming_topk
 

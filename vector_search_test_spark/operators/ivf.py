@@ -475,6 +475,29 @@ def ivf_append(index: IvfIndex, path: str, df: DataFrame,
     )
 
 
+def rank_cells(
+    query_vec: "list[float]", centroids, nprobe: int
+) -> "list[int]":
+    """The nprobe nearest coarse cells for a query, ranked by exact
+    sequential-accumulation L2 (the same left-to-right arithmetic the
+    JVM fold, the numpy trainers, and the DuckDB chain SQL all use),
+    ties to the lowest cell id — driver-side Python over a KB-sized
+    centroid table. THE canonical probe-ranking kernel: ivf_search,
+    IVF-PQ's LUT builder, and IVF-SQ8 all call this one function, so
+    the ranking/tie-break semantics the oracles replay bit-for-bit
+    live in exactly one place."""
+    scored = [
+        (
+            sum(
+                (float(a) - float(b)) ** 2 for a, b in zip(c, query_vec)
+            ),
+            i,
+        )
+        for i, c in enumerate(centroids)
+    ]
+    return [i for _, i in sorted(scored)[:nprobe]]
+
+
 def ivf_rebalance(
     index: IvfIndex,
     max_list_frac: float = 0.1,
@@ -543,35 +566,55 @@ def ivf_rebalance(
     )
 
 
+def write_partitioned_postings(postings: DataFrame, path: str) -> None:
+    """THE inverted-list sink all three index families share (float
+    IVF, IVF-PQ, IVF-SQ8): shuffle on list_id before the partitioned
+    write — without it every input partition writes one file per list
+    it touches, parts * nlist files (1000 executors x nlist 1e4 would
+    be 10M files). Hashed on list_id each list lands in exactly one
+    task: file count is bounded by nlist at ANY partition count, and
+    locally a 4-list index writes 4 files, not 128. Task count is
+    defaultParallelism — tasks beyond the core count add
+    scheduler/committer overhead with no throughput (measured on the
+    IVF-PQ index: 12.2 s -> 7.8 s at nlist=192 on local[32]); on a real
+    cluster defaultParallelism already tracks total cores, so write
+    parallelism scales with the cluster, not with nlist."""
+    spark = postings.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    postings.repartition(par, "list_id").write.mode(
+        "overwrite"
+    ).partitionBy("list_id").parquet(path)
+
+
+def write_centroid_table(spark, centroids, path: str) -> None:
+    """Persist a (list_id, centroid) table — KBs, one file."""
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)],
+        "list_id int, centroid array<float>",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def read_centroid_table(spark, path: str) -> list[list[float]]:
+    """Load a (list_id, centroid) table back to driver lists."""
+    rows = spark.read.parquet(path).orderBy("list_id").collect()
+    return [[float(x) for x in r.centroid] for r in rows]
+
+
 def ivf_save(index: IvfIndex, path: str, corpus: DataFrame | None = None) -> None:
     """S3 — index sink (reference app.py:116-123 `faiss.write_index` + pickle).
 
     Layout: `<path>/centroids/` (tiny parquet), `<path>/postings/`
-    partitioned by list_id (the IVF inverted lists as directories),
-    optional `<path>/corpus/` (id -> text). Unlike the reference — which
-    drops embeddings on save and re-encodes on load (app.py:134-145) —
-    embeddings persist; load is pure IO (deliberate fix, SURVEY §2.1 S4).
+    partitioned by list_id (the IVF inverted lists as directories,
+    `write_partitioned_postings`), optional `<path>/corpus/`
+    (id -> text). Unlike the reference — which drops embeddings on save
+    and re-encodes on load (app.py:134-145) — embeddings persist; load
+    is pure IO (deliberate fix, SURVEY §2.1 S4).
     """
     spark = index.postings.sparkSession
-    rows = [(i, c) for i, c in enumerate(index.centroids)]
-    spark.createDataFrame(rows, "list_id int, centroid array<float>").coalesce(
-        1
-    ).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
-    # shuffle on list_id before the partitioned write: without it every
-    # input partition writes one file per list it touches — parts * nlist
-    # files (1000 executors x nlist 1e4 would be 10M files). Hashed on
-    # list_id each list lands in exactly one task: file count is bounded
-    # by nlist at ANY partition count, and locally a 4-list index writes
-    # 4 files, not 128. Task count is defaultParallelism — tasks beyond
-    # the core count add scheduler/committer overhead with no
-    # throughput (measured on the IVF-PQ twin: 12.2 s -> 7.8 s at
-    # nlist=192 on local[32]); on a real cluster defaultParallelism
-    # already tracks total cores, so write parallelism scales with the
-    # cluster, not with nlist.
-    par = spark.sparkContext.defaultParallelism
-    index.postings.repartition(par, "list_id").write.mode(
-        "overwrite"
-    ).partitionBy("list_id").parquet(os.path.join(path, "postings"))
+    write_centroid_table(
+        spark, index.centroids, os.path.join(path, "centroids")
+    )
+    write_partitioned_postings(index.postings, os.path.join(path, "postings"))
     if corpus is not None:
         corpus.write.mode("overwrite").parquet(os.path.join(path, "corpus"))
 
@@ -597,12 +640,7 @@ def ivf_save_bucketed(index: IvfIndex, table: str, buckets: int = 8) -> None:
 
 def ivf_load(spark: SparkSession, path: str) -> IvfIndex:
     """S4 — index source (reference app.py:125-147, minus the re-encode)."""
-    cent_rows = (
-        spark.read.parquet(os.path.join(path, "centroids"))
-        .orderBy("list_id")
-        .collect()
-    )
-    cents = [[float(x) for x in r.centroid] for r in cent_rows]
+    cents = read_centroid_table(spark, os.path.join(path, "centroids"))
     postings = spark.read.parquet(os.path.join(path, "postings")).select(
         F.col("list_id").cast("int").alias("list_id"), "vec_id", "embedding"
     )
@@ -625,11 +663,7 @@ def ivf_search(
     Returns (vec_id, dist), ascending, ties broken on vec_id.
     """
     nprobe = max(1, min(nprobe, index.nlist))
-    scored = [
-        (sum((float(a) - float(b)) ** 2 for a, b in zip(c, query_vec)), i)
-        for i, c in enumerate(index.centroids)
-    ]
-    probe_ids = [i for _, i in sorted(scored)[:nprobe]]
+    probe_ids = rank_cells(query_vec, index.centroids, nprobe)
     if len(query_vec) <= UNROLL_MAX_TERMS:
         dist = l2_sq_const(F.col("embedding"), list(query_vec))
     else:

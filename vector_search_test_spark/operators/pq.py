@@ -349,18 +349,12 @@ def ivfpq_luts(queries, coarse, books, nprobe: int):
     lut[j][c] = ||(q - coarse_cell)_j - books[j][c]||^2 in Python
     float64 — nq * nprobe * m * ksub doubles, broadcast-sized at any
     corpus size. Returns [(query_id, list_id, lut)]."""
+    from vector_search_test_spark.operators.ivf import rank_cells
+
     out = []
     for qid, vec in queries:
         q = [float(v) for v in vec]
-        ranked = []
-        for cell, cent in enumerate(coarse):
-            acc = 0.0
-            for i in range(len(cent)):
-                t = q[i] - cent[i]
-                acc = acc + t * t
-            ranked.append((acc, cell))
-        ranked.sort()
-        for _, cell in ranked[:nprobe]:
+        for cell in rank_cells(q, coarse, nprobe):
             resid = [q[i] - coarse[cell][i] for i in range(len(q))]
             out.append((int(qid), int(cell), adc_lut(resid, books)))
     return out
@@ -638,13 +632,13 @@ def ivfpq_save(postings: DataFrame, coarse, books, path: str) -> None:
     reads only nprobe directories of already-compressed codes."""
     import os as _os
 
-    spark = postings.sparkSession
-    spark.createDataFrame(
-        [(i, c) for i, c in enumerate(coarse)],
-        "list_id int, centroid array<float>",
-    ).coalesce(1).write.mode("overwrite").parquet(
-        _os.path.join(path, "coarse")
+    from vector_search_test_spark.operators.ivf import (
+        write_centroid_table,
+        write_partitioned_postings,
     )
+
+    spark = postings.sparkSession
+    write_centroid_table(spark, coarse, _os.path.join(path, "coarse"))
     spark.createDataFrame(
         [
             (j, c, cent)
@@ -655,15 +649,7 @@ def ivfpq_save(postings: DataFrame, coarse, books, path: str) -> None:
     ).coalesce(1).write.mode("overwrite").parquet(
         _os.path.join(path, "books")
     )
-    # hash-shuffle on list_id before the partitioned write: each list
-    # lands in exactly one task, so file count is bounded by nlist at
-    # ANY partition count — use defaultParallelism tasks (more tasks
-    # than cores adds scheduler/committer overhead without throughput;
-    # measured 12.2 s -> 7.8 s at nlist=192 on local[32])
-    par = spark.sparkContext.defaultParallelism
-    postings.repartition(par, "list_id").write.mode(
-        "overwrite"
-    ).partitionBy("list_id").parquet(_os.path.join(path, "postings"))
+    write_partitioned_postings(postings, _os.path.join(path, "postings"))
 
 
 def ivfpq_load(spark, path: str, id_col: str = "vec_id"):
@@ -675,12 +661,9 @@ def ivfpq_load(spark, path: str, id_col: str = "vec_id"):
     as encode/search (ADVICE r6)."""
     import os as _os
 
-    coarse_rows = (
-        spark.read.parquet(_os.path.join(path, "coarse"))
-        .orderBy("list_id")
-        .collect()
-    )
-    coarse = [[float(x) for x in r.centroid] for r in coarse_rows]
+    from vector_search_test_spark.operators.ivf import read_centroid_table
+
+    coarse = read_centroid_table(spark, _os.path.join(path, "coarse"))
     book_rows = spark.read.parquet(_os.path.join(path, "books")).orderBy(
         "sub", "code"
     ).collect()

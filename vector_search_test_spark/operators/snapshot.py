@@ -216,6 +216,8 @@ def upsert_bucketed(
         affected = sorted(
             r.bucket for r in upd.select("bucket").distinct().collect()
         )
+        if not affected:
+            return  # empty first batch: nothing to snapshot yet
         nxt = upd
     else:
         manifest = _read_manifest(base_dir, cur)
@@ -223,6 +225,12 @@ def upsert_bucketed(
         affected = sorted(
             r.bucket for r in upd.select("bucket").distinct().collect()
         )
+        if not affected:
+            # a no-op micro-batch must not consume a retention slot:
+            # publishing an identical manifest per empty batch would
+            # let K consecutive no-ops vacuum every data-bearing
+            # version out of the keep-last-K window
+            return
         base_paths = [
             os.path.join(base_dir, manifest["buckets"][str(b)], f"bucket={b}")
             for b in affected
@@ -288,33 +296,43 @@ def delete_keys_bucketed(
         r.bucket for r in tomb.select("bucket").distinct().collect()
     )
     affected = [b for b in affected if str(b) in manifest["buckets"]]
+    if not affected:
+        # no tombstone hits an existing bucket: publishing would burn a
+        # retention slot for an identical snapshot (same rationale as
+        # the upsert no-op guard)
+        return
     new_buckets = dict(manifest["buckets"])
-    if affected:
-        base_paths = [
-            os.path.join(base_dir, manifest["buckets"][str(b)], f"bucket={b}")
-            for b in affected
-        ]
-        base = spark.read.parquet(*base_paths)
-        # materialize once: both the survivors collect and the write
-        # consume the anti-join (bucket-scoped, ContextCleaner-released)
-        kept = (
-            delete_keys(base, keys.select(key), key=key)
-            .withColumn("bucket", bucket_col(key, n_buckets))
-            .localCheckpoint()
-        )
-        survivors = {
-            r.bucket
-            for r in kept.select("bucket").distinct().collect()
-        }
-        par = spark.sparkContext.defaultParallelism
-        kept.repartition(min(par, max(len(affected), 1)), "bucket").write.mode(
-            "overwrite"
-        ).partitionBy("bucket").parquet(os.path.join(base_dir, version))
-        for b in affected:
-            if b in survivors:
-                new_buckets[str(b)] = version
-            else:
-                new_buckets.pop(str(b), None)
+    base_paths = [
+        os.path.join(base_dir, manifest["buckets"][str(b)], f"bucket={b}")
+        for b in affected
+    ]
+    base = spark.read.parquet(*base_paths)
+    # no tombstone matches an actual row (keys hashed into live buckets
+    # but were never ingested): skip — bucket-scoped semi-join probe,
+    # bounded by the affected buckets, far cheaper than a rewrite
+    if base.join(
+        F.broadcast(keys.select(key)), key, "left_semi"
+    ).isEmpty():
+        return
+    # materialize once: both the survivors collect and the write
+    # consume the anti-join (bucket-scoped, ContextCleaner-released)
+    kept = (
+        delete_keys(base, keys.select(key), key=key)
+        .withColumn("bucket", bucket_col(key, n_buckets))
+        .localCheckpoint()
+    )
+    survivors = {
+        r.bucket for r in kept.select("bucket").distinct().collect()
+    }
+    par = spark.sparkContext.defaultParallelism
+    kept.repartition(min(par, len(affected)), "bucket").write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(os.path.join(base_dir, version))
+    for b in affected:
+        if b in survivors:
+            new_buckets[str(b)] = version
+        else:
+            new_buckets.pop(str(b), None)
     _publish(
         base_dir,
         version,

@@ -86,28 +86,13 @@ def sq8_l2_topk(
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+    # nulls last for the same wrong-dimension defense as bq_hamming_topk
+    # (and DuckDB's ASC default is NULLS LAST, so the twins agree)
     return (
         codes_df.select(F.col(id_col), dist.alias("dist"))
-        .orderBy(F.asc("dist"), F.asc(id_col))
+        .orderBy(F.asc_nulls_last("dist"), F.asc(id_col))
         .limit(k)
     )
-
-
-def rank_cells(query_vec: "list[float]", centroids, nprobe: int) -> "list[int]":
-    """The nprobe nearest coarse cells for a query, ranked by exact
-    sequential-accumulation L2 (the same left-to-right arithmetic the
-    JVM fold, the numpy trainers, and the DuckDB chain SQL all use),
-    ties to the lowest cell id — driver-side Python over a KB-sized
-    centroid table."""
-    ranked = []
-    for cell, cent in enumerate(centroids):
-        acc = 0.0
-        for i in range(len(cent)):
-            t = float(query_vec[i]) - float(cent[i])
-            acc = acc + t * t
-        ranked.append((acc, cell))
-    ranked.sort()
-    return [cell for _, cell in ranked[:nprobe]]
 
 
 def ivfsq8_search(
@@ -126,6 +111,8 @@ def ivfsq8_search(
     computed driver-side and applied as a static IN filter, so against
     postings persisted partitionBy(list_id) this is partition pruning,
     exactly like the float-IVF and IVF-PQ paths."""
+    from vector_search_test_spark.operators.ivf import rank_cells
+
     probed = rank_cells(query_vec, centroids, nprobe)
     return sq8_l2_topk(
         postings.filter(F.col("list_id").isin(probed)),
@@ -144,17 +131,14 @@ def ivfsq8_save(postings: DataFrame, centroids, path: str) -> None:
     defaultParallelism tasks."""
     import os as _os
 
-    spark = postings.sparkSession
-    spark.createDataFrame(
-        [(i, c) for i, c in enumerate(centroids)],
-        "list_id int, centroid array<float>",
-    ).coalesce(1).write.mode("overwrite").parquet(
-        _os.path.join(path, "centroids")
+    from vector_search_test_spark.operators.ivf import (
+        write_centroid_table,
+        write_partitioned_postings,
     )
-    par = spark.sparkContext.defaultParallelism
-    postings.repartition(par, "list_id").write.mode(
-        "overwrite"
-    ).partitionBy("list_id").parquet(_os.path.join(path, "postings"))
+
+    spark = postings.sparkSession
+    write_centroid_table(spark, centroids, _os.path.join(path, "centroids"))
+    write_partitioned_postings(postings, _os.path.join(path, "postings"))
 
 
 def ivfsq8_load(spark, path: str, id_col: str = "vec_id"):
@@ -164,12 +148,9 @@ def ivfsq8_load(spark, path: str, id_col: str = "vec_id"):
     column the index was encoded with."""
     import os as _os
 
-    cent_rows = (
-        spark.read.parquet(_os.path.join(path, "centroids"))
-        .orderBy("list_id")
-        .collect()
-    )
-    centroids = [[float(x) for x in r.centroid] for r in cent_rows]
+    from vector_search_test_spark.operators.ivf import read_centroid_table
+
+    centroids = read_centroid_table(spark, _os.path.join(path, "centroids"))
     postings = spark.read.parquet(_os.path.join(path, "postings")).select(
         F.col("list_id").cast("int").alias("list_id"),
         id_col,
@@ -192,7 +173,10 @@ def bq_encode(
     become XOR+popcount integer ops. Scan-only JVM projection."""
     x = F.col(vec_col)
     nchunks = F.ceil(F.size(x) / F.lit(32)).cast("int")
-    codes = F.transform(
+    # guard nchunks >= 1 INSIDE the when: sequence(0, -1) counts DOWN in
+    # Spark, so an empty vector would otherwise pack as [0, 0] instead
+    # of [] (bq_pack and the DuckDB twin both give [])
+    packed = F.transform(
         F.sequence(F.lit(0), nchunks - 1),
         lambda j: F.aggregate(
             F.sequence(F.lit(0), F.lit(31)),
@@ -208,6 +192,9 @@ def bq_encode(
                 F.pow(F.lit(2.0), i).cast("long"),
             ).otherwise(F.lit(0).cast("long")),
         ),
+    )
+    codes = F.when(nchunks >= 1, packed).otherwise(
+        F.array().cast("array<bigint>")
     )
     return df.select(F.col(id_col), codes.alias("bits"))
 
@@ -243,9 +230,13 @@ def bq_hamming_topk(
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
+    # nulls LAST: a row whose bit array mismatches the query's chunk
+    # count (empty/wrong-dim vector) zips to a NULL distance — it must
+    # sink below every real match, not outrank them (plain asc puts
+    # NULLs first)
     return (
         bits_df.select(F.col(id_col), dist.alias("hamming"))
-        .orderBy(F.asc("hamming"), F.asc(id_col))
+        .orderBy(F.asc_nulls_last("hamming"), F.asc(id_col))
         .limit(k)
     )
 
