@@ -1179,6 +1179,65 @@ def _dup_span_oracle_sql() -> str:
     """
 
 
+def _q_snapshot_cdc_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data capture over the manifest store (operators/
+    snapshot.py::snapshot_diff): base snapshot v0, an upsert commit v1
+    (docs 0..9 re-edited, five appended), a tombstone commit v2 (docs
+    10..14 deleted) — then diff v0 -> v2 straight off the manifests,
+    reading ONLY repointed buckets on either side. The oracle states
+    the expected change log directly from the same literal
+    transformations, so classification (added/updated/deleted) and the
+    new-side payload are value-certified."""
+    import shutil
+    import tempfile
+
+    from vector_search_test_spark.operators.snapshot import (
+        delete_keys_bucketed,
+        snapshot_diff,
+        upsert_bucketed,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    edited = docs.filter(F.col("doc_id") < 10).withColumn(
+        "text", F.concat(F.lit("[v2] "), F.col("text"))
+    )
+    appended = docs.filter(F.col("doc_id") < 5).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_cdc_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path)
+    upsert_bucketed(docs, path, "v0", key="doc_id", n_buckets=16)
+    upsert_bucketed(
+        edited.unionByName(appended), path, "v1", key="doc_id", n_buckets=16
+    )
+    tomb = spark.createDataFrame(
+        [(i,) for i in range(10, 15)], "doc_id long"
+    )
+    delete_keys_bucketed(tomb, path, "v2", key="doc_id", n_buckets=16)
+    diff = snapshot_diff(spark, path, "v0", "v2")
+    return diff.select(
+        "doc_id", "change", F.md5("text").alias("text_md5")
+    )
+
+
+def _snapshot_cdc_oracle_sql() -> str:
+    return """
+        SELECT doc_id, 'updated' AS change,
+               md5('[v2] ' || text) AS text_md5
+        FROM documents WHERE doc_id < 10
+        UNION ALL
+        SELECT doc_id + 100000, 'added', md5(text)
+        FROM documents WHERE doc_id < 5
+        UNION ALL
+        SELECT doc_id, 'deleted', NULL
+        FROM documents WHERE doc_id BETWEEN 10 AND 14
+    """
+
+
 def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingest dedup (operators/dedup.py::incremental_dedup):
     docs 0..249 are the standing corpus; the incoming batch is docs
@@ -2376,6 +2435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_stream_left_join": _q_stream_stream_left_join,
         "corpus_upsert": _q_corpus_upsert,
         "snapshot_bucketed_roundtrip": _q_snapshot_bucketed_roundtrip,
+        "snapshot_cdc_changes": _q_snapshot_cdc_changes,
         "dup_ngram_profile": _q_dup_ngram_profile,
         "dup_span_removal": _q_dup_span_removal,
         "sq8_search_topk": _q_sq8_search_topk,
@@ -3352,6 +3412,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         """,
         "corpus_upsert": _upsert_oracle_sql(),
         "snapshot_bucketed_roundtrip": _upsert_oracle_sql(),
+        "snapshot_cdc_changes": _snapshot_cdc_oracle_sql(),
         "dup_ngram_profile": _dup_ngram_oracle_sql(),
         "dup_span_removal": _dup_span_oracle_sql(),
         "sq8_search_topk": _sq8_oracle_sql(),

@@ -389,6 +389,76 @@ def stream_delete_snapshots(
     return stream.writeStream.foreachBatch(_apply)
 
 
+def snapshot_diff(
+    spark, base_dir: str, v_from: str, v_to: str
+) -> DataFrame:
+    """Change data capture between two RETAINED snapshot versions —
+    the consumer side of the manifest protocol (feed an index sync, a
+    downstream cache, an audit log) without replaying the writes.
+
+    The manifests make CDC cheap: a bucket whose pointer is IDENTICAL
+    in both manifests provably holds identical data (versions are
+    immutable), so only REPOINTED buckets are read — on either side.
+    A change set touching 0.1 % of buckets diffs 0.1 % of the corpus,
+    whatever happened in between. Within the changed buckets, a
+    null-safe full-outer join on the key classifies each row:
+    'added' (no old row), 'deleted' (no new row), 'updated' (both
+    present, any column differs); unchanged rows — rewritten only
+    because a neighbor in their bucket changed — are filtered out.
+    Returns (key, change) plus the new-side columns (NULL for
+    deletes)."""
+    m0 = _read_manifest(base_dir, v_from)
+    m1 = _read_manifest(base_dir, v_to)
+    if m0["n_buckets"] != m1["n_buckets"] or m0["key"] != m1["key"]:
+        raise ValueError("snapshots use different bucket layouts or keys")
+    key = m1["key"]
+    b0, b1 = m0["buckets"], m1["buckets"]
+    changed = sorted(
+        (b for b in set(b0) | set(b1) if b0.get(b) != b1.get(b)),
+        key=int,
+    )
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType.fromJson(json.loads(m1["schema"]))
+
+    def side(bmap):
+        paths = [
+            os.path.join(base_dir, bmap[b], f"bucket={b}")
+            for b in changed
+            if b in bmap
+        ]
+        if not paths:
+            return spark.createDataFrame([], schema)
+        return spark.read.parquet(*paths).select(*[f.name for f in schema])
+
+    old = side(b0)
+    new = side(b1)
+    cols = [f.name for f in schema]
+    val_cols = [c for c in cols if c != key]
+    o = old.select(
+        F.col(key).alias("__k"), F.struct(*cols).alias("__old")
+    )
+    n = new.select(
+        F.col(key).alias("__k"), F.struct(*cols).alias("__new")
+    )
+    j = o.join(n, "__k", "full_outer")
+    change = (
+        F.when(F.col("__old").isNull(), F.lit("added"))
+        .when(F.col("__new").isNull(), F.lit("deleted"))
+        .when(~F.col("__old").eqNullSafe(F.col("__new")), F.lit("updated"))
+    )
+    return (
+        j.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(
+            F.col("__k").alias(key),
+            "change",
+            *[F.col("__new").getField(c).alias(c) for c in val_cols],
+        )
+    )
+
+
 def read_snapshot_at(spark, base_dir: str, version: str) -> DataFrame:
     """Time travel: read the snapshot as of `version` (its manifest
     must still be retained — vacuum keeps the last K). The manifest IS
