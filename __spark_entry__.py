@@ -796,6 +796,37 @@ def _q_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _snapshot_change_set(docs: DataFrame) -> "tuple[DataFrame, DataFrame]":
+    """THE canonical refresh change set all three snapshot entries use
+    (corpus_upsert, snapshot_bucketed_roundtrip, snapshot_cdc_changes):
+    docs 0..9 re-edited with a '[v2] ' prefix, docs 0..4 re-appended at
+    +100000. One definition keeps every entry in sync with the oracle
+    SQLs that restate the same literals (_upsert_oracle_sql,
+    _snapshot_cdc_oracle_sql)."""
+    edited = docs.filter(F.col("doc_id") < 10).withColumn(
+        "text", F.concat(F.lit("[v2] "), F.col("text"))
+    )
+    appended = docs.filter(F.col("doc_id") < 5).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    return edited, appended
+
+
+def _fresh_tmp_dir(prefix: str, sf_dir: str) -> str:
+    """Deterministic per-sf temp dir, wiped on entry (the bucketed
+    snapshot entries rebuild from scratch each run)."""
+    import shutil
+    import tempfile
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"{prefix}_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path)
+    return path
+
+
 def _q_corpus_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Copy-on-write corpus refresh (operators/snapshot.py::upsert):
     docs 0..9 arrive re-edited ('[v2] ' prefix) and five brand-new docs
@@ -806,12 +837,7 @@ def _q_corpus_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_search_test_spark.operators.snapshot import upsert
 
     docs = load_table(spark, sf_dir, "documents")
-    edited = docs.filter(F.col("doc_id") < 10).withColumn(
-        "text", F.concat(F.lit("[v2] "), F.col("text"))
-    )
-    appended = docs.filter(F.col("doc_id") < 5).withColumn(
-        "doc_id", F.col("doc_id") + 100000
-    )
+    edited, appended = _snapshot_change_set(docs)
     snap = upsert(docs, edited.unionByName(appended))
     return snap.select(
         "doc_id", F.md5("text").alias("text_md5"), "source"
@@ -830,27 +856,14 @@ def _q_snapshot_bucketed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
     result — every byte certified by md5(text) per id. Untouched-bucket
     byte-identity and replay/retention semantics are pinned in
     tests/test_snapshot.py."""
-    import shutil
-    import tempfile
-
     from vector_search_test_spark.operators.snapshot import (
         read_current_snapshot,
         upsert_bucketed,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    edited = docs.filter(F.col("doc_id") < 10).withColumn(
-        "text", F.concat(F.lit("[v2] "), F.col("text"))
-    )
-    appended = docs.filter(F.col("doc_id") < 5).withColumn(
-        "doc_id", F.col("doc_id") + 100000
-    )
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_snap_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
-    shutil.rmtree(path, ignore_errors=True)
-    os.makedirs(path)
+    edited, appended = _snapshot_change_set(docs)
+    path = _fresh_tmp_dir("spark_graft_snap", sf_dir)
     upsert_bucketed(docs, path, "v0", key="doc_id", n_buckets=16)
     upsert_bucketed(
         edited.unionByName(appended), path, "v1", key="doc_id", n_buckets=16
@@ -1188,9 +1201,6 @@ def _q_snapshot_cdc_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     the expected change log directly from the same literal
     transformations, so classification (added/updated/deleted) and the
     new-side payload are value-certified."""
-    import shutil
-    import tempfile
-
     from vector_search_test_spark.operators.snapshot import (
         delete_keys_bucketed,
         snapshot_diff,
@@ -1198,18 +1208,8 @@ def _q_snapshot_cdc_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    edited = docs.filter(F.col("doc_id") < 10).withColumn(
-        "text", F.concat(F.lit("[v2] "), F.col("text"))
-    )
-    appended = docs.filter(F.col("doc_id") < 5).withColumn(
-        "doc_id", F.col("doc_id") + 100000
-    )
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_cdc_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
-    shutil.rmtree(path, ignore_errors=True)
-    os.makedirs(path)
+    edited, appended = _snapshot_change_set(docs)
+    path = _fresh_tmp_dir("spark_graft_cdc", sf_dir)
     upsert_bucketed(docs, path, "v0", key="doc_id", n_buckets=16)
     upsert_bucketed(
         edited.unionByName(appended), path, "v1", key="doc_id", n_buckets=16

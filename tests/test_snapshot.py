@@ -582,6 +582,52 @@ def test_snapshot_diff_cdc_classification_and_bounded_read(spark, tmp_path):
     }
 
 
+def test_snapshot_diff_map_columns_and_reserved_name(spark, tmp_path):
+    """Review pins: CDC works on snapshots whose payload includes a
+    map column (struct <=> cannot order maps — field-wise comparison
+    with sorted map entries is required), and a payload column named
+    'change' is rejected up front instead of producing an ambiguous
+    duplicate output column."""
+    import pytest
+
+    from vector_search_test_spark.operators.snapshot import (
+        snapshot_diff,
+        upsert_bucketed,
+    )
+
+    base = spark.createDataFrame(
+        [(i, {"lang": "en", "n": str(i)}) for i in range(20)],
+        "doc_id long, meta map<string,string>",
+    )
+    out = tmp_path / "mapcdc"
+    out.mkdir()
+    upsert_bucketed(base, str(out), "v0", n_buckets=4)
+    upd = spark.createDataFrame(
+        [(3, {"lang": "fr", "n": "3"})], "doc_id long, meta map<string,string>"
+    )
+    upsert_bucketed(upd, str(out), "v1", n_buckets=4)
+    diff = {
+        r.doc_id: (r.change, dict(r.meta))
+        for r in snapshot_diff(spark, str(out), "v0", "v1").collect()
+    }
+    assert diff == {3: ("updated", {"lang": "fr", "n": "3"})}
+
+    bad = spark.createDataFrame(
+        [(1, "x")], "doc_id long, change string"
+    )
+    out2 = tmp_path / "reserved"
+    out2.mkdir()
+    upsert_bucketed(bad, str(out2), "v0", n_buckets=2)
+    upsert_bucketed(
+        spark.createDataFrame([(1, "y")], "doc_id long, change string"),
+        str(out2),
+        "v1",
+        n_buckets=2,
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        snapshot_diff(spark, str(out2), "v0", "v1")
+
+
 def test_stream_upsert_retention_vacuum(spark, tmp_path):
     """VERDICT r6 next-#4: after N>K batches with keep_last=K, exactly
     K manifests remain, read_current_snapshot still reconstructs the

@@ -143,22 +143,25 @@ def _check_layout(manifest: dict, n_buckets: int, key: str) -> None:
         )
 
 
-def _manifest_df(spark, base_dir: str, manifest: dict) -> DataFrame:
-    """The snapshot a manifest describes: one path per bucket. An empty
-    bucket map (every row deleted) reads as an EMPTY DataFrame with the
+def _manifest_df(
+    spark, base_dir: str, manifest: dict, buckets: "list[str] | None" = None
+) -> DataFrame:
+    """The snapshot a manifest describes (optionally restricted to a
+    bucket subset — snapshot_diff reads only repointed buckets): one
+    path per bucket. An empty path set (every row deleted, or no
+    requested bucket present) reads as an EMPTY DataFrame with the
     schema the manifest recorded — not a zero-path scan error."""
     from pyspark.sql import types as T
 
-    paths = [
-        os.path.join(base_dir, v, f"bucket={b}")
-        for b, v in sorted(
-            manifest["buckets"].items(), key=lambda kv: int(kv[0])
-        )
+    bmap = manifest["buckets"]
+    keys = sorted(bmap, key=int) if buckets is None else [
+        b for b in buckets if b in bmap
     ]
+    paths = [os.path.join(base_dir, bmap[b], f"bucket={b}") for b in keys]
+    schema = T.StructType.fromJson(json.loads(manifest["schema"]))
     if not paths:
-        schema = T.StructType.fromJson(json.loads(manifest["schema"]))
         return spark.createDataFrame([], schema)
-    return spark.read.parquet(*paths)
+    return spark.read.parquet(*paths).select(*[f.name for f in schema])
 
 
 def _publish(base_dir: str, version: str, manifest: dict) -> None:
@@ -401,39 +404,38 @@ def snapshot_diff(
     immutable), so only REPOINTED buckets are read — on either side.
     A change set touching 0.1 % of buckets diffs 0.1 % of the corpus,
     whatever happened in between. Within the changed buckets, a
-    null-safe full-outer join on the key classifies each row:
-    'added' (no old row), 'deleted' (no new row), 'updated' (both
-    present, any column differs); unchanged rows — rewritten only
-    because a neighbor in their bucket changed — are filtered out.
+    full-outer join on the key classifies each row: 'added' (no old
+    row), 'deleted' (no new row), 'updated' (both present, any column
+    differs — compared field-wise and null-safely; map-typed columns
+    compare by sorted entries, since Spark cannot order maps);
+    unchanged rows — rewritten only because a neighbor in their bucket
+    changed — are filtered out. Keys themselves are non-NULL by the
+    writers' contract (the bucket hash rejects NULL keys at ingest).
     Returns (key, change) plus the new-side columns (NULL for
-    deletes)."""
+    deletes); 'change' is therefore a reserved output name and payload
+    columns may not use it."""
+    from functools import reduce
+    from operator import or_
+
+    from pyspark.sql import types as T
+
     m0 = _read_manifest(base_dir, v_from)
     m1 = _read_manifest(base_dir, v_to)
     if m0["n_buckets"] != m1["n_buckets"] or m0["key"] != m1["key"]:
         raise ValueError("snapshots use different bucket layouts or keys")
     key = m1["key"]
+    schema = T.StructType.fromJson(json.loads(m1["schema"]))
+    if "change" in [f.name for f in schema]:
+        raise ValueError(
+            "snapshot payload uses the reserved column name 'change'"
+        )
     b0, b1 = m0["buckets"], m1["buckets"]
     changed = sorted(
         (b for b in set(b0) | set(b1) if b0.get(b) != b1.get(b)),
         key=int,
     )
-
-    from pyspark.sql import types as T
-
-    schema = T.StructType.fromJson(json.loads(m1["schema"]))
-
-    def side(bmap):
-        paths = [
-            os.path.join(base_dir, bmap[b], f"bucket={b}")
-            for b in changed
-            if b in bmap
-        ]
-        if not paths:
-            return spark.createDataFrame([], schema)
-        return spark.read.parquet(*paths).select(*[f.name for f in schema])
-
-    old = side(b0)
-    new = side(b1)
+    old = _manifest_df(spark, base_dir, m0, buckets=changed)
+    new = _manifest_df(spark, base_dir, m1, buckets=changed)
     cols = [f.name for f in schema]
     val_cols = [c for c in cols if c != key]
     o = old.select(
@@ -443,10 +445,27 @@ def snapshot_diff(
         F.col(key).alias("__k"), F.struct(*cols).alias("__new")
     )
     j = o.join(n, "__k", "full_outer")
+
+    def differs(field: T.StructField):
+        a = F.col("__old").getField(field.name)
+        b = F.col("__new").getField(field.name)
+        if isinstance(field.dataType, T.MapType):
+            # <=> cannot order maps; sorted entry lists compare the
+            # same logical content deterministically
+            a = F.sort_array(F.map_entries(a))
+            b = F.sort_array(F.map_entries(b))
+        return ~a.eqNullSafe(b)
+
+    val_fields = [f for f in schema.fields if f.name != key]
+    updated_pred = (
+        reduce(or_, (differs(f) for f in val_fields))
+        if val_fields
+        else F.lit(False)
+    )
     change = (
         F.when(F.col("__old").isNull(), F.lit("added"))
         .when(F.col("__new").isNull(), F.lit("deleted"))
-        .when(~F.col("__old").eqNullSafe(F.col("__new")), F.lit("updated"))
+        .when(updated_pred, F.lit("updated"))
     )
     return (
         j.withColumn("change", change)
