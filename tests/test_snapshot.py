@@ -689,3 +689,89 @@ def test_stream_upsert_retention_vacuum(spark, tmp_path):
     }
     assert {got[j] for j in range(4)} == {f"b5-k{j}" for j in range(4)}
     assert all(got[100 + i] == f"new-{i}" for i in range(6))
+
+
+def test_advice_r7_guards(spark, tmp_path):
+    """ADVICE r7 hardening: (1) NULL change-set keys are rejected (a
+    NULL key hashes to pmod(xxhash64-seed, N) and would silently
+    accumulate duplicates across batches); (2) a committed version name
+    lower than _CURRENT is refused instead of overwriting a referenced
+    version dir (checkpoint-wiped-stream scenario); (3) snapshot_diff
+    refuses evolved payload schemas at the protocol layer; (4)
+    vacuum_snapshots(keep_last=0) raises instead of silently keeping
+    everything."""
+    import pytest
+
+    from vector_search_test_spark.operators.snapshot import (
+        delete_keys_bucketed,
+        snapshot_diff,
+        upsert_bucketed,
+        vacuum_snapshots,
+    )
+
+    out = tmp_path / "guards"
+    out.mkdir()
+    base = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(8)], "doc_id long, text string"
+    )
+    upsert_bucketed(base, str(out), "v0", n_buckets=4)
+
+    # (1) NULL keys rejected in both bucketed writers
+    with_null = spark.createDataFrame(
+        [(None, "oops")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        upsert_bucketed(with_null, str(out), "v1", n_buckets=4)
+    with pytest.raises(ValueError, match="NULL"):
+        delete_keys_bucketed(
+            with_null.select("doc_id"), str(out), "v1", n_buckets=4
+        )
+
+    # (2) version reuse / regression refused (replay of _CURRENT itself
+    # is still the sanctioned no-op)
+    upsert_bucketed(
+        spark.createDataFrame([(1, "upd")], "doc_id long, text string"),
+        str(out),
+        "v2",
+        n_buckets=4,
+    )
+    upsert_bucketed(base, str(out), "v2", n_buckets=4)  # replay: no-op
+    with pytest.raises(ValueError, match="not after the current"):
+        upsert_bucketed(base, str(out), "v1", n_buckets=4)
+    with pytest.raises(ValueError, match="not after the current"):
+        delete_keys_bucketed(
+            base.select("doc_id"), str(out), "v0", n_buckets=4
+        )
+
+    # (3) snapshot_diff refuses evolved schemas. An evolved upsert can
+    # only commit into a bucket with no base rows (the bucket-scoped
+    # base read selects the updates' columns), so seed a one-key
+    # snapshot and evolve via a key hashing to a DIFFERENT bucket.
+    out2 = tmp_path / "guards2"
+    out2.mkdir()
+    upsert_bucketed(
+        spark.createDataFrame([(0, "t0")], "doc_id long, text string"),
+        str(out2),
+        "v0",
+        n_buckets=16,
+    )
+    bucket_of = {
+        r.doc_id: r.b
+        for r in spark.range(0, 50)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.pmod(F.xxhash64(F.col("id")), F.lit(16)).cast("int").alias("b"),
+        )
+        .collect()
+    }
+    other = next(i for i in range(1, 50) if bucket_of[i] != bucket_of[0])
+    evolved = spark.createDataFrame(
+        [(other, "tx", 9.0)], "doc_id long, text string, score double"
+    )
+    upsert_bucketed(evolved, str(out2), "v1", n_buckets=16)
+    with pytest.raises(ValueError, match="different schemas"):
+        snapshot_diff(spark, str(out2), "v0", "v1")
+
+    # (4) keep_last floor
+    with pytest.raises(ValueError, match="keep_last"):
+        vacuum_snapshots(str(out), keep_last=0)

@@ -80,6 +80,10 @@ def bm25_corpus_stats(docs: DataFrame, text_col: str = "text") -> "tuple[int, fl
         F.count("*").alias("n"),
         F.sum(F.size(tokens(text_col))).cast("long").alias("sum_dl"),
     ).first()
+    if int(row.n) == 0:
+        # an empty corpus would otherwise surface as float(None)/ZeroDivision
+        # deep in the arithmetic — fail with the actual cause (ADVICE r7)
+        raise ValueError("bm25_corpus_stats: empty corpus (0 documents)")
     return int(row.n), float(row.sum_dl) / int(row.n)
 
 

@@ -128,6 +128,49 @@ def _check_version_name(version: str) -> None:
         )
 
 
+def _check_commit_version(
+    base_dir: str, version: str, cur: "str | None"
+) -> None:
+    """A commit id may only move FORWARD. Reusing a lower-or-equal
+    version name (realistic: the stream checkpoint was wiped while the
+    snapshot dir was kept, so foreachBatch ids restart at v0) would
+    mode('overwrite') a version directory the live manifest still
+    references — possibly while base_paths lazily read from it —
+    silently corrupting the snapshot (ADVICE r7). Note cur == version
+    (the replay-after-commit case) is handled BEFORE this check."""
+    if cur is not None and int(version[1:]) <= int(cur[1:]):
+        raise ValueError(
+            f"snapshot version {version} is not after the current "
+            f"{cur}: committed versions are immutable — if the stream "
+            f"checkpoint was reset, point it at a fresh snapshot dir"
+        )
+    if os.path.exists(os.path.join(base_dir, f"_MANIFEST_{version}.json")):
+        raise ValueError(
+            f"snapshot version {version} already has a published "
+            f"manifest under {base_dir}; refusing to overwrite it"
+        )
+
+
+def _affected_buckets(df: DataFrame, key: str) -> "list[int]":
+    """Distinct touched buckets of a change set, enforcing the non-NULL
+    key contract in the SAME (single) action. Spark's xxhash64(NULL)
+    returns the seed (42), not NULL, so a NULL-key row would silently
+    land in bucket pmod(42, N); the left-anti upsert join would then
+    never match it and duplicate NULL-key rows would accumulate across
+    batches (ADVICE r7). `df` must carry a `bucket` column."""
+    rows = (
+        df.groupBy("bucket")
+        .agg(F.max(F.col(key).isNull()).alias("has_null"))
+        .collect()
+    )
+    if any(r.has_null for r in rows):
+        raise ValueError(
+            f"NULL {key!r} in change set: bucketed snapshots require "
+            f"non-NULL keys (filter or assign surrogate keys upstream)"
+        )
+    return sorted(r.bucket for r in rows)
+
+
 def _check_layout(manifest: dict, n_buckets: int, key: str) -> None:
     """Hard errors, not asserts — a layout mismatch silently corrupts
     the bucket map (keys hash to directories the manifest never
@@ -212,22 +255,19 @@ def upsert_bucketed(
         # fully applied — recomputing would read a version dir while
         # overwriting it. Nothing to do (ADVICE r6).
         return
+    _check_commit_version(base_dir, version, cur)
     upd = updates.withColumn("bucket", bucket_col(key, n_buckets))
     vpath = os.path.join(base_dir, version)
     if cur is None:
         manifest = {"n_buckets": n_buckets, "buckets": {}}
-        affected = sorted(
-            r.bucket for r in upd.select("bucket").distinct().collect()
-        )
+        affected = _affected_buckets(upd, key)
         if not affected:
             return  # empty first batch: nothing to snapshot yet
         nxt = upd
     else:
         manifest = _read_manifest(base_dir, cur)
         _check_layout(manifest, n_buckets, key)
-        affected = sorted(
-            r.bucket for r in upd.select("bucket").distinct().collect()
-        )
+        affected = _affected_buckets(upd, key)
         if not affected:
             # a no-op micro-batch must not consume a retention slot:
             # publishing an identical manifest per empty batch would
@@ -292,13 +332,14 @@ def delete_keys_bucketed(
         return  # replay after commit (same contract as upsert_bucketed)
     if cur is None:
         raise FileNotFoundError(f"no snapshot to delete from under {base_dir}")
+    _check_commit_version(base_dir, version, cur)
     manifest = _read_manifest(base_dir, cur)
     _check_layout(manifest, n_buckets, key)
     tomb = keys.select(key).withColumn("bucket", bucket_col(key, n_buckets))
-    affected = sorted(
-        r.bucket for r in tomb.select("bucket").distinct().collect()
-    )
-    affected = [b for b in affected if str(b) in manifest["buckets"]]
+    affected = [
+        b for b in _affected_buckets(tomb, key)
+        if str(b) in manifest["buckets"]
+    ]
     if not affected:
         # no tombstone hits an existing bucket: publishing would burn a
         # retention slot for an identical snapshot (same rationale as
@@ -425,6 +466,15 @@ def snapshot_diff(
         raise ValueError("snapshots use different bucket layouts or keys")
     key = m1["key"]
     schema = T.StructType.fromJson(json.loads(m1["schema"]))
+    if T.StructType.fromJson(json.loads(m0["schema"])) != schema:
+        # the diff reads BOTH sides with m1's schema; an evolved payload
+        # would otherwise fail as an opaque AnalysisException deep in
+        # the scan (or silently misalign columns) — fail at the
+        # protocol layer instead (ADVICE r7)
+        raise ValueError(
+            f"snapshots {v_from} and {v_to} have different schemas; "
+            f"snapshot_diff requires an unevolved payload"
+        )
     if "change" in [f.name for f in schema]:
         raise ValueError(
             "snapshot payload uses the reserved column name 'change'"
@@ -509,6 +559,7 @@ def compact_snapshot(spark, base_dir: str, version: str) -> None:
         return
     if cur is None:
         raise FileNotFoundError(f"nothing to compact under {base_dir}")
+    _check_commit_version(base_dir, version, cur)
     manifest = _read_manifest(base_dir, cur)
     n_buckets = manifest["n_buckets"]
     key = manifest["key"]
@@ -538,10 +589,20 @@ def vacuum_snapshots(base_dir: str, keep_last: int) -> "list[str]":
     alive as long as ANY retained manifest still points a bucket at it
     — so an old version holding a never-again-touched bucket survives
     until that bucket is rewritten, exactly like table-format vacuum.
-    Returns the deleted version names."""
+    Returns the deleted version names. `keep_last` must be >= 1 — a
+    caller trimming retention to 0 would otherwise silently keep
+    EVERYTHING (Python's `list[-0:]` is the whole list), the opposite
+    of the request (ADVICE r7); the current manifest is never
+    vacuumable anyway, so 1 is the true floor."""
     import re
     import shutil
 
+    if keep_last < 1:
+        raise ValueError(
+            f"keep_last must be >= 1 (the current manifest is never "
+            f"vacuumed), got {keep_last}; pass keep_last=None at the "
+            f"stream sinks to disable vacuuming entirely"
+        )
     manifests = sorted(
         (
             f[len("_MANIFEST_") : -len(".json")]
@@ -550,7 +611,7 @@ def vacuum_snapshots(base_dir: str, keep_last: int) -> "list[str]":
         ),
         key=lambda v: int(v[1:]),
     )
-    keep = set(manifests[-keep_last:] if keep_last > 0 else manifests)
+    keep = set(manifests[-keep_last:])
     cur = _current_version(base_dir)
     # the CURRENT manifest is never vacuumable, whatever its position in
     # the numeric order — deleting it would downgrade reads to the
