@@ -2200,6 +2200,49 @@ def _q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QUALITY_MIN = 0.55
+
+
+def _q_corpus_e2e_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE curation assembly line under ONE oracle (VERDICT r7
+    next-#1, operators/curate.py::curate_corpus): quality gate -> exact
+    dedup -> near-dedup decisions -> benchmark decontamination -> chunk
+    -> pack -> train/val/test split, certified on the final packed
+    training table (split, bucket, pack_id, id, chunk_id, n_tokens,
+    chunk_md5). Inputs: the planted-duplicate corpus (so exact dedup
+    has real work) and the first-5-docs benchmark (so decontamination
+    drops its planted self-hits). Every stage is the already-certified
+    operator; what this entry adds is their INTEROP — one hash covers
+    the whole composition, so any interface drift between stages
+    surfaces here even if each per-op oracle stays green."""
+    from vector_search_test_spark.operators.curate import curate_corpus
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = docs.union(docs.withColumn("doc_id", F.col("doc_id") + 10000))
+    bench = docs.filter(F.expr(_CONTAM_BENCH_PRED)).select("text")
+    out = curate_corpus(
+        dup,
+        bench,
+        quality_min=_QUALITY_MIN,
+        contam_n=_CONTAM_N,
+        contam_threshold=_CONTAM_THETA,
+        chunk_size=_CHUNK_SIZE,
+        chunk_overlap=_CHUNK_OVERLAP,
+        pack_budget=_PACK_BUDGET,
+        pack_buckets=_PACK_BUCKETS,
+        split_weights=_SPLIT_WEIGHTS,
+    )
+    return out.select(
+        "split",
+        "bucket",
+        "pack_id",
+        "id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
+
+
 def _q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload column + typed metadata, all
     native expressions (encode/octet_length). Oracle anchors byte length
@@ -2418,6 +2461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cosine_topk": _q_knn_cosine_topk,
         "cluster_members": _q_cluster_members,
         "rollup_status_priority": _q_rollup_status_priority,
+        "corpus_e2e_curation": _q_corpus_e2e_curation,
         "corpus_split_stats": _q_corpus_split_stats,
         "contamination_overlap": _q_contamination_overlap,
         "pii_redaction_hashes": _q_pii_redaction_hashes,
@@ -2464,10 +2508,14 @@ def _cos_sql(a: str, b: str) -> str:
     return f"({dot} / ({na} * {nb}))"
 
 
-def _minhash_cte() -> tuple[str, str]:
+def _minhash_cte(
+    docs_table: str = "documents", id_expr: str = "doc_id"
+) -> tuple[str, str]:
     """Shared CTE body of the MinHash-LSH pipeline (sh/sig/band/cand)
-    plus the exact-Jaccard expression — used by both the pairs oracle
-    (_minhash_oracle_sql) and the dedup-decisions oracle."""
+    plus the exact-Jaccard expression — used by the pairs oracle
+    (_minhash_oracle_sql), the dedup-decisions oracle, and the e2e
+    curation oracle (which runs it over an upstream CTE, hence the
+    table/id parameters)."""
     from vector_search_test_spark.functions.hashing import hash48_sql
     from vector_search_test_spark.operators.dedup import shingles_sql
 
@@ -2484,7 +2532,7 @@ def _minhash_cte() -> tuple[str, str]:
         " / len(list_distinct(sa.sh || sb.sh))"
     )
     body = f"""sh AS (
-            SELECT doc_id AS id, {shingles_sql('text', 3)} AS sh FROM documents
+            SELECT {id_expr} AS id, {shingles_sql('text', 3)} AS sh FROM {docs_table}
         ),
         sig AS (
             SELECT id, sh,
@@ -2549,6 +2597,97 @@ def _neardup_decisions_oracle_sql() -> str:
         )
         SELECT id, min(label) AS rep_id, id = min(label) AS keep
         FROM walk GROUP BY id
+    """
+
+
+def _e2e_curation_oracle_sql() -> str:
+    """DuckDB twin of the full curation pipeline. Reuses the certified
+    per-stage twins verbatim — quality_score_sql, the MinHash CTE body
+    (parameterized onto the exact-kept CTE), contamination_report_sql,
+    chunk_documents_sql + pack_chunks_sql, hash_split_sql — chained as
+    one WITH RECURSIVE exactly as curate_corpus chains the operators.
+    Chunk text re-derives once more at the end for chunk_md5 (DuckDB
+    recomputes; Spark carries chunk_text through pack_chunks)."""
+    from vector_search_test_spark.functions import textstats as ts
+    from vector_search_test_spark.functions.chunking import (
+        chunk_documents_sql,
+        pack_chunks_sql,
+    )
+    from vector_search_test_spark.operators.sampling import (
+        contamination_report_sql,
+        hash_split_sql,
+    )
+
+    body, jac = _minhash_cte(docs_table="exact_kept", id_expr="id")
+    chunks_sql = chunk_documents_sql(
+        size=_CHUNK_SIZE, overlap=_CHUNK_OVERLAP, docs_table="curated"
+    )
+    pack_sql = pack_chunks_sql(
+        chunks_sql, budget=_PACK_BUDGET, n_buckets=_PACK_BUCKETS
+    )
+    contam_sql = contamination_report_sql(
+        n=_CONTAM_N,
+        threshold=_CONTAM_THETA,
+        docs_table="nd_kept",
+        bench_sql=f"SELECT text FROM documents WHERE {_CONTAM_BENCH_PRED}",
+    )
+    split_case = hash_split_sql(_SPLIT_WEIGHTS, "p.id")
+    return f"""
+        WITH RECURSIVE
+        dup AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 10000 AS doc_id, text FROM documents
+        ),
+        good AS (
+            SELECT doc_id, text FROM dup
+            WHERE {ts.quality_score_sql('text')} >= CAST({_QUALITY_MIN} AS DOUBLE)
+        ),
+        exact_ids AS (
+            SELECT min(doc_id) AS id FROM good GROUP BY trim(lower(text))
+        ),
+        exact_kept AS (
+            SELECT g.doc_id AS id, g.text
+            FROM good g JOIN exact_ids r ON g.doc_id = r.id
+        ),
+        {body},
+        verified AS (
+            SELECT c.a, c.b
+            FROM cand c
+            JOIN sh sa ON c.a = sa.id
+            JOIN sh sb ON c.b = sb.id
+            WHERE {jac} >= 0.9
+        ),
+        edges AS (
+            SELECT a, b FROM verified
+            UNION SELECT b AS a, a AS b FROM verified
+        ),
+        walk(id, label) AS (
+            SELECT id, id FROM exact_kept
+            UNION
+            SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.id
+        ),
+        nd_ids AS (
+            SELECT id FROM walk GROUP BY id HAVING id = min(label)
+        ),
+        nd_kept AS (
+            SELECT k.id AS doc_id, k.text
+            FROM exact_kept k JOIN nd_ids USING (id)
+        ),
+        contam AS ({contam_sql}),
+        curated AS (
+            SELECT nk.doc_id, nk.text
+            FROM nd_kept nk
+            LEFT JOIN contam c ON nk.doc_id = c.id
+            WHERE NOT COALESCE(c.contaminated, FALSE)
+        ),
+        chunk_md AS ({chunks_sql}),
+        packed AS ({pack_sql})
+        SELECT {split_case} AS split, p.bucket, p.pack_id,
+               p.id, p.chunk_id, p.n_tokens,
+               md5(cm.chunk_text) AS chunk_md5
+        FROM packed p
+        JOIN chunk_md cm ON p.id = cm.id AND p.chunk_id = cm.chunk_id
     """
 
 
@@ -3360,6 +3499,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "simhash_near_pairs": _simhash_pairs_oracle_sql(),
         "neardup_embedding": _neardup_embedding_oracle_sql(),
         "corpus_curation_pipeline": _curation_oracle_sql(),
+        "corpus_e2e_curation": _e2e_curation_oracle_sql(),
         "corpus_split_stats": _split_stats_oracle_sql(),
         "contamination_overlap": _contamination_oracle_sql(),
         "pii_redaction_hashes": _pii_oracle_sql(),

@@ -1,0 +1,153 @@
+"""End-to-end corpus curation: the full pretraining-data assembly line
+as ONE composed operator (extension — no reference counterpart; the
+reference's pipeline stops at embed -> index -> cluster, app.py:30-85).
+
+`curate_corpus` chains the individually-certified stages into the
+product a training run actually consumes:
+
+    quality gate -> exact dedup -> near-dedup decisions ->
+    benchmark decontamination -> chunk -> pack -> train/val/test split
+
+yielding one row per (split, bucket, pack_id, chunk) — the final packed
+training table. Every stage is the existing operator (textstats.
+quality_score, dedup.dedup_exact, dedup.neardup_dedup_decisions,
+sampling.contamination_report, chunking.chunk_documents / pack_chunks,
+sampling.hash_split); this module contributes the COMPOSITION and its
+reuse seams.
+
+Scale shape (the 100 TB story):
+
+- Stage outputs handed between filters are NARROW id-only keep-sets,
+  `localCheckpoint()`ed so no downstream consumer re-executes an
+  upstream pipeline (MinHash banding, connected components) — the
+  id set is ~1e-4 of corpus width (at cluster scale the same seam is a
+  parquet checkpoint; the plan shape is identical). The corpus itself
+  is RE-SCANNED per stage (projection + pushed filters + one hash join
+  against the checkpointed id set) — scans are the cheap, elastic
+  resource; pipelines run exactly once, pinned by plan test.
+- The text is chunk-tokenized exactly ONCE (chunk_documents's single
+  posexplode); packing consumes the chunk rows' precomputed n_tokens
+  (one shuffle on the pack bucket) and the split column is a scan-side
+  projection over the packed rows (md5 hash-range on the DOCUMENT id,
+  so every chunk of a document lands in the same split — no
+  train/test leakage through overlapping chunks).
+- Nothing is all-pairs and nothing full-width shuffles: quality is a
+  scan filter, exact dedup one hash shuffle on normalized text,
+  near-dedup the banded LSH equi-join + CC on the (tiny) edge list,
+  decontamination a broadcast-semi against the benchmark shingle set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def curate_corpus(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    quality_min: float = 0.55,
+    neardup_n: int = 3,
+    neardup_hashes: int = 16,
+    neardup_bands: int = 4,
+    neardup_threshold: float = 0.9,
+    contam_n: int = 3,
+    contam_threshold: float = 0.5,
+    chunk_size: int = 64,
+    chunk_overlap: int = 8,
+    pack_budget: int = 256,
+    pack_buckets: int = 16,
+    split_weights: "dict[str, float] | None" = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The curated, chunked, packed, split training table.
+
+    Returns one row per chunk of every SURVIVING document:
+    (id, chunk_id, chunk_text, n_tokens, bucket, pack_id, split).
+    A document survives iff it (1) scores >= `quality_min`, (2) is the
+    min-id representative of its exact (normalized-text) duplicate
+    group, (3) is the min-id representative of its near-duplicate
+    connected component (MinHash-LSH at `neardup_threshold`), and
+    (4) has < `contam_threshold` word-`contam_n`-gram overlap with the
+    benchmark set. Stage order is fixed: each stage sees only the
+    previous stage's survivors, so e.g. a contaminated document can
+    still have been the dedup representative that eliminated its
+    duplicates (matching how production pipelines sequence these).
+
+    All decisions are deterministic (hash-based, order-free), so the
+    output is stable across runs, partitionings, and engines — the
+    DuckDB twin reproduces it value-for-value."""
+    from ..functions.chunking import chunk_documents, pack_chunks
+    from ..functions.textstats import quality_score
+    from .dedup import dedup_exact, neardup_dedup_decisions
+    from .sampling import contamination_report, hash_split
+
+    weights = split_weights or DEFAULT_SPLIT_WEIGHTS
+    base = docs.select(F.col(id_col), F.col(text_col))
+
+    # stage 1 — quality gate: native-expression filter, reaches the scan
+    good = base.filter(quality_score(text_col) >= F.lit(float(quality_min)))
+
+    # stage 2 — exact dedup: min-id representative per normalized text.
+    # The keep-set is id-only and checkpointed: every later consumer
+    # joins it instead of re-running the dedup shuffle.
+    exact_ids = (
+        dedup_exact(good, id_col=id_col, text_col=text_col)
+        .select(F.col("rep_id").alias(id_col))
+        .localCheckpoint()
+    )
+    exact_kept = good.join(exact_ids, id_col)
+
+    # stage 3 — near-dedup: LSH pairs -> connected components -> keep
+    # min-id per component. Runs once; only the keep-set survives it.
+    nd_ids = (
+        neardup_dedup_decisions(
+            exact_kept,
+            id_col=id_col,
+            text_col=text_col,
+            n=neardup_n,
+            num_hashes=neardup_hashes,
+            bands=neardup_bands,
+            threshold=neardup_threshold,
+        )
+        .filter("keep")
+        .select(F.col("id").alias(id_col))
+        .localCheckpoint()
+    )
+    nd_kept = base.join(nd_ids, id_col)
+
+    # stage 4 — decontamination: overlap vs the (broadcast) benchmark
+    # shingle set. Documents too short to shingle are absent from the
+    # report and therefore kept (nothing to match on).
+    contaminated = (
+        contamination_report(
+            nd_kept,
+            benchmark,
+            n=contam_n,
+            threshold=contam_threshold,
+            id_col=id_col,
+            text_col=text_col,
+        )
+        .filter("contaminated")
+        .select(F.col("id").alias(id_col))
+    )
+    kept_ids = nd_ids.join(contaminated, id_col, "left_anti").localCheckpoint()
+    curated = base.join(kept_ids, id_col)
+
+    # stages 5-7 — chunk once (single posexplode), pack on the
+    # precomputed token counts (one bucket shuffle), split on the
+    # document id (scan-side projection; doc-granular so overlapping
+    # chunks can never straddle train/test)
+    chunks = chunk_documents(
+        curated,
+        size=chunk_size,
+        overlap=chunk_overlap,
+        id_col=id_col,
+        text_col=text_col,
+    )
+    packed = pack_chunks(chunks, budget=pack_budget, n_buckets=pack_buckets)
+    return hash_split(packed, weights, id_col="id")
