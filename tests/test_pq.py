@@ -345,3 +345,126 @@ def test_ivfpq_save_load_roundtrip_and_pruning(spark, sf_dir, tmp_path):
 
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "list_id" in plan
+
+
+# ---------------------------------------------------------------------------
+# OPQ (Ge et al. CVPR'13): learned rotation before PQ
+# ---------------------------------------------------------------------------
+
+
+def test_opq_trains_no_worse_than_pq_and_recall_holds(spark, sf_dir):
+    """The OPQ trainer keeps the best iterate INCLUDING the identity
+    rotation (iteration 0 == plain PQ), so its training quantization
+    error is <= plain PQ's by construction — asserted exactly. On the
+    fixture (isotropic vectors, the no-win case for rotations) ADC
+    recall@K must therefore hold at least plain PQ's level."""
+    from vector_search_test_spark.operators.pq import (
+        opq_encode,
+        rotate_queries,
+        train_opq_numpy,
+    )
+
+    pdf, X = _fixture_matrix(sf_dir)
+    books_pq = train_pq_numpy(X, m=M, ksub=KSUB)
+    R, books_opq = train_opq_numpy(X, m=M, ksub=KSUB)
+
+    def train_err(Y, books):
+        cents = [np.array(b) for b in books]
+        dsub = Y.shape[1] // M
+        err = 0.0
+        for j in range(M):
+            sub = Y[:, j * dsub : (j + 1) * dsub]
+            d = ((sub[:, None, :] - cents[j][None, :, :]) ** 2).sum(axis=2)
+            err += float(d.min(axis=1).sum())
+        return err
+
+    e_pq = train_err(X, books_pq)
+    e_opq = train_err(X @ np.array(R), books_opq)
+    assert e_opq <= e_pq * (1 + 1e-9), (e_opq, e_pq)
+
+    # rotation is orthogonal (float32-rounded): R Rᵀ ≈ I
+    Rm = np.array(R)
+    assert np.abs(Rm @ Rm.T - np.eye(Rm.shape[0])).max() < 1e-4
+
+    # ADC recall@K vs exact, OPQ >= PQ on the same queries
+    nq = 5
+    queries = [
+        (int(qid), [float(np.float32(v)) for v in vec])
+        for qid, vec in zip(
+            pdf["vec_id"].tolist()[:nq], pdf["embedding"].tolist()[:nq]
+        )
+    ]
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def recall(topk_df):
+        got = {}
+        for r in topk_df.collect():
+            got.setdefault(r.query_id, set()).add(r.vec_id)
+        q = emb.filter(F.col("vec_id") < nq).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        exact = {}
+        for r in knn_exact(q, emb, k=K).collect():
+            exact.setdefault(r.query_id, set()).add(r.vec_id)
+        return sum(
+            len(got[qid] & exact[qid]) / K for qid in exact
+        ) / len(exact)
+
+    luts_pq = [(qid, adc_lut(vec, books_pq)) for qid, vec in queries]
+    r_pq = recall(pq_adc_topk_all(pq_encode(emb, books_pq), luts_pq, k=K))
+    luts_opq = [
+        (qid, adc_lut(rq, books_opq))
+        for qid, rq in rotate_queries(queries, R)
+    ]
+    r_opq = recall(
+        pq_adc_topk_all(opq_encode(emb, R, books_opq), luts_opq, k=K)
+    )
+    assert r_opq >= r_pq - 1e-9, (r_opq, r_pq)
+
+
+def test_opq_pipeline_matches_duckdb_twin(spark, sf_dir):
+    """Cross-engine bit-equality of rotate + encode + ADC: the oracle
+    rotates the corpus with the list_sum fold and replays the full
+    pipeline (same contract as the plain-PQ twin test)."""
+    from vector_search_test_spark.operators.pq import (
+        opq_encode,
+        rotate_queries,
+        rotate_sql,
+        train_opq_numpy,
+    )
+
+    pdf, X = _fixture_matrix(sf_dir)
+    R, books = train_opq_numpy(X, m=M, ksub=KSUB, n_iter=3)
+    queries = [
+        (int(qid), [float(np.float32(v)) for v in vec])
+        for qid, vec in zip(
+            pdf["vec_id"].tolist()[:3], pdf["embedding"].tolist()[:3]
+        )
+    ]
+    luts = [
+        (qid, adc_lut(rq, books)) for qid, rq in rotate_queries(queries, R)
+    ]
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = sorted(
+        (r.query_id, r.vec_id, round(r.dist, 6))
+        for r in pq_adc_topk_all(opq_encode(emb, R, books), luts, k=K).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    prelude = (
+        f"rot AS MATERIALIZED (SELECT vec_id, "
+        f"{rotate_sql('embedding', R)} AS remb FROM embeddings),"
+    )
+    want = sorted(
+        (int(q), int(v), d)
+        for q, v, d in con.execute(
+            pq_adc_oracle_sql(
+                books, luts, k=K, table="rot", vec_expr="remb",
+                prelude=prelude,
+            )
+        ).fetchall()
+    )
+    assert got == want

@@ -41,7 +41,15 @@ def _canon(cols, rows):
 
 
 def main(names=None):
-    spark = get_session("oracle-check", shuffle_partitions=8)
+    # one reviewable line per entry (VERDICT r7 next-#5): silence the
+    # benign WindowExec/streaming WARN wall and the stage progress bar
+    # that otherwise bury the per-query OK lines
+    spark = get_session(
+        "oracle-check",
+        shuffle_partitions=8,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(

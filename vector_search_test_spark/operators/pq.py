@@ -410,6 +410,157 @@ def ivfpq_adc_topk_all(
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# OPQ: learned orthogonal rotation before PQ (Ge et al., "Optimized
+# Product Quantization", CVPR 2013 — the standard missing rung between
+# PQ and IVF-PQ in the compression ladder)
+# ---------------------------------------------------------------------------
+
+
+def train_opq_numpy(
+    X,
+    m: int,
+    ksub: int = 16,
+    seed: int = DEFAULT_SEED,
+    max_iter: int = 15,
+    n_iter: int = 8,
+):
+    """Non-parametric OPQ: alternate (a) PQ codebook training on the
+    rotated data with (b) the orthogonal Procrustes update
+    R = U Vᵀ of svd(Xᵀ X̂) that minimizes ‖XR − X̂‖² over rotations.
+    Iteration 0 is PLAIN PQ (R = identity), and the returned (R, books)
+    is the iterate with the LOWEST training quantization error, so OPQ
+    can never train worse than PQ on the same sample — the guarantee
+    the recall test pins. Driver-side on the same bounded subsample
+    contract as `train_pq_numpy`; returns (R, books) with R a
+    [dim][dim] row-major rotation (y = x @ R), float32-rounded like
+    every stored artifact."""
+    import numpy as np
+
+    n, dim = X.shape
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+
+    def reconstruct(Y, books):
+        cents = [np.array(b, dtype=np.float64) for b in books]
+        out = np.empty_like(Y)
+        for j in range(m):
+            sub = Y[:, j * dsub : (j + 1) * dsub]
+            C = cents[j]
+            d = ((sub[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            out[:, j * dsub : (j + 1) * dsub] = C[np.argmin(d, axis=1)]
+        return out
+
+    R = np.eye(dim)
+    best = None
+    for _ in range(max(1, n_iter)):
+        Y = X @ R
+        books = train_pq_numpy(Y, m, ksub=ksub, seed=seed, max_iter=max_iter)
+        Yh = reconstruct(Y, books)
+        err = float(((Y - Yh) ** 2).sum())
+        if best is None or err < best[0]:
+            best = (err, R.copy(), books)
+        U, _, Vt = np.linalg.svd(X.T @ Yh)
+        R = U @ Vt
+    _, R, books = best
+    Rf = [[float(np.float32(v)) for v in row] for row in R]
+    return Rf, books
+
+
+def rotate_queries(queries, R):
+    """Rotate (qid, vec) pairs driver-side with the same left-to-right
+    per-input-dimension accumulation the encode path and the SQL twin
+    use — identical doubles everywhere."""
+    dim = len(R)
+    out = []
+    for qid, vec in queries:
+        acc = [0.0] * dim
+        for j in range(dim):
+            xj = float(vec[j])
+            row = R[j]
+            for i in range(dim):
+                acc[i] = acc[i] + xj * row[i]
+        out.append((qid, acc))
+    return out
+
+
+def opq_encode(
+    df: DataFrame,
+    R,
+    books,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Rotate + PQ-encode in ONE scan-only mapInPandas pass: the
+    broadcast-sized rotation matrix rides the task closure, the rotation
+    accumulates per INPUT dimension left-to-right (bit-identical to the
+    scalar chain / list_sum the oracle evaluates), and the code
+    assignment is `pq_encode`'s per-dimension loop on the rotated
+    floats. Same (id, codes) contract and 100 TB shape as pq_encode —
+    no shuffle, m bytes per vector out."""
+    import numpy as np
+
+    m = len(books)
+    dsub = len(books[0][0])
+    cents = [np.array(book, dtype=np.float64) for book in books]
+    Rm = np.array(R, dtype=np.float64)
+    dim = Rm.shape[0]
+
+    schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("codes", T.ArrayType(T.IntegerType(), False), False),
+        ]
+    )
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Xf = np.array(pdf[vec_col].tolist(), dtype=np.float32)
+            X = Xf.astype(np.float64)
+            Y = np.zeros_like(X)
+            for j in range(dim):  # left-to-right over input dims
+                Y += X[:, j : j + 1] * Rm[j, :][None, :]
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for j in range(m):
+                sub = Y[:, j * dsub : (j + 1) * dsub]
+                C = cents[j]
+                d = np.zeros((len(pdf), C.shape[0]), dtype=np.float64)
+                for i in range(dsub):
+                    t = sub[:, i : i + 1] - C[None, :, i]
+                    d += t * t
+                codes[:, j] = np.argmin(d, axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col], "codes": list(codes)})
+
+    return df.select(id_col, vec_col).mapInPandas(encode, schema)
+
+
+def rotate_sql(vec_expr: str, R) -> str:
+    """DuckDB expression for the rotated vector (y = x @ R): one
+    explicit left-associative sum chain per output dimension (`a*r + b*r
+    + ...` parses left-to-right), matching `opq_encode`'s
+    per-input-dimension accumulation double-for-double. Plain arithmetic
+    on purpose — a nested list_transform over an inline dim² literal
+    re-materializes the constant per lambda call in DuckDB and is
+    pathologically slow; dim² explicit terms vectorize. Wrap the CTE
+    that computes this AS MATERIALIZED when the rotated column is
+    referenced many times downstream (the ADC encode chains reference
+    each element repeatedly)."""
+    dim = len(R)
+    outs = []
+    for i in range(dim):
+        chain = " + ".join(
+            f"CAST({vec_expr}[{j + 1}] AS DOUBLE) * {float(R[j][i])!r}"
+            for j in range(dim)
+        )
+        outs.append(f"({chain})")
+    return "[" + ", ".join(outs) + "]"
+
+
 def _l2_chain_sql(vec_expr: str, offset: int, cent) -> str:
     """Left-deep squared-L2 chain between vec[offset+1..] and a constant
     subvector — the same order numpy's per-dimension loop and the l2_sq
@@ -477,13 +628,16 @@ def pq_adc_oracle_sql(
     table: str = "embeddings",
     id_col: str = "vec_id",
     vec_expr: str = "embedding",
+    prelude: str = "",
 ) -> str:
     """DuckDB twin of pq_encode + pq_adc_topk_all: re-encodes the corpus
     with the same codebook arithmetic, embeds the same Python-computed
     LUT literals, folds lookups with list_sum (sequential, matching
-    F.aggregate), and takes the same (dist, vec_id) top-k."""
+    F.aggregate), and takes the same (dist, vec_id) top-k. `prelude`
+    prepends extra CTEs (e.g. the OPQ-rotated corpus) — must end with
+    a comma when non-empty."""
     return f"""
-        WITH {_adc_cte_sql(books, luts, table, id_col, vec_expr)}
+        WITH {prelude}{_adc_cte_sql(books, luts, table, id_col, vec_expr)}
         SELECT query_id, {id_col}, round(dist, 6) AS dist FROM scored
         QUALIFY row_number() OVER (
             PARTITION BY query_id ORDER BY dist, {id_col}
