@@ -474,14 +474,23 @@ def jaccard_join(
             & (F.col("y.sz") * threshold <= F.col("x.sz") + _EPS)
             & (pos_ub >= alpha),
         )
-        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
-        .dropDuplicates()
+        # carry both set sizes so verification computes the union by
+        # inclusion-exclusion (|A∪B| = |A|+|B|-|A∩B|: same integers as
+        # array_union, identical doubles after the division, at HALF the
+        # per-pair set-building cost — the verify stage dominates the
+        # operator's wall clock, VERDICT r7 next-#3)
+        .select(
+            F.col("x.id").alias("a"),
+            F.col("y.id").alias("b"),
+            F.col("x.sz").alias("sza"),
+            F.col("y.sz").alias("szb"),
+        )
+        .dropDuplicates(["a", "b"])
     )
     sh_a = sh.select(F.col("id").alias("a"), F.col("sh").alias("sh_a"))
     sh_b = sh.select(F.col("id").alias("b"), F.col("sh").alias("sh_b"))
-    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
-        F.array_union("sh_a", "sh_b")
-    )
+    o = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = o / (F.col("sza") + F.col("szb") - o)
     return (
         cand.join(sh_a, "a")
         .join(sh_b, "b")
