@@ -2180,6 +2180,27 @@ def _q_text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based quality filter (Rae et al. 2021, A1.1): the
+    published signal set + pass flags at the published thresholds, plus
+    the intra-document repetition ratios (2/3-gram). One lowercased
+    split per doc, scan-only — the cheap gate a 100 TB pipeline runs
+    before any model-based scoring. Absent from the reference (no text
+    quality ops beyond trim, app.py:204)."""
+    from vector_search_test_spark.functions import textstats as ts
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = ts.gopher_signals("text")
+    flg = ts.gopher_flags("text")
+    return docs.select(
+        "doc_id",
+        *[v.alias(k) for k, v in sig.items()],
+        ts.repetition_ratio("text", 2).alias("rep_2gram"),
+        ts.repetition_ratio("text", 3).alias("rep_3gram"),
+        *[v.alias(k) for k, v in flg.items()],
+    )
+
+
 def _q_lang_id_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_search_test_spark.functions import textstats as ts
 
@@ -2604,6 +2625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sliding_counts": _q_stream_sliding_counts,
         "pivot_event_counts": _q_pivot_event_counts,
         "source_kl_divergence": _q_source_kl_divergence,
+        "gopher_quality_flags": _q_gopher_quality_flags,
     }
 
 
@@ -2882,6 +2904,26 @@ def _quality_oracle_sql() -> str:
         SELECT doc_id,
                round({ts.quality_score_sql('text')}, 6) AS quality,
                round({ts.punct_ratio_sql('text')}, 6) AS punct_ratio
+        FROM documents
+    """
+
+
+def _gopher_oracle_sql() -> str:
+    from vector_search_test_spark.functions import textstats as ts
+
+    sig = ts.gopher_signals_sql("text")
+    flg = ts.gopher_flags_sql("text")
+    cols = ",\n               ".join(
+        [f"{v} AS {k}" for k, v in sig.items()]
+        + [
+            f"{ts.repetition_ratio_sql('text', 2)} AS rep_2gram",
+            f"{ts.repetition_ratio_sql('text', 3)} AS rep_3gram",
+        ]
+        + [f"{v} AS {k}" for k, v in flg.items()]
+    )
+    return f"""
+        SELECT doc_id,
+               {cols}
         FROM documents
     """
 
@@ -3707,6 +3749,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
             FROM events GROUP BY user_id
         """,
         "source_kl_divergence": _source_kl_oracle(),
+        "gopher_quality_flags": _gopher_oracle_sql(),
     }
     if _pp_sql is None:
         del out["ivf_search_partial_probe"]

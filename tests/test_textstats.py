@@ -251,3 +251,67 @@ def test_source_kl_is_full_vocabulary_kl(spark):
             for t in cnt
         )
         assert abs(truncated - full) > 1e-4  # the fixture discriminates
+
+
+def test_gopher_rules_planted_cases(spark):
+    """Each published Gopher rule (Rae et al. 2021 A1.1) is exercised by
+    a doc planted to fail exactly that rule; a clean long doc passes all."""
+    good = " ".join(
+        ["the quick brown fox jumps over that lazy dog have with"] * 6
+    )  # 60 words, all alpha, 2+ stopwords, sane lengths
+    cases = [
+        # (text, failing_flag)
+        ("too short of the", "pass_word_count"),
+        (" ".join(["a"] * 60) + " the of", "pass_word_len"),  # mean len < 3
+        (" ".join(["###"] * 30) + " " + good, "pass_symbol"),
+        ("\n".join(["- bullet line the of have"] * 10) + "\nplain", None),
+        ("\n".join(["- b"] * 20), "pass_bullet"),
+        ("\n".join([good + "..."] * 10), "pass_ellipsis"),
+        (" ".join(["1234"] * 55) + " the of and be that", "pass_alpha"),
+        (" ".join(["zebra yak xylo walrus vole umbra"] * 10), "pass_stop"),
+        (good, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _) in enumerate(cases)], "doc_id long, text string"
+    )
+    flg = ts.gopher_flags("text")
+    rows = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id", *[v.alias(k) for k, v in flg.items()]
+        ).collect()
+    }
+    for i, (_, fail) in enumerate(cases):
+        r = rows[i]
+        if fail is not None:
+            assert getattr(r, fail) == 0, (i, fail, r)
+            assert r.gopher_pass == 0
+    assert rows[len(cases) - 1].gopher_pass == 1, rows[len(cases) - 1]
+    # the 90%-bullet boundary: 10 of 11 lines bulleted = 0.909... > 0.9 fails,
+    # planted case index 3 has 10 of 11 -> exactly 0.909091 -> fails bullet
+    assert rows[3].pass_bullet == 0
+
+
+def test_gopher_signals_match_duckdb_twin(spark, sf_dir):
+    """Value-level twin check on the real fixture (the oracle gate runs
+    the same comparison at sf0.01; this pins it at the unit level)."""
+    import duckdb
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = ts.gopher_signals("text")
+    got = {
+        r.doc_id: (r.word_count, r.mean_word_len, r.stop_hits)
+        for r in docs.select(
+            "doc_id", *[v.alias(k) for k, v in sig.items()]
+        ).collect()
+    }
+    s = ts.gopher_signals_sql("text")
+    con = duckdb.connect()
+    exp = {
+        row[0]: (row[1], row[2], row[3])
+        for row in con.execute(
+            f"SELECT doc_id, {s['word_count']}, {s['mean_word_len']}, "
+            f"{s['stop_hits']} FROM read_parquet('{sf_dir}/documents.parquet')"
+        ).fetchall()
+    }
+    assert got == exp

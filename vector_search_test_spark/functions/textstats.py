@@ -127,6 +127,83 @@ def repetition_ratio(col: Column | str, n: int = 2) -> Column:
     ).otherwise(F.lit(0.0))
 
 
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_signals(col: Column | str) -> dict[str, Column]:
+    """Gopher document-quality signals (Rae et al. 2021, arXiv:2112.11446
+    Appendix A1.1) — the published rule set a pretraining pipeline runs
+    before any model-based scoring. Every signal is a pure Catalyst
+    projection over one lowercased token/line split (scan-only at any
+    corpus size; no shuffle, no UDF):
+
+    - word_count         whitespace tokens
+    - mean_word_len      non-space chars / words
+    - symbol_word_ratio  ('#' + '...') occurrences / words
+    - frac_lines_bullet  lines starting with a bullet ('- ' / '* ')
+    - frac_lines_ellip   lines ending with '...'
+    - frac_words_alpha   words containing at least one [a-z]
+    - stop_hits          DISTINCT Gopher stopwords present (presence, not
+                         occurrences — the paper requires >= 2 distinct)
+    """
+    c = F.lower(_col(col))
+    toks = F.split(c, " ")
+    n_tok = F.size(toks)
+    lines = F.split(c, "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    denom_tok = F.greatest(n_tok, F.lit(1))
+    bullet = F.size(
+        F.filter(
+            lines,
+            lambda ln: ln.startswith("- ") | ln.startswith("* "),
+        )
+    )
+    ellip = F.size(F.filter(lines, lambda ln: ln.endswith("...")))
+    alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+            lambda w: F.array_contains(toks, w),
+        )
+    )
+    return {
+        "word_count": n_tok.cast("long"),
+        "mean_word_len": F.round(
+            F.length(F.replace(c, F.lit(" "), F.lit(""))) / denom_tok, 6
+        ),
+        "symbol_word_ratio": F.round(
+            (F.regexp_count(c, F.lit("#")) + F.regexp_count(c, F.lit("\\.\\.\\.")))
+            / denom_tok,
+            6,
+        ),
+        "frac_lines_bullet": F.round(bullet / n_lines, 6),
+        "frac_lines_ellip": F.round(ellip / n_lines, 6),
+        "frac_words_alpha": F.round(alpha / denom_tok, 6),
+        "stop_hits": stop_hits.cast("long"),
+    }
+
+
+def gopher_flags(col: Column | str) -> dict[str, Column]:
+    """Pass/fail flags at the published Gopher thresholds (0/1 ints so
+    the hash oracle is representation-proof), plus the conjunction."""
+    s = gopher_signals(col)
+    flags = {
+        "pass_word_count": (s["word_count"] >= 50) & (s["word_count"] <= 100000),
+        "pass_word_len": (s["mean_word_len"] >= 3.0) & (s["mean_word_len"] <= 10.0),
+        "pass_symbol": s["symbol_word_ratio"] <= 0.1,
+        "pass_bullet": s["frac_lines_bullet"] <= 0.9,
+        "pass_ellipsis": s["frac_lines_ellip"] <= 0.3,
+        "pass_alpha": s["frac_words_alpha"] >= 0.8,
+        "pass_stop": s["stop_hits"] >= 2,
+    }
+    out = {k: v.cast("int") for k, v in flags.items()}
+    conj = None
+    for v in flags.values():
+        conj = v if conj is None else (conj & v)
+    out["gopher_pass"] = conj.cast("int")
+    return out
+
+
 def doc_fingerprint(col: Column | str) -> Column:
     """48-bit fingerprint of the normalized (lower+trim) text."""
     return portable_hash48(F.trim(F.lower(_col(col))))
@@ -510,6 +587,66 @@ def repetition_ratio_sql(expr: str, n: int = 2) -> str:
         f"round((len({grams}) - len(list_distinct({grams}))) "
         f"/ CAST(len({grams}) AS DOUBLE), 6) ELSE 0.0 END"
     )
+
+
+def gopher_signals_sql(expr: str) -> dict[str, str]:
+    """DuckDB twin of `gopher_signals` (same splits, same arithmetic)."""
+    c = f"lower({expr})"
+    toks = f"string_split({c}, ' ')"
+    lines = f"string_split({c}, chr(10))"
+    n_tok = f"len({toks})"
+    denom = f"greatest({n_tok}, 1)"
+    n_lines = f"greatest(len({lines}), 1)"
+    stop_list = "[" + ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS) + "]"
+    return {
+        "word_count": f"{n_tok}::BIGINT",
+        "mean_word_len": (
+            f"round(length(replace({c}, ' ', ''))::DOUBLE / {denom}, 6)"
+        ),
+        "symbol_word_ratio": (
+            f"round((len(regexp_extract_all({c}, '#'))"
+            f" + len(regexp_extract_all({c}, '\\.\\.\\.')))::DOUBLE"
+            f" / {denom}, 6)"
+        ),
+        "frac_lines_bullet": (
+            f"round(len(list_filter({lines}, ln -> starts_with(ln, '- ')"
+            f" OR starts_with(ln, '* ')))::DOUBLE / {n_lines}, 6)"
+        ),
+        "frac_lines_ellip": (
+            f"round(len(list_filter({lines}, ln -> ln LIKE '%...'))::DOUBLE"
+            f" / {n_lines}, 6)"
+        ),
+        "frac_words_alpha": (
+            f"round(len(list_filter({toks}, t -> regexp_matches(t, '[a-z]')))"
+            f"::DOUBLE / {denom}, 6)"
+        ),
+        "stop_hits": (
+            f"len(list_filter({stop_list}, w -> list_contains({toks}, w)))"
+            f"::BIGINT"
+        ),
+    }
+
+
+def gopher_flags_sql(expr: str) -> dict[str, str]:
+    """DuckDB twin of `gopher_flags` (thresholds applied to the SAME
+    rounded signal expressions, conjunction last)."""
+    s = gopher_signals_sql(expr)
+    flags = {
+        "pass_word_count": (
+            f"({s['word_count']} >= 50 AND {s['word_count']} <= 100000)"
+        ),
+        "pass_word_len": (
+            f"({s['mean_word_len']} >= 3.0 AND {s['mean_word_len']} <= 10.0)"
+        ),
+        "pass_symbol": f"({s['symbol_word_ratio']} <= 0.1)",
+        "pass_bullet": f"({s['frac_lines_bullet']} <= 0.9)",
+        "pass_ellipsis": f"({s['frac_lines_ellip']} <= 0.3)",
+        "pass_alpha": f"({s['frac_words_alpha']} >= 0.8)",
+        "pass_stop": f"({s['stop_hits']} >= 2)",
+    }
+    out = {k: f"{v}::INT" for k, v in flags.items()}
+    out["gopher_pass"] = "(" + " AND ".join(flags.values()) + ")::INT"
+    return out
 
 
 def doc_fingerprint_sql(expr: str) -> str:
