@@ -225,6 +225,51 @@ def _q_ivf_search_partial_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "vec_id", F.round("dist", 6).alias("dist"))
 
 
+def _pp_index(spark: SparkSession, sf_dir: str):
+    """Shared-trainer IVF index + query set for the partial-probe family
+    of entries (partial-probe search, recall gauge, index stats)."""
+    from vector_search_test_spark.io import spread
+    from vector_search_test_spark.operators.ivf import IvfIndex, assign_cells
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    cents = _partial_probe_centroids(sf_dir)
+    postings = assign_cells(emb.select("vec_id", "embedding"), cents).select(
+        "list_id", "vec_id", "embedding"
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return emb, IvfIndex(centroids=cents, postings=postings), q
+
+
+def _q_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k gauge: IVF at the production nprobe (2 of 8) measured
+    against exact brute-force ground truth on the same queries — the
+    evaluation the reference never surfaces (its nprobe slider at
+    app.py:58 is consumed on faith). The oracle replays BOTH searches
+    (exact cross-join top-k; shared-trainer centroid assignment + probe
+    ranking) and the recall arithmetic, so the measured recall itself is
+    value-checked, not just bounded."""
+    from vector_search_test_spark.operators.evaluate import recall_at_k
+    from vector_search_test_spark.operators.ivf import ivf_search_all
+    from vector_search_test_spark.operators.knn import knn_exact
+
+    emb, idx, q = _pp_index(spark, sf_dir)
+    exact = knn_exact(q, emb.select("vec_id", "embedding"), k=_PP_K)
+    approx = ivf_search_all(idx, q, k=_PP_K, nprobe=_PP_NPROBE)
+    return recall_at_k(exact, approx)
+
+
+def _q_ivf_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF list-balance summary (faiss imbalance-factor convention) on
+    the shared-trainer index — the drift dashboard that triggers
+    ivf_rebalance. One narrow shuffle on list_id, then a scalar agg."""
+    from vector_search_test_spark.operators.evaluate import ivf_index_stats
+
+    _, idx, _ = _pp_index(spark, sf_dir)
+    return ivf_index_stats(idx.postings)
+
+
 # PQ config shared by the Spark entry and the DuckDB oracle
 _PQ_M = 8
 _PQ_KSUB = 16
@@ -2626,6 +2671,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_event_counts": _q_pivot_event_counts,
         "source_kl_divergence": _q_source_kl_divergence,
         "gopher_quality_flags": _q_gopher_quality_flags,
+        "ann_recall_at_k": _q_ann_recall_at_k,
+        "ivf_index_stats": _q_ivf_index_stats,
     }
 
 
@@ -3181,6 +3228,105 @@ def _partial_probe_oracle_sql(sf_dir: str | None = None) -> str:
     """
 
 
+def _pp_cents_values(sf_dir: str | None) -> str:
+    """VALUES rows for the shared-trainer centroid table (see
+    _partial_probe_oracle_sql for the determinism argument)."""
+    if sf_dir is None:
+        sf_dir = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    cents = _partial_probe_centroids(sf_dir)
+    return ",\n                   ".join(
+        "({}, [{}]::DOUBLE[])".format(i, ", ".join(repr(x) for x in c))
+        for i, c in enumerate(cents)
+    )
+
+
+def _ann_recall_oracle_sql(sf_dir: str | None = None) -> str:
+    """DuckDB twin of the recall@k gauge: replays the exact search, the
+    IVF approximate search (same three-stage replay as
+    _partial_probe_oracle_sql), and the recall arithmetic (integer
+    counts, one double division)."""
+    values = _pp_cents_values(sf_dir)
+    dq = _l2_sq_sql("e.embedding", "q.embedding")
+    d_assign = _l2_sq_sql("e.embedding", "c.centroid")
+    d_probe = _l2_sq_sql("q.embedding", "c.centroid")
+    d_final = _l2_sq_sql("a.embedding", "p.qv")
+    return f"""
+        WITH cents(list_id, centroid) AS (
+            VALUES {values}
+        ),
+        exact AS (
+            SELECT q.vec_id AS query_id, e.vec_id
+            FROM embeddings q CROSS JOIN embeddings e
+            WHERE q.vec_id < 10
+            QUALIFY row_number() OVER (
+                PARTITION BY q.vec_id ORDER BY {dq}, e.vec_id
+            ) <= {_PP_K}
+        ),
+        assign AS (
+            SELECT e.vec_id, e.embedding, c.list_id
+            FROM embeddings e CROSS JOIN cents c
+            QUALIFY row_number() OVER (
+                PARTITION BY e.vec_id ORDER BY {d_assign}, c.list_id
+            ) = 1
+        ),
+        probes AS (
+            SELECT q.vec_id AS query_id, q.embedding AS qv, c.list_id
+            FROM embeddings q CROSS JOIN cents c
+            WHERE q.vec_id < 10
+            QUALIFY row_number() OVER (
+                PARTITION BY q.vec_id ORDER BY {d_probe}, c.list_id
+            ) <= {_PP_NPROBE}
+        ),
+        approx AS (
+            SELECT p.query_id, a.vec_id
+            FROM probes p JOIN assign a ON p.list_id = a.list_id
+            QUALIFY row_number() OVER (
+                PARTITION BY p.query_id ORDER BY {d_final}, a.vec_id
+            ) <= {_PP_K}
+        )
+        SELECT x.query_id,
+               count(*)::BIGINT AS n_exact,
+               count(a.vec_id)::BIGINT AS n_hit,
+               round(count(a.vec_id) / count(*), 6) AS recall
+        FROM exact x
+        LEFT JOIN approx a
+          ON x.query_id = a.query_id AND x.vec_id = a.vec_id
+        GROUP BY x.query_id
+    """
+
+
+def _ivf_stats_oracle_sql(sf_dir: str | None = None) -> str:
+    """DuckDB twin of ivf_index_stats over the shared-trainer
+    assignment: integer per-list counts and sums, double division last."""
+    values = _pp_cents_values(sf_dir)
+    d_assign = _l2_sq_sql("e.embedding", "c.centroid")
+    return f"""
+        WITH cents(list_id, centroid) AS (
+            VALUES {values}
+        ),
+        assign AS (
+            SELECT e.vec_id, c.list_id
+            FROM embeddings e CROSS JOIN cents c
+            QUALIFY row_number() OVER (
+                PARTITION BY e.vec_id ORDER BY {d_assign}, c.list_id
+            ) = 1
+        ),
+        per AS (
+            SELECT list_id, count(*)::BIGINT AS n_vecs
+            FROM assign GROUP BY list_id
+        )
+        SELECT sum(n_vecs)::BIGINT AS ntotal,
+               count(*)::BIGINT AS nlist_used,
+               min(n_vecs)::BIGINT AS min_list,
+               max(n_vecs)::BIGINT AS max_list,
+               round(sum(n_vecs)::DOUBLE / count(*)::DOUBLE, 6) AS avg_list,
+               round(count(*)::DOUBLE * sum(n_vecs * n_vecs)::DOUBLE
+                     / (sum(n_vecs)::DOUBLE * sum(n_vecs)::DOUBLE), 6)
+                   AS imbalance
+        FROM per
+    """
+
+
 def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
     """Oracle SQL per scored query. `sf_dir` (optional; the driver calls
     with no args, which falls back to $ORACLE_SF_DIR then sf0.01) pins the
@@ -3222,6 +3368,12 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         _opq_sql = _opq_oracle_sql(sf_dir)
     except Exception:
         _opq_sql = None
+    try:
+        _recall_sql = _ann_recall_oracle_sql(sf_dir)
+        _ivfstats_sql = _ivf_stats_oracle_sql(sf_dir)
+    except Exception:
+        _recall_sql = None
+        _ivfstats_sql = None
     out = {
         "knn_topk_global": f"""
             SELECT e.vec_id, round({d}, 6) AS dist
@@ -3750,6 +3902,8 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         """,
         "source_kl_divergence": _source_kl_oracle(),
         "gopher_quality_flags": _gopher_oracle_sql(),
+        "ann_recall_at_k": _recall_sql,
+        "ivf_index_stats": _ivfstats_sql,
     }
     if _pp_sql is None:
         del out["ivf_search_partial_probe"]
@@ -3763,6 +3917,9 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         del out["ivfsq8_search_topk"]
     if _opq_sql is None:
         del out["opq_adc_topk"]
+    if _recall_sql is None:
+        del out["ann_recall_at_k"]
+        del out["ivf_index_stats"]
     return out
 
 

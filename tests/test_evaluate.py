@@ -1,0 +1,70 @@
+"""Index-evaluation operator tests (operators/evaluate.py)."""
+
+from pyspark.sql import functions as F
+
+from vector_search_test_spark.io import load_table, spread
+from vector_search_test_spark.operators.evaluate import (
+    ivf_index_stats,
+    recall_at_k,
+)
+
+
+def test_recall_planted_cases(spark):
+    exact = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 3), (1, 4), (2, 5)],
+        "query_id long, vec_id long",
+    )
+    approx = spark.createDataFrame(
+        # q0 perfect, q1 half (one wrong id), q2 missing entirely
+        [(0, 1), (0, 2), (1, 3), (1, 99)],
+        "query_id long, vec_id long",
+    )
+    got = {r.query_id: r for r in recall_at_k(exact, approx).collect()}
+    assert set(got) == {0, 1, 2}  # the silent-miss query still gets a row
+    assert (got[0].n_hit, got[0].recall) == (2, 1.0)
+    assert (got[1].n_hit, got[1].recall) == (1, 0.5)
+    assert (got[2].n_hit, got[2].recall) == (0, 0.0)
+    assert all(got[q].n_exact == exact.filter(
+        F.col("query_id") == q).count() for q in got)
+
+
+def test_recall_one_at_full_probe(spark, sf_dir):
+    """nprobe = nlist makes IVF exhaustive, so recall must be exactly 1
+    for every query — the identity the gauge is calibrated against."""
+    from vector_search_test_spark.operators.ivf import ivf_build, ivf_search_all
+    from vector_search_test_spark.operators.knn import knn_exact
+
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    idx = ivf_build(emb, nlist=4)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    exact = knn_exact(q, emb, k=3)
+    approx = ivf_search_all(idx, q, k=3, nprobe=4)
+    rows = recall_at_k(exact, approx).collect()
+    assert len(rows) == 5
+    assert all(r.recall == 1.0 and r.n_hit == r.n_exact for r in rows)
+
+
+def test_ivf_index_stats_known_postings(spark):
+    postings = spark.createDataFrame(
+        [(0, i) for i in range(6)] + [(1, 10), (1, 11)] + [(2, 20)],
+        "list_id int, vec_id long",
+    )
+    r = ivf_index_stats(postings).first()
+    assert (r.ntotal, r.nlist_used, r.min_list, r.max_list) == (9, 3, 1, 6)
+    assert r.avg_list == 3.0
+    # imbalance = nlist * sum(n^2) / ntotal^2 = 3 * (36+4+1) / 81
+    assert abs(r.imbalance - 3 * 41 / 81) < 1e-6
+
+
+def test_ivf_index_stats_even_lists_is_one(spark):
+    postings = spark.createDataFrame(
+        [(l, l * 10 + i) for l in range(4) for i in range(5)],
+        "list_id int, vec_id long",
+    )
+    r = ivf_index_stats(postings).first()
+    assert r.imbalance == 1.0 and r.max_list == r.min_list == 5
