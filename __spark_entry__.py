@@ -2246,6 +2246,25 @@ def _q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_quality_topp_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the best 20% of the corpus by quality score — EXACT top-k
+    semantics (score DESC, doc_id tie-break) delivered via the
+    score-histogram plan in sampling.py::top_fraction_by_score (no
+    global sort; only the boundary score class pays a window). The
+    oracle is the declarative form: row_number over the full order.
+    Output re-scores the kept rows so the hash certifies both the
+    selection set and the scores."""
+    from vector_search_test_spark.functions import textstats as ts
+    from vector_search_test_spark.operators.sampling import (
+        top_fraction_by_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.round(ts.quality_score("text"), 6).alias("q_score")
+    )
+    return top_fraction_by_score(docs, "q_score", 0.2)
+
+
 def _q_lang_id_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_search_test_spark.functions import textstats as ts
 
@@ -2673,6 +2692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality_flags": _q_gopher_quality_flags,
         "ann_recall_at_k": _q_ann_recall_at_k,
         "ivf_index_stats": _q_ivf_index_stats,
+        "quality_topp_selection": _q_quality_topp_selection,
     }
 
 
@@ -2972,6 +2992,22 @@ def _gopher_oracle_sql() -> str:
         SELECT doc_id,
                {cols}
         FROM documents
+    """
+
+
+def _topp_oracle_sql() -> str:
+    """Declarative twin of the histogram top-p plan: the full-order
+    row_number form the Spark side deliberately avoids at scale."""
+    from vector_search_test_spark.functions import textstats as ts
+
+    score = f"round({ts.quality_score_sql('text')}, 6)"
+    return f"""
+        WITH scored AS (
+            SELECT doc_id, {score} AS q_score FROM documents
+        )
+        SELECT doc_id, q_score FROM scored
+        QUALIFY row_number() OVER (ORDER BY q_score DESC, doc_id)
+            <= (SELECT floor(0.2 * count(*)) FROM scored)
     """
 
 
@@ -3904,6 +3940,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "gopher_quality_flags": _gopher_oracle_sql(),
         "ann_recall_at_k": _recall_sql,
         "ivf_index_stats": _ivfstats_sql,
+        "quality_topp_selection": _topp_oracle_sql(),
     }
     if _pp_sql is None:
         del out["ivf_search_partial_probe"]

@@ -240,3 +240,57 @@ def test_mix_downsample_equals_stratified_sample(spark, sf_dir):
     b = {r.doc_id for r in stratified_sample(
         docs, frac, strata_col="source").collect()}
     assert a == b and a
+
+
+def test_top_fraction_boundary_ties_and_edges(spark):
+    """The histogram plan must equal the declarative top-k: boundary
+    ties are broken by id ASC, and frac 0/1 are the empty/full sets."""
+    import pytest
+
+    from vector_search_test_spark.operators.sampling import (
+        top_fraction_by_score,
+    )
+
+    # scores: 9.0 x2, 5.0 x4 (tie class straddles the cutoff), 1.0 x4
+    data = [(i, 9.0) for i in (7, 3)] + [(i, 5.0) for i in (12, 4, 9, 6)]
+    data += [(i, 1.0) for i in (20, 21, 22, 23)]
+    df = spark.createDataFrame(data, "doc_id long, q_score double")
+    # k = floor(0.4 * 10) = 4 -> both 9.0s + the two LOWEST-id 5.0s
+    got = sorted(
+        r.doc_id for r in top_fraction_by_score(df, "q_score", 0.4).collect()
+    )
+    assert got == [3, 4, 6, 7]
+    assert top_fraction_by_score(df, "q_score", 0.0).count() == 0
+    assert sorted(
+        r.doc_id for r in top_fraction_by_score(df, "q_score", 1.0).collect()
+    ) == sorted(d for d, _ in data)
+    with pytest.raises(ValueError):
+        top_fraction_by_score(df, "q_score", 1.5)
+
+
+def test_top_fraction_equals_declarative_sort(spark, sf_dir):
+    """On the real fixture, the histogram plan's kept set equals the
+    row_number-over-full-order form at several fractions."""
+    from pyspark.sql import Window
+
+    from vector_search_test_spark.functions import textstats as ts
+    from vector_search_test_spark.operators.sampling import (
+        top_fraction_by_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.round(ts.quality_score("text"), 6).alias("s")
+    )
+    n = docs.count()
+    w = Window.orderBy(F.desc("s"), F.asc("doc_id"))
+    ranked = docs.withColumn("rn", F.row_number().over(w))
+    for frac in (0.1, 0.33, 0.9):
+        want = sorted(
+            r.doc_id
+            for r in ranked.filter(F.col("rn") <= int(frac * n)).collect()
+        )
+        got = sorted(
+            r.doc_id
+            for r in top_fraction_by_score(docs, "s", frac).collect()
+        )
+        assert got == want, frac

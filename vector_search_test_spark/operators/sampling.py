@@ -129,6 +129,64 @@ def stratified_sample(
     return df.filter(hash_fraction(id_col, salt) < thr)
 
 
+def top_fraction_by_score(
+    df: DataFrame,
+    score_col: str,
+    frac: float,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT global top-`frac` selection by (`score_col` DESC, `id_col`
+    ASC) — the "keep the best X% by quality" curation knob (the
+    FineWeb / DCLM selection step) with top-k semantics a SQL engine can
+    replay (`row_number() OVER (ORDER BY score DESC, id) <= floor(frac*n)`),
+    but WITHOUT the global sort that QUALIFY implies.
+
+    Scale design: exact global top-k via a score HISTOGRAM —
+    1. group the corpus by score value (bounded cardinality: scores are
+       rounded composites, ~1e6 distinct values regardless of corpus
+       size) with map-side combine;
+    2. running count over the tiny histogram (single-partition window
+       over distinct SCORES, not rows — documented driver-side-small);
+    3. broadcast the annotated histogram back: whole score classes with
+       cum <= k are kept by a scan-side filter, and ONLY the single
+       boundary class (cum_prev < k < cum) pays a row_number window,
+       partitioned by its one score value — the tie mass at the cutoff,
+       not the corpus.
+    The corpus itself is never sorted or shuffled; at 100 TB the only
+    non-scan costs are the histogram aggregate and the boundary-class
+    window. Returns the kept rows of `df` unchanged (same columns).
+    """
+    from pyspark.sql import Window
+
+    if not 0.0 <= frac <= 1.0:
+        raise ValueError(f"frac must be in [0, 1], got {frac}")
+    hist = df.groupBy(score_col).agg(F.count("*").alias("__n"))
+    w = Window.orderBy(F.desc(score_col))
+    hist = hist.select(
+        score_col, "__n", F.sum("__n").over(w).alias("__cum")
+    ).withColumn("__cum_prev", F.col("__cum") - F.col("__n"))
+    total = df.agg(F.count("*").alias("__total"))
+    hist = hist.crossJoin(F.broadcast(total)).withColumn(
+        "__k", F.floor(F.lit(float(frac)) * F.col("__total")).cast("long")
+    )
+    marked = df.join(
+        F.broadcast(hist.select(score_col, "__cum", "__cum_prev", "__k")),
+        score_col,
+    )
+    full = marked.filter(F.col("__cum") <= F.col("__k"))
+    boundary = marked.filter(
+        (F.col("__cum_prev") < F.col("__k")) & (F.col("__k") < F.col("__cum"))
+    )
+    wb = Window.partitionBy(score_col).orderBy(id_col)
+    bkeep = (
+        boundary.withColumn("__rn", F.row_number().over(wb))
+        .filter(F.col("__rn") <= F.col("__k") - F.col("__cum_prev"))
+        .drop("__rn")
+    )
+    drop = ["__cum", "__cum_prev", "__k"]
+    return full.unionByName(bkeep).drop(*drop).select(*df.columns)
+
+
 def mix_corpus(
     df: DataFrame,
     weights: dict,
