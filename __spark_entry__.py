@@ -270,6 +270,63 @@ def _q_ivf_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_index_stats(idx.postings)
 
 
+# PCA config shared by the Spark entry and the DuckDB oracle
+_PCA_OUT_DIM = 8
+_PCA_K = 5
+_PCA_MEMO: dict[str, tuple] = {}
+
+
+def _pca_artifacts(sf_dir: str):
+    """Deterministic PCA mean + component matrix, trained OUTSIDE any
+    engine (pyarrow read in canonical vec_id order, driver eigh,
+    sign-pinned, float32-rounded) — the shared-trainer pattern of
+    _partial_probe_centroids, so the DuckDB oracle replays the
+    projection value-for-value."""
+    key = sf_dir.rstrip("/")
+    if key not in _PCA_MEMO:
+        import numpy as np
+        import pyarrow.parquet as pq_pa
+
+        from vector_search_test_spark.operators.pca import train_pca_numpy
+
+        tbl = pq_pa.read_table(
+            os.path.join(key, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+        )
+        pdf = tbl.to_pandas().sort_values("vec_id")
+        X = np.array(
+            [np.asarray(v, dtype=np.float32) for v in pdf["embedding"]],
+            dtype=np.float64,
+        )
+        _PCA_MEMO[key] = train_pca_numpy(X, _PCA_OUT_DIM)
+    return _PCA_MEMO[key]
+
+
+def _q_pca_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN in PCA-reduced space (64 → 8 dims): the standard pre-ANN
+    transform the reference lacks (faiss consumes raw vectors,
+    app.py:50-55). Projection is one scan-only Arrow pass with the
+    broadcast-sized (mean, W) in the task closure; search is the same
+    TakeOrdered top-k as the float path over 1/8 of the bytes. The
+    oracle replays the projection as explicit sum chains (MATERIALIZED
+    CTE) and the top-k — the measured distances themselves are
+    value-checked."""
+    from vector_search_test_spark.io import spread
+    from vector_search_test_spark.operators.knn import knn_exact
+    from vector_search_test_spark.operators.pca import pca_project
+
+    mean, W = _pca_artifacts(sf_dir)
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    proj = pca_project(emb, mean, W)
+    q = proj.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("proj").alias("query_vec")
+    )
+    out = knn_exact(q, proj, k=_PCA_K, vec_col="proj")
+    return out.select("query_id", "vec_id", F.round("dist", 6).alias("dist"))
+
+
 # PQ config shared by the Spark entry and the DuckDB oracle
 _PQ_M = 8
 _PQ_KSUB = 16
@@ -2693,6 +2750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_at_k": _q_ann_recall_at_k,
         "ivf_index_stats": _q_ivf_index_stats,
         "quality_topp_selection": _q_quality_topp_selection,
+        "pca_knn_topk": _q_pca_knn_topk,
     }
 
 
@@ -2992,6 +3050,32 @@ def _gopher_oracle_sql() -> str:
         SELECT doc_id,
                {cols}
         FROM documents
+    """
+
+
+def _pca_oracle_sql(sf_dir: str | None = None) -> str:
+    """DuckDB twin of _q_pca_knn_topk: the projection as explicit
+    left-associative sum chains over the shared float32-rounded
+    artifacts (MATERIALIZED so the chains evaluate once), then the
+    standard top-k with (dist, vec_id) tie-break."""
+    from vector_search_test_spark.operators.pca import pca_project_sql
+
+    if sf_dir is None:
+        sf_dir = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    mean, W = _pca_artifacts(sf_dir)
+    exprs = pca_project_sql("embedding", mean, W)
+    d = _l2_sq_sql("e.proj", "q.proj")
+    return f"""
+        WITH proj AS MATERIALIZED (
+            SELECT vec_id, [{", ".join(exprs)}] AS proj
+            FROM embeddings
+        )
+        SELECT q.vec_id AS query_id, e.vec_id, round({d}, 6) AS dist
+        FROM proj q CROSS JOIN proj e
+        WHERE q.vec_id < 10
+        QUALIFY row_number() OVER (
+            PARTITION BY q.vec_id ORDER BY {d}, e.vec_id
+        ) <= {_PCA_K}
     """
 
 
@@ -3410,6 +3494,10 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
     except Exception:
         _recall_sql = None
         _ivfstats_sql = None
+    try:
+        _pca_sql = _pca_oracle_sql(sf_dir)
+    except Exception:
+        _pca_sql = None
     out = {
         "knn_topk_global": f"""
             SELECT e.vec_id, round({d}, 6) AS dist
@@ -3941,6 +4029,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "ann_recall_at_k": _recall_sql,
         "ivf_index_stats": _ivfstats_sql,
         "quality_topp_selection": _topp_oracle_sql(),
+        "pca_knn_topk": _pca_sql,
     }
     if _pp_sql is None:
         del out["ivf_search_partial_probe"]
@@ -3957,6 +4046,8 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
     if _recall_sql is None:
         del out["ann_recall_at_k"]
         del out["ivf_index_stats"]
+    if _pca_sql is None:
+        del out["pca_knn_topk"]
     return out
 
 
