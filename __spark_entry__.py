@@ -2322,6 +2322,17 @@ def _q_quality_topp_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_fraction_by_score(docs, "q_score", 0.2)
 
 
+def _q_vocab_stats_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary diagnostics (type-token ratio, hapax
+    fraction, modal-token mass) — the lexical-diversity dashboard; see
+    functions/textstats.py::vocab_stats_per_source for the plan."""
+    from vector_search_test_spark.functions.textstats import (
+        vocab_stats_per_source,
+    )
+
+    return vocab_stats_per_source(load_table(spark, sf_dir, "documents"))
+
+
 def _q_lang_id_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_search_test_spark.functions import textstats as ts
 
@@ -2751,6 +2762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_index_stats": _q_ivf_index_stats,
         "quality_topp_selection": _q_quality_topp_selection,
         "pca_knn_topk": _q_pca_knn_topk,
+        "vocab_stats_per_source": _q_vocab_stats_per_source,
     }
 
 
@@ -3077,6 +3089,14 @@ def _pca_oracle_sql(sf_dir: str | None = None) -> str:
             PARTITION BY q.vec_id ORDER BY {d}, e.vec_id
         ) <= {_PCA_K}
     """
+
+
+def _vocab_oracle_sql() -> str:
+    from vector_search_test_spark.functions.textstats import (
+        vocab_stats_oracle_sql,
+    )
+
+    return vocab_stats_oracle_sql()
 
 
 def _topp_oracle_sql() -> str:
@@ -4030,6 +4050,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "ivf_index_stats": _ivfstats_sql,
         "quality_topp_selection": _topp_oracle_sql(),
         "pca_knn_topk": _pca_sql,
+        "vocab_stats_per_source": _vocab_oracle_sql(),
     }
     if _pp_sql is None:
         del out["ivf_search_partial_probe"]

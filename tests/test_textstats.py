@@ -315,3 +315,31 @@ def test_gopher_signals_match_duckdb_twin(spark, sf_dir):
         ).fetchall()
     }
     assert got == exp
+
+
+def test_vocab_stats_planted():
+    """Hand-computable corpus: counts, hapax, modal token + tie-break."""
+    from vector_search_test_spark.session import get_session
+
+    spark = get_session("t", shuffle_partitions=4)
+    df = spark.createDataFrame(
+        [
+            (0, "a a b c", "s1"),   # s1: a:3, b:2, c:1, d:1
+            (1, "a b d", "s1"),
+            (2, "x x y", "s2"),     # s2: x:2, y:1 -> modal x
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {r.source: r for r in ts.vocab_stats_per_source(df).collect()}
+    s1 = got["s1"]
+    assert (s1.n_tokens, s1.n_types, s1.n_hapax) == (7, 4, 2)
+    assert s1.top_tok == "a" and abs(s1.top_frac - 3 / 7) < 1e-6
+    assert abs(s1.ttr - 4 / 7) < 1e-6 and abs(s1.hapax_frac - 0.5) < 1e-6
+    s2 = got["s2"]
+    assert (s2.n_tokens, s2.n_types, s2.n_hapax) == (3, 2, 1)
+    assert s2.top_tok == "x"
+    # tie-break: equal counts -> lexicographically first token wins
+    df2 = spark.createDataFrame(
+        [(0, "b a", "s")], "doc_id long, text string, source string"
+    )
+    assert ts.vocab_stats_per_source(df2).first().top_tok == "a"

@@ -267,6 +267,91 @@ def tfidf_top_terms(
     )
 
 
+def vocab_stats_per_source(
+    docs,
+    strata_col: str = "source",
+    text_col: str = "text",
+):
+    """Vocabulary diagnostics per corpus stratum — the Heaps-law /
+    lexical-diversity dashboard of a data pipeline (shrinking type-token
+    ratio or hapax fraction across crawl snapshots is the standard
+    duplication / boilerplate-creep alarm):
+
+    (source, n_tokens, n_types, n_hapax, ttr, hapax_frac, top_tok,
+     top_frac) — ttr = types/tokens, hapax = types occurring once,
+    top_tok/top_frac = the modal token and its mass (the head of the
+    Zipf curve; a rising top_frac flags TEMPLATE text).
+
+    Plan: explode -> ONE (stratum, token) shuffle with map-side combine
+    (the tf table is vocab-sized, not corpus-sized) -> per-stratum
+    aggregate + a row_number window over the per-stratum tf table for
+    the modal token (deterministic (count desc, token asc) tie-break).
+    Integer counts throughout, two double divisions at the end."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(strata_col).alias("source"),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok"),
+    )
+    tf = toks.groupBy("source", "tok").agg(F.count("*").alias("n"))
+    agg = tf.groupBy("source").agg(
+        F.sum("n").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hapax"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("n"), F.asc("tok"))
+    top = (
+        tf.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("source", F.col("tok").alias("top_tok"), F.col("n").alias("__top_n"))
+    )
+    return agg.join(top, "source").select(
+        "source",
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        F.round(F.col("n_types") / F.col("n_tokens"), 6).alias("ttr"),
+        F.round(F.col("n_hapax") / F.col("n_types"), 6).alias("hapax_frac"),
+        "top_tok",
+        F.round(F.col("__top_n") / F.col("n_tokens"), 6).alias("top_frac"),
+    )
+
+
+def vocab_stats_oracle_sql() -> str:
+    """DuckDB twin of vocab_stats_per_source (same split, same integer
+    counts, same tie-break, same divisions)."""
+    return """
+        WITH tf AS (
+            SELECT source, t.tok, count(*)::BIGINT AS n
+            FROM documents,
+                 unnest(string_split(lower(text), ' ')) AS t(tok)
+            GROUP BY source, t.tok
+        ),
+        agg AS (
+            SELECT source,
+                   sum(n)::BIGINT AS n_tokens,
+                   count(*)::BIGINT AS n_types,
+                   sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax
+            FROM tf GROUP BY source
+        ),
+        top AS (
+            SELECT source, tok AS top_tok, n AS top_n
+            FROM tf
+            QUALIFY row_number() OVER (
+                PARTITION BY source ORDER BY n DESC, tok
+            ) = 1
+        )
+        SELECT a.source, a.n_tokens, a.n_types, a.n_hapax,
+               round(a.n_types / a.n_tokens, 6) AS ttr,
+               round(a.n_hapax / a.n_types, 6) AS hapax_frac,
+               t.top_tok,
+               round(t.top_n / a.n_tokens, 6) AS top_frac
+        FROM agg a JOIN top t ON a.source = t.source
+    """
+
+
 def unigram_lm_scores(
     docs,
     id_col: str = "doc_id",
