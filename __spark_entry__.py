@@ -1916,6 +1916,7 @@ def reset_memos() -> None:
             pass
     _CLUSTER_MEMO.clear()
     _PP_CENTS_MEMO.clear()
+    _PCA_MEMO.clear()
     _PQ_MEMO.clear()
     _OPQ_MEMO.clear()
     _IVFPQ_MEMO.clear()
@@ -2320,6 +2321,15 @@ def _q_quality_topp_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.round(ts.quality_score("text"), 6).alias("q_score")
     )
     return top_fraction_by_score(docs, "q_score", 0.2)
+
+
+def _q_bigram_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM perplexity per document (the CCNet-style
+    LM gate, in-engine) — see textstats.py::bigram_lm_scores for the
+    plan and the quantized-accumulation determinism argument."""
+    from vector_search_test_spark.functions.textstats import bigram_lm_scores
+
+    return bigram_lm_scores(load_table(spark, sf_dir, "documents"))
 
 
 def _q_vocab_stats_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2763,6 +2773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_topp_selection": _q_quality_topp_selection,
         "pca_knn_topk": _q_pca_knn_topk,
         "vocab_stats_per_source": _q_vocab_stats_per_source,
+        "bigram_lm_ppl": _q_bigram_lm_ppl,
     }
 
 
@@ -3089,6 +3100,14 @@ def _pca_oracle_sql(sf_dir: str | None = None) -> str:
             PARTITION BY q.vec_id ORDER BY {d}, e.vec_id
         ) <= {_PCA_K}
     """
+
+
+def _bigram_oracle_sql() -> str:
+    from vector_search_test_spark.functions.textstats import (
+        bigram_lm_oracle_sql,
+    )
+
+    return bigram_lm_oracle_sql()
 
 
 def _vocab_oracle_sql() -> str:
@@ -4051,6 +4070,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "quality_topp_selection": _topp_oracle_sql(),
         "pca_knn_topk": _pca_sql,
         "vocab_stats_per_source": _vocab_oracle_sql(),
+        "bigram_lm_ppl": _bigram_oracle_sql(),
     }
     if _pp_sql is None:
         del out["ivf_search_partial_probe"]

@@ -343,3 +343,40 @@ def test_vocab_stats_planted():
         [(0, "b a", "s")], "doc_id long, text string, source string"
     )
     assert ts.vocab_stats_per_source(df2).first().top_tok == "a"
+
+
+def test_bigram_lm_planted_and_hand_computed(spark):
+    """Hand-computed probabilities on a 2-doc corpus; a doc reusing the
+    corpus's common transition scores better than a reversed one."""
+    import math
+
+    data = [
+        (0, "a b a b", "s"),  # bigrams: ab, ba, ab
+        (1, "b a", "s"),      # ba
+    ]
+    df = spark.createDataFrame(data, "doc_id long, text string, source string")
+    got = {r.doc_id: r for r in ts.bigram_lm_scores(df).collect()}
+    # unigrams: a:3, b:3, N=6, V=2 ; c1(a)=c1(b)=3
+    # c2(a,b)=2, c2(b,a)=2
+    lam, om = 0.7, 0.3
+    p_ab = lam * 2 / 3 + om * (3 + 1) / (6 + 2)
+    p_ba = p_ab
+    q = round(math.log(p_ab) * 1e12)
+    alp0 = (q * 3 / 1e12) / 3
+    assert got[0].n_bigrams == 3
+    assert abs(got[0].avg_logprob - round(alp0, 6)) < 1e-9
+    assert abs(got[0].ppl - round(math.exp(-alp0), 6)) < 1e-9
+    assert got[1].n_bigrams == 1
+    # single-token doc has no bigrams -> excluded
+    df2 = spark.createDataFrame(
+        [(9, "hello", "s")] + data, "doc_id long, text string, source string"
+    )
+    assert {r.doc_id for r in ts.bigram_lm_scores(df2).collect()} == {0, 1}
+    # planted: common-transition doc beats the rare-transition doc
+    base = [(i, "the cat sat on the mat", "s") for i in range(5)]
+    probe = [(100, "the cat sat", "s"), (101, "sat cat the", "s")]
+    df3 = spark.createDataFrame(
+        base + probe, "doc_id long, text string, source string"
+    )
+    got3 = {r.doc_id: r.ppl for r in ts.bigram_lm_scores(df3).collect()}
+    assert got3[100] < got3[101]

@@ -408,6 +408,154 @@ def unigram_lm_scores(
     )
 
 
+def bigram_lm_scores(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.7,
+    broadcast_model: bool = True,
+):
+    """Interpolated bigram language-model scores — the next rung above
+    `unigram_lm_scores` on the LM-filter ladder (the in-engine analogue
+    of CCNet's KenLM perplexity gate, without external model files):
+    train corpus bigram + unigram counts, score every document by its
+    mean bigram log-probability under Jelinek-Mercer interpolation
+
+        p(v|u) = lam * c2(u,v)/c1(u) + (1-lam) * (c1(v)+1)/(N+V)
+
+    (ML bigram interpolated with the add-one unigram; lam = 0.7).
+    Returns (id_col, n_bigrams, avg_logprob, ppl); documents with fewer
+    than 2 tokens have no bigrams and are excluded by construction.
+    High ppl = the document's word TRANSITIONS diverge from the corpus
+    (word-salad that unigram stats cannot see).
+
+    Plan (100 TB): ONE positional explode -> (doc, u, v) count shuffle
+    with map-side combine; the bigram model derives from that aggregate
+    by a second vocabulary-sized shuffle, joins its two unigram legs
+    and the (N, V) scalar, and re-joins the per-doc counts (broadcast
+    by default — a natural-language bigram vocabulary is sublinear in
+    corpus size; broadcast_model=False flips to a shuffle hash join on
+    (u, v) when it isn't). Tokens are exploded once for bigrams and
+    once for unigrams, both straight off the scan. Per-doc sums
+    quantize log-probs to 1e-12 integers FIRST (exact, order-free),
+    multiply by integer counts, and divide back once — the
+    source_kl_divergence determinism pattern, so the DuckDB twin is
+    value-identical."""
+    lam = float(lam)
+    om = 1.0 - lam
+    toks_arr = F.split(F.lower(F.col(text_col)), " ")
+    n = F.size(toks_arr)
+    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    pairs = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(toks_arr, i).alias("u"),
+            F.element_at(toks_arr, i + 1).alias("v"),
+        ),
+    )
+    bg = docs.select(
+        F.col(id_col).alias("id"), F.explode(pairs).alias("p")
+    ).select("id", F.col("p.u").alias("u"), F.col("p.v").alias("v"))
+    tf2 = bg.groupBy("id", "u", "v").agg(F.count("*").alias("tf"))
+    c2 = tf2.groupBy("u", "v").agg(F.sum("tf").cast("long").alias("c2"))
+    uni = docs.select(
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term")
+    ).groupBy("term").agg(F.count("*").alias("c1"))
+    nv = uni.agg(
+        F.sum("c1").cast("long").alias("n_total"),
+        F.count("*").cast("long").alias("v_size"),
+    )
+    logp = F.log(
+        F.lit(lam) * (F.col("c2") / F.col("c1_u"))
+        + F.lit(om)
+        * ((F.col("c1_v") + 1) / (F.col("n_total") + F.col("v_size")))
+    )
+    probs = (
+        c2.join(
+            F.broadcast(uni.select(F.col("term").alias("u"), F.col("c1").alias("c1_u"))),
+            "u",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("term").alias("v"), F.col("c1").alias("c1_v"))),
+            "v",
+        )
+        .crossJoin(F.broadcast(nv))
+        .select(
+            "u", "v", F.round(logp * 1e12, 0).cast("long").alias("qlp")
+        )
+    )
+    model = F.broadcast(probs) if broadcast_model else probs
+    alp = (F.sum(F.col("qlp") * F.col("tf")) / F.lit(1e12)) / F.sum("tf")
+    return (
+        tf2.join(model, ["u", "v"])
+        .groupBy("id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            F.round(alp, 6).alias("avg_logprob"),
+            F.round(F.exp(-alp), 6).alias("ppl"),
+        )
+        .select(
+            F.col("id").alias(id_col), "n_bigrams", "avg_logprob", "ppl"
+        )
+    )
+
+
+def bigram_lm_oracle_sql(lam: float = 0.7) -> str:
+    """DuckDB twin of bigram_lm_scores (same splits, same interpolation
+    arithmetic, same 1e-12 quantization; BIGINT/BIGINT divisions ->
+    DOUBLE in both engines so the ln arguments are bit-identical)."""
+    lam = float(lam)
+    om = 1.0 - lam
+    return f"""
+        WITH tk AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS t
+            FROM documents
+        ),
+        bg AS (
+            SELECT doc_id, t[i] AS u, t[i + 1] AS v
+            FROM tk, unnest(range(1, len(t))) AS r(i)
+        ),
+        tf2 AS (
+            SELECT doc_id, u, v, count(*)::BIGINT AS tf
+            FROM bg GROUP BY doc_id, u, v
+        ),
+        c2 AS (
+            SELECT u, v, sum(tf)::BIGINT AS c2 FROM tf2 GROUP BY u, v
+        ),
+        uni AS (
+            SELECT term, count(*)::BIGINT AS c1
+            FROM (
+                SELECT unnest(string_split(lower(text), ' ')) AS term
+                FROM documents
+            ) GROUP BY term
+        ),
+        nv AS (
+            SELECT sum(c1)::BIGINT AS n_total, count(*)::BIGINT AS v_size
+            FROM uni
+        ),
+        probs AS (
+            SELECT c2.u, c2.v,
+                   round(ln({lam!r} * (c2.c2 / cu.c1)
+                         + {om!r} * ((cv.c1 + 1) / (nv.n_total + nv.v_size)))
+                         * 1e12)::BIGINT AS qlp
+            FROM c2
+            JOIN uni cu ON c2.u = cu.term
+            JOIN uni cv ON c2.v = cv.term
+            CROSS JOIN nv
+        )
+        SELECT t.doc_id,
+               sum(t.tf)::BIGINT AS n_bigrams,
+               round((sum(p.qlp * t.tf) / 1e12) / sum(t.tf), 6)
+                   AS avg_logprob,
+               round(exp(-((sum(p.qlp * t.tf) / 1e12) / sum(t.tf))), 6)
+                   AS ppl
+        FROM tf2 t JOIN probs p ON t.u = p.u AND t.v = p.v
+        GROUP BY t.doc_id
+    """
+
+
 def source_kl_divergence(
     docs,
     strata_col: str = "source",
