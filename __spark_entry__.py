@@ -2323,6 +2323,15 @@ def _q_quality_topp_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_fraction_by_score(docs, "q_score", 0.2)
 
 
+def _q_key_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaviest join/groupBy keys of events.user_id with their load
+    relative to an even spread — the measurement behind 'salt or
+    AQE-split this key' (operators/evaluate.py::key_skew_stats)."""
+    from vector_search_test_spark.operators.evaluate import key_skew_stats
+
+    return key_skew_stats(load_table(spark, sf_dir, "events"), "user_id")
+
+
 def _q_bigram_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated bigram-LM perplexity per document (the CCNet-style
     LM gate, in-engine) — see textstats.py::bigram_lm_scores for the
@@ -2774,6 +2783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_knn_topk": _q_pca_knn_topk,
         "vocab_stats_per_source": _q_vocab_stats_per_source,
         "bigram_lm_ppl": _q_bigram_lm_ppl,
+        "key_skew_stats": _q_key_skew_stats,
     }
 
 
@@ -4071,6 +4081,23 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "pca_knn_topk": _pca_sql,
         "vocab_stats_per_source": _vocab_oracle_sql(),
         "bigram_lm_ppl": _bigram_oracle_sql(),
+        "key_skew_stats": """
+            WITH per AS (
+                SELECT user_id::VARCHAR AS key, count(*)::BIGINT AS n_rows
+                FROM events GROUP BY user_id
+            ),
+            tot AS (
+                SELECT sum(n_rows)::BIGINT AS total,
+                       count(*)::BIGINT AS n_keys
+                FROM per
+            )
+            SELECT key, n_rows,
+                   round(n_rows / t.total, 6) AS frac,
+                   round(n_rows::DOUBLE * t.n_keys / t.total, 6) AS skew,
+                   row_number() OVER (ORDER BY n_rows DESC, key) AS rank
+            FROM per CROSS JOIN tot t
+            ORDER BY n_rows DESC, key LIMIT 10
+        """,
     }
     if _pp_sql is None:
         del out["ivf_search_partial_probe"]

@@ -68,3 +68,23 @@ def test_ivf_index_stats_even_lists_is_one(spark):
     )
     r = ivf_index_stats(postings).first()
     assert r.imbalance == 1.0 and r.max_list == r.min_list == 5
+
+
+def test_key_skew_stats_planted(spark):
+    from vector_search_test_spark.operators.evaluate import key_skew_stats
+
+    # keys: hot x6, warm x2, a/b/c x1 each -> 5 keys, 11 rows
+    rows = [("hot",)] * 6 + [("warm",)] * 2 + [("a",), ("b",), ("c",)]
+    df = spark.createDataFrame(rows, "k string")
+    got = key_skew_stats(df, "k", top_n=3).collect()
+    assert [(r.key, r.n_rows, r.rank) for r in got] == [
+        ("hot", 6, 1), ("warm", 2, 2), ("a", 1, 3)  # tie a<b<c
+    ]
+    hot = got[0]
+    assert abs(hot.frac - 6 / 11) < 1e-6
+    assert abs(hot.skew - 6 * 5 / 11) < 1e-6  # ~2.7x its fair share
+    # even keys -> skew exactly 1 for every key
+    even = spark.createDataFrame(
+        [(k,) for k in "xyz" for _ in range(4)], "k string"
+    )
+    assert all(r.skew == 1.0 for r in key_skew_stats(even, "k").collect())

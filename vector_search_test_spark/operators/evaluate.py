@@ -58,6 +58,54 @@ def recall_at_k(
     )
 
 
+def key_skew_stats(
+    df: DataFrame,
+    key_col: str,
+    top_n: int = 10,
+) -> DataFrame:
+    """Shuffle-key skew diagnostic: the heaviest `top_n` keys of
+    `key_col` with their row counts, global share, and the key's load
+    RELATIVE TO A PERFECTLY EVEN SPREAD (`skew` = n_rows * n_keys /
+    total — 1.0 means the key carries exactly its fair share; 50 means
+    a join/groupBy partition on it runs 50x longer than average).
+
+    This is the measurement behind SCALE.md's "salting for skew"
+    prescription: run it on a join/groupBy key BEFORE sizing the job;
+    keys with skew >> 1 get salted or AQE-skew-split. Plan: one count
+    shuffle on the key (map-side combine), a scalar-aggregate broadcast
+    back, and a global top-n (TakeOrdered — top_n rows, not a sort).
+    Deterministic (count desc, key asc) tie-break. Output:
+    (key, n_rows, frac, skew, rank).
+    """
+    per = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count("*").alias("n_rows")
+    )
+    tot = per.agg(
+        F.sum("n_rows").cast("long").alias("__total"),
+        F.count("*").cast("long").alias("__n_keys"),
+    )
+    ranked = (
+        per.crossJoin(F.broadcast(tot))
+        .orderBy(F.desc("n_rows"), F.asc("key"))
+        .limit(top_n)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("n_rows"), F.asc("key"))
+    return ranked.select(
+        "key",
+        "n_rows",
+        F.round(F.col("n_rows") / F.col("__total"), 6).alias("frac"),
+        F.round(
+            F.col("n_rows").cast("double")
+            * F.col("__n_keys")
+            / F.col("__total"),
+            6,
+        ).alias("skew"),
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+
+
 def ivf_index_stats(postings: DataFrame, list_col: str = "list_id") -> DataFrame:
     """One-row balance summary of an IVF postings table:
     (ntotal, nlist_used, min_list, max_list, avg_list, imbalance).
