@@ -1872,7 +1872,7 @@ def _q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREAM_STAGE_MEMO: dict[tuple[str, str], str] = {}
 
 
-def _stream_staging_dir(sf_dir: str, kind: str) -> str:
+def _stream_staging_dir(sf_dir: str, kind: str, table: str = "events") -> str:
     import atexit
     import shutil
     import tempfile
@@ -1883,7 +1883,7 @@ def _stream_staging_dir(sf_dir: str, kind: str) -> str:
         inp = os.path.join(tmp, "in")
         os.makedirs(inp, exist_ok=True)
         shutil.copy(
-            f"{sf_dir}/events.parquet", os.path.join(inp, "events.parquet")
+            f"{sf_dir}/{table}.parquet", os.path.join(inp, f"{table}.parquet")
         )
         atexit.register(shutil.rmtree, tmp, ignore_errors=True)
         _STREAM_STAGE_MEMO[key] = inp
@@ -2071,6 +2071,35 @@ def _q_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.table(qname).select("user_id", "event_type")
+
+
+def _q_stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming IVF `add` (streaming/ingest.py::stream_assign_cells):
+    arriving vectors assigned to their nearest frozen coarse cell as a
+    STATELESS whole-stage-codegen projection, drained with availableNow
+    — the micro-batch path that grows a saved index's partitioned
+    postings without retraining (pair with ivf_index_stats /
+    ivf_rebalance when drift accumulates). Centroids come from the
+    shared deterministic trainer, so the oracle replays the assignment
+    argmin value-for-value — a FULL oracle for a streaming entry."""
+    from vector_search_test_spark.streaming.ingest import stream_assign_cells
+
+    cents = _partial_probe_centroids(sf_dir)
+    inp = _stream_staging_dir(sf_dir, "ivfing", table="embeddings")
+    qname = "sg_ivfing_" + os.path.basename(sf_dir.rstrip("/")).replace(
+        ".", "_"
+    )
+    q = (
+        stream_assign_cells(spark, inp, cents)
+        .select(F.col("list_id").cast("long").alias("list_id"), "vec_id")
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname).select("list_id", "vec_id")
 
 
 def _q_stream_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2784,6 +2813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_stats_per_source": _q_vocab_stats_per_source,
         "bigram_lm_ppl": _q_bigram_lm_ppl,
         "key_skew_stats": _q_key_skew_stats,
+        "stream_ivf_ingest": _q_stream_ivf_ingest,
     }
 
 
@@ -3464,6 +3494,24 @@ def _ann_recall_oracle_sql(sf_dir: str | None = None) -> str:
     """
 
 
+def _stream_ivf_oracle_sql(sf_dir: str | None = None) -> str:
+    """DuckDB twin of the streaming IVF add: the assignment argmin over
+    the shared-trainer centroids (cell ties to the lowest list_id) —
+    batch replay of the stateless streaming projection."""
+    values = _pp_cents_values(sf_dir)
+    d_assign = _l2_sq_sql("e.embedding", "c.centroid")
+    return f"""
+        WITH cents(list_id, centroid) AS (
+            VALUES {values}
+        )
+        SELECT c.list_id::BIGINT AS list_id, e.vec_id
+        FROM embeddings e CROSS JOIN cents c
+        QUALIFY row_number() OVER (
+            PARTITION BY e.vec_id ORDER BY {d_assign}, c.list_id
+        ) = 1
+    """
+
+
 def _ivf_stats_oracle_sql(sf_dir: str | None = None) -> str:
     """DuckDB twin of ivf_index_stats over the shared-trainer
     assignment: integer per-list counts and sums, double division last."""
@@ -3540,9 +3588,11 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
     try:
         _recall_sql = _ann_recall_oracle_sql(sf_dir)
         _ivfstats_sql = _ivf_stats_oracle_sql(sf_dir)
+        _sivf_sql = _stream_ivf_oracle_sql(sf_dir)
     except Exception:
         _recall_sql = None
         _ivfstats_sql = None
+        _sivf_sql = None
     try:
         _pca_sql = _pca_oracle_sql(sf_dir)
     except Exception:
@@ -4098,6 +4148,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
             FROM per CROSS JOIN tot t
             ORDER BY n_rows DESC, key LIMIT 10
         """,
+        "stream_ivf_ingest": _sivf_sql,
     }
     if _pp_sql is None:
         del out["ivf_search_partial_probe"]
@@ -4114,6 +4165,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
     if _recall_sql is None:
         del out["ann_recall_at_k"]
         del out["ivf_index_stats"]
+        del out["stream_ivf_ingest"]
     if _pca_sql is None:
         del out["pca_knn_topk"]
     return out
