@@ -2352,6 +2352,29 @@ def _q_quality_topp_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_fraction_by_score(docs, "q_score", 0.2)
 
 
+_RANGE_R = 1.45  # squared-L2; ~1-2% of pairs at the fixture's density
+
+
+def _q_range_search_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """faiss-style range_search: every neighbor within a fixed squared
+    distance of each query (operators/knn.py::range_search) — one
+    broadcast-join corpus scan, threshold in codegen, no top-k state.
+    Self-matches excluded to mirror the ε-kNN edge-build convention."""
+    from vector_search_test_spark.io import spread
+    from vector_search_test_spark.operators.knn import range_search
+
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = range_search(q, emb, radius=_RANGE_R)
+    return out.filter(F.col("query_id") != F.col("vec_id")).select(
+        "query_id", "vec_id", F.round("dist", 6).alias("dist")
+    )
+
+
 def _q_key_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaviest join/groupBy keys of events.user_id with their load
     relative to an even spread — the measurement behind 'salt or
@@ -2814,6 +2837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm_ppl": _q_bigram_lm_ppl,
         "key_skew_stats": _q_key_skew_stats,
         "stream_ivf_ingest": _q_stream_ivf_ingest,
+        "range_search_radius": _q_range_search_radius,
     }
 
 
@@ -4149,6 +4173,12 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
             ORDER BY n_rows DESC, key LIMIT 10
         """,
         "stream_ivf_ingest": _sivf_sql,
+        "range_search_radius": f"""
+            SELECT q.vec_id AS query_id, e.vec_id, round({dq}, 6) AS dist
+            FROM embeddings q CROSS JOIN embeddings e
+            WHERE q.vec_id < 10 AND q.vec_id != e.vec_id
+              AND {dq} <= {_RANGE_R!r}
+        """,
     }
     if _pp_sql is None:
         del out["ivf_search_partial_probe"]

@@ -163,3 +163,32 @@ def test_search_text_unbuilt_index_guard():
 
     with pytest.raises(RuntimeError, match="Index not built"):
         search_text(IvfIndex(centroids=[], postings=None), "hello")
+
+
+def test_range_search_contains_knn_and_thresholds(spark, sf_dir):
+    """range_search at radius r returns EXACTLY the pairs under r: it
+    contains every kNN hit whose dist <= r and nothing above r; a huge
+    radius degenerates to the full corpus per query."""
+    from vector_search_test_spark.io import load_table, spread
+    from vector_search_test_spark.operators.knn import knn_exact, range_search
+
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    r = 1.6
+    hits = range_search(q, emb, radius=r)
+    rows = hits.collect()
+    assert rows and all(row.dist <= r for row in rows)
+    knn = knn_exact(q, emb, k=5)
+    knn_under = {(x.query_id, x.vec_id) for x in knn.collect() if x.dist <= r}
+    got = {(x.query_id, x.vec_id) for x in rows}
+    assert knn_under <= got
+    n = emb.count()
+    assert range_search(q, emb, radius=1e9).count() == 3 * n
+    # cosine flavor: similarity >= radius
+    cos = range_search(q, emb, radius=0.99, metric="cosine")
+    assert all(row.dist >= 0.99 for row in cos.collect())

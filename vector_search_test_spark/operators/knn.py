@@ -159,6 +159,50 @@ def knn_exact(
     )
 
 
+def range_search(
+    queries: DataFrame,
+    corpus: DataFrame,
+    radius: float,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    metric: str = "l2_sq",
+    broadcast: bool = True,
+    dim: int | None = None,
+) -> DataFrame:
+    """ALL neighbors within `radius` of every query — faiss's
+    `range_search` (the fixed-threshold twin of `knn_exact`'s fixed-k;
+    the reference only exposes the k form, app.py:58). For l2_sq the
+    radius is a SQUARED distance, matching the engine-wide metric.
+
+    Output: (query_id, vec_id, dist) — every hit, no cap, so the result
+    is output-bound by the data's density at `radius`, not by k.
+
+    Scale shape: broadcast the query side, ONE corpus scan with the
+    threshold predicate evaluated inside whole-stage codegen — no
+    window, no shuffle, no top-k state at all (strictly cheaper than
+    knn_exact at the same broadcast contract). `dim` unrolls the
+    distance like knn_exact. For similarity metrics (cosine) hits are
+    `dist >= radius`; for distances, `dist <= radius`."""
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("__qv")
+    )
+    if metric == "l2_sq" and dim is not None and dim <= UNROLL_MAX_TERMS:
+        dist, asc = l2_sq_unrolled(F.col("__qv"), F.col(vec_col), dim), True
+    else:
+        dist, asc = _distance(metric, F.col("__qv"), F.col(vec_col))
+    scored = corpus.join(F.broadcast(q) if broadcast else q).select(
+        "query_id", F.col(id_col).alias("vec_id"), dist.alias("dist")
+    )
+    pred = (
+        F.col("dist") <= F.lit(float(radius))
+        if asc
+        else F.col("dist") >= F.lit(float(radius))
+    )
+    return scored.filter(pred)
+
+
 def knn_exact_arrow(
     queries: DataFrame,
     corpus: DataFrame,
