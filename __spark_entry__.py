@@ -2352,6 +2352,19 @@ def _q_quality_topp_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_fraction_by_score(docs, "q_score", 0.2)
 
 
+_EPOCH_WEIGHTS = {"src0": 2.5, "src1": 0.25}  # others: 1.0 (one epoch)
+
+
+def _q_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-epoch source mixing (2.5 epochs of src0, 0.25 of
+    src1, 1.0 elsewhere) — sampling.py::epoch_upsample; scan-only
+    explode, deterministic hash Bernoulli for the fractional epoch."""
+    from vector_search_test_spark.operators.sampling import epoch_upsample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return epoch_upsample(docs, _EPOCH_WEIGHTS)
+
+
 _RANGE_R = 1.45  # squared-L2; ~1-2% of pairs at the fixture's density
 
 
@@ -2838,6 +2851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew_stats": _q_key_skew_stats,
         "stream_ivf_ingest": _q_stream_ivf_ingest,
         "range_search_radius": _q_range_search_radius,
+        "epoch_upsample": _q_epoch_upsample,
     }
 
 
@@ -3172,6 +3186,16 @@ def _bigram_oracle_sql() -> str:
     )
 
     return bigram_lm_oracle_sql()
+
+
+def _epoch_oracle_sql() -> str:
+    from vector_search_test_spark.operators.sampling import epoch_upsample_sql
+
+    n_rep = epoch_upsample_sql(_EPOCH_WEIGHTS)
+    return f"""
+        SELECT doc_id, source, r.copy_id::INT AS copy_id
+        FROM documents, unnest(range(1, {n_rep} + 1)) AS r(copy_id)
+    """
 
 
 def _vocab_oracle_sql() -> str:
@@ -4179,6 +4203,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
             WHERE q.vec_id < 10 AND q.vec_id != e.vec_id
               AND {dq} <= {_RANGE_R!r}
         """,
+        "epoch_upsample": _epoch_oracle_sql(),
     }
     if _pp_sql is None:
         del out["ivf_search_partial_probe"]

@@ -294,3 +294,46 @@ def test_top_fraction_equals_declarative_sort(spark, sf_dir):
             for r in top_fraction_by_score(docs, "s", frac).collect()
         )
         assert got == want, frac
+
+
+def test_epoch_upsample_multiplicities(spark):
+    """Integer epochs are exact per row; fractional epochs hit the
+    expected rate; weight 0 drops the stratum; copies are numbered."""
+    import pytest
+
+    from vector_search_test_spark.operators.sampling import epoch_upsample
+
+    rows = [(i, "a") for i in range(50)] + [(i + 100, "b") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = epoch_upsample(df, {"a": 3.0, "b": 0.5}, default_weight=1.0)
+    per = {
+        (r.source, r.doc_id): r.cnt
+        for r in out.groupBy("source", "doc_id")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    a_counts = [v for (s, _), v in per.items() if s == "a"]
+    assert a_counts and all(v == 3 for v in a_counts)  # exact integer part
+    b_docs = sum(1 for (s, _) in per if s == "b")
+    assert 10 <= b_docs <= 40  # ~50% Bernoulli of 50, deterministic
+    # copy_id runs 1..n
+    copies = sorted(
+        r.copy_id
+        for r in out.filter(
+            (F.col("source") == "a") & (F.col("doc_id") == 0)
+        ).collect()
+    )
+    assert copies == [1, 2, 3]
+    # weight 0 drops the stratum entirely; determinism across calls
+    gone = epoch_upsample(df, {"a": 0.0, "b": 0.0})
+    assert gone.count() == 0
+    again = {
+        (r.source, r.doc_id): r.cnt
+        for r in epoch_upsample(df, {"a": 3.0, "b": 0.5})
+        .groupBy("source", "doc_id")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert again == per
+    with pytest.raises(ValueError):
+        epoch_upsample(df, {"a": -1.0})

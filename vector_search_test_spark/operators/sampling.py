@@ -187,6 +187,80 @@ def top_fraction_by_score(
     return full.unionByName(bkeep).drop(*drop).select(*df.columns)
 
 
+def epoch_upsample(
+    df: DataFrame,
+    weights: dict,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "epoch",
+    default_weight: float = 1.0,
+) -> DataFrame:
+    """FRACTIONAL-epoch source mixing — the pretraining recipe knob
+    "2.5 epochs of wiki, 0.25 of common-crawl": every row of stratum s
+    with weight w appears floor(w) times, plus once more iff its
+    deterministic hash fraction < frac(w). Expected multiplicity is
+    exactly w per stratum; the integer part is exact per ROW, and the
+    fractional part is the same scan-only hash Bernoulli as
+    `hash_sample`, so re-runs, incremental appends, and downstream
+    engines reproduce the copy set bit-for-bit (no RNG state).
+
+    Output adds `copy_id` (1..n for each row's n copies) so downstream
+    packing/shuffling can distinguish copies. Scale shape: a pure
+    projection + explode of a per-row 1..n sequence — no shuffle, no
+    join; output size is sum(w_s * |s|) by construction. Weights < 1
+    downsample (floor 0 + Bernoulli), making this a strict superset of
+    `stratified_sample`."""
+    for s, w in weights.items():
+        if w < 0:
+            raise ValueError(f"negative weight for {s!r}: {w}")
+    wi = None
+    wf = None
+    for s, w in weights.items():
+        w = float(w)
+        cond = F.col(strata_col) == F.lit(s)
+        i_, f_ = int(w), w - int(w)
+        wi = F.when(cond, F.lit(i_)) if wi is None else wi.when(cond, F.lit(i_))
+        wf = F.when(cond, F.lit(f_)) if wf is None else wf.when(cond, F.lit(f_))
+    dw = float(default_weight)
+    di, dfrac = int(dw), dw - int(dw)
+    wi = F.lit(di) if wi is None else wi.otherwise(F.lit(di))
+    wf = F.lit(dfrac) if wf is None else wf.otherwise(F.lit(dfrac))
+    n_rep = wi + (hash_fraction(id_col, salt) < wf).cast("int")
+    seq = F.when(n_rep >= 1, F.sequence(F.lit(1), n_rep)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return df.withColumn("copy_id", F.explode(seq))
+
+
+def epoch_upsample_sql(
+    weights: dict,
+    strata_expr: str = "source",
+    id_expr: str = "doc_id",
+    salt: str = "epoch",
+    default_weight: float = 1.0,
+) -> str:
+    """DuckDB twin of epoch_upsample's per-row copy count + lateral
+    expansion, as a FROM-clause fragment producing `copy_id` (pair with
+    `FROM documents, unnest(range(1, {n_rep}+1)) AS r(copy_id)`)."""
+    cases = " ".join(
+        f"WHEN {strata_expr} = '{s}' THEN {int(float(w))}"
+        for s, w in weights.items()
+    )
+    fcases = " ".join(
+        f"WHEN {strata_expr} = '{s}' THEN {float(w) - int(float(w))!r}"
+        for s, w in weights.items()
+    )
+    dw = float(default_weight)
+    wi = f"(CASE {cases} ELSE {int(dw)} END)" if cases else f"{int(dw)}"
+    wf = (
+        f"(CASE {fcases} ELSE {dw - int(dw)!r} END)"
+        if fcases
+        else f"{dw - int(dw)!r}"
+    )
+    bern = f"(CASE WHEN {hash_fraction_sql(id_expr, salt)} < {wf} THEN 1 ELSE 0 END)"
+    return f"({wi} + {bern})"
+
+
 def mix_corpus(
     df: DataFrame,
     weights: dict,
