@@ -260,6 +260,28 @@ def _q_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recall_at_k(exact, approx)
 
 
+def _q_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-list simplified silhouette + inertia over the shared-trainer
+    centroids (operators/evaluate.py::cluster_silhouette) — partition
+    quality to pair with ivf_index_stats' balance view."""
+    from vector_search_test_spark.io import spread
+    from vector_search_test_spark.operators.evaluate import (
+        cluster_silhouette,
+    )
+
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    cents = _partial_probe_centroids(sf_dir)
+    out = cluster_silhouette(emb, cents)
+    return out.select(
+        F.col("list_id").cast("long").alias("list_id"),
+        "n_vecs",
+        "mean_silhouette",
+        "inertia",
+    )
+
+
 def _q_ivf_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF list-balance summary (faiss imbalance-factor convention) on
     the shared-trainer index — the drift dashboard that triggers
@@ -2852,6 +2874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_ivf_ingest": _q_stream_ivf_ingest,
         "range_search_radius": _q_range_search_radius,
         "epoch_upsample": _q_epoch_upsample,
+        "cluster_silhouette": _q_cluster_silhouette,
     }
 
 
@@ -3560,6 +3583,41 @@ def _stream_ivf_oracle_sql(sf_dir: str | None = None) -> str:
     """
 
 
+def _silhouette_oracle_sql(sf_dir: str | None = None) -> str:
+    """DuckDB twin of cluster_silhouette: (a, b) = the two nearest
+    centroid distances per vector via rn=1/rn=2 over (dist, list_id) —
+    the same values as Spark's array_min / array_sort[1] with
+    first-index tie-break — then the identical quantized aggregation."""
+    values = _pp_cents_values(sf_dir)
+    d_assign = _l2_sq_sql("e.embedding", "c.centroid")
+    s = "(CASE WHEN greatest(a, b) > 0 THEN (b - a) / greatest(a, b) ELSE 0.0 END)"
+    return f"""
+        WITH cents(list_id, centroid) AS (
+            VALUES {values}
+        ),
+        ranked AS (
+            SELECT e.vec_id, c.list_id, {d_assign} AS dist,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id ORDER BY {d_assign}, c.list_id
+                   ) AS rn
+            FROM embeddings e CROSS JOIN cents c
+        ),
+        ab AS (
+            SELECT r1.vec_id, r1.list_id AS own, r1.dist AS a, r2.dist AS b
+            FROM ranked r1
+            JOIN ranked r2 ON r1.vec_id = r2.vec_id AND r2.rn = 2
+            WHERE r1.rn = 1
+        )
+        SELECT own::BIGINT AS list_id,
+               count(*)::BIGINT AS n_vecs,
+               round(sum(round({s} * 1e12)::BIGINT)::DOUBLE / 1e12
+                     / count(*), 6) AS mean_silhouette,
+               round(sum(round(a * 1e12)::BIGINT)::DOUBLE / 1e12, 6)
+                   AS inertia
+        FROM ab GROUP BY own
+    """
+
+
 def _ivf_stats_oracle_sql(sf_dir: str | None = None) -> str:
     """DuckDB twin of ivf_index_stats over the shared-trainer
     assignment: integer per-list counts and sums, double division last."""
@@ -3637,10 +3695,12 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         _recall_sql = _ann_recall_oracle_sql(sf_dir)
         _ivfstats_sql = _ivf_stats_oracle_sql(sf_dir)
         _sivf_sql = _stream_ivf_oracle_sql(sf_dir)
+        _silh_sql = _silhouette_oracle_sql(sf_dir)
     except Exception:
         _recall_sql = None
         _ivfstats_sql = None
         _sivf_sql = None
+        _silh_sql = None
     try:
         _pca_sql = _pca_oracle_sql(sf_dir)
     except Exception:
@@ -4197,6 +4257,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
             ORDER BY n_rows DESC, key LIMIT 10
         """,
         "stream_ivf_ingest": _sivf_sql,
+        "cluster_silhouette": _silh_sql,
         "range_search_radius": f"""
             SELECT q.vec_id AS query_id, e.vec_id, round({dq}, 6) AS dist
             FROM embeddings q CROSS JOIN embeddings e
@@ -4221,6 +4282,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         del out["ann_recall_at_k"]
         del out["ivf_index_stats"]
         del out["stream_ivf_ingest"]
+        del out["cluster_silhouette"]
     if _pca_sql is None:
         del out["pca_knn_topk"]
     return out

@@ -88,3 +88,35 @@ def test_key_skew_stats_planted(spark):
         [(k,) for k in "xyz" for _ in range(4)], "k string"
     )
     assert all(r.skew == 1.0 for r in key_skew_stats(even, "k").collect())
+
+
+def test_cluster_silhouette_planted_geometry(spark):
+    """Two tight planted clusters far apart -> silhouette near 1;
+    a centroid-equidistant point scores ~0; inertia is the k-means
+    objective restricted to the list."""
+    import pytest
+
+    from vector_search_test_spark.operators.evaluate import (
+        cluster_silhouette,
+    )
+
+    cents = [[0.0, 0.0], [10.0, 0.0]]
+    pts = (
+        [(i, [0.1 * (i % 2), 0.1]) for i in range(4)]          # near c0
+        + [(10 + i, [10.0 + 0.1 * (i % 2), -0.1]) for i in range(4)]  # near c1
+        + [(99, [5.0, 0.0])]                                    # equidistant
+    )
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    got = {r.list_id: r for r in cluster_silhouette(df, cents).collect()}
+    # the equidistant point ties -> first centroid (list 0) by tie-break
+    assert got[0].n_vecs == 5 and got[1].n_vecs == 4
+    assert got[1].mean_silhouette > 0.99
+    # own-cluster inertia: sum of squared dists to the OWN centroid
+    exp_inertia1 = sum((0.1) ** 2 + (0.1) ** 2 for _ in range(2)) + sum(
+        0.0 + (0.1) ** 2 for _ in range(2)
+    )
+    assert abs(got[1].inertia - round(exp_inertia1, 6)) < 1e-6
+    # equidistant point drags list 0's mean below list 1's
+    assert got[0].mean_silhouette < got[1].mean_silhouette
+    with pytest.raises(ValueError):
+        cluster_silhouette(df, [[0.0, 0.0]])

@@ -143,3 +143,58 @@ def test_small_nlist_assign_stays_literal_projection(spark, sf_dir):
     )
     plan = _plan(assign_cells(emb, cents))
     assert "Join" not in plan  # pure projection, no broadcast needed
+
+
+def test_top_fraction_never_sorts_the_corpus(spark, sf_dir):
+    """top_fraction_by_score's whole point: NO full-table sort. The only
+    SMJ/Sort allowed operate on the score histogram / boundary class,
+    never feed a global SinglePartition sort of the document scan; the
+    corpus joins the histogram via broadcast."""
+    from vector_search_test_spark.functions import textstats as ts
+    from vector_search_test_spark.operators.sampling import (
+        top_fraction_by_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.round(ts.quality_score("text"), 6).alias("s")
+    )
+    plan = _plan(top_fraction_by_score(docs, "s", 0.2))
+    # corpus-side joins against the histogram are broadcast
+    assert "BroadcastHashJoin" in plan
+    # the declarative equivalent would be a global row_number: a window
+    # over ONE partition of the full corpus. The histogram plan's only
+    # single-partition windows run over grouped (score) rows — i.e.
+    # every Window sits above an Aggregate or a boundary filter, and no
+    # rangepartitioning(s ...) of the raw scan output exists.
+    assert "rangepartitioning(s" not in plan.lower().replace("#", "").replace(
+        " ", ""
+    )
+
+
+def test_range_search_is_scan_plus_filter(spark, sf_dir):
+    """range_search compiles to broadcast-join + Filter in codegen — no
+    Window, no Sort, no shuffle Exchange."""
+    from vector_search_test_spark.io import spread
+    from vector_search_test_spark.operators.knn import range_search
+
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    plan = _plan(range_search(q, emb, radius=1.5))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Window" not in plan and "SortMergeJoin" not in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_epoch_upsample_is_scan_only(spark, sf_dir):
+    """epoch_upsample is projection + Generate: no join, no Exchange."""
+    from vector_search_test_spark.operators.sampling import epoch_upsample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    plan = _plan(epoch_upsample(docs, {"src0": 2.5, "src1": 0.25}))
+    assert "Generate explode" in plan
+    assert "Exchange" not in plan and "Join" not in plan

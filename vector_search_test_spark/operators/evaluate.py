@@ -106,6 +106,64 @@ def key_skew_stats(
     )
 
 
+def cluster_silhouette(
+    vectors: DataFrame,
+    centroids: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Simplified (centroid-based) silhouette per IVF list — the
+    partition-quality companion to ivf_index_stats' balance view
+    (Hruschka et al.'s simplified silhouette, the O(N·k) form sklearn's
+    O(N²) sample-pairwise silhouette can't be at corpus scale):
+
+        a = squared-L2 to the OWN (nearest) centroid
+        b = squared-L2 to the second-nearest centroid
+        s = (b - a) / max(a, b)            in [0, 1] here, since a <= b
+
+    Output: (list_id, n_vecs, mean_silhouette, inertia). A list whose
+    mean_silhouette slides toward 0 sits between two cells — vectors
+    probe poorly (nprobe=1 misses) and a retrain or ivf_rebalance of
+    that region is due; `inertia` (sum of a) is the k-means objective
+    restricted to the list.
+
+    Scale shape: centroid distances are ONE scan-only projection over
+    the broadcast-sized centroid literal (the assign_cells machinery);
+    a, b come from array_sort of that nlist-length array; per-row
+    contributions quantize to 1e-12 integers before the single narrow
+    groupBy(list_id), so grouped sums are order-free and the DuckDB
+    twin is value-identical. No shuffle wider than nlist keys.
+    """
+    from vector_search_test_spark.operators.ivf import _centroid_dists
+
+    if len(centroids) < 2:
+        raise ValueError("silhouette needs at least 2 centroids")
+    dists = _centroid_dists(F.col(vec_col), centroids)
+    a = F.array_min(dists)
+    srt = F.array_sort(dists)
+    b = srt.getItem(1)
+    own = (F.array_position(dists, a) - 1).cast("int")
+    s = F.when(
+        F.greatest(a, b) > 0, (b - a) / F.greatest(a, b)
+    ).otherwise(F.lit(0.0))
+    rows = vectors.select(
+        own.alias("list_id"),
+        # decimal(38,0) accumulators: a 64-bit sum of 1e12-scaled terms
+        # overflows around 1e6 rows/list — same guard as source_kl's L
+        F.round(s * 1e12, 0).cast("decimal(38,0)").alias("__qs"),
+        F.round(a * 1e12, 0).cast("decimal(38,0)").alias("__qa"),
+    )
+    return rows.groupBy("list_id").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(
+            F.sum("__qs").cast("double") / F.lit(1e12) / F.count("*"), 6
+        ).alias("mean_silhouette"),
+        F.round(F.sum("__qa").cast("double") / F.lit(1e12), 6).alias(
+            "inertia"
+        ),
+    )
+
+
 def ivf_index_stats(postings: DataFrame, list_col: str = "list_id") -> DataFrame:
     """One-row balance summary of an IVF postings table:
     (ntotal, nlist_used, min_list, max_list, avg_list, imbalance).
