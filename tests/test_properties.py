@@ -228,3 +228,65 @@ def test_bucketed_upsert_equals_plain_upsert(
         assert got == want
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@settings(**_SETTINGS)
+@given(
+    scores=st.lists(
+        st.sampled_from([0.1, 0.25, 0.25, 0.5, 0.5, 0.5, 0.9]),
+        min_size=1,
+        max_size=12,
+    ),
+    frac=st.sampled_from([0.0, 0.2, 0.5, 0.8, 1.0]),
+)
+def test_top_fraction_equals_declarative_topk(spark, scores, frac):
+    """The histogram top-frac plan equals row_number-over-full-order on
+    ANY score multiset (heavy ties included) at any fraction."""
+    from vector_search_test_spark.operators.sampling import (
+        top_fraction_by_score,
+    )
+
+    rows = [(i, float(s)) for i, s in enumerate(scores)]
+    df = spark.createDataFrame(rows, "doc_id long, s double")
+    k = int(frac * len(rows))
+    want = {
+        d
+        for d, _ in sorted(rows, key=lambda r: (-r[1], r[0]))[:k]
+    }
+    got = {r.doc_id for r in top_fraction_by_score(df, "s", frac).collect()}
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    weights=st.fixed_dictionaries(
+        {
+            "a": st.sampled_from([0.0, 0.5, 1.0, 2.5]),
+            "b": st.sampled_from([0.0, 1.0, 3.0]),
+        }
+    )
+)
+def test_epoch_upsample_exact_multiplicity_bounds(spark, weights):
+    """Every row appears floor(w) or ceil(w) times; integer weights are
+    exact; total output is within the Bernoulli envelope."""
+    import math
+
+    from vector_search_test_spark.operators.sampling import epoch_upsample
+
+    rows = [(i, "a") for i in range(8)] + [(100 + i, "b") for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = epoch_upsample(df, weights)
+    per = {
+        (r.source, r.doc_id): r.c
+        for r in out.groupBy("source", "doc_id")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    for (s, _), c in per.items():
+        w = weights[s]
+        assert math.floor(w) <= c <= math.ceil(w), (s, w, c)
+    for s, w in weights.items():
+        if w == int(w):  # integer epochs are exact for every row
+            n = sum(1 for (ss, _) in per if ss == s)
+            assert n == (8 if w > 0 else 0)
+            assert all(c == w for (ss, _), c in per.items() if ss == s)
