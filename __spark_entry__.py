@@ -282,6 +282,46 @@ def _q_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CURVE_NPROBES = (1, 2, 4, 8)
+
+
+def _q_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nprobe TUNING CURVE: mean recall@k at nprobe = 1, 2, 4, 8
+    (= nlist, the exactness anchor) against brute-force ground truth —
+    the measurement that turns the reference's on-faith nprobe slider
+    (app.py:58) into an evidence-based knob. Per-nprobe mean recall
+    uses 1e-6-quantized integer accumulation over the (already 6dp-
+    rounded) per-query recalls so the grouped mean is order-free; the
+    oracle replays all four searches and the aggregation. At scale the
+    exact leg would be checkpointed once and reused; at fixture scale
+    Catalyst's exchange reuse covers it."""
+    from vector_search_test_spark.operators.evaluate import recall_at_k
+    from vector_search_test_spark.operators.ivf import ivf_search_all
+    from vector_search_test_spark.operators.knn import knn_exact
+
+    emb, idx, q = _pp_index(spark, sf_dir)
+    exact = knn_exact(q, emb.select("vec_id", "embedding"), k=_PP_K)
+    out = None
+    for np_ in _CURVE_NPROBES:
+        r = recall_at_k(exact, ivf_search_all(idx, q, k=_PP_K, nprobe=np_))
+        row = r.agg(
+            F.count("*").cast("long").alias("n_queries"),
+            F.round(
+                F.sum(F.round(F.col("recall") * 1e6, 0).cast("long"))
+                .cast("double")
+                / F.lit(1e6)
+                / F.count("*"),
+                6,
+            ).alias("mean_recall"),
+        ).select(
+            F.lit(np_).cast("long").alias("nprobe"),
+            "n_queries",
+            "mean_recall",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 def _q_ivf_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF list-balance summary (faiss imbalance-factor convention) on
     the shared-trainer index — the drift dashboard that triggers
@@ -2124,6 +2164,29 @@ def _q_stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(qname).select("list_id", "vec_id")
 
 
+def _q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest-time quality gate (streaming/ingest.py::
+    stream_quality_gate): stateless quality + Gopher scoring with a
+    threshold filter, drained availableNow; the oracle replays the
+    batch filter value-for-value."""
+    from vector_search_test_spark.streaming.ingest import stream_quality_gate
+
+    inp = _stream_staging_dir(sf_dir, "qgate", table="documents")
+    qname = "sg_qgate_" + os.path.basename(sf_dir.rstrip("/")).replace(
+        ".", "_"
+    )
+    q = (
+        stream_quality_gate(spark, inp)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname).select("doc_id", "q_score", "gopher_pass")
+
+
 def _q_stream_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join through the driver gate (streaming/ingest.py::
     stream_enriched_segment_counts): the events stream broadcast-joined
@@ -2875,6 +2938,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_search_radius": _q_range_search_radius,
         "epoch_upsample": _q_epoch_upsample,
         "cluster_silhouette": _q_cluster_silhouette,
+        "stream_quality_gate": _q_stream_quality_gate,
+        "ivf_recall_curve": _q_ivf_recall_curve,
     }
 
 
@@ -3209,6 +3274,20 @@ def _bigram_oracle_sql() -> str:
     )
 
     return bigram_lm_oracle_sql()
+
+
+def _stream_qgate_oracle_sql(min_quality: float = 0.9) -> str:
+    """Batch replay of the streaming quality gate (same rounded score,
+    same threshold, same Gopher conjunction)."""
+    from vector_search_test_spark.functions import textstats as ts
+
+    q6 = f"round({ts.quality_score_sql('text')}, 6)"
+    gp = ts.gopher_flags_sql("text")["gopher_pass"]
+    return f"""
+        SELECT doc_id, {q6} AS q_score, {gp} AS gopher_pass
+        FROM documents
+        WHERE {q6} >= {min_quality!r}
+    """
 
 
 def _epoch_oracle_sql() -> str:
@@ -3618,6 +3697,69 @@ def _silhouette_oracle_sql(sf_dir: str | None = None) -> str:
     """
 
 
+def _recall_curve_oracle_sql(sf_dir: str | None = None) -> str:
+    """DuckDB twin of the nprobe tuning curve: one shared exact/assign
+    CTE pair, one probes/approx/recall block per nprobe, UNION ALL."""
+    values = _pp_cents_values(sf_dir)
+    dq = _l2_sq_sql("e.embedding", "q.embedding")
+    d_assign = _l2_sq_sql("e.embedding", "c.centroid")
+    d_probe = _l2_sq_sql("q.embedding", "c.centroid")
+    d_final = _l2_sq_sql("a.embedding", "p.qv")
+    blocks = []
+    selects = []
+    for np_ in _CURVE_NPROBES:
+        blocks.append(f"""
+        probes_{np_} AS (
+            SELECT q.vec_id AS query_id, q.embedding AS qv, c.list_id
+            FROM embeddings q CROSS JOIN cents c
+            WHERE q.vec_id < 10
+            QUALIFY row_number() OVER (
+                PARTITION BY q.vec_id ORDER BY {d_probe}, c.list_id
+            ) <= {np_}
+        ),
+        approx_{np_} AS (
+            SELECT p.query_id, a.vec_id
+            FROM probes_{np_} p JOIN assign a ON p.list_id = a.list_id
+            QUALIFY row_number() OVER (
+                PARTITION BY p.query_id ORDER BY {d_final}, a.vec_id
+            ) <= {_PP_K}
+        ),
+        rec_{np_} AS (
+            SELECT x.query_id, round(count(a.vec_id) / count(*), 6) AS recall
+            FROM exact x
+            LEFT JOIN approx_{np_} a
+              ON x.query_id = a.query_id AND x.vec_id = a.vec_id
+            GROUP BY x.query_id
+        )""")
+        selects.append(f"""
+        SELECT {np_}::BIGINT AS nprobe,
+               count(*)::BIGINT AS n_queries,
+               round(sum(round(recall * 1e6)::BIGINT)::DOUBLE / 1e6
+                     / count(*), 6) AS mean_recall
+        FROM rec_{np_}""")
+    return f"""
+        WITH cents(list_id, centroid) AS (
+            VALUES {values}
+        ),
+        exact AS (
+            SELECT q.vec_id AS query_id, e.vec_id
+            FROM embeddings q CROSS JOIN embeddings e
+            WHERE q.vec_id < 10
+            QUALIFY row_number() OVER (
+                PARTITION BY q.vec_id ORDER BY {dq}, e.vec_id
+            ) <= {_PP_K}
+        ),
+        assign AS (
+            SELECT e.vec_id, e.embedding, c.list_id
+            FROM embeddings e CROSS JOIN cents c
+            QUALIFY row_number() OVER (
+                PARTITION BY e.vec_id ORDER BY {d_assign}, c.list_id
+            ) = 1
+        ),{",".join(blocks)}
+        {" UNION ALL ".join(selects)}
+    """
+
+
 def _ivf_stats_oracle_sql(sf_dir: str | None = None) -> str:
     """DuckDB twin of ivf_index_stats over the shared-trainer
     assignment: integer per-list counts and sums, double division last."""
@@ -3696,11 +3838,13 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         _ivfstats_sql = _ivf_stats_oracle_sql(sf_dir)
         _sivf_sql = _stream_ivf_oracle_sql(sf_dir)
         _silh_sql = _silhouette_oracle_sql(sf_dir)
+        _curve_sql = _recall_curve_oracle_sql(sf_dir)
     except Exception:
         _recall_sql = None
         _ivfstats_sql = None
         _sivf_sql = None
         _silh_sql = None
+        _curve_sql = None
     try:
         _pca_sql = _pca_oracle_sql(sf_dir)
     except Exception:
@@ -4258,6 +4402,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         """,
         "stream_ivf_ingest": _sivf_sql,
         "cluster_silhouette": _silh_sql,
+        "ivf_recall_curve": _curve_sql,
         "range_search_radius": f"""
             SELECT q.vec_id AS query_id, e.vec_id, round({dq}, 6) AS dist
             FROM embeddings q CROSS JOIN embeddings e
@@ -4265,6 +4410,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
               AND {dq} <= {_RANGE_R!r}
         """,
         "epoch_upsample": _epoch_oracle_sql(),
+        "stream_quality_gate": _stream_qgate_oracle_sql(),
     }
     if _pp_sql is None:
         del out["ivf_search_partial_probe"]
@@ -4283,6 +4429,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         del out["ivf_index_stats"]
         del out["stream_ivf_ingest"]
         del out["cluster_silhouette"]
+        del out["ivf_recall_curve"]
     if _pca_sql is None:
         del out["pca_knn_topk"]
     return out

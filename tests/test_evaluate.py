@@ -120,3 +120,22 @@ def test_cluster_silhouette_planted_geometry(spark):
     assert got[0].mean_silhouette < got[1].mean_silhouette
     with pytest.raises(ValueError):
         cluster_silhouette(df, [[0.0, 0.0]])
+
+
+def test_recall_curve_monotone_and_anchored(spark):
+    """Recall cannot decrease as nprobe grows, and nprobe=nlist is 1."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+
+    rows = {
+        r.nprobe: r.mean_recall
+        for r in entrymod._q_ivf_recall_curve(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert set(rows) == {1, 2, 4, 8}
+    vals = [rows[n] for n in (1, 2, 4, 8)]
+    assert all(a <= b + 1e-9 for a, b in zip(vals, vals[1:]))
+    assert vals[-1] == 1.0  # exhaustive probe == exact search

@@ -161,6 +161,52 @@ def stream_assign_cells(
     return assign_cells(stream, centroids).select("list_id", "vec_id", "embedding")
 
 
+DOCUMENT_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("source", T.StringType(), True),
+        T.StructField("n_chars", T.LongType(), True),
+    ]
+)
+
+
+def stream_quality_gate(
+    spark: SparkSession,
+    input_dir: str,
+    min_quality: float = 0.9,
+) -> DataFrame:
+    """Streaming document-quality gate: arriving docs scored with the
+    composite quality heuristic AND the full Gopher rule flags
+    (functions/textstats.py), kept iff the ROUNDED quality clears
+    `min_quality` — the ingest-time filter of a continuously-fed
+    curation pipeline. Entirely stateless (one lowercased split per
+    row, whole-stage codegen, no state store, no watermark needed), so
+    throughput scales with cores exactly like the batch gate; the
+    emitted (doc_id, q_score, gopher_pass) rows are value-identical to
+    the batch filter — the oracle replays it."""
+    from vector_search_test_spark.functions.textstats import (
+        gopher_flags,
+        quality_score,
+    )
+
+    stream = (
+        spark.readStream.schema(DOCUMENT_STREAM_SCHEMA)
+        .parquet(input_dir)
+        .select("doc_id", "text")
+    )
+    s6 = F.round(quality_score("text"), 6)
+    return (
+        stream.select(
+            "doc_id",
+            s6.alias("q_score"),
+            gopher_flags("text")["gopher_pass"].alias("gopher_pass"),
+        )
+        .filter(F.col("q_score") >= F.lit(float(min_quality)))
+    )
+
+
 def stream_event_window_counts(
     spark: SparkSession,
     input_dir: str,
