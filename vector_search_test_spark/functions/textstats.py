@@ -459,16 +459,16 @@ def bigram_lm_scores(
     om = 1.0 - lam
     toks_arr = F.split(F.lower(F.col(text_col)), " ")
     n = F.size(toks_arr)
-    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
-        F.array().cast("array<int>")
-    )
-    pairs = F.transform(
-        idx,
-        lambda i: F.struct(
-            F.element_at(toks_arr, i).alias("u"),
-            F.element_at(toks_arr, i + 1).alias("v"),
+    # shifted-slice zip (the repetition_ratio trick): two whole-array
+    # views zipped into (u, v) structs — no per-gram element_at lookups
+    pairs = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks_arr, 1, n - 1),
+            F.slice(toks_arr, 2, n - 1),
+            lambda a, b: F.struct(a.alias("u"), b.alias("v")),
         ),
-    )
+    ).otherwise(F.array().cast("array<struct<u:string,v:string>>"))
     bg = docs.select(
         F.col(id_col).alias("id"), F.explode(pairs).alias("p")
     ).select("id", F.col("p.u").alias("u"), F.col("p.v").alias("v"))
