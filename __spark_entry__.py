@@ -300,6 +300,10 @@ def _q_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_search_test_spark.operators.knn import knn_exact
 
     emb, idx, q = _pp_index(spark, sf_dir)
+    # everything stays a lazy plan: A/B-measured that checkpointing the
+    # exact leg or the postings does NOT help (the entry's cost is the
+    # four pruned searches themselves — each reruns a cheap codegen
+    # assignment; materializing corpus-wide state costs more)
     exact = knn_exact(q, emb.select("vec_id", "embedding"), k=_PP_K)
     out = None
     for np_ in _CURVE_NPROBES:
