@@ -3324,7 +3324,7 @@ def _topp_oracle_sql() -> str:
         )
         SELECT doc_id, q_score FROM scored
         QUALIFY row_number() OVER (ORDER BY q_score DESC, doc_id)
-            <= (SELECT floor(0.2 * count(*)) FROM scored)
+            <= (SELECT floor(0.2::DOUBLE * count(*)) FROM scored)
     """
 
 
