@@ -1931,6 +1931,19 @@ def _q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_next_event_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-event-prediction training pairs within 30-min sessions
+    (operators/timeseries.py::next_event_examples) — the clickstream
+    analogue of the text pipeline's example builder; one sessionize-
+    shaped window, no join."""
+    from vector_search_test_spark.operators.timeseries import (
+        next_event_examples,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return next_event_examples(ev)
+
+
 # One staging copy of events.parquet per (fixture dir, consumer): repeated
 # bench/correctness invocations previously mkdtemp'd a fresh copy each time
 # and never removed any of them (ADVICE r4). Keyed per consumer because the
@@ -2454,6 +2467,27 @@ def _q_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return epoch_upsample(docs, _EPOCH_WEIGHTS)
 
 
+_CTR_NEG = 3
+_CTR_EXCL = 10
+
+
+def _q_contrastive_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training triplets (operators/knn.py::
+    contrastive_examples): hardest positive + 3 hash-drawn negatives
+    outside the top-10 per anchor — RNG-free, so the oracle's
+    declarative full-ranking form reproduces the draw exactly."""
+    from vector_search_test_spark.io import spread
+    from vector_search_test_spark.operators.knn import contrastive_examples
+
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return contrastive_examples(q, emb, n_neg=_CTR_NEG, exclude_top=_CTR_EXCL)
+
+
 _RANGE_R = 1.45  # squared-L2; ~1-2% of pairs at the fixture's density
 
 
@@ -2944,6 +2978,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_silhouette": _q_cluster_silhouette,
         "stream_quality_gate": _q_stream_quality_gate,
         "ivf_recall_curve": _q_ivf_recall_curve,
+        "next_event_examples": _q_next_event_examples,
+        "contrastive_examples": _q_contrastive_examples,
     }
 
 
@@ -3291,6 +3327,42 @@ def _stream_qgate_oracle_sql(min_quality: float = 0.9) -> str:
         SELECT doc_id, {q6} AS q_score, {gp} AS gopher_pass
         FROM documents
         WHERE {q6} >= {min_quality!r}
+    """
+
+
+def _contrastive_oracle_sql(dq: str) -> str:
+    """Declarative twin of contrastive_examples: full per-anchor
+    ranking (the form the Spark side avoids via WindowGroupLimit +
+    anti-join), same md5 hash order for the negative draw."""
+    from vector_search_test_spark.operators.sampling import hash_fraction_sql
+
+    h = hash_fraction_sql(
+        "(q.vec_id::VARCHAR || ':' || e.vec_id::VARCHAR)", "neg"
+    )
+    return f"""
+        WITH scored AS (
+            SELECT q.vec_id AS query_id, e.vec_id, {dq} AS dist, {h} AS h
+            FROM embeddings q CROSS JOIN embeddings e
+            WHERE q.vec_id < 10 AND q.vec_id != e.vec_id
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY dist, vec_id
+            ) AS rd
+            FROM scored
+        )
+        SELECT query_id, vec_id, 'pos' AS role, 1::BIGINT AS rank,
+               round(dist, 6) AS dist
+        FROM ranked WHERE rd = 1
+        UNION ALL
+        SELECT query_id, vec_id, 'neg' AS role,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY h, vec_id
+               )::BIGINT AS rank,
+               round(dist, 6) AS dist
+        FROM ranked
+        WHERE rd > {_CTR_EXCL}
+        QUALIFY rank <= {_CTR_NEG}
     """
 
 
@@ -4236,6 +4308,23 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         # floor(), not CAST AS BIGINT: DuckDB's cast ROUNDS fractional
         # epochs while Spark's unix_timestamp truncates — a 1 s skew at
         # the exact gap boundary
+        "next_event_examples": """
+            WITH e AS (
+                SELECT user_id, event_id, event_type,
+                       CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec
+                FROM events
+            ),
+            led AS (
+                SELECT user_id, event_id, event_type,
+                       lead(event_type) OVER w AS next_type,
+                       lead(sec) OVER w - sec AS gap_sec
+                FROM e
+                WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+            )
+            SELECT user_id, event_id, event_type, next_type, gap_sec
+            FROM led
+            WHERE next_type IS NOT NULL AND gap_sec <= 1800
+        """,
         "event_sessions": """
             WITH e AS (
                 SELECT user_id, event_id,
@@ -4415,6 +4504,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         """,
         "epoch_upsample": _epoch_oracle_sql(),
         "stream_quality_gate": _stream_qgate_oracle_sql(),
+        "contrastive_examples": _contrastive_oracle_sql(dq),
     }
     if _pp_sql is None:
         del out["ivf_search_partial_probe"]

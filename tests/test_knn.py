@@ -192,3 +192,45 @@ def test_range_search_contains_knn_and_thresholds(spark, sf_dir):
     # cosine flavor: similarity >= radius
     cos = range_search(q, emb, radius=0.99, metric="cosine")
     assert all(row.dist >= 0.99 for row in cos.collect())
+
+
+def test_contrastive_examples_contract(spark, sf_dir):
+    """1 pos + n_neg negs per anchor; the positive is the true nearest;
+    negatives never collide with the excluded top or the anchor; the
+    draw is deterministic across calls."""
+    from vector_search_test_spark.io import load_table, spread
+    from vector_search_test_spark.operators.knn import (
+        contrastive_examples,
+        knn_exact,
+    )
+
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = contrastive_examples(q, emb, n_neg=4, exclude_top=6).collect()
+    by_anchor = {}
+    for r in out:
+        by_anchor.setdefault(r.query_id, []).append(r)
+    assert set(by_anchor) == {0, 1, 2, 3, 4}
+    # ground truth: top-7 nearest (k=7 > exclude_top=6 incl. self-skip)
+    top = {}
+    for r in knn_exact(q, emb, k=7).collect():
+        if r.query_id != r.vec_id:
+            top.setdefault(r.query_id, []).append(r.vec_id)
+    for a, rows in by_anchor.items():
+        pos = [r for r in rows if r.role == "pos"]
+        negs = sorted(
+            (r for r in rows if r.role == "neg"), key=lambda r: r.rank
+        )
+        assert len(pos) == 1 and len(negs) == 4
+        assert pos[0].vec_id == top[a][0]          # hardest positive
+        excluded = set(top[a][:6]) | {a}
+        assert not excluded & {r.vec_id for r in negs}
+        assert [r.rank for r in negs] == [1, 2, 3, 4]
+    again = contrastive_examples(q, emb, n_neg=4, exclude_top=6).collect()
+    key = lambda rs: sorted((r.query_id, r.vec_id, r.role, r.rank) for r in rs)
+    assert key(again) == key(out)

@@ -115,3 +115,29 @@ def test_sessionize_boundary_exact_gap(spark):
         for r in sessionize(ev, gap_seconds=1800).collect()
     }
     assert out == {1: 0, 2: 0, 3: 1}
+
+
+def test_next_event_examples_session_boundaries(spark):
+    """Labels stop at session gaps and at each user's final event."""
+    from datetime import datetime
+
+    from vector_search_test_spark.operators.timeseries import (
+        next_event_examples,
+    )
+
+    t = lambda m: datetime(2026, 1, 1, 10, m)
+    rows = [
+        (1, 1, t(0), "view"),
+        (2, 1, t(5), "click"),     # within gap -> view->click
+        (3, 1, t(50), "purchase"), # 45-min gap -> click has NO label
+        (4, 1, t(52), "view"),     # purchase->view; view is final (none)
+        (5, 2, t(0), "signup"),    # single event -> none
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = {
+        r.event_id: (r.next_type, r.gap_sec)
+        for r in next_event_examples(df).collect()
+    }
+    assert got == {1: ("click", 300), 3: ("view", 120)}

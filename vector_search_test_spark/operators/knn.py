@@ -203,6 +203,93 @@ def range_search(
     return scored.filter(pred)
 
 
+def contrastive_examples(
+    queries: DataFrame,
+    corpus: DataFrame,
+    n_neg: int = 3,
+    exclude_top: int = 10,
+    salt: str = "neg",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Contrastive-training example builder: for every anchor, the
+    hardest positive (nearest non-self neighbor) plus `n_neg`
+    DETERMINISTIC random negatives drawn from outside the anchor's
+    `exclude_top` nearest — the (anchor, positive, negatives) table an
+    embedding-model trainer consumes. Negatives use the engine's
+    portable md5 hash order (sampling.hash_fraction), so the draw is
+    RNG-free: stable across runs, partitionings, and engines.
+
+    Semantics: negatives = the `n_neg` hash-smallest corpus ids not in
+    the anchor's dist-top-`exclude_top` and != anchor. Output:
+    (query_id, vec_id, role 'pos'|'neg', rank, dist).
+
+    Scale shape: ONE broadcast-join corpus scan computes (dist, hash)
+    per pair; both rankings are row_number-+ -filter windows that
+    Catalyst rewrites to WindowGroupLimit (partial top-k before the
+    shuffle): dist-top-M for positives/exclusion and hash-top-(M+k)
+    for the negative pool — taking M+k hash-smallest guarantees >= k
+    survive the exclusion anti-join, so NO full per-anchor ranking
+    ever materializes. The final re-rank runs on (M+k) rows/anchor.
+    """
+    from vector_search_test_spark.operators.sampling import hash_fraction
+
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("__qv")
+    )
+    if dim is not None and dim <= UNROLL_MAX_TERMS:
+        dist = l2_sq_unrolled(F.col("__qv"), F.col(vec_col), dim)
+    else:
+        dist, _ = _distance("l2_sq", F.col("__qv"), F.col(vec_col))
+    scored = (
+        corpus.join(F.broadcast(q))
+        .select("query_id", F.col(id_col).alias("vec_id"), dist.alias("dist"))
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .withColumn(
+            "__h",
+            hash_fraction(
+                F.concat_ws(":", F.col("query_id"), F.col("vec_id")), salt
+            ),
+        )
+    )
+    wd = Window.partitionBy("query_id").orderBy("dist", "vec_id")
+    topm = (
+        scored.withColumn("__rd", F.row_number().over(wd))
+        .filter(F.col("__rd") <= exclude_top)
+    )
+    pos = topm.filter(F.col("__rd") == 1).select(
+        "query_id",
+        "vec_id",
+        F.lit("pos").alias("role"),
+        F.lit(1).cast("long").alias("rank"),
+        F.round("dist", 6).alias("dist"),
+    )
+    wh = Window.partitionBy("query_id").orderBy("__h", "vec_id")
+    pool = (
+        scored.withColumn("__rh", F.row_number().over(wh))
+        .filter(F.col("__rh") <= exclude_top + n_neg)
+    )
+    survivors = pool.join(
+        topm.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_anti"
+    )
+    wh2 = Window.partitionBy("query_id").orderBy("__h", "vec_id")
+    negs = (
+        survivors.withColumn("__rn", F.row_number().over(wh2))
+        .filter(F.col("__rn") <= n_neg)
+        .select(
+            "query_id",
+            "vec_id",
+            F.lit("neg").alias("role"),
+            F.col("__rn").cast("long").alias("rank"),
+            F.round("dist", 6).alias("dist"),
+        )
+    )
+    return pos.unionByName(negs)
+
+
 def knn_exact_arrow(
     queries: DataFrame,
     corpus: DataFrame,

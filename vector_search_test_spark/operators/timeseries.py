@@ -107,6 +107,46 @@ def interval_join(
     )
 
 
+def next_event_examples(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    gap_seconds: int = 1800,
+    id_cols: tuple[str, ...] = ("event_id",),
+) -> DataFrame:
+    """Supervised next-event-prediction pairs off a clickstream — the
+    events-table analogue of the text pipeline's chunk/pack step:
+    each event labeled with the NEXT event's type for the same key,
+    but only within a session (gap <= `gap_seconds`; the first event
+    after a session break must not be the label of the last event of
+    the previous session, and each key's final event has no label) —
+    the standard training-example builder for sequential-recommendation
+    / behavior models.
+
+    Output: (key, *id_cols, event_type, next_type, gap_sec) — one row
+    per event that HAS an in-session successor. ONE window over
+    (key, ts, id_cols): lead() for the label and the gap in the same
+    pass — the sessionize shuffle shape exactly, no join, no second
+    shuffle. Deterministic tie-break on `id_cols`.
+    """
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in id_cols]
+    w = Window.partitionBy(key).orderBy(*order)
+    sec = F.unix_timestamp(ts_col)
+    gap = F.lead(sec).over(w) - sec
+    out = events.select(
+        key,
+        *id_cols,
+        F.col(type_col).alias("event_type"),
+        F.lead(type_col).over(w).alias("next_type"),
+        gap.cast("long").alias("gap_sec"),
+    )
+    return out.filter(
+        F.col("next_type").isNotNull()
+        & (F.col("gap_sec") <= F.lit(int(gap_seconds)))
+    )
+
+
 def sessionize(
     events: DataFrame,
     key: str = "user_id",
