@@ -198,3 +198,23 @@ def test_epoch_upsample_is_scan_only(spark, sf_dir):
     plan = _plan(epoch_upsample(docs, {"src0": 2.5, "src1": 0.25}))
     assert "Generate explode" in plan
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_contrastive_examples_group_limits_and_broadcast_anti(spark, sf_dir):
+    """contrastive_examples: both rankings are WindowGroupLimit (no full
+    per-anchor sort survives) and the exclusion anti-join broadcasts
+    its output-bound side — no SortMergeJoin anywhere."""
+    from vector_search_test_spark.io import spread
+    from vector_search_test_spark.operators.knn import contrastive_examples
+
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    plan = _plan(contrastive_examples(q, emb))
+    assert "WindowGroupLimit" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # the exclusion anti-join

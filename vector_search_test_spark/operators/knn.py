@@ -272,8 +272,12 @@ def contrastive_examples(
         scored.withColumn("__rh", F.row_number().over(wh))
         .filter(F.col("__rh") <= exclude_top + n_neg)
     )
+    # the exclusion side is output-bound (anchors x exclude_top rows) —
+    # broadcast it so the anti-join never shuffles the pool
     survivors = pool.join(
-        topm.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_anti"
+        F.broadcast(topm.select("query_id", "vec_id")),
+        ["query_id", "vec_id"],
+        "left_anti",
     )
     wh2 = Window.partitionBy("query_id").orderBy("__h", "vec_id")
     negs = (
