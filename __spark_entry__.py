@@ -2725,6 +2725,21 @@ def _q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_multimodal_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-identical media dedup over the duplicate corpus (every
+    payload occurs >= 2x): sources/multimodal.py::dedup_media_exact.
+    The UTF-8 fake payload makes the oracle exact (md5(text))."""
+    from vector_search_test_spark.sources.multimodal import (
+        dedup_media_exact,
+        media_from_documents,
+    )
+
+    media = media_from_documents(
+        _dup_corpus(spark, sf_dir).select("doc_id", "text"), kind="image"
+    )
+    return dedup_media_exact(media)
+
+
 def _q_multimodal_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary path END-TO-END: binary payloads -> frame
     sampling (native byte slicing + explode) -> Arrow-batched feature
@@ -2980,6 +2995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_recall_curve": _q_ivf_recall_curve,
         "next_event_examples": _q_next_event_examples,
         "contrastive_examples": _q_contrastive_examples,
+        "multimodal_exact_dedup": _q_multimodal_exact_dedup,
     }
 
 
@@ -4505,6 +4521,17 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "epoch_upsample": _epoch_oracle_sql(),
         "stream_quality_gate": _stream_qgate_oracle_sql(),
         "contrastive_examples": _contrastive_oracle_sql(dq),
+        "multimodal_exact_dedup": """
+            WITH media AS (
+                SELECT doc_id AS media_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 10000 AS media_id, text FROM documents
+            )
+            SELECT md5(text) AS payload_md5,
+                   min(media_id)::BIGINT AS rep_id,
+                   count(*)::BIGINT AS n_copies
+            FROM media GROUP BY text
+        """,
     }
     if _pp_sql is None:
         del out["ivf_search_partial_probe"]

@@ -64,6 +64,34 @@ def media_from_documents(docs: DataFrame, kind: str = "image") -> DataFrame:
     )
 
 
+def dedup_media_exact(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Byte-identical media dedup — the multimodal analogue of
+    dedup_exact: group on the RAW binary payload (exact, no hash-
+    collision caveat), keep the min-id representative, count copies.
+    Output: (payload_md5, rep_id, n_copies); the md5 is a reporting
+    column, not the grouping key. One hash shuffle with map-side
+    combine; at 100 TB the payloads are large, so production would
+    pre-project a strong digest at ingest and group on that — the
+    plan shape is identical."""
+    p = F.col(payload_col)
+    return (
+        media.groupBy(p.alias("__payload"))
+        .agg(
+            F.min(id_col).alias("rep_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .select(
+            F.md5(F.col("__payload")).alias("payload_md5"),
+            "rep_id",
+            "n_copies",
+        )
+    )
+
+
 def decode_media(df: DataFrame, out_col: str = "decoded") -> DataFrame:
     """The REAL decode seam — not implementable in this container.
 
