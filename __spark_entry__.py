@@ -2740,6 +2740,15 @@ def _q_multimodal_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_media_exact(media)
 
 
+def _q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding norm QA (operators/vstats.py::
+    embedding_norm_stats) — the ingest sanity check for un-normalized
+    batches / dead vectors / model-version norm drift."""
+    from vector_search_test_spark.operators.vstats import embedding_norm_stats
+
+    return embedding_norm_stats(load_table(spark, sf_dir, "embeddings"))
+
+
 def _q_multimodal_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary path END-TO-END: binary payloads -> frame
     sampling (native byte slicing + explode) -> Arrow-batched feature
@@ -2996,6 +3005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "next_event_examples": _q_next_event_examples,
         "contrastive_examples": _q_contrastive_examples,
         "multimodal_exact_dedup": _q_multimodal_exact_dedup,
+        "embedding_norm_stats": _q_embedding_norm_stats,
     }
 
 
@@ -3380,6 +3390,14 @@ def _contrastive_oracle_sql(dq: str) -> str:
         WHERE rd > {_CTR_EXCL}
         QUALIFY rank <= {_CTR_NEG}
     """
+
+
+def _norm_stats_oracle_sql() -> str:
+    from vector_search_test_spark.operators.vstats import (
+        embedding_norm_stats_sql,
+    )
+
+    return embedding_norm_stats_sql()
 
 
 def _epoch_oracle_sql() -> str:
@@ -4532,6 +4550,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
                    count(*)::BIGINT AS n_copies
             FROM media GROUP BY text
         """,
+        "embedding_norm_stats": _norm_stats_oracle_sql(),
     }
     if _pp_sql is None:
         del out["ivf_search_partial_probe"]

@@ -92,3 +92,25 @@ def test_single_shuffle_plan(spark, sf_dir):
     # one join-side broadcast or shuffle + ONE aggregation exchange; no Python
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "HashAggregate" in plan
+
+
+def test_embedding_norm_stats_planted(spark):
+    import math
+
+    from vector_search_test_spark.operators.vstats import embedding_norm_stats
+
+    rows = [
+        (0, "a", [3.0, 4.0]),     # norm 5
+        (1, "a", [0.0, 0.0]),     # dead vector
+        (2, "b", [1.0, 0.0]),     # norm 1
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<float>"
+    )
+    got = {r.label: r for r in embedding_norm_stats(df, "label").collect()}
+    a = got["a"]
+    assert (a.n_vecs, a.n_zero) == (2, 1)
+    assert a.min_norm == 0.0 and a.max_norm == 5.0
+    assert abs(a.mean_norm - 2.5) < 1e-6
+    b = got["b"]
+    assert (b.n_vecs, b.n_zero, b.mean_norm) == (1, 0, 1.0)

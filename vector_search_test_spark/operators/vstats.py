@@ -73,6 +73,70 @@ def source_centroids(
     )
 
 
+def embedding_norm_stats(
+    embeddings: DataFrame,
+    strata_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-QA dashboard per stratum: (label, n_vecs, mean_norm,
+    min_norm, max_norm, n_zero) — the ingest sanity check that catches
+    un-normalized batches, dead (all-zero) vectors, and norm drift
+    between embedding-model versions before they poison an index
+    (cosine ranking silently degrades; IVF training skews).
+
+    Per-row norms are deterministic (left-to-right fold, the l2_norm
+    contract); the grouped mean quantizes them to 1e-9 integers first
+    (exact, order-free — the source_centroids pattern). One narrow
+    groupBy on the stratum; scan-only otherwise."""
+    from vector_search_test_spark.functions.vector import l2_norm
+
+    norm = l2_norm(vec_col)
+    rows = embeddings.select(
+        F.col(strata_col).alias("label"),
+        norm.alias("__n"),
+        F.round(norm * 1e9, 0).cast("decimal(38,0)").alias("__qn"),
+    )
+    return rows.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(
+            F.sum("__qn").cast("double") / F.lit(1e9) / F.count("*"), 6
+        ).alias("mean_norm"),
+        F.round(F.min("__n"), 6).alias("min_norm"),
+        F.round(F.max("__n"), 6).alias("max_norm"),
+        F.sum(F.when(F.col("__n") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_zero"),
+    )
+
+
+def embedding_norm_stats_sql(
+    emb_table: str = "embeddings",
+    strata_col: str = "label",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of embedding_norm_stats (same fold, quantization,
+    rounding)."""
+    norm = (
+        f"sqrt(list_sum(list_transform({vec_col}, "
+        f"x -> x::DOUBLE * x::DOUBLE)))"
+    )
+    return f"""
+        WITH rows_ AS (
+            SELECT {strata_col} AS label, {norm} AS n_,
+                   round({norm} * 1e9)::HUGEINT AS qn
+            FROM {emb_table}
+        )
+        SELECT label,
+               count(*)::BIGINT AS n_vecs,
+               round(sum(qn)::DOUBLE / 1e9 / count(*), 6) AS mean_norm,
+               round(min(n_), 6) AS min_norm,
+               round(max(n_), 6) AS max_norm,
+               sum(CASE WHEN n_ = 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero
+        FROM rows_
+        GROUP BY label
+    """
+
+
 def source_centroids_sql(
     docs_table: str = "documents",
     emb_table: str = "embeddings",
