@@ -2607,6 +2607,17 @@ def _q_jaccard_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_join(_dup_corpus(spark, sf_dir), threshold=0.5)
 
 
+def _q_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator certification on the corpus's own LSH
+    candidates (operators/dedup.py::minhash_estimate_quality):
+    signature-agreement estimate vs exact shingle Jaccard, per pair."""
+    from vector_search_test_spark.operators.dedup import (
+        minhash_estimate_quality,
+    )
+
+    return minhash_estimate_quality(load_table(spark, sf_dir, "documents"))
+
+
 def _q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk-banded SimHash pairs at hamming <= 2. Oracle: all-pairs
     bit_count(xor) <= 2 — identical result set because hamming <= 2 < 4
@@ -3006,6 +3017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contrastive_examples": _q_contrastive_examples,
         "multimodal_exact_dedup": _q_multimodal_exact_dedup,
         "embedding_norm_stats": _q_embedding_norm_stats,
+        "minhash_estimate_error": _q_minhash_estimate_error,
     }
 
 
@@ -3084,6 +3096,29 @@ def _minhash_oracle_sql() -> str:
         JOIN sh sa ON c.a = sa.id
         JOIN sh sb ON c.b = sb.id
         WHERE {jac} >= 0.9
+    """
+
+
+def _minhash_est_oracle_sql() -> str:
+    """DuckDB twin of minhash_estimate_quality: the shared MinHash CTE
+    body's candidates, signature agreement / H next to the exact
+    Jaccard (1/16 estimator steps are exact binary doubles)."""
+    body, jac = _minhash_cte()
+    matches = " + ".join(
+        f"(sga.m{i} = sgb.m{i})::INT" for i in range(16)
+    )
+    est = f"(({matches}) / 16)"
+    return f"""
+        WITH {body}
+        SELECT c.a, c.b,
+               round({est}, 6) AS est_jaccard,
+               round({jac}, 6) AS jaccard,
+               round(abs({est} - {jac}), 6) AS abs_err
+        FROM cand c
+        JOIN sig sga ON c.a = sga.id
+        JOIN sig sgb ON c.b = sgb.id
+        JOIN sh sa ON c.a = sa.id
+        JOIN sh sb ON c.b = sb.id
     """
 
 
@@ -4551,6 +4586,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
             FROM media GROUP BY text
         """,
         "embedding_norm_stats": _norm_stats_oracle_sql(),
+        "minhash_estimate_error": _minhash_est_oracle_sql(),
     }
     if _pp_sql is None:
         del out["ivf_search_partial_probe"]

@@ -284,3 +284,26 @@ def test_dup_ngram_ops_stay_jvm_side(spark):
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+
+
+def test_minhash_estimate_quality_planted(spark):
+    """Identical docs estimate exactly 1.0 with zero error; the
+    estimator stays within the H=16 quantization of truth on planted
+    near-dups (|est - jacc| bounded well below 1)."""
+    from vector_search_test_spark.operators.dedup import (
+        minhash_estimate_quality,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = base.replace("kappa", "lambda")
+    docs = spark.createDataFrame(
+        [(0, base), (1, base), (2, near)], "doc_id long, text string"
+    )
+    rows = {(r.a, r.b): r for r in minhash_estimate_quality(docs).collect()}
+    exact_pair = rows[(0, 1)]
+    assert exact_pair.est_jaccard == 1.0
+    assert exact_pair.jaccard == 1.0 and exact_pair.abs_err == 0.0
+    for r in rows.values():
+        assert 0.0 <= r.est_jaccard <= 1.0
+        assert abs(r.abs_err - abs(r.est_jaccard - r.jaccard)) < 1e-6
+        assert r.abs_err < 0.6  # H=16 keeps the estimator in the ballpark

@@ -363,6 +363,94 @@ def neardup_minhash(
     )
 
 
+def minhash_estimate_quality(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Numerically certify the MinHash estimator ON ITS OWN candidates:
+    for every LSH candidate pair, the signature-agreement estimate
+    (matching components / H — the unbiased Jaccard estimator) next to
+    the exact shingle Jaccard and the absolute error. The monitoring
+    view that catches a broken hash family, banding bug, or
+    H-too-small drift numerically instead of via downstream recall.
+
+    Output: (a, b, est_jaccard, jaccard, abs_err), candidates only —
+    output-bound like every LSH surface. Plan: the neardup_minhash
+    candidate generation (banding equi-join; kept inline rather than
+    refactored so the scored dedup path stays untouched) plus one join
+    of the H-component signatures per side; the estimator is H integer
+    equality checks per candidate. est steps of 1/H are exact binary
+    doubles at the default H=16, so the twin hashes identically."""
+    from vector_search_test_spark.io import spread
+
+    rows = num_hashes // bands
+    sh = (
+        spread(df.select(F.col(id_col).alias("id"), F.col(text_col)), "id")
+        .select("id", shingles(text_col, n).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .localCheckpoint()
+    )
+    sig = minhash_signature_table(sh, num_hashes).localCheckpoint()
+    keys = F.array(
+        *[
+            F.concat_ws(
+                "-",
+                *[F.col(f"m{b * rows + r}").cast("string") for r in range(rows)],
+            )
+            for b in range(bands)
+        ]
+    )
+    bands_df = sig.select(
+        "id", F.posexplode(keys).alias("band_id", "band_key")
+    ).localCheckpoint()
+    cand = (
+        bands_df.alias("x")
+        .join(
+            bands_df.alias("y"),
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .dropDuplicates()
+    )
+    sig_a = sig.select(
+        F.col("id").alias("a"),
+        *[F.col(f"m{i}").alias(f"__a{i}") for i in range(num_hashes)],
+    )
+    sig_b = sig.select(
+        F.col("id").alias("b"),
+        *[F.col(f"m{i}").alias(f"__b{i}") for i in range(num_hashes)],
+    )
+    matches = None
+    for i in range(num_hashes):
+        m = (F.col(f"__a{i}") == F.col(f"__b{i}")).cast("int")
+        matches = m if matches is None else matches + m
+    sh_a = sh.select(F.col("id").alias("a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col("id").alias("b"), F.col("sh").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    est = matches / F.lit(num_hashes)
+    return (
+        cand.join(sig_a, "a")
+        .join(sig_b, "b")
+        .join(sh_a, "a")
+        .join(sh_b, "b")
+        .select(
+            "a",
+            "b",
+            F.round(est, 6).alias("est_jaccard"),
+            F.round(jac, 6).alias("jaccard"),
+            F.round(F.abs(est - jac), 6).alias("abs_err"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
