@@ -925,6 +925,44 @@ _PACK_BUCKETS = 16
 _MIX_WEIGHTS = {"src0": 2.5, "src1": 2.0, "src2": 0.5, "src3": 0.25, "src4": 0.0}
 
 
+def _q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency dashboard over the packed training table:
+    one row of global stats — pack/chunk counts, exact token sums, and
+    the fill distribution (mean/min via integer sums, one division),
+    including `frac_above_half`, the numeric form of greedy first-fit's
+    fill > budget/2 guarantee. The guarantee exempts each bucket's
+    LAST (still-open) pack, so the bound is
+    frac_above_half >= 1 - n_buckets/n_packs (pytest-pinned; the
+    oracle certifies the exact value). Aggregation is two narrow
+    groupBys over the already-packed rows — output-bound."""
+    from vector_search_test_spark.functions.chunking import (
+        chunk_documents,
+        pack_chunks,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, size=_CHUNK_SIZE, overlap=_CHUNK_OVERLAP)
+    packed = pack_chunks(chunks, budget=_PACK_BUDGET, n_buckets=_PACK_BUCKETS)
+    per = packed.groupBy("bucket", "pack_id").agg(
+        F.sum("n_tokens").alias("__fill"), F.count("*").alias("__n")
+    )
+    b = float(_PACK_BUDGET)
+    return per.agg(
+        F.count("*").alias("n_packs"),
+        F.sum("__n").cast("long").alias("n_chunks"),
+        F.sum("__fill").cast("long").alias("sum_tokens"),
+        F.round(
+            F.sum("__fill").cast("double") / (F.lit(b) * F.count("*")), 6
+        ).alias("mean_fill"),
+        F.round(F.min("__fill") / F.lit(b), 6).alias("min_fill"),
+        F.round(
+            F.sum(F.when(F.col("__fill") * 2 > _PACK_BUDGET, 1).otherwise(0))
+            / F.count("*"),
+            6,
+        ).alias("frac_above_half"),
+    )
+
+
 def _q_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy sequence packing (functions/chunking.py::pack_chunks):
     chunk every document, then first-fit-pack chunks into
@@ -3018,6 +3056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_exact_dedup": _q_multimodal_exact_dedup,
         "embedding_norm_stats": _q_embedding_norm_stats,
         "minhash_estimate_error": _q_minhash_estimate_error,
+        "packing_efficiency": _q_packing_efficiency,
     }
 
 
@@ -4587,6 +4626,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         """,
         "embedding_norm_stats": _norm_stats_oracle_sql(),
         "minhash_estimate_error": _minhash_est_oracle_sql(),
+        "packing_efficiency": _packing_eff_oracle_sql(),
     }
     if _pp_sql is None:
         del out["ivf_search_partial_probe"]
@@ -4692,6 +4732,42 @@ def _packing_oracle_sql() -> str:
         budget=_PACK_BUDGET,
         n_buckets=_PACK_BUCKETS,
     )
+
+
+def _packing_eff_oracle_sql() -> str:
+    """Aggregates the certified packing twin (same recursive CTE as
+    _packing_oracle_sql) into the efficiency dashboard — integer sums,
+    divisions last."""
+    from vector_search_test_spark.functions.chunking import (
+        chunk_documents_sql,
+        pack_chunks_sql,
+    )
+
+    inner = pack_chunks_sql(
+        chunk_documents_sql(size=_CHUNK_SIZE, overlap=_CHUNK_OVERLAP),
+        budget=_PACK_BUDGET,
+        n_buckets=_PACK_BUCKETS,
+    )
+    b = float(_PACK_BUDGET)
+    return f"""
+        WITH per AS (
+            SELECT bucket, pack_id,
+                   sum(n_tokens)::BIGINT AS fill_,
+                   count(*)::BIGINT AS n_
+            FROM ({inner}) packed
+            GROUP BY bucket, pack_id
+        )
+        SELECT count(*)::BIGINT AS n_packs,
+               sum(n_)::BIGINT AS n_chunks,
+               sum(fill_)::BIGINT AS sum_tokens,
+               round(sum(fill_)::DOUBLE / ({b!r} * count(*)), 6)
+                   AS mean_fill,
+               round(min(fill_) / {b!r}, 6) AS min_fill,
+               round(sum(CASE WHEN fill_ * 2 > {_PACK_BUDGET} THEN 1
+                              ELSE 0 END) / count(*), 6)
+                   AS frac_above_half
+        FROM per
+    """
 
 
 def _mixture_oracle_sql() -> str:

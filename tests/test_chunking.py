@@ -238,3 +238,21 @@ def test_chunking_unicode_twin_and_empty_inputs(spark):
     ch = chunk_documents(empty, size=4, overlap=1)
     assert ch.count() == 0
     assert pack_chunks(ch, budget=8, n_buckets=4).count() == 0
+
+
+def test_packing_efficiency_bound(spark, sf_dir):
+    """The entry-level dashboard certifies greedy first-fit's
+    fill > budget/2 guarantee numerically and its counts reconcile
+    with the packed table."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+
+    r = entrymod._q_packing_efficiency(spark, sf_dir).first()
+    # fill > budget/2 holds for every CLOSED pack; each bucket's last
+    # (still-open) pack is exempt -> at most n_buckets underfull packs
+    assert r.frac_above_half >= 1 - entrymod._PACK_BUCKETS / r.n_packs
+    assert 0.5 < r.mean_fill <= 1.0 and 0.0 < r.min_fill <= 1.0
+    assert r.n_chunks >= r.n_packs >= 1
+    assert r.sum_tokens <= r.n_packs * entrymod._PACK_BUDGET
