@@ -1918,6 +1918,33 @@ def _q_count_distinct_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_asof_forward_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each purchase matched to the same user's
+    earliest at-or-after click (the mirrored frame of the backward
+    operator — timeseries.py::asof_join(direction='forward'))."""
+    from vector_search_test_spark.operators.timeseries import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        key="user_id",
+        right_payload=["click_id"],
+        direction="forward",
+    )
+    return out.select(
+        "event_id", "user_id", F.col("r_click_id").alias("click_id")
+    )
+
+
 def _q_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (custom operator, operators/timeseries.py): each
     purchase event matched to the same user's most recent prior-or-equal
@@ -3057,6 +3084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norm_stats": _q_embedding_norm_stats,
         "minhash_estimate_error": _q_minhash_estimate_error,
         "packing_efficiency": _q_packing_efficiency,
+        "asof_forward_click": _q_asof_forward_click,
     }
 
 
@@ -4627,6 +4655,21 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "embedding_norm_stats": _norm_stats_oracle_sql(),
         "minhash_estimate_error": _minhash_est_oracle_sql(),
         "packing_efficiency": _packing_eff_oracle_sql(),
+        "asof_forward_click": """
+            WITH clicks AS (
+                SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                       max(event_id) AS click_id
+                FROM events WHERE event_type = 'click'
+                GROUP BY user_id, CAST(ts AS TIMESTAMP)
+            ),
+            p AS (
+                SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                FROM events WHERE event_type = 'purchase'
+            )
+            SELECT p.event_id, p.user_id, c.click_id
+            FROM p ASOF LEFT JOIN clicks c
+              ON p.user_id = c.user_id AND p.ts <= c.ts
+        """,
     }
     if _pp_sql is None:
         del out["ivf_search_partial_probe"]

@@ -141,3 +141,40 @@ def test_next_event_examples_session_boundaries(spark):
         for r in next_event_examples(df).collect()
     }
     assert got == {1: ("click", 300), 3: ("view", 120)}
+
+
+def test_asof_forward_semantics(spark):
+    """Forward as-of matches the EARLIEST at-or-after right row; ties at
+    equal ts match; rows after the last right row get NULL; backward on
+    the same data gives the mirrored answer."""
+    from datetime import datetime
+
+    from vector_search_test_spark.operators.timeseries import asof_join
+
+    t = lambda m: datetime(2026, 1, 1, 10, m)
+    left = spark.createDataFrame(
+        [(1, 1, t(0)), (2, 1, t(10)), (3, 1, t(31)), (4, 2, t(0))],
+        "lid long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(100, 1, t(10)), (101, 1, t(30))],
+        "rid long, k long, ts timestamp",
+    )
+    fwd = {
+        r.lid: r.r_rid
+        for r in asof_join(
+            left, right, key="k", right_payload=["rid"], direction="forward"
+        ).collect()
+    }
+    assert fwd == {1: 100, 2: 100, 3: None, 4: None}  # tie at t10 matches
+    bwd = {
+        r.lid: r.r_rid
+        for r in asof_join(
+            left, right, key="k", right_payload=["rid"]
+        ).collect()
+    }
+    assert bwd == {1: None, 2: 100, 3: 101, 4: None}
+    import pytest
+
+    with pytest.raises(ValueError):
+        asof_join(left, right, key="k", direction="sideways")

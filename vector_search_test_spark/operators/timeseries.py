@@ -35,11 +35,22 @@ def asof_join(
     left_ts: str = "ts",
     right_ts: str = "ts",
     right_payload: list[str] | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join. Returns every left row plus the payload
-    columns of the latest right row with right_ts <= left_ts (NULLs when
-    no such row). Right rows should be unique per (key, ts) for fully
-    deterministic output (dedupe upstream if not)."""
+    """As-of join, both directions. Returns every left row plus the
+    payload columns of the matched right row (NULLs when none):
+    `backward` (default) matches the LATEST right row with
+    right_ts <= left_ts; `forward` matches the EARLIEST right row with
+    right_ts >= left_ts (the "next reading after" flavor — e.g. the
+    first sensor sample at-or-after an order). Same one-shuffle
+    union+window plan either way — the only differences are the window
+    frame side (preceding/following), the carry function (last/first),
+    and the equal-ts interleave order, which places right rows inside
+    the left row's frame in BOTH directions (ties match, mirroring <=
+    / >= semantics). Right rows should be unique per (key, ts) for
+    fully deterministic output (dedupe upstream if not)."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     payload = right_payload or [c for c in right.columns if c not in (key, right_ts)]
     l_tag = left.select(
         F.col(key).alias("__k"),
@@ -59,14 +70,25 @@ def asof_join(
         ).alias("__l"),
         F.struct(*payload).alias("__r"),
     )
-    w = (
-        Window.partitionBy("__k")
-        .orderBy("__ts", "__is_left")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = l_tag.unionByName(r_tag).withColumn(
-        "__match", F.last("__r", ignorenulls=True).over(w)
-    )
+    if direction == "backward":
+        # at equal ts the right row sorts BEFORE the left row, so it
+        # falls inside the left row's preceding frame (<= matches)
+        w = (
+            Window.partitionBy("__k")
+            .orderBy("__ts", "__is_left")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carry = F.last("__r", ignorenulls=True).over(w)
+    else:
+        # mirrored: right rows sort AFTER left at equal ts, inside the
+        # left row's following frame (>= matches)
+        w = (
+            Window.partitionBy("__k")
+            .orderBy(F.col("__ts").asc(), F.col("__is_left").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        carry = F.first("__r", ignorenulls=True).over(w)
+    carried = l_tag.unionByName(r_tag).withColumn("__match", carry)
     out = carried.filter(F.col("__is_left") == 1).select(
         *[F.col("__l")[c].alias(c) for c in left.columns],
         *[F.col("__match")[c].alias(f"r_{c}") for c in payload],
