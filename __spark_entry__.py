@@ -393,6 +393,85 @@ def _q_pca_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "vec_id", F.round("dist", 6).alias("dist"))
 
 
+_PCA_IVF_MEMO: dict[str, list] = {}
+
+
+def _pca_ivf_centroids(sf_dir: str):
+    """Deterministic IVF centroids TRAINED IN PCA SPACE: canonical-order
+    pyarrow read -> driver projection (pca_project_py, the bit-exact
+    twin of the Arrow path) -> the same seeded Lloyd's kernel as
+    _partial_probe_centroids. Rounded float32 like every artifact."""
+    key = sf_dir.rstrip("/")
+    if key not in _PCA_IVF_MEMO:
+        import numpy as np
+        import pyarrow.parquet as pq_pa
+
+        from vector_search_test_spark.operators.ivf import (
+            DEFAULT_SEED,
+            _lloyd_numpy,
+        )
+        from vector_search_test_spark.operators.pca import pca_project_py
+
+        mean, W = _pca_artifacts(sf_dir)
+        tbl = pq_pa.read_table(
+            os.path.join(key, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+        )
+        pdf = tbl.to_pandas().sort_values("vec_id")
+        Y = np.array(
+            [
+                pca_project_py(
+                    [float(np.float32(v)) for v in vec], mean, W
+                )
+                for vec in pdf["embedding"]
+            ],
+            dtype=np.float64,
+        )
+        cents = _lloyd_numpy(
+            Y, min(_PP_NLIST, Y.shape[0]), DEFAULT_SEED, max_iter=20
+        )
+        _PCA_IVF_MEMO[key] = [
+            [float(np.float32(x)) for x in c] for c in cents
+        ]
+    return _PCA_IVF_MEMO[key]
+
+
+def _q_pca_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The transform ladder COMPOSED into the index path: PCA 64→8
+    projection feeding an IVF built and probed entirely in reduced
+    space (nprobe=2 of 8) — 1/8 the scan bytes AND the coarse-cell
+    prune at once, the standard pre-quantization ANN configuration.
+    Projection is the scan-only Arrow pass; assignment/probe/top-k are
+    the unchanged IVF plans over the 8-dim vectors. The oracle replays
+    projection (explicit sum chains, materialized), assignment, probe
+    ranking, and the pruned top-k value-for-value."""
+    from vector_search_test_spark.io import spread
+    from vector_search_test_spark.operators.ivf import (
+        IvfIndex,
+        assign_cells,
+        ivf_search_all,
+    )
+    from vector_search_test_spark.operators.pca import pca_project
+
+    mean, W = _pca_artifacts(sf_dir)
+    cents = _pca_ivf_centroids(sf_dir)
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    proj = pca_project(emb, mean, W).select(
+        "vec_id", F.col("proj").alias("embedding")
+    )
+    postings = assign_cells(proj, cents).select(
+        "list_id", "vec_id", "embedding"
+    )
+    idx = IvfIndex(centroids=cents, postings=postings)
+    q = proj.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = ivf_search_all(idx, q, k=_PP_K, nprobe=_PP_NPROBE)
+    return out.select("query_id", "vec_id", F.round("dist", 6).alias("dist"))
+
+
 # PQ config shared by the Spark entry and the DuckDB oracle
 _PQ_M = 8
 _PQ_KSUB = 16
@@ -3085,6 +3164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_estimate_error": _q_minhash_estimate_error,
         "packing_efficiency": _q_packing_efficiency,
         "asof_forward_click": _q_asof_forward_click,
+        "pca_ivf_topk": _q_pca_ivf_topk,
     }
 
 
@@ -3518,6 +3598,55 @@ def _vocab_oracle_sql() -> str:
     )
 
     return vocab_stats_oracle_sql()
+
+
+def _pca_ivf_oracle_sql(sf_dir: str | None = None) -> str:
+    """DuckDB twin of _q_pca_ivf_topk: materialized projection CTE,
+    PCA-space centroid VALUES, then the standard three-stage IVF replay
+    (assignment argmin, probe ranking, pruned top-k)."""
+    from vector_search_test_spark.operators.pca import pca_project_sql
+
+    if sf_dir is None:
+        sf_dir = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    mean, W = _pca_artifacts(sf_dir)
+    cents = _pca_ivf_centroids(sf_dir)
+    exprs = pca_project_sql("embedding", mean, W)
+    values = ",\n                   ".join(
+        "({}, [{}]::DOUBLE[])".format(i, ", ".join(repr(x) for x in c))
+        for i, c in enumerate(cents)
+    )
+    d_assign = _l2_sq_sql("e.proj", "c.centroid")
+    d_probe = _l2_sq_sql("q.proj", "c.centroid")
+    d_final = _l2_sq_sql("a.proj", "p.qv")
+    return f"""
+        WITH prj AS MATERIALIZED (
+            SELECT vec_id, [{", ".join(exprs)}] AS proj
+            FROM embeddings
+        ),
+        cents(list_id, centroid) AS (
+            VALUES {values}
+        ),
+        assign AS (
+            SELECT e.vec_id, e.proj, c.list_id
+            FROM prj e CROSS JOIN cents c
+            QUALIFY row_number() OVER (
+                PARTITION BY e.vec_id ORDER BY {d_assign}, c.list_id
+            ) = 1
+        ),
+        probes AS (
+            SELECT q.vec_id AS query_id, q.proj AS qv, c.list_id
+            FROM prj q CROSS JOIN cents c
+            WHERE q.vec_id < 10
+            QUALIFY row_number() OVER (
+                PARTITION BY q.vec_id ORDER BY {d_probe}, c.list_id
+            ) <= {_PP_NPROBE}
+        )
+        SELECT p.query_id, a.vec_id, round({d_final}, 6) AS dist
+        FROM probes p JOIN assign a ON p.list_id = a.list_id
+        QUALIFY row_number() OVER (
+            PARTITION BY p.query_id ORDER BY {d_final}, a.vec_id
+        ) <= {_PP_K}
+    """
 
 
 def _topp_oracle_sql() -> str:
@@ -4059,8 +4188,10 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         _curve_sql = None
     try:
         _pca_sql = _pca_oracle_sql(sf_dir)
+        _pcaivf_sql = _pca_ivf_oracle_sql(sf_dir)
     except Exception:
         _pca_sql = None
+        _pcaivf_sql = None
     out = {
         "knn_topk_global": f"""
             SELECT e.vec_id, round({d}, 6) AS dist
@@ -4655,6 +4786,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "embedding_norm_stats": _norm_stats_oracle_sql(),
         "minhash_estimate_error": _minhash_est_oracle_sql(),
         "packing_efficiency": _packing_eff_oracle_sql(),
+        "pca_ivf_topk": _pcaivf_sql,
         "asof_forward_click": """
             WITH clicks AS (
                 SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
@@ -4691,6 +4823,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         del out["ivf_recall_curve"]
     if _pca_sql is None:
         del out["pca_knn_topk"]
+        del out["pca_ivf_topk"]
     return out
 
 

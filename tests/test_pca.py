@@ -75,3 +75,51 @@ def test_sql_twin_matches_python_twin():
         f"SELECT {exprs[0]}, {exprs[1]}"
     ).fetchone()
     assert list(got) == pca_project_py(x32, mean, W)
+
+
+def test_pca_ivf_composition_recall(spark):
+    """The PCA->IVF entry approximates exact kNN IN ITS OWN reduced
+    space well (that is the IVF approximation; the projection loss vs
+    full space is a property of the data, and the synthetic 64-dim
+    fixture is NOT low-rank — full-space recall is only sanity-checked
+    above random)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+    from vector_search_test_spark.operators.knn import knn_exact
+    from vector_search_test_spark.operators.pca import pca_project
+
+    sf = "/root/testdata/sf0.001"
+    got = entrymod._q_pca_ivf_topk(spark, sf).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, set()).add(r.vec_id)
+    assert set(by_q) == set(range(10)) and all(
+        len(v) == entrymod._PP_K for v in by_q.values()
+    )
+    emb = spread(load_table(spark, sf, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    mean, W = entrymod._pca_artifacts(sf)
+    proj = pca_project(emb, mean, W).select(
+        "vec_id", F.col("proj").alias("embedding")
+    )
+    qp = proj.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    red_exact = {}
+    for r in knn_exact(qp, proj, k=entrymod._PP_K).collect():
+        red_exact.setdefault(r.query_id, set()).add(r.vec_id)
+    red_hits = sum(len(by_q[i] & red_exact[i]) for i in range(10))
+    assert red_hits >= 0.6 * 10 * entrymod._PP_K  # IVF nprobe=2/8 floor
+    # full-space sanity: far above the ~0.5-hit random baseline
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    full_exact = {}
+    for r in knn_exact(q, emb, k=entrymod._PP_K).collect():
+        full_exact.setdefault(r.query_id, set()).add(r.vec_id)
+    assert sum(len(by_q[i] & full_exact[i]) for i in range(10)) >= 5
