@@ -2696,6 +2696,27 @@ def _q_lang_id_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_lang_mixture_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mixture dashboard: predicted-language share per source
+    (the monitoring view a multilingual pipeline watches for crawl
+    drift). One narrow groupBy over the scan-side lang_id projection;
+    the share divides exact integer counts via a broadcast per-source
+    total join-back."""
+    from vector_search_test_spark.functions import textstats as ts
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy(
+        "source", ts.lang_id("text").alias("pred_lang")
+    ).agg(F.count("*").alias("n_docs"))
+    tot = per.groupBy("source").agg(F.sum("n_docs").alias("__t"))
+    return per.join(F.broadcast(tot), "source").select(
+        "source",
+        "pred_lang",
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("__t"), 6).alias("frac"),
+    )
+
+
 def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_search_test_spark.functions.textstats import tfidf_top_terms
 
@@ -3165,6 +3186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packing_efficiency": _q_packing_efficiency,
         "asof_forward_click": _q_asof_forward_click,
         "pca_ivf_topk": _q_pca_ivf_topk,
+        "lang_mixture_per_source": _q_lang_mixture_per_source,
     }
 
 
@@ -3646,6 +3668,24 @@ def _pca_ivf_oracle_sql(sf_dir: str | None = None) -> str:
         QUALIFY row_number() OVER (
             PARTITION BY p.query_id ORDER BY {d_final}, a.vec_id
         ) <= {_PP_K}
+    """
+
+
+def _lang_mixture_oracle_sql() -> str:
+    from vector_search_test_spark.functions import textstats as ts
+
+    lid = ts.lang_id_sql("text")
+    return f"""
+        WITH per AS (
+            SELECT source, {lid} AS pred_lang, count(*)::BIGINT AS n_docs
+            FROM documents GROUP BY source, pred_lang
+        ),
+        tot AS (
+            SELECT source, sum(n_docs)::BIGINT AS t FROM per GROUP BY source
+        )
+        SELECT p.source, p.pred_lang, p.n_docs,
+               round(p.n_docs / t.t, 6) AS frac
+        FROM per p JOIN tot t ON p.source = t.source
     """
 
 
@@ -4787,6 +4827,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "minhash_estimate_error": _minhash_est_oracle_sql(),
         "packing_efficiency": _packing_eff_oracle_sql(),
         "pca_ivf_topk": _pcaivf_sql,
+        "lang_mixture_per_source": _lang_mixture_oracle_sql(),
         "asof_forward_click": """
             WITH clicks AS (
                 SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
