@@ -2062,6 +2062,42 @@ def _q_interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("w_user", "event_id")
 
 
+def _q_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase: users whose
+    FIRST view precedes a click that precedes a purchase (each stage's
+    anchor is the earliest qualifying event at-or-after the previous
+    stage's anchor). Three narrow per-user aggregates chained by
+    equi-joins on user_id — no window over raw events, no self cross
+    join; each stage's working set shrinks to qualifying users."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.agg(F.count("*").alias("n_view"))
+        .crossJoin(v.join(c, "user_id").agg(F.count("*").alias("n_view_click")))
+        .crossJoin(p.agg(F.count("*").alias("n_full_funnel")))
+    )
+
+
 def _q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30 min): per-user session and event
     counts."""
@@ -3187,6 +3223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_forward_click": _q_asof_forward_click,
         "pca_ivf_topk": _q_pca_ivf_topk,
         "lang_mixture_per_source": _q_lang_mixture_per_source,
+        "funnel_counts": _q_funnel_counts,
     }
 
 
@@ -4828,6 +4865,29 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "packing_efficiency": _packing_eff_oracle_sql(),
         "pca_ivf_topk": _pcaivf_sql,
         "lang_mixture_per_source": _lang_mixture_oracle_sql(),
+        "funnel_counts": """
+            WITH v AS (
+                SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t1
+                FROM events WHERE event_type = 'view' GROUP BY user_id
+            ),
+            c AS (
+                SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t2
+                FROM events e JOIN v ON e.user_id = v.user_id
+                WHERE e.event_type = 'click'
+                  AND CAST(e.ts AS TIMESTAMP) >= v.t1
+                GROUP BY e.user_id
+            ),
+            p AS (
+                SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t3
+                FROM events e JOIN c ON e.user_id = c.user_id
+                WHERE e.event_type = 'purchase'
+                  AND CAST(e.ts AS TIMESTAMP) >= c.t2
+                GROUP BY e.user_id
+            )
+            SELECT (SELECT count(*) FROM v)::BIGINT AS n_view,
+                   (SELECT count(*) FROM c)::BIGINT AS n_view_click,
+                   (SELECT count(*) FROM p)::BIGINT AS n_full_funnel
+        """,
         "asof_forward_click": """
             WITH clicks AS (
                 SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,

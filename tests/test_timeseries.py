@@ -178,3 +178,32 @@ def test_asof_forward_semantics(spark):
 
     with pytest.raises(ValueError):
         asof_join(left, right, key="k", direction="sideways")
+
+
+def test_funnel_ordering_matters(spark, monkeypatch, tmp_path):
+    """The funnel requires the ORDER view <= click <= purchase: a user
+    who purchases before ever viewing does not convert."""
+    import sys
+    from datetime import datetime
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+
+    t = lambda m: datetime(2026, 1, 1, 10, m)
+    rows = [
+        # user 1: full ordered funnel
+        (1, 1, t(0), "view"), (2, 1, t(5), "click"), (3, 1, t(9), "purchase"),
+        # user 2: purchase BEFORE view -> views, clicks, but no funnel
+        (4, 2, t(0), "purchase"), (5, 2, t(1), "view"), (6, 2, t(2), "click"),
+        # user 3: view only
+        (7, 3, t(0), "view"),
+        # user 4: click equal-ts view -> ties count (>=)
+        (8, 4, t(0), "view"), (9, 4, t(0), "click"), (10, 4, t(0), "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    pq = tmp_path / "events.parquet"
+    df.coalesce(1).write.mode("overwrite").parquet(str(pq))
+    r = entrymod._q_funnel_counts(spark, str(tmp_path)).first()
+    assert (r.n_view, r.n_view_click, r.n_full_funnel) == (4, 3, 2)
