@@ -829,6 +829,16 @@ _IVFPQ_BIG_NLIST = 192
 _IVFPQ_BIG_NPROBE = 12
 _IVFPQ_BIG_MEMO: dict[str, tuple] = {}
 
+# Per-entry stage timings recorded by multi-stage probe entries during
+# their LAST invocation (VERDICT r8 next-#1): bench.py reads this after
+# timing an entry to split "total" into the eager build stages vs the
+# lazy search the noop sink executes. Keyed by entry name; values are
+# {stage: seconds} in execution order. The build stages (numpy train,
+# encode + partitioned index WRITE) carry parquet-write timing jitter
+# that is environment noise, not plan drift — the SEARCH-side remainder
+# is the stable trend line for the compressed path.
+STAGE_TIMES: dict[str, dict[str, float]] = {}
+
 
 def _ivfpq_bigscale_artifacts(sf_dir: str):
     """Driver-side quantizer + LUTs for the big-scale IVF-PQ probe:
@@ -885,6 +895,7 @@ def _q_ivfpq_bigscale(spark: SparkSession, sf_dir: str) -> DataFrame:
     is read in the search stage; codes are m bytes/vector — the 32x
     scan-compression faiss's IndexIVFPQ delivers at scale."""
     import tempfile
+    import time
 
     from vector_search_test_spark.io import spread
     from vector_search_test_spark.operators.pq import (
@@ -894,7 +905,9 @@ def _q_ivfpq_bigscale(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivfpq_save,
     )
 
+    t0 = time.perf_counter()
     coarse, books, luts = _ivfpq_bigscale_artifacts(sf_dir)
+    t_train = time.perf_counter()
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     offset = emb.agg(F.max("vec_id")).first()[0] + 1
     # explode-based fan-out: ONE scan of the table produces all 8
@@ -914,6 +927,18 @@ def _q_ivfpq_bigscale(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"spark_graft_ivfpq_big_{os.path.basename(sf_dir.rstrip('/'))}",
     )
     ivfpq_save(postings, coarse, books, path)
+    # stage boundary (VERDICT r8 next-#1): everything ABOVE ran eagerly
+    # (driver k-means/PQ train; fan-out + encode + the partitioned index
+    # write inside ivfpq_save) — the write's fs timing jitter dominated
+    # the probe's run-to-run spread. Everything BELOW is lazy until the
+    # bench sink executes it: the pruned read + ADC join + top-k, i.e.
+    # the per-query search path whose stability actually matters.
+    # bench.py subtracts these stages from the wall total to report the
+    # search side as the trend line.
+    STAGE_TIMES["ivfpq_bigscale"] = {
+        "train": round(t_train - t0, 4),
+        "build_write": round(time.perf_counter() - t_train, 4),
+    }
     loaded, _, _ = ivfpq_load(spark, path)
     out = ivfpq_adc_topk_all(loaded, luts, k=10)
     out = out.select("query_id", "vec_id", F.round("dist", 6).alias("dist"))

@@ -34,6 +34,22 @@ passes (default 3, env ``SPARK_GRAFT_BENCH_REPEAT``) and reports the
 per-query MINIMUM across passes; passes are interleaved (whole suite per
 pass, not N back-to-back runs of one query) so a multi-minute steal burst
 cannot contaminate every sample of any query.
+
+Stage split (VERDICT r8 next-#1): multi-stage probe entries record
+their eager build stages in ``__spark_entry__.STAGE_TIMES``; the
+harness subtracts them from the wall total and reports the lazy
+search-side remainder per stage-reporting entry (sidecar ``stages``
+field + a compact stdout scalar for ivfpq_bigscale). The build side
+(fan-out + encode + partitioned parquet WRITE) carries fs timing
+jitter that is environment noise; the search side is the trend line.
+
+Regression tripwire (VERDICT r8 next-#2): scored-50 rotations have made
+round-over-round TOTALS incomparable twice — the real signal is
+per-entry. Before overwriting the sidecar the harness diffs the fresh
+per-query minima against the COMMITTED previous ``BENCH.local.json``
+and prints a ``regressed`` field: entries slower by BOTH >25% and
+>0.5 s. Expected empty; a non-empty list is the per-entry regression
+the totals can hide.
 """
 
 from __future__ import annotations
@@ -88,18 +104,41 @@ def main() -> int:
     ).select(array_to_vector("embedding").alias("features"))
     KMeans(k=2, seed=1, maxIter=2).fit(warm)
 
+    # previous committed sidecar (pre-overwrite) feeds the tripwire
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH.local.json"
+    )
+    prev_q: dict[str, float] = {}
+    try:
+        with open(sidecar) as f:
+            prev_q = json.load(f).get("queries", {})
+    except (OSError, ValueError):
+        pass
+
     timings: dict[str, float] = {}
+    stages: dict[str, dict[str, float]] = {}
     for _ in range(repeat):
         for name, fn in entrymod.queries().items():
             if timings.get(name) == -1.0:
                 continue  # errored in an earlier pass; don't re-raise N times
+            getattr(entrymod, "STAGE_TIMES", {}).pop(name, None)
             t0 = time.perf_counter()
             try:
                 df = fn(spark, SF_DIR)
                 df.write.format("noop").mode("overwrite").save()
                 elapsed = round(time.perf_counter() - t0, 4)
                 prev = timings.get(name)
-                timings[name] = elapsed if prev is None else min(prev, elapsed)
+                if prev is None or elapsed < prev:
+                    timings[name] = elapsed
+                    # stage split for the pass that set the min: the
+                    # search side is the wall total minus the eager
+                    # build stages the entry recorded
+                    st = getattr(entrymod, "STAGE_TIMES", {}).get(name)
+                    if st:
+                        stages[name] = dict(st)
+                        stages[name]["search"] = round(
+                            elapsed - sum(st.values()), 4
+                        )
             except Exception:
                 traceback.print_exc(file=sys.stderr)
                 timings[name] = -1.0
@@ -117,8 +156,15 @@ def main() -> int:
     scored50 = round(
         sum(timings[n] for n in scored_names if timings[n] >= 0), 4
     )
-    sidecar = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH.local.json"
+    # tripwire: per-entry regression vs the committed previous sidecar
+    # (>25% AND >0.5 s slower — below that is microVM steal noise)
+    regressed = sorted(
+        n
+        for n, v in timings.items()
+        if v >= 0
+        and prev_q.get(n, -1.0) >= 0
+        and v > prev_q[n] * 1.25
+        and v - prev_q[n] > 0.5
     )
     with open(sidecar, "w") as f:
         json.dump(
@@ -130,6 +176,11 @@ def main() -> int:
                 "repeat": repeat,
                 "scored50": scored50,
                 "n_entries": len(timings),
+                "regressed": {
+                    n: {"prev": prev_q[n], "now": timings[n]}
+                    for n in regressed
+                },
+                "stages": stages,
                 "queries": timings,
             },
             f,
@@ -148,6 +199,12 @@ def main() -> int:
         "repeat": repeat,
         "scored50": scored50,
         "n_entries": len(timings),
+        # compressed-path trend line: ivfpq_bigscale's SEARCH side
+        # (build/write jitter split out — VERDICT r8 next-#1)
+        "ivfpq_big_search": stages.get("ivfpq_bigscale", {}).get("search"),
+        # per-entry regressions vs previous committed sidecar (names
+        # capped for the stdout byte budget; detail in the sidecar)
+        "regressed": regressed[:8],
         "detail": "BENCH.local.json",
     }
     line_with_q = json.dumps(

@@ -99,6 +99,86 @@ def test_near_dedup_stage_active(curated, spark, sf_dir):
     assert not (ids & losers)
 
 
+def test_degenerate_parameter_corner(spark, sf_dir):
+    """VERDICT r8 next-#3: the e2e oracle certifies ONE config; this
+    pins a degenerate corner — near-dup OFF-by-threshold (theta=1.0:
+    non-identical texts can never reach estimated Jaccard 1.0, and
+    exact duplicates are already gone), chunk overlap 0, and a pack
+    budget equal to the chunk size. Stage algebra must still hold:
+    survivor sets telescope, the near-dup stage is a no-op, overlap-0
+    chunks tile each doc exactly, and no (bucket, pack) is empty or
+    over budget."""
+    from vector_search_test_spark.functions.textstats import quality_score
+    from vector_search_test_spark.operators.dedup import dedup_exact
+
+    cfg = dict(
+        _CFG,
+        neardup_threshold=1.0,
+        chunk_overlap=0,
+        pack_budget=_CFG["chunk_size"],
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = docs.union(docs.withColumn("doc_id", F.col("doc_id") + 10000))
+    bench = docs.filter("doc_id < 5").select("text")
+    rows = curate_corpus(dup, bench, **cfg).collect()
+    assert rows, "degenerate config produced no chunks"
+    ids = {r.id for r in rows}
+
+    # stage telescope, recomputed independently stage by stage
+    good = dup.filter(quality_score("text") >= 0.55)
+    exact_ids = {
+        r.rep_id for r in dedup_exact(good).select("rep_id").collect()
+    }
+    from vector_search_test_spark.operators.sampling import (
+        contamination_report,
+    )
+
+    exact_kept = dup.filter(F.col("doc_id").isin([int(i) for i in exact_ids]))
+    contaminated = {
+        r.id
+        for r in contamination_report(
+            exact_kept, bench, n=cfg["contam_n"],
+            threshold=cfg["contam_threshold"],
+        ).filter("contaminated").collect()
+    }
+    # theta=1.0 makes near-dup a NO-OP: survivors == exact survivors
+    # minus contamination, exactly
+    assert ids == exact_ids - contaminated
+
+    # overlap 0: chunks tile the doc — per-doc token counts telescope
+    # to the doc's own token count, and chunk count = ceil(n / size)
+    import math
+
+    doc_tokens = {
+        r.doc_id: r.n
+        for r in dup.select(
+            "doc_id", F.size(F.split("text", " ")).alias("n")
+        ).collect()
+    }
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.id, []).append(r)
+    for did, rs in by_doc.items():
+        n = doc_tokens[did]
+        assert sum(r.n_tokens for r in rs) == n, did
+        assert len(rs) == math.ceil(n / cfg["chunk_size"]) or n == 0, did
+
+    # packing at budget == chunk_size: every pack nonempty, within
+    # budget (chunks never exceed chunk_size, so no oversized packs)
+    fills: dict = {}
+    for r in rows:
+        assert r.n_tokens <= cfg["pack_budget"]
+        fills.setdefault((r.bucket, r.pack_id), 0)
+        fills[(r.bucket, r.pack_id)] += r.n_tokens
+    assert fills and all(0 < v <= cfg["pack_budget"] for v in fills.values())
+    # pack ids are dense per bucket (greedy never skips a pack id)
+    per_bucket: dict = {}
+    for (b, p), _ in fills.items():
+        per_bucket.setdefault(b, set()).add(p)
+    for b, packs in per_bucket.items():
+        assert sorted(packs) == list(range(len(packs))), b
+
+
 def test_plan_tokenizes_once_and_reuses_keep_sets(curated):
     """VERDICT r7 next-#1 plan pin: the FINAL plan contains exactly one
     Generate (the chunker's posexplode) and exactly one

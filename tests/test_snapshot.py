@@ -775,3 +775,55 @@ def test_advice_r7_guards(spark, tmp_path):
     # (4) keep_last floor
     with pytest.raises(ValueError, match="keep_last"):
         vacuum_snapshots(str(out), keep_last=0)
+
+
+def test_single_writer_commit_guards(spark, tmp_path):
+    """VERDICT r8 next-#6: the protocol is single-writer per base_dir.
+    Two seams guard a second commit of the same version: (1) a stale
+    writer that raced past the _CURRENT read hits the already-published
+    manifest in _check_commit_version and fails loudly BEFORE writing
+    data; (2) the publish itself is an atomic exclusive create, so of
+    two writers racing inside the commit window exactly one wins and
+    the loser raises instead of silently repointing _CURRENT over mixed
+    bucket directories."""
+    import json
+
+    import pytest
+
+    from vector_search_test_spark.operators.snapshot import (
+        _publish,
+        upsert_bucketed,
+    )
+
+    out = tmp_path / "single_writer"
+    out.mkdir()
+    base = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(8)], "doc_id long, text string"
+    )
+    upsert_bucketed(base, str(out), "v0", n_buckets=4)
+
+    # (1) concurrent-writer interleave: writer B read _CURRENT=v0, then
+    # writer A published _MANIFEST_v1 (but B never re-reads _CURRENT —
+    # simulate A's publish by dropping the manifest file in directly).
+    # B's commit of v1 must fail loudly, with no v1 data dir written.
+    with open(out / "_MANIFEST_v1.json", "w") as f:
+        json.dump({"n_buckets": 4, "key": "doc_id", "buckets": {}}, f)
+    with pytest.raises(ValueError, match="already has a published"):
+        upsert_bucketed(
+            spark.createDataFrame([(1, "B")], "doc_id long, text string"),
+            str(out),
+            "v1",
+            n_buckets=4,
+        )
+    assert not (out / "v1").exists()
+    (out / "_MANIFEST_v1.json").unlink()
+
+    # (2) the commit point itself: second _publish of one version loses
+    _publish(str(out), "v1", {"n_buckets": 4, "buckets": {}})
+    with pytest.raises(FileExistsError, match="single-writer"):
+        _publish(str(out), "v1", {"n_buckets": 4, "buckets": {}})
+    # the winner's manifest survives untouched and _CURRENT points at it
+    assert json.load(open(out / "_MANIFEST_v1.json"))["buckets"] == {}
+    assert (out / "_CURRENT").read_text().strip() == "v1"
+    # no orphaned tmp files from the losing publish
+    assert not [p for p in out.iterdir() if p.name.endswith(".tmp")]

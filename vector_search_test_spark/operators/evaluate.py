@@ -91,6 +91,11 @@ def key_skew_stats(
     )
     from pyspark.sql import Window
 
+    # unpartitioned rank window: safe ONLY because it runs over
+    # `ranked`, which the .limit(top_n) above has already cut to at
+    # most top_n rows — never lift this window above the limit (over
+    # the full per-key counts it would be a single-partition sort of
+    # every distinct key; VERDICT r8 guard note)
     w = Window.orderBy(F.desc("n_rows"), F.asc("key"))
     return ranked.select(
         "key",

@@ -134,6 +134,7 @@ def top_fraction_by_score(
     score_col: str,
     frac: float,
     id_col: str = "doc_id",
+    max_score_classes: int = 1_000_000,
 ) -> DataFrame:
     """EXACT global top-`frac` selection by (`score_col` DESC, `id_col`
     ASC) — the "keep the best X% by quality" curation knob (the
@@ -155,6 +156,16 @@ def top_fraction_by_score(
     The corpus itself is never sorted or shuffled; at 100 TB the only
     non-scan costs are the histogram aggregate and the boundary-class
     window. Returns the kept rows of `df` unchanged (same columns).
+
+    The whole design leans on the histogram being SMALL (it runs
+    through a single-partition window and a broadcast): a raw
+    continuous score silently turns it back into the global sort this
+    function exists to avoid. `max_score_classes` enforces that
+    assumption at execution time — the cardinality check rides the SAME
+    single-partition window pass (a row_number folded into the `__cum`
+    expression via assert_true, so no extra action or scan), and the
+    job fails loudly instead of spilling a corpus-sized "histogram".
+    Callers with continuous scores must round/bucket first.
     """
     from pyspark.sql import Window
 
@@ -162,8 +173,23 @@ def top_fraction_by_score(
         raise ValueError(f"frac must be in [0, 1], got {frac}")
     hist = df.groupBy(score_col).agg(F.count("*").alias("__n"))
     w = Window.orderBy(F.desc(score_col))
+    guard = F.assert_true(
+        F.row_number().over(w) <= F.lit(int(max_score_classes)),
+        F.lit(
+            f"top_fraction_by_score: more than {max_score_classes} "
+            f"distinct {score_col!r} classes — round or bucket the "
+            "score so the histogram stays broadcast-sized"
+        ),
+    )
     hist = hist.select(
-        score_col, "__n", F.sum("__n").over(w).alias("__cum")
+        score_col,
+        "__n",
+        # assert_true returns NULL (or raises), so the when() always
+        # takes the sum branch; folding it in keeps the guard from
+        # being pruned out of the executed plan
+        F.when(guard.isNull(), F.sum("__n").over(w))
+        .otherwise(F.lit(None))
+        .alias("__cum"),
     ).withColumn("__cum_prev", F.col("__cum") - F.col("__n"))
     total = df.agg(F.count("*").alias("__total"))
     hist = hist.crossJoin(F.broadcast(total)).withColumn(
