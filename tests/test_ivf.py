@@ -276,3 +276,51 @@ def test_ivf_rebalance_splits_hot_list_only(spark):
 
     balanced = ivf_rebalance(out, max_list_frac=0.9, sub_k=2)
     assert balanced is out  # nothing hot -> unchanged handle
+
+
+def test_ivf_rebalance_cycle_report_contract(spark):
+    """The composed measure -> decide -> rebalance -> re-measure loop
+    (VERDICT r8 next-#7): the one-row report carries the maintenance
+    contract — ntotal conserved, the hot list detected and split,
+    max_list/imbalance strictly improved, postings multiset conserved
+    bit-for-bit (= full-probe exactness, see the operator docstring) —
+    and the returned index is the rebalanced handle the report
+    describes."""
+    from vector_search_test_spark.operators.ivf import (
+        IvfIndex,
+        assign_cells,
+        ivf_rebalance_cycle,
+    )
+
+    rows = (
+        [(i, [0.0 + i * 0.01, 0.0]) for i in range(40)]
+        + [(100 + i, [5.0 + i * 0.01, 5.0]) for i in range(40)]
+        + [(200 + i, [100.0, 100.0 + i]) for i in range(5)]
+    )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [[0.0, 0.0], [100.0, 100.0]]
+    postings = (
+        assign_cells(df, cents)
+        .select("list_id", "vec_id", "embedding")
+        .localCheckpoint()
+    )
+    idx = IvfIndex(centroids=cents, postings=postings)
+    queries = spark.createDataFrame(
+        [(0, [5.05, 5.0]), (1, [0.05, 0.0])],
+        "query_id long, query_vec array<float>",
+    )
+
+    out, report = ivf_rebalance_cycle(
+        idx, queries, max_list_frac=0.5, sub_k=2, nprobe=1, k=3
+    )
+    r = report.first()
+    assert r.ntotal == 85
+    assert r.n_hot == 1
+    assert r.nlist_before == 2 and r.nlist_after == out.nlist == 3
+    assert r.max_list_after < r.max_list_before == 80
+    assert r.imbalance_after < r.imbalance_before
+    assert r.postings_conserved
+    # planted clusters are separable: splitting the hot list cannot
+    # hurt these queries at nprobe=1 (each lands in its own sub-cell)
+    assert r.recall_after >= r.recall_before == 1.0
+    assert out.postings.count() == 85

