@@ -434,3 +434,253 @@ SELECT t.id,
        COALESCE(h.n_hits, 0) / CAST(t.n_shingles AS DOUBLE) >= {float(threshold)} AS contaminated
 FROM doc_tot t LEFT JOIN hits h ON t.id = h.id
 """
+
+
+# --------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al.,
+# NeurIPS 2023, arXiv:2302.03169). Select raw documents whose hashed
+# n-gram distribution looks like a TARGET domain: fit bag-of-hashed-
+# ngram models p (target) and q (raw), weight every raw document by
+# log w = sum_grams [log p(bucket) - log q(bucket)], perturb with
+# deterministic Gumbel noise, keep the top fraction. The published
+# method behind "make the web corpus look like Wikipedia" selection —
+# an extension operator (the reference has no selection surface).
+#
+# 100 TB shape: the feature space is FIXED (n_buckets, paper uses
+# 10k), so the two "models" are one bucket-keyed aggregate with
+# map-side combine — bounded rows regardless of corpus size — and the
+# log-ratio table broadcasts back for per-doc scoring (scan + one
+# (id)-keyed sum). Selection reuses top_fraction_by_score's histogram
+# plan: no global sort anywhere. Buckets/Gumbel derive from md5 (the
+# hash_fraction rationale: every engine speaks it, so the DuckDB twin
+# replays the selection bit-for-bit and a downstream system can
+# re-derive it without Spark).
+# --------------------------------------------------------------------------
+
+_DSIR_QUANT = 1e9  # per-bucket log-ratio quantization (order-free sums)
+
+
+def _dsir_grams(text_col: str) -> Column:
+    """Unigram + bigram feature stream as ONE array column (paper §3:
+    hashed unigrams and bigrams): whitespace tokens plus 'u v' joined
+    bigrams via the shifted-slice zip — no per-gram element_at."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    n = F.size(toks)
+    bi = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(toks, bi)
+
+
+def dsir_bucket(gram: Column, n_buckets: int, salt: str = "dsir") -> Column:
+    """Hashed-feature bucket in [0, n_buckets): first 8 md5 hex digits
+    of (gram ':salt') as uint32, mod n_buckets. Engine-portable."""
+    h = F.md5(F.concat(gram, F.lit(":" + salt)))
+    return F.pmod(
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long"),
+        F.lit(int(n_buckets)),
+    )
+
+
+def dsir_logweights(
+    docs: DataFrame,
+    is_target: Column,
+    n_buckets: int = 1024,
+    alpha: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "dsir",
+) -> DataFrame:
+    """Importance log-weights for every RAW document (is_target false):
+    (id_col, n_grams, logw) where logw = sum over the doc's hashed
+    grams of log p_target(bucket) - log q_raw(bucket), both models
+    add-alpha smoothed over the fixed bucket space. Per-bucket
+    log-ratios are quantized to 1e-9 integers before the per-doc sum
+    (exact, order-free — the bigram_lm determinism pattern), so the
+    DuckDB twin is value-identical.
+
+    Plan: one gram explode -> bucket-keyed count aggregate carrying
+    both corpora (ct/cr split by the flag — ONE pass, bounded rows);
+    scalars ride a broadcast cross join; the log-ratio table (<=
+    n_buckets rows) broadcasts into the raw-side scoring join. Two
+    corpus scans total (model fit + scoring), no corpus-width shuffle:
+    the only shuffles are bucket-keyed (bounded) and id-keyed (the
+    per-doc sum)."""
+    t = is_target.cast("boolean").alias("t")
+    gb = docs.select(
+        F.col(id_col).alias("id"), t, F.explode(_dsir_grams(text_col)).alias("g")
+    ).select(
+        "id", "t", dsir_bucket(F.col("g"), n_buckets, salt).alias("bucket")
+    )
+    counts = gb.groupBy("bucket").agg(
+        F.sum(F.when(F.col("t"), 1).otherwise(0)).cast("long").alias("ct"),
+        F.sum(F.when(~F.col("t"), 1).otherwise(0)).cast("long").alias("cr"),
+    )
+    nn = counts.agg(
+        F.sum("ct").cast("long").alias("nt"),
+        F.sum("cr").cast("long").alias("nr"),
+    )
+    a = float(alpha)
+    ab = a * int(n_buckets)
+    llr = (
+        counts.crossJoin(F.broadcast(nn))
+        .select(
+            "bucket",
+            F.round(
+                (
+                    F.log((F.col("ct") + F.lit(a)) / (F.col("nt") + F.lit(ab)))
+                    - F.log((F.col("cr") + F.lit(a)) / (F.col("nr") + F.lit(ab)))
+                )
+                * F.lit(_DSIR_QUANT),
+                0,
+            )
+            .cast("long")
+            .alias("qllr"),
+        )
+    )
+    return (
+        gb.filter(~F.col("t"))
+        .join(F.broadcast(llr), "bucket")
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.round(F.sum("qllr") / F.lit(_DSIR_QUANT), 6).alias("logw"),
+        )
+        .select(F.col("id").alias(id_col), "n_grams", "logw")
+    )
+
+
+def gumbel_noise(key: Column | str, salt: str) -> Column:
+    """Deterministic standard Gumbel draw from a key: g = -ln(-ln(u))
+    with u = (uint32(md5) + 0.5) / 2^32 — the +0.5 keeps u strictly
+    inside (0, 1) so both ln calls are finite. Engine-portable like
+    hash_fraction; replayable, partition-invariant, re-run-stable."""
+    k = F.col(key) if isinstance(key, str) else key
+    h = F.md5(F.concat(k.cast("string"), F.lit(":" + salt)))
+    u = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("double") + F.lit(0.5)
+    ) / F.lit(_HASH_DENOM)
+    return -F.log(-F.log(u))
+
+
+def gumbel_noise_sql(key_expr: str, salt: str) -> str:
+    """DuckDB twin of `gumbel_noise` (same digest, same arithmetic)."""
+    u = (
+        f"(CAST(('0x' || substring(md5(CAST({key_expr} AS VARCHAR) "
+        f"|| ':{salt}'), 1, 8)) AS UBIGINT) + 0.5) / {_HASH_DENOM}"
+    )
+    return f"(-ln(-ln({u})))"
+
+
+def dsir_select(
+    docs: DataFrame,
+    is_target: Column,
+    frac: float,
+    n_buckets: int = 1024,
+    alpha: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "dsir",
+    score_decimals: int = 2,
+) -> DataFrame:
+    """DSIR selection: keep the top `frac` of RAW documents by
+    Gumbel-perturbed importance log-weight (score DESC, id ASC —
+    exact top-k semantics a SQL engine replays with one QUALIFY).
+    Returns (id_col, n_grams, logw, score) for the kept rows.
+
+    The Gumbel perturbation IS the paper's importance resampling
+    (sampling without replacement proportional to w) — here drawn
+    deterministically from md5(id) so the selected set is a pure
+    function of the corpus, not of an RNG stream or partition layout.
+    The score is rounded to `score_decimals` BEFORE selection so
+    top_fraction_by_score's histogram plan applies (bounded score
+    classes -> no global sort; ties at the boundary broken by id —
+    semantics the oracle replays exactly)."""
+    lw = dsir_logweights(
+        docs, is_target, n_buckets, alpha, id_col, text_col, salt
+    )
+    scored = lw.withColumn(
+        "score",
+        F.round(
+            F.col("logw") + gumbel_noise(id_col, salt + "-gumbel"),
+            int(score_decimals),
+        ),
+    )
+    return top_fraction_by_score(scored, "score", frac, id_col=id_col)
+
+
+def dsir_select_sql(
+    docs_table: str,
+    target_pred: str,
+    frac: float,
+    n_buckets: int = 1024,
+    alpha: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "dsir",
+    score_decimals: int = 2,
+) -> str:
+    """DuckDB twin of dsir_select: same grams (string_split + lateral
+    bigrams), same md5 buckets, same add-alpha quantized log-ratios,
+    same Gumbel, declarative QUALIFY row_number selection in place of
+    the histogram plan."""
+    a = float(alpha)
+    ab = a * int(n_buckets)
+    b = int(n_buckets)
+    gum = gumbel_noise_sql(id_col, salt + "-gumbel")
+    return f"""
+WITH tk AS (
+  SELECT {id_col}, ({target_pred}) AS t,
+         string_split(lower({text_col}), ' ') AS tks
+  FROM {docs_table}
+),
+grams AS (
+  SELECT {id_col}, t, unnest(tks) AS g FROM tk
+  UNION ALL
+  SELECT {id_col}, t, tks[i] || ' ' || tks[i + 1] AS g
+  FROM tk, unnest(range(1, len(tks))) AS r(i)
+),
+gb AS (
+  SELECT {id_col}, t,
+         CAST(CAST(('0x' || substring(md5(g || ':{salt}'), 1, 8))
+              AS UBIGINT) % {b} AS BIGINT) AS bucket
+  FROM grams
+),
+counts AS (
+  SELECT bucket,
+         sum(CASE WHEN t THEN 1 ELSE 0 END)::BIGINT AS ct,
+         sum(CASE WHEN NOT t THEN 1 ELSE 0 END)::BIGINT AS cr
+  FROM gb GROUP BY bucket
+),
+nn AS (
+  SELECT sum(ct)::BIGINT AS nt, sum(cr)::BIGINT AS nr FROM counts
+),
+llr AS (
+  SELECT bucket,
+         round((ln((ct + CAST({a!r} AS DOUBLE)) / (nt + CAST({ab!r} AS DOUBLE)))
+              - ln((cr + CAST({a!r} AS DOUBLE)) / (nr + CAST({ab!r} AS DOUBLE))))
+               * {_DSIR_QUANT})::BIGINT AS qllr
+  FROM counts CROSS JOIN nn
+),
+dw AS (
+  SELECT gb.{id_col},
+         count(*)::BIGINT AS n_grams,
+         round(sum(l.qllr) / {_DSIR_QUANT}, 6) AS logw
+  FROM gb JOIN llr l USING (bucket)
+  WHERE NOT gb.t
+  GROUP BY gb.{id_col}
+),
+scored AS (
+  SELECT {id_col}, n_grams, logw,
+         round(logw + {gum}, {int(score_decimals)}) AS score
+  FROM dw
+)
+SELECT {id_col}, n_grams, logw, score FROM scored
+QUALIFY row_number() OVER (ORDER BY score DESC, {id_col})
+    <= (SELECT floor({float(frac)!r} * count(*)) FROM scored)
+"""
