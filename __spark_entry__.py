@@ -2748,6 +2748,35 @@ def _q_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return epoch_upsample(docs, _EPOCH_WEIGHTS)
 
 
+_DSIR_FRAC = 0.4
+_DSIR_BUCKETS = 256
+
+
+def _q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): fit hashed
+    unigram+bigram bucket models over a TARGET slice (lang='en') and
+    the RAW rest, score every raw document by its summed per-bucket
+    log-likelihood ratio, and keep the top 40% by Gumbel-perturbed
+    weight — the deterministic md5 Gumbel IS the paper's importance
+    resampling (without-replacement draw proportional to w), drawn
+    from the doc id so the oracle replays the selected set exactly.
+
+    Plan (sampling.py::dsir_logweights / dsir_select): one gram
+    explode feeding a bucket-keyed count aggregate that carries BOTH
+    corpora in one pass; the <=256-row quantized log-ratio table
+    broadcasts into the raw-side scoring join; selection is the
+    histogram top-frac plan (no corpus-wide sort). Two corpus scans
+    total — model fit and scoring — exactly what a 100 TB DSIR run
+    affords."""
+    from vector_search_test_spark.operators.sampling import dsir_select
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_select(
+        docs, F.col("lang") == "en", _DSIR_FRAC, n_buckets=_DSIR_BUCKETS
+    )
+
+
 _CTR_NEG = 3
 _CTR_EXCL = 10
 
@@ -3336,6 +3365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_purchase_click": _q_asof_purchase_click,
         "lang_mixture_per_source": _q_lang_mixture_per_source,
         "funnel_counts": _q_funnel_counts,
+        "dsir_selection": _q_dsir_selection,
     }
 
 
@@ -3836,6 +3866,17 @@ def _lang_mixture_oracle_sql() -> str:
                round(p.n_docs / t.t, 6) AS frac
         FROM per p JOIN tot t ON p.source = t.source
     """
+
+
+def _dsir_oracle_sql() -> str:
+    """Declarative DuckDB twin of the DSIR entry: same md5 buckets and
+    quantized log-ratios, QUALIFY row_number in place of the
+    histogram-selection plan (sampling.py::dsir_select_sql)."""
+    from vector_search_test_spark.operators.sampling import dsir_select_sql
+
+    return dsir_select_sql(
+        "documents", "lang = 'en'", _DSIR_FRAC, n_buckets=_DSIR_BUCKETS
+    )
 
 
 def _topp_oracle_sql() -> str:
@@ -5015,6 +5056,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
             FROM p ASOF LEFT JOIN clicks c
               ON p.user_id = c.user_id AND p.ts <= c.ts
         """,
+        "dsir_selection": _dsir_oracle_sql(),
     }
     if _pp_sql is None:
         del out["ivf_search_partial_probe"]

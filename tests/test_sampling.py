@@ -365,3 +365,102 @@ def test_epoch_upsample_multiplicities(spark):
     assert again == per
     with pytest.raises(ValueError):
         epoch_upsample(df, {"a": -1.0})
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (Xie et al. 2023; sampling.py::dsir_*)
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_logweights_matches_duckdb(spark, sf_dir):
+    """Cross-engine value equality of the quantized log-likelihood
+    ratios: md5 buckets, add-alpha smoothing, and the 1e-9 integer
+    quantization must replay bit-for-bit in DuckDB."""
+    from vector_search_test_spark.operators.sampling import (
+        dsir_select,
+        dsir_select_sql,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {
+        (r.doc_id, r.n_grams, r.logw, r.score)
+        for r in dsir_select(
+            docs, F.col("lang") == "en", 0.4, n_buckets=256
+        ).collect()
+    }
+    con = _ddb(sf_dir)
+    want = set(
+        con.execute(
+            dsir_select_sql("documents", "lang = 'en'", 0.4, n_buckets=256)
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_dsir_select_contract(spark, sf_dir):
+    """Selection-set algebra: exactly floor(frac * n_raw) rows, all
+    drawn from the raw side, deterministic across repartitioning, and
+    monotone in frac (top-20% is a subset of top-40%)."""
+    from vector_search_test_spark.operators.sampling import (
+        dsir_logweights,
+        dsir_select,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_t = F.col("lang") == "en"
+    n_raw = docs.filter(~is_t).count()
+    sel40 = dsir_select(docs, is_t, 0.4, n_buckets=256)
+    ids40 = {r.doc_id for r in sel40.collect()}
+    assert len(ids40) == int(0.4 * n_raw)
+    raw_ids = {r.doc_id for r in docs.filter(~is_t).select("doc_id").collect()}
+    assert ids40 <= raw_ids
+    # every raw doc gets a weight; no target doc does
+    lw = dsir_logweights(docs, is_t, n_buckets=256)
+    assert lw.count() == n_raw
+    # partition-layout invariance
+    ids40_rep = {
+        r.doc_id
+        for r in dsir_select(
+            docs.repartition(7), is_t, 0.4, n_buckets=256
+        ).collect()
+    }
+    assert ids40_rep == ids40
+    ids20 = {
+        r.doc_id for r in dsir_select(docs, is_t, 0.2, n_buckets=256).collect()
+    }
+    assert ids20 <= ids40 and len(ids20) == int(0.2 * n_raw)
+
+
+def test_dsir_weights_favor_target_like_text(spark):
+    """Sanity on the estimator itself: raw docs written in the target's
+    vocabulary outscore raw docs from a disjoint vocabulary."""
+    from vector_search_test_spark.operators.sampling import dsir_logweights
+
+    rows = (
+        # target corpus: "alpha beta" world
+        [(i, "alpha beta alpha beta gamma", True) for i in range(20)]
+        # raw docs that look like the target
+        + [(100 + i, "alpha beta gamma alpha", False) for i in range(5)]
+        # raw docs from another world
+        + [(200 + i, "zeta eta theta iota kappa", False) for i in range(5)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, t boolean")
+    lw = {
+        r.doc_id: r.logw
+        for r in dsir_logweights(df, F.col("t"), n_buckets=512).collect()
+    }
+    like = min(lw[100 + i] for i in range(5))
+    unlike = max(lw[200 + i] for i in range(5))
+    assert like > unlike
+
+
+def test_dsir_select_plan_has_no_corpus_sort(spark, sf_dir):
+    """Scale shape: the scoring join broadcasts the bucket table and
+    the selection inherits the histogram plan — no global Sort over
+    the corpus, no SortMergeJoin."""
+    from vector_search_test_spark.operators.sampling import dsir_select
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(dsir_select(docs, F.col("lang") == "en", 0.4, n_buckets=256))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
