@@ -2748,6 +2748,26 @@ def _q_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return epoch_upsample(docs, _EPOCH_WEIGHTS)
 
 
+_TEMP_ALPHA = 0.3
+
+
+def _q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """α-smoothed multinomial source mixing (mT5 §3.2 / XLM-R sampling
+    temperature, α=0.3): p_s ∝ n_s^α boosts low-resource sources and
+    damps head sources; realized as deterministic per-row
+    multiplicities with an `epoch` copy index
+    (sampling.py::temperature_mixture). The weight table is a
+    |sources|-row aggregate broadcast back into the scan — the corpus
+    itself is never shuffled, and the integer-quantized weights make
+    the copy set engine-replayable."""
+    from vector_search_test_spark.operators.sampling import (
+        temperature_mixture,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return temperature_mixture(docs, alpha=_TEMP_ALPHA)
+
+
 _DSIR_FRAC = 0.4
 _DSIR_BUCKETS = 256
 
@@ -3366,6 +3386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_mixture_per_source": _q_lang_mixture_per_source,
         "funnel_counts": _q_funnel_counts,
         "dsir_selection": _q_dsir_selection,
+        "temperature_mixture": _q_temperature_mixture,
     }
 
 
@@ -3866,6 +3887,16 @@ def _lang_mixture_oracle_sql() -> str:
                round(p.n_docs / t.t, 6) AS frac
         FROM per p JOIN tot t ON p.source = t.source
     """
+
+
+def _temp_mix_oracle_sql() -> str:
+    """DuckDB twin of the temperature-mixture entry (same quantized
+    weights, same md5 Bernoulli; sampling.py::temperature_mixture_sql)."""
+    from vector_search_test_spark.operators.sampling import (
+        temperature_mixture_sql,
+    )
+
+    return temperature_mixture_sql(alpha=_TEMP_ALPHA)
 
 
 def _dsir_oracle_sql() -> str:
@@ -5057,6 +5088,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
               ON p.user_id = c.user_id AND p.ts <= c.ts
         """,
         "dsir_selection": _dsir_oracle_sql(),
+        "temperature_mixture": _temp_mix_oracle_sql(),
     }
     if _pp_sql is None:
         del out["ivf_search_partial_probe"]

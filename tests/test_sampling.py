@@ -464,3 +464,66 @@ def test_dsir_select_plan_has_no_corpus_sort(spark, sf_dir):
     plan = _plan(dsir_select(docs, F.col("lang") == "en", 0.4, n_buckets=256))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# temperature mixing (mT5 / XLM-R α-smoothing; sampling.py::temperature_mixture)
+# ---------------------------------------------------------------------------
+
+
+def test_temperature_mixture_matches_duckdb(spark, sf_dir):
+    from vector_search_test_spark.operators.sampling import (
+        temperature_mixture,
+        temperature_mixture_sql,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    got = {
+        (r.doc_id, r.source, r.epoch)
+        for r in temperature_mixture(docs, alpha=0.3, budget=800).collect()
+    }
+    con = _ddb(sf_dir)
+    want = set(
+        con.execute(temperature_mixture_sql(alpha=0.3, budget=800)).fetchall()
+    )
+    assert got == want
+
+
+def test_temperature_mixture_contract(spark, sf_dir):
+    """α=1 is the identity mix (every row exactly once, epoch 0); α<1
+    boosts the rarest source above the head source; α must be >= 0."""
+    from vector_search_test_spark.operators.sampling import (
+        temperature_mixture,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    ident = temperature_mixture(docs, alpha=1.0)
+    assert ident.count() == docs.count()
+    assert ident.agg(F.max("epoch")).first()[0] == 0
+    # the sf fixture's sources are uniform (25 docs each), so the
+    # boost/damp assertion needs a skewed frame: 160 head vs 10 rare
+    skew = spark.createDataFrame(
+        [(i, "head") for i in range(160)] + [(1000 + i, "rare") for i in range(10)],
+        "doc_id long, source string",
+    )
+    mult = {
+        r.source: r.m
+        for r in temperature_mixture(skew, alpha=0.2)
+        .groupBy("source")
+        .agg((F.count("*")).alias("m"))
+        .collect()
+    }
+    assert mult["rare"] / 10 > 1 > mult["head"] / 160
+    with pytest.raises(ValueError):
+        temperature_mixture(docs, alpha=-0.1)
+
+
+def test_temperature_mixture_plan_broadcasts_weights(spark, sf_dir):
+    from vector_search_test_spark.operators.sampling import (
+        temperature_mixture,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    plan = _plan(temperature_mixture(docs, alpha=0.3))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -352,6 +352,124 @@ def mix_corpus_sql(
     """
 
 
+_TEMP_QUANT = 10**9  # per-source weight quantization (cross-engine exact)
+
+
+def temperature_mixture(
+    df: DataFrame,
+    alpha: float = 0.5,
+    budget: int | None = None,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "temp",
+) -> DataFrame:
+    """α-smoothed multinomial source mixing (the mT5 / XLM-R sampling
+    temperature): source s is drawn with p_s ∝ n_s^α, so low-resource
+    sources are boosted and head sources damped as α → 0. Realized as a
+    per-row multiplicity w_s = budget · p_s / n_s (expected output rows
+    = budget): floor(w_s) exact copies plus one hash-Bernoulli extra for
+    the fractional part, with a 0-based `epoch` copy index — the exact
+    `mix_corpus` contract, but with the weights COMPUTED from the corpus
+    instead of supplied.
+
+    Scale shape: one count aggregate bounded at |sources| rows; its
+    normalization rides a broadcast cross join of the 1-row total; the
+    annotated weight table broadcasts back into the scan — no corpus
+    shuffle, no driver collect. w_s is quantized to integer 1e-9 units
+    BEFORE the floor/frac split (one round; everything after is integer
+    arithmetic), so the hash-Bernoulli threshold — and therefore the
+    exact copy set — replays bit-for-bit in the DuckDB twin regardless
+    of libm pow rounding."""
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("__n"))
+    tot = counts.agg(
+        F.sum(F.pow(F.col("__n"), F.lit(float(alpha)))).alias("__z"),
+        F.sum("__n").alias("__total"),
+    )
+    b = (
+        F.lit(int(budget)).cast("double")
+        if budget is not None
+        else F.col("__total").cast("double")
+    )
+    qw = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            strata_col,
+            F.round(
+                b
+                * F.pow(F.col("__n"), F.lit(float(alpha)))
+                / F.col("__z")
+                / F.col("__n")
+                * F.lit(_TEMP_QUANT),
+                0,
+            )
+            .cast("long")
+            .alias("__qw"),
+        )
+    )
+    rem = F.pmod(F.col("__qw"), F.lit(_TEMP_QUANT))
+    # (qw - rem) is an exact multiple of the quantum, so the double
+    # division is exact — matches DuckDB's integer // bit-for-bit
+    n_full = ((F.col("__qw") - rem) / F.lit(_TEMP_QUANT)).cast("long")
+    fpart = rem.cast("double") / F.lit(float(_TEMP_QUANT))
+    copies = (
+        n_full + (hash_fraction(id_col, salt) < fpart).cast("long")
+    ).cast("int")
+    return (
+        df.join(F.broadcast(qw), strata_col)
+        .withColumn("__copies", copies)
+        .filter(F.col("__copies") > 0)
+        .withColumn(
+            "epoch", F.explode(F.sequence(F.lit(0), F.col("__copies") - 1))
+        )
+        .drop("__copies", "__qw")
+        .select(*df.columns, "epoch")
+    )
+
+
+def temperature_mixture_sql(
+    alpha: float = 0.5,
+    budget: int | None = None,
+    strata_col: str = "source",
+    key_expr: str = "doc_id",
+    salt: str = "temp",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of `temperature_mixture`, yielding ({key}, {strata},
+    epoch) rows — same quantized weights, same md5 Bernoulli."""
+    a = float(alpha)
+    b = f"CAST({int(budget)} AS DOUBLE)" if budget is not None else "t.total"
+    frac = hash_fraction_sql(key_expr, salt)
+    return f"""
+        WITH c AS (
+            SELECT {strata_col}, count(*)::BIGINT AS n
+            FROM {table} GROUP BY {strata_col}
+        ),
+        t AS (
+            SELECT sum(pow(n, {a!r}))::DOUBLE AS z,
+                   sum(n)::DOUBLE AS total FROM c
+        ),
+        w AS (
+            SELECT c.{strata_col},
+                   round({b} * pow(c.n, {a!r}) / t.z / c.n
+                         * {_TEMP_QUANT})::BIGINT AS qw
+            FROM c CROSS JOIN t
+        ),
+        m AS (
+            SELECT d.{key_expr}, d.{strata_col},
+                   (qw // {_TEMP_QUANT}
+                    + CASE WHEN {frac} < (qw % {_TEMP_QUANT})::DOUBLE
+                                          / {float(_TEMP_QUANT)!r}
+                           THEN 1 ELSE 0 END)::INT AS copies
+            FROM {table} d JOIN w USING ({strata_col})
+        )
+        SELECT {key_expr}, {strata_col},
+               UNNEST(range(0, copies))::BIGINT AS epoch
+        FROM m WHERE copies > 0
+    """
+
+
 def contamination_report(
     docs: DataFrame,
     benchmark: DataFrame,
