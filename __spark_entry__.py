@@ -2748,6 +2748,30 @@ def _q_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return epoch_upsample(docs, _EPOCH_WEIGHTS)
 
 
+def _q_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified top-k (Carbonell & Goldstein 1998): λ·relevance
+    − (1−λ)·redundancy greedy reranking over exact cosine candidates —
+    knn.py::mmr_rerank. Inherently iterative (each pick reshapes every
+    remaining score), so there is NO SQL oracle for this entry — the
+    driver records the weaker rows-only check; full certification is
+    the numpy cross-check + λ=1-reduction + partition-invariance +
+    diversity-property tests in tests/test_knn.py. The greedy loop only
+    ever touches ≤ fetch_n candidate rows per query inside one
+    applyInPandas group; the corpus side is the standard broadcast-
+    query WindowGroupLimit kNN."""
+    from vector_search_test_spark.io import spread
+    from vector_search_test_spark.operators.knn import mmr_rerank
+
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return mmr_rerank(q, emb, k=5, fetch_n=25, lam=0.7)
+
+
 _TEMP_ALPHA = 0.3
 
 
@@ -3387,6 +3411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_counts": _q_funnel_counts,
         "dsir_selection": _q_dsir_selection,
         "temperature_mixture": _q_temperature_mixture,
+        "mmr_diverse_topk": _q_mmr_diverse_topk,
     }
 
 

@@ -234,3 +234,139 @@ def test_contrastive_examples_contract(spark, sf_dir):
     again = contrastive_examples(q, emb, n_neg=4, exclude_top=6).collect()
     key = lambda rs: sorted((r.query_id, r.vec_id, r.role, r.rank) for r in rs)
     assert key(again) == key(out)
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified rerank (knn.py::mmr_rerank — iterative, certified by
+# numpy cross-check + reduction/invariance properties, no SQL twin)
+# ---------------------------------------------------------------------------
+
+
+def _numpy_mmr(emb, ids, q, k, fetch_n, lam):
+    """Independent greedy reference (sorted-id tie-break like the op)."""
+    qn = np.linalg.norm(q)
+    en = np.linalg.norm(emb, axis=1)
+    cos = emb @ q / np.where(en * qn == 0.0, 1.0, en * qn)
+    cand = np.lexsort((ids, -cos))[:fetch_n]
+    cid = ids[cand]
+    order = np.argsort(cid)
+    cid, cemb = cid[order], emb[cand][order]
+    cn = np.linalg.norm(cemb, axis=1)
+    rel = cemb @ q / np.where(cn * qn == 0.0, 1.0, cn * qn)
+    nemb = cemb / np.where(cn[:, None] == 0.0, 1.0, cn[:, None])
+    sim = nemb @ nemb.T
+    n, out, rem = len(cid), [], np.ones(len(cid), dtype=bool)
+    max_sim = np.zeros(n)
+    for rank in range(1, min(k, n) + 1):
+        score = (lam * rel - (1 - lam) * max_sim) if out else rel.copy()
+        score[~rem] = -np.inf
+        b = int(np.argmax(score))
+        rem[b] = False
+        max_sim = np.maximum(max_sim, sim[:, b])
+        out.append((rank, int(cid[b]), round(float(rel[b]), 6),
+                    round(float(score[b]), 6)))
+    return out
+
+
+def test_mmr_matches_numpy_reference(spark, sf_dir):
+    from vector_search_test_spark.io import spread
+    from vector_search_test_spark.operators.knn import mmr_rerank
+
+    df = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    rows = df.collect()
+    ids = np.array([r.vec_id for r in rows])
+    emb = np.array([r.embedding for r in rows], dtype=np.float64)
+    qdf = df.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    got = mmr_rerank(qdf, df, k=5, fetch_n=20, lam=0.7).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(
+            (r.rank, r.vec_id, r.relevance, r.mmr)
+        )
+    for qid in range(4):
+        want = _numpy_mmr(
+            emb, ids, emb[list(ids).index(qid)], 5, 20, 0.7
+        )
+        assert sorted(by_q[qid]) == want
+
+
+def test_mmr_lam1_reduces_to_cosine_topk(spark, sf_dir):
+    from vector_search_test_spark.io import spread
+    from vector_search_test_spark.operators.knn import knn_exact, mmr_rerank
+
+    df = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    qdf = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    got = {
+        (r.query_id, r.rank): r.vec_id
+        for r in mmr_rerank(qdf, df, k=5, fetch_n=20, lam=1.0).collect()
+    }
+    base = knn_exact(qdf, df, k=5, metric="cosine").collect()
+    by_q = {}
+    for r in base:
+        by_q.setdefault(r.query_id, []).append(r.vec_id)
+    for qid, picks in by_q.items():
+        assert [got[(qid, i + 1)] for i in range(5)] == picks
+
+
+def test_mmr_diversity_and_invariance(spark):
+    """A near-duplicate of the top hit is picked by λ=1 but SKIPPED by
+    λ=0.5 in favor of a diverse doc; result is partition-invariant."""
+    from vector_search_test_spark.operators.knn import mmr_rerank
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),        # top hit
+        (2, [0.98, 0.0, 0.0]),       # exact duplicate direction of 1
+        (3, [0.5, 0.85, 0.0]),       # diverse, still relevant
+        (4, [0.1, 0.2, 0.97]),       # diverse, less relevant
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # query NOT parallel to doc 1 — otherwise rel(d) == sim(d, doc1)
+    # and every λ=0.5 score degenerates to 0
+    q = spark.createDataFrame(
+        [(0, [0.9, 0.4, 0.1])], "query_id long, query_vec array<double>"
+    )
+    dup = [
+        r.vec_id
+        for r in mmr_rerank(q, df, k=2, fetch_n=4, lam=1.0)
+        .orderBy("rank").collect()
+    ]
+    assert dup == [1, 2]
+    div = [
+        r.vec_id
+        for r in mmr_rerank(q, df, k=2, fetch_n=4, lam=0.5)
+        .orderBy("rank").collect()
+    ]
+    assert div[0] == 1 and div[1] != 2
+    again = [
+        r.vec_id
+        for r in mmr_rerank(q, df.repartition(5), k=2, fetch_n=4, lam=0.5)
+        .orderBy("rank").collect()
+    ]
+    assert again == div
+
+
+def test_mmr_validation(spark):
+    import pytest
+
+    from vector_search_test_spark.operators.knn import mmr_rerank
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    q = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "query_id long, query_vec array<double>"
+    )
+    with pytest.raises(ValueError):
+        mmr_rerank(q, df, k=5, fetch_n=3)
+    with pytest.raises(ValueError):
+        mmr_rerank(q, df, lam=1.5)

@@ -403,3 +403,117 @@ def filtered_topk(
         vec_col=vec_col,
         metric=metric,
     )
+
+
+def mmr_rerank(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    fetch_n: int = 30,
+    lam: float = 0.7,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified top-k (Carbonell &
+    Goldstein 1998, SIGIR — eq. 1): greedily pick the candidate
+    maximizing  λ·sim(q, d) − (1−λ)·max_{s∈S} sim(d, s)  so the result
+    list trades relevance against redundancy — the diversity-selection
+    knob retrieval APIs and training-example pickers expose (λ=1 is
+    plain top-k; λ→0 is pure anti-redundancy).
+
+    MMR is inherently ITERATIVE (each pick changes every remaining
+    score), so it has no declarative SQL twin — certification is the
+    pytest numpy cross-check + reduction/invariance properties
+    (tests/test_knn.py), the sanctioned weaker gate for iterative
+    algorithms.
+
+    Scale shape: the greedy loop NEVER sees the corpus — stage 1 is the
+    existing exact cosine top-`fetch_n` (broadcast queries →
+    WindowGroupLimit partial top-k, shuffle carries O(Q·fetch_n·parts)
+    rows); stage 2 re-attaches candidate embeddings by broadcasting the
+    OUTPUT-BOUND candidate list (Q·fetch_n ids) into the corpus scan,
+    then runs the O(k·fetch_n) greedy per query inside one
+    `applyInPandas` group of ≤ fetch_n rows — bounded memory per group
+    regardless of corpus size, Arrow-batched, no per-row Python.
+    Deterministic: candidates sort by id inside the group (partition-
+    layout invariance) and ties break on (score, id).
+
+    Output: (query_id, rank, vec_id, relevance, mmr) — rank 1..min(k,
+    fetch_n available), relevance = cosine(q, d), mmr = the greedy
+    objective at pick time (rank 1 reports its relevance).
+    """
+    import numpy as np
+    import pandas as pd
+
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    if k > fetch_n:
+        raise ValueError(f"k ({k}) must be <= fetch_n ({fetch_n})")
+    cand = (
+        knn_exact(
+            queries,
+            corpus,
+            k=fetch_n,
+            query_id_col=query_id_col,
+            query_vec_col=query_vec_col,
+            id_col=id_col,
+            vec_col=vec_col,
+            metric="cosine",
+        )
+        .select("query_id", F.col("vec_id").alias("__cid"))
+    )
+    with_emb = corpus.join(
+        F.broadcast(cand), F.col(id_col) == F.col("__cid")
+    ).select(
+        "query_id",
+        F.col("__cid").alias("vec_id"),
+        F.col(vec_col).alias("__emb"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("__qv"),
+    )
+    grouped = with_emb.join(F.broadcast(q), "query_id")
+
+    kk, ll = int(k), float(lam)
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        qid = pdf["query_id"].iloc[0]
+        ids = pdf["vec_id"].to_numpy()
+        emb = np.array(pdf["__emb"].tolist(), dtype=np.float64)
+        qv = np.array(pdf["__qv"].iloc[0], dtype=np.float64)
+        qn = np.linalg.norm(qv)
+        en = np.linalg.norm(emb, axis=1)
+        rel = emb @ qv / np.where(en * qn == 0.0, 1.0, en * qn)
+        # candidate-candidate cosine, fetch_n x fetch_n — bounded
+        nemb = emb / np.where(en[:, None] == 0.0, 1.0, en[:, None])
+        sim = nemb @ nemb.T
+        n = len(ids)
+        picked: list[int] = []
+        max_sim = np.zeros(n)
+        out = []
+        remaining = np.ones(n, dtype=bool)
+        for rank in range(1, min(kk, n) + 1):
+            score = ll * rel - (1.0 - ll) * max_sim if picked else rel.copy()
+            score[~remaining] = -np.inf
+            # argmax with min-id tie-break: ids are sorted ascending,
+            # so the first maximal position IS the smallest id
+            best = int(np.argmax(score))
+            picked.append(best)
+            remaining[best] = False
+            max_sim = np.maximum(max_sim, sim[:, best])
+            out.append(
+                (qid, rank, int(ids[best]),
+                 round(float(rel[best]), 6), round(float(score[best]), 6))
+            )
+        return pd.DataFrame(
+            out, columns=["query_id", "rank", "vec_id", "relevance", "mmr"]
+        )
+
+    schema = (
+        "query_id long, rank int, vec_id long, relevance double, mmr double"
+    )
+    return grouped.groupBy("query_id").applyInPandas(greedy, schema=schema)
