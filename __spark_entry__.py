@@ -2748,6 +2748,25 @@ def _q_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return epoch_upsample(docs, _EPOCH_WEIGHTS)
 
 
+def _q_c4_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 rule-based quality filter (Raffel et al. 2020 §2.2): the
+    published heuristic signal set + page-level pass flags — the
+    second published rule family next to Gopher (a real curation run
+    stacks both). One lowercased line/token split per doc, scan-only
+    (functions/textstats.py::c4_signals / c4_flags); the badword list
+    is a documented embedded subset of C4's external list."""
+    from vector_search_test_spark.functions import textstats as ts
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = ts.c4_signals("text")
+    flg = ts.c4_flags("text")
+    return docs.select(
+        "doc_id",
+        *[v.alias(k) for k, v in sig.items()],
+        *[v.alias(k) for k, v in flg.items()],
+    )
+
+
 def _q_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR diversified top-k (Carbonell & Goldstein 1998): λ·relevance
     − (1−λ)·redundancy greedy reranking over exact cosine candidates —
@@ -3412,6 +3431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_selection": _q_dsir_selection,
         "temperature_mixture": _q_temperature_mixture,
         "mmr_diverse_topk": _q_mmr_diverse_topk,
+        "c4_quality_flags": _q_c4_quality_flags,
     }
 
 
@@ -3911,6 +3931,22 @@ def _lang_mixture_oracle_sql() -> str:
         SELECT p.source, p.pred_lang, p.n_docs,
                round(p.n_docs / t.t, 6) AS frac
         FROM per p JOIN tot t ON p.source = t.source
+    """
+
+
+def _c4_oracle_sql() -> str:
+    from vector_search_test_spark.functions import textstats as ts
+
+    sig = ts.c4_signals_sql("text")
+    flg = ts.c4_flags_sql("text")
+    cols = ",\n               ".join(
+        [f"{v} AS {k}" for k, v in sig.items()]
+        + [f"{v} AS {k}" for k, v in flg.items()]
+    )
+    return f"""
+        SELECT doc_id,
+               {cols}
+        FROM documents
     """
 
 
@@ -5114,6 +5150,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         """,
         "dsir_selection": _dsir_oracle_sql(),
         "temperature_mixture": _temp_mix_oracle_sql(),
+        "c4_quality_flags": _c4_oracle_sql(),
     }
     if _pp_sql is None:
         del out["ivf_search_partial_probe"]

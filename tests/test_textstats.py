@@ -380,3 +380,85 @@ def test_bigram_lm_planted_and_hand_computed(spark):
     )
     got3 = {r.doc_id: r.ppl for r in ts.bigram_lm_scores(df3).collect()}
     assert got3[100] < got3[101]
+
+
+# ---------------------------------------------------------------------------
+# C4 heuristics (Raffel et al. 2020 §2.2; textstats.py::c4_signals/c4_flags)
+# ---------------------------------------------------------------------------
+
+_C4_DOCS = [
+    # passes everything: 5 sentences, terminal-punct >=3-word lines
+    (0, "one two three.\nfour five six!\nseven eight nine?\n"
+        "ten eleven twelve.\nlast full line here."),
+    (1, "short.\nno"),                          # <5 sentences, short lines
+    (2, "Lorem Ipsum dolor sit amet. a b c. d e f. g h i. j k l."),
+    (3, "var x = { a: 1 }. one. two. three. four five."),   # brace
+    (4, "enable javascript to view this. a b c. d e. f. g h."),
+    (5, "buy viagra now. a b c. d e f. g h i. j k l m."),   # badword
+    (6, ""),                                    # empty doc
+]
+
+
+def test_c4_signals_match_duckdb(spark):
+    import duckdb
+
+    df = spark.createDataFrame(_C4_DOCS, "doc_id long, text string")
+    sig = ts.c4_signals("text")
+    flg = ts.c4_flags("text")
+    got = {
+        tuple(r)
+        for r in df.select(
+            "doc_id",
+            *[v.alias(k) for k, v in sig.items()],
+            *[v.alias(k) for k, v in flg.items()],
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", _C4_DOCS)
+    cols = ", ".join(
+        [f"{v} AS {k}" for k, v in ts.c4_signals_sql("text").items()]
+        + [f"{v} AS {k}" for k, v in ts.c4_flags_sql("text").items()]
+    )
+    want = set(con.execute(f"SELECT doc_id, {cols} FROM d").fetchall())
+    assert got == want
+
+
+def test_c4_flags_semantics(spark):
+    df = spark.createDataFrame(_C4_DOCS, "doc_id long, text string")
+    flg = ts.c4_flags("text")
+    out = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id", *[v.alias(k) for k, v in flg.items()]
+        ).collect()
+    }
+    assert out[0].c4_pass == 1
+    assert out[1].pass_sentences == 0 and out[1].c4_pass == 0
+    assert out[2].pass_lorem == 0
+    assert out[3].pass_brace == 0
+    # the javascript rule is a LINE filter: doc 4 fails only if no
+    # other line survives — its other lines DO survive, so page passes
+    # lines but the js line is excluded from kept_line_frac
+    sig = ts.c4_signals("text")
+    k4 = (
+        df.filter(F.col("doc_id") == 4)
+        .select(sig["kept_line_frac"].alias("f"))
+        .first()
+        .f
+    )
+    assert k4 < 1.0
+    assert out[5].pass_badword == 0
+    assert out[6].pass_lines == 0 and out[6].c4_pass == 0
+
+
+def test_c4_projection_is_scan_only(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    sig = ts.c4_signals("text")
+    plan = (
+        docs.select("doc_id", *[v.alias(k) for k, v in sig.items()])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan

@@ -218,6 +218,120 @@ def gopher_flags(col: Column | str) -> dict[str, Column]:
     return out
 
 
+C4_BADWORDS = ("porn", "xxx", "viagra", "casino")
+"""Embedded stand-in SUBSET of C4's external badword list (the paper
+uses the "List of Dirty, Naughty, Obscene or Otherwise Bad Words",
+which ships outside any engine) — the filter plumbing is real; swap the
+tuple for the full list in production. Spam-flavored tokens chosen so
+fixtures stay printable."""
+
+
+def c4_signals(col: Column | str) -> dict[str, Column]:
+    """C4 document-quality signals (Raffel et al. 2020, arXiv:1910.10683
+    §2.2) — the heuristic rule set behind the C4 corpus, complementing
+    `gopher_signals`. Pure Catalyst projections over one lowercased
+    line/token split — scan-only at any corpus size, no UDF:
+
+    - n_lines         newline-split line count
+    - n_sentences     terminal-punctuation ([.!?]) occurrences (the
+                      paper's sentence proxy)
+    - kept_line_frac  fraction of lines C4's LINE filters retain (ends
+                      in terminal punctuation [.!?"], >= 3 words, no
+                      'javascript')
+    - has_lorem_ipsum / has_brace / has_badword   page-level tripwires
+      ('lorem ipsum', '{', badword-list hit)
+
+    C4's fourth page rule — three-sentence-span dedup — is the
+    dedicated exact-substring operator (operators/dedup.py,
+    dup_span_removal), not a per-doc projection.
+    """
+    c = F.lower(_col(col))
+    lines = F.split(c, "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    keep = F.size(
+        F.filter(
+            lines,
+            lambda ln: ln.rlike('[.!?"]$')
+            & (F.regexp_count(ln, F.lit("[^ ]+")) >= 3)
+            & ~ln.contains("javascript"),
+        )
+    )
+    toks = F.split(c, " ")
+    bad = F.size(
+        F.filter(
+            F.array(*[F.lit(w) for w in C4_BADWORDS]),
+            lambda w: F.array_contains(toks, w),
+        )
+    )
+    return {
+        "n_lines": F.size(lines).cast("long"),
+        "n_sentences": F.regexp_count(c, F.lit("[.!?]")).cast("long"),
+        "kept_line_frac": F.round(keep / n_lines, 6),
+        "has_lorem_ipsum": c.contains("lorem ipsum").cast("int"),
+        "has_brace": c.contains("{").cast("int"),
+        "has_badword": (bad > 0).cast("int"),
+    }
+
+
+def c4_flags(col: Column | str) -> dict[str, Column]:
+    """Pass/fail flags at the published C4 thresholds (>=5 sentences;
+    no lorem ipsum / '{' / badword; at least one line survives the line
+    filters), 0/1 ints plus the conjunction — mirror of `gopher_flags`."""
+    s = c4_signals(col)
+    flags = {
+        "pass_sentences": s["n_sentences"] >= 5,
+        "pass_lorem": s["has_lorem_ipsum"] == 0,
+        "pass_brace": s["has_brace"] == 0,
+        "pass_badword": s["has_badword"] == 0,
+        "pass_lines": s["kept_line_frac"] > 0.0,
+    }
+    out = {k: v.cast("int") for k, v in flags.items()}
+    conj = None
+    for v in flags.values():
+        conj = v if conj is None else (conj & v)
+    out["c4_pass"] = conj.cast("int")
+    return out
+
+
+def c4_signals_sql(expr: str) -> dict[str, str]:
+    """DuckDB twins of `c4_signals` (same lowercase, same splits)."""
+    c = f"lower({expr})"
+    lines = f"string_split({c}, chr(10))"
+    n_lines = f"greatest(len({lines}), 1)"
+    keep = (
+        f"len(list_filter({lines}, ln -> "
+        f"regexp_matches(ln, '[.!?\"]$') "
+        f"AND len(regexp_extract_all(ln, '[^ ]+')) >= 3 "
+        f"AND NOT contains(ln, 'javascript')))"
+    )
+    toks = f"string_split({c}, ' ')"
+    badlist = ", ".join(f"'{w}'" for w in C4_BADWORDS)
+    bad = f"len(list_filter([{badlist}], w -> list_contains({toks}, w)))"
+    return {
+        "n_lines": f"len({lines})::BIGINT",
+        "n_sentences": f"len(regexp_extract_all({c}, '[.!?]'))::BIGINT",
+        "kept_line_frac": f"round({keep} / {n_lines}, 6)",
+        "has_lorem_ipsum": f"contains({c}, 'lorem ipsum')::INT",
+        "has_brace": f"contains({c}, '{{')::INT",
+        "has_badword": f"({bad} > 0)::INT",
+    }
+
+
+def c4_flags_sql(expr: str) -> dict[str, str]:
+    """DuckDB twins of `c4_flags`."""
+    s = c4_signals_sql(expr)
+    flags = {
+        "pass_sentences": f"({s['n_sentences']} >= 5)",
+        "pass_lorem": f"({s['has_lorem_ipsum']} = 0)",
+        "pass_brace": f"({s['has_brace']} = 0)",
+        "pass_badword": f"({s['has_badword']} = 0)",
+        "pass_lines": f"({s['kept_line_frac']} > 0.0)",
+    }
+    out = {k: f"{v}::INT" for k, v in flags.items()}
+    out["c4_pass"] = "(" + " AND ".join(flags.values()) + ")::INT"
+    return out
+
+
 def doc_fingerprint(col: Column | str) -> Column:
     """48-bit fingerprint of the normalized (lower+trim) text."""
     return portable_hash48(F.trim(F.lower(_col(col))))
