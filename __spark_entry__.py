@@ -2748,6 +2748,32 @@ def _q_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return epoch_upsample(docs, _EPOCH_WEIGHTS)
 
 
+_SEMDEDUP_TAU = 0.35  # fixture-calibrated: the synthetic embeddings are
+# near-random (max pair cosine ~0.51), so the paper's 0.95 would never
+# exercise the drop path at test SF; the RULE is threshold-agnostic
+
+
+def _q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): embedding-level dedup confined to
+    k-means clusters — the quadratic pair check is bounded per cluster,
+    never global (operators/dedup.py::semdedup_prune). Centroids come
+    from the shared deterministic trainer (_partial_probe_centroids),
+    so the oracle replays assignment, the centroid-similarity ordering,
+    and the keep rule from a VALUES table. Distinct from the
+    CC-at-θ cluster dedup (semantic_dedup_reps) and the ANN-candidate
+    near-dup (neardup_embedding): this is the cluster-partitioned
+    formulation that scales the pair check by construction."""
+    from vector_search_test_spark.io import spread
+    from vector_search_test_spark.operators.dedup import semdedup_prune
+
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    return semdedup_prune(
+        emb, _partial_probe_centroids(sf_dir), tau=_SEMDEDUP_TAU
+    )
+
+
 def _q_c4_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 rule-based quality filter (Raffel et al. 2020 §2.2): the
     published heuristic signal set + page-level pass flags — the
@@ -3432,6 +3458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mixture": _q_temperature_mixture,
         "mmr_diverse_topk": _q_mmr_diverse_topk,
         "c4_quality_flags": _q_c4_quality_flags,
+        "semdedup_prune": _q_semdedup_prune,
     }
 
 
@@ -3931,6 +3958,55 @@ def _lang_mixture_oracle_sql() -> str:
         SELECT p.source, p.pred_lang, p.n_docs,
                round(p.n_docs / t.t, 6) AS frac
         FROM per p JOIN tot t ON p.source = t.source
+    """
+
+
+def _semdedup_oracle_sql(sf_dir: str | None = None) -> str:
+    """DuckDB twin of semdedup_prune: shared-trainer centroids as a
+    VALUES table; assignment argmin with lowest-list_id ties (the
+    array_position(array_min) convention); cent_sim and pair cosines
+    rounded to 6 dp on both engines before ordering/thresholding."""
+    if sf_dir is None:
+        sf_dir = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    cents = _partial_probe_centroids(sf_dir)
+    values = ",\n                   ".join(
+        "({}, [{}]::DOUBLE[])".format(i, ", ".join(repr(x) for x in c))
+        for i, c in enumerate(cents)
+    )
+    d_assign = _l2_sq_sql("e.embedding", "c.centroid")
+    cos_cent = _cos_sql("a.embedding", "c.centroid")
+    cos_pair = _cos_sql("x.embedding", "y.embedding")
+    return f"""
+        WITH cents(list_id, centroid) AS (
+            VALUES {values}
+        ),
+        assign AS (
+            SELECT e.vec_id, e.embedding, c.list_id
+            FROM embeddings e CROSS JOIN cents c
+            QUALIFY row_number() OVER (
+                PARTITION BY e.vec_id ORDER BY {d_assign}, c.list_id
+            ) = 1
+        ),
+        scored AS (
+            SELECT a.vec_id, a.list_id, a.embedding,
+                   round({cos_cent}, 6) AS cent_sim
+            FROM assign a JOIN cents c USING (list_id)
+        ),
+        r AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY list_id ORDER BY cent_sim, vec_id
+            ) AS rn
+            FROM scored
+        ),
+        drops AS (
+            SELECT DISTINCT x.vec_id
+            FROM r x JOIN r y
+              ON x.list_id = y.list_id AND y.rn < x.rn
+            WHERE round({cos_pair}, 6) > {float(_SEMDEDUP_TAU)!r}
+        )
+        SELECT r.vec_id, r.list_id, r.cent_sim,
+               (CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END)::INT AS keep
+        FROM r LEFT JOIN drops d ON r.vec_id = d.vec_id
     """
 
 
@@ -4476,6 +4552,10 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         _pp_sql = _partial_probe_oracle_sql(sf_dir)
     except Exception:
         _pp_sql = None
+    try:
+        _sd_sql = _semdedup_oracle_sql(sf_dir)
+    except Exception:
+        _sd_sql = None
     try:
         _pq_sql = _pq_oracle_sql(sf_dir)
     except Exception:
@@ -5151,9 +5231,12 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "dsir_selection": _dsir_oracle_sql(),
         "temperature_mixture": _temp_mix_oracle_sql(),
         "c4_quality_flags": _c4_oracle_sql(),
+        "semdedup_prune": _sd_sql,
     }
     if _pp_sql is None:
         del out["ivf_search_partial_probe"]
+    if _sd_sql is None:
+        del out["semdedup_prune"]
     if _pq_sql is None:
         del out["pq_adc_topk"]
     if _pqr_sql is None:

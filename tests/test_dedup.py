@@ -307,3 +307,59 @@ def test_minhash_estimate_quality_planted(spark):
         assert 0.0 <= r.est_jaccard <= 1.0
         assert abs(r.abs_err - abs(r.est_jaccard - r.jaccard)) < 1e-6
         assert r.abs_err < 0.6  # H=16 keeps the estimator in the ballpark
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (dedup.py::semdedup_prune — Abbas et al. 2023)
+# ---------------------------------------------------------------------------
+
+
+def test_semdedup_keeps_low_centroid_sim_member(spark):
+    """Two near-identical vectors land in the same cluster: the one
+    FARTHER from the centroid is kept (paper §2.2 rule), the other
+    dropped; a diverse same-cluster member survives; cross-cluster
+    near-dups are (by design) not compared."""
+    from vector_search_test_spark.operators.dedup import semdedup_prune
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    rows = [
+        (1, [10.0, 0.1]),    # cluster 0, very aligned with centroid
+        (2, [10.0, 0.11]),   # near-dup of 1, slightly less aligned
+        (3, [5.0, 2.0]),     # cluster 0, diverse
+        (4, [0.1, 8.0]),     # cluster 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in semdedup_prune(df, cents, tau=0.99).collect()}
+    assert out[1].list_id == 0 and out[2].list_id == 0
+    assert out[4].list_id == 1
+    # 1 vs 2: cos > 0.99; id 2 has LOWER cent_sim -> earlier in the
+    # (cent_sim ASC, id) order -> kept; id 1 dropped
+    assert out[2].cent_sim < out[1].cent_sim
+    assert out[2].keep == 1 and out[1].keep == 0
+    assert out[3].keep == 1 and out[4].keep == 1
+
+
+def test_semdedup_partition_invariance_and_validation(spark, sf_dir):
+    import pytest
+
+    from vector_search_test_spark.io import spread
+    from vector_search_test_spark.operators.dedup import semdedup_prune
+
+    from __spark_entry__ import _partial_probe_centroids
+
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    cents = _partial_probe_centroids(sf_dir)
+    a = {
+        (r.vec_id, r.list_id, r.cent_sim, r.keep)
+        for r in semdedup_prune(emb, cents, tau=0.35).collect()
+    }
+    b = {
+        (r.vec_id, r.list_id, r.cent_sim, r.keep)
+        for r in semdedup_prune(emb.repartition(13), cents, tau=0.35).collect()
+    }
+    assert a == b
+    assert len(a) == emb.count()  # every row annotated, none lost
+    with pytest.raises(ValueError):
+        semdedup_prune(emb, cents, tau=1.5)

@@ -843,3 +843,85 @@ def incremental_dedup(
         batch_unique.join(seen, "__norm", "left_anti")
         .select("id", portable_hash48(F.col("__norm")).alias("text_hash"))
     )
+
+
+def semdedup_prune(
+    df: DataFrame,
+    centroids: list[list[float]],
+    tau: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication INSIDE k-means clusters — the quadratic pair check is
+    confined to each cluster, which is what makes embedding-level dedup
+    tractable at corpus scale (the paper runs it on LAION/C4 with
+    exactly this clusters-bound-the-blowup argument).
+
+    Keep rule (paper §2.2, made deterministic): order each cluster by
+    (similarity-to-centroid ASC, id) — SemDeDup keeps the LOW
+    centroid-similarity member of a duplicate group — and drop x iff
+    some EARLIER y in that order has cos(x, y) > tau (rounded to 6 dp
+    on both engines, so the threshold compare is replayable). Returns
+    every input row annotated: (id, list_id, cent_sim, keep 0/1).
+
+    Scale shape: nearest-centroid assignment is the scan-only
+    `assign_cells` projection; the centroid table is broadcast; the
+    only corpus shuffles are the list_id window and the within-list
+    self-join — O(sum of cluster_size^2) pair evaluations, never the
+    global cross product. Centroids are supplied by the caller (the
+    shared deterministic trainer), so a DuckDB oracle can replay
+    assignment + rule from a VALUES table.
+    """
+    from pyspark.sql import Window
+
+    from vector_search_test_spark.operators.ivf import (
+        assign_cells,
+        centroids_df,
+    )
+
+    if not 0.0 <= tau <= 1.0:
+        raise ValueError(f"tau must be in [0, 1], got {tau}")
+    a = assign_cells(
+        df.select(id_col, vec_col), centroids, vec_col=vec_col
+    )
+    cents = centroids_df(df.sparkSession, centroids).withColumnRenamed(
+        "centroid", "__cent"
+    )
+    scored = a.join(F.broadcast(cents), "list_id").select(
+        F.col(id_col).alias("__id"),
+        "list_id",
+        F.col(vec_col).alias("__v"),
+        F.round(cosine_sim(F.col(vec_col), F.col("__cent")), 6).alias(
+            "cent_sim"
+        ),
+    )
+    w = Window.partitionBy("list_id").orderBy("cent_sim", "__id")
+    r = scored.withColumn("__rn", F.row_number().over(w))
+    x, y = r.alias("x"), r.alias("y")
+    drops = (
+        x.join(
+            y,
+            (F.col("x.list_id") == F.col("y.list_id"))
+            & (F.col("y.__rn") < F.col("x.__rn")),
+        )
+        .filter(
+            F.round(cosine_sim(F.col("x.__v"), F.col("y.__v")), 6)
+            > F.lit(float(tau))
+        )
+        .select(F.col("x.__id").alias("__id"))
+        .distinct()
+        .withColumn("__dropped", F.lit(1))
+    )
+    return (
+        r.join(drops, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "list_id",
+            "cent_sim",
+            F.when(F.col("__dropped").isNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("keep"),
+        )
+    )
