@@ -195,3 +195,44 @@ def test_plan_tokenizes_once_and_reuses_keep_sets(curated):
     # no upstream machinery re-executes in the final plan
     for marker in ("minhash", "band_key", "sort_array", "xxhash64"):
         assert marker not in plan, f"{marker} leaked into final plan"
+
+
+def test_rule_families_stack_onto_quality_gate(spark, sf_dir):
+    """rules=('gopher','c4') equals pre-filtering the corpus by both
+    conjunctions then curating WITHOUT rules — the stacked gate is
+    pure stage-1 algebra, and unknown families fail loudly."""
+    from vector_search_test_spark.functions.textstats import (
+        c4_flags,
+        gopher_flags,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter("doc_id < 5").select("text")
+    with_rules = curate_corpus(
+        docs, bench, rules=("gopher", "c4"), **_CFG
+    )
+    pre = docs.filter(
+        (gopher_flags("text")["gopher_pass"] == 1)
+        & (c4_flags("text")["c4_pass"] == 1)
+    )
+    want = curate_corpus(pre, bench, **_CFG)
+    got_rows = {tuple(r) for r in with_rules.collect()}
+    want_rows = {tuple(r) for r in want.collect()}
+    assert got_rows == want_rows
+    # the stacked path is exercised non-vacuously on synthetic docs
+    # built to pass both families (50+ real words, 5 sentences,
+    # terminal-punct lines) next to ones that fail them
+    words = " ".join(
+        "the quick brown fox jumps over the lazy dog and that was fine"
+        for _ in range(5)
+    )
+    good_txt = "\n".join(f"{words}." for _ in range(5))
+    rows = [(1, good_txt), (2, "lorem ipsum. " + good_txt), (3, "x y")]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    out = curate_corpus(
+        sdf, bench.limit(0), rules=("gopher", "c4"), **_CFG
+    )
+    kept = {r.id for r in out.select("id").distinct().collect()}
+    assert 1 in kept and 2 not in kept and 3 not in kept
+    with pytest.raises(ValueError):
+        curate_corpus(sdf, bench, rules=("fineweb",), **_CFG)

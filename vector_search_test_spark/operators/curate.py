@@ -61,6 +61,7 @@ def curate_corpus(
     pack_budget: int = 256,
     pack_buckets: int = 16,
     split_weights: "dict[str, float] | None" = None,
+    rules: "tuple[str, ...]" = (),
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -89,8 +90,23 @@ def curate_corpus(
     weights = split_weights or DEFAULT_SPLIT_WEIGHTS
     base = docs.select(F.col(id_col), F.col(text_col))
 
-    # stage 1 — quality gate: native-expression filter, reaches the scan
+    # stage 1 — quality gate: native-expression filter, reaches the scan.
+    # `rules` stacks published rule families (Gopher ∧ C4) onto the
+    # numeric score — still one scan-side conjunction, no extra pass
     good = base.filter(quality_score(text_col) >= F.lit(float(quality_min)))
+    for fam in rules:
+        if fam == "gopher":
+            from ..functions.textstats import gopher_flags
+
+            good = good.filter(gopher_flags(text_col)["gopher_pass"] == 1)
+        elif fam == "c4":
+            from ..functions.textstats import c4_flags
+
+            good = good.filter(c4_flags(text_col)["c4_pass"] == 1)
+        else:
+            raise ValueError(
+                f"unknown rule family {fam!r}; expected 'gopher' or 'c4'"
+            )
 
     # stage 2 — exact dedup: min-id representative per normalized text.
     # The keep-set is id-only and checkpointed: every later consumer
