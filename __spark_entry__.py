@@ -2748,6 +2748,32 @@ def _q_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return epoch_upsample(docs, _EPOCH_WEIGHTS)
 
 
+_TOPP_SRC_FRAC = 0.3
+
+
+def _q_quality_topp_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum quality selection: keep the best 30% of EVERY source
+    (the anti-domain-collapse knob — global top-p would drain
+    low-quality domains entirely). Same score-histogram plan as the
+    global entry, keyed on (source, score) with per-source cutoffs
+    (sampling.py::top_fraction_by_score strata_col) — the corpus is
+    still never sorted; the oracle is the declarative two-window
+    QUALIFY form."""
+    from vector_search_test_spark.functions import textstats as ts
+    from vector_search_test_spark.operators.sampling import (
+        top_fraction_by_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.round(ts.quality_score("text"), 6).alias("q_score"),
+    )
+    return top_fraction_by_score(
+        docs, "q_score", _TOPP_SRC_FRAC, strata_col="source"
+    )
+
+
 _SEMDEDUP_TAU = 0.35  # fixture-calibrated: the synthetic embeddings are
 # near-random (max pair cosine ~0.51), so the paper's 0.95 would never
 # exercise the drop path at test SF; the RULE is threshold-agnostic
@@ -3459,6 +3485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_diverse_topk": _q_mmr_diverse_topk,
         "c4_quality_flags": _q_c4_quality_flags,
         "semdedup_prune": _q_semdedup_prune,
+        "quality_topp_per_source": _q_quality_topp_per_source,
     }
 
 
@@ -3958,6 +3985,24 @@ def _lang_mixture_oracle_sql() -> str:
         SELECT p.source, p.pred_lang, p.n_docs,
                round(p.n_docs / t.t, 6) AS frac
         FROM per p JOIN tot t ON p.source = t.source
+    """
+
+
+def _topp_per_source_oracle_sql() -> str:
+    """Declarative two-window twin of the per-stratum histogram plan."""
+    from vector_search_test_spark.functions import textstats as ts
+
+    score = f"round({ts.quality_score_sql('text')}, 6)"
+    return f"""
+        WITH scored AS (
+            SELECT doc_id, source, {score} AS q_score FROM documents
+        )
+        SELECT doc_id, source, q_score FROM scored
+        QUALIFY row_number() OVER (
+                    PARTITION BY source ORDER BY q_score DESC, doc_id
+                )
+             <= floor({float(_TOPP_SRC_FRAC)!r}
+                      * count(*) OVER (PARTITION BY source))
     """
 
 
@@ -5232,6 +5277,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "temperature_mixture": _temp_mix_oracle_sql(),
         "c4_quality_flags": _c4_oracle_sql(),
         "semdedup_prune": _sd_sql,
+        "quality_topp_per_source": _topp_per_source_oracle_sql(),
     }
     if _pp_sql is None:
         del out["ivf_search_partial_probe"]

@@ -527,3 +527,42 @@ def test_temperature_mixture_plan_broadcasts_weights(spark, sf_dir):
     plan = _plan(temperature_mixture(docs, alpha=0.3))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_top_fraction_per_stratum(spark, sf_dir):
+    """strata mode: per-source counts = floor(frac * n_s); equals
+    running the GLOBAL selector on each stratum separately; the plan
+    still contains no corpus-wide Sort."""
+    from vector_search_test_spark.functions.textstats import quality_score
+    from vector_search_test_spark.operators.sampling import (
+        top_fraction_by_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.round(quality_score("text"), 6).alias("q")
+    )
+    out = top_fraction_by_score(docs, "q", 0.3, strata_col="source")
+    rows = out.collect()
+    n_s = {r.source: r["count"] for r in docs.groupBy("source").count().collect()}
+    got_s = {}
+    for r in rows:
+        got_s[r.source] = got_s.get(r.source, 0) + 1
+    assert got_s == {s: int(0.3 * n) for s, n in n_s.items() if int(0.3 * n)}
+    # equality with per-stratum global selection
+    whole = {(r.source, r.doc_id) for r in rows}
+    for s in list(n_s)[:3]:
+        sub = {
+            (s, r.doc_id)
+            for r in top_fraction_by_score(
+                docs.filter(F.col("source") == s), "q", 0.3
+            ).collect()
+        }
+        assert sub == {p for p in whole if p[0] == s}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # same pin as test_plans.py::test_top_fraction_never_sorts_the_corpus:
+    # corpus joins the histogram via broadcast; no range-partitioned
+    # global sort of the scan output (the only Sorts sit above the
+    # bounded histogram / boundary rows)
+    assert "BroadcastHashJoin" in plan
+    norm = plan.lower().replace("#", "").replace(" ", "")
+    assert "rangepartitioning(q" not in norm

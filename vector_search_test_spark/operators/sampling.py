@@ -135,6 +135,7 @@ def top_fraction_by_score(
     frac: float,
     id_col: str = "doc_id",
     max_score_classes: int = 1_000_000,
+    strata_col: str | None = None,
 ) -> DataFrame:
     """EXACT global top-`frac` selection by (`score_col` DESC, `id_col`
     ASC) — the "keep the best X% by quality" curation knob (the
@@ -166,22 +167,39 @@ def top_fraction_by_score(
     expression via assert_true, so no extra action or scan), and the
     job fails loudly instead of spilling a corpus-sized "histogram".
     Callers with continuous scores must round/bucket first.
+
+    `strata_col` generalizes the same plan to PER-STRATUM selection
+    ("keep the best X% of every source/domain" — the knob that stops
+    global selection from collapsing onto one domain): the histogram
+    keys on (stratum, score), the running count and the boundary
+    window partition by stratum, and `frac` applies to each stratum's
+    own count. Same single histogram aggregate, same broadcast, same
+    corpus-never-sorted guarantee; the class-cardinality guard bounds
+    the WHOLE (stratum, score) histogram.
     """
     from pyspark.sql import Window
 
     if not 0.0 <= frac <= 1.0:
         raise ValueError(f"frac must be in [0, 1], got {frac}")
-    hist = df.groupBy(score_col).agg(F.count("*").alias("__n"))
-    w = Window.orderBy(F.desc(score_col))
+    skeys = [strata_col] if strata_col else []
+    hist = df.groupBy(*skeys, score_col).agg(F.count("*").alias("__n"))
+    wg = Window.orderBy(F.desc(score_col))
+    w = (
+        Window.partitionBy(*skeys).orderBy(F.desc(score_col))
+        if skeys
+        else wg
+    )
     guard = F.assert_true(
-        F.row_number().over(w) <= F.lit(int(max_score_classes)),
+        F.row_number().over(wg) <= F.lit(int(max_score_classes)),
         F.lit(
             f"top_fraction_by_score: more than {max_score_classes} "
-            f"distinct {score_col!r} classes — round or bucket the "
-            "score so the histogram stays broadcast-sized"
+            f"distinct {(strata_col, score_col) if strata_col else score_col!r} "
+            "classes — round or bucket the score so the histogram "
+            "stays broadcast-sized"
         ),
     )
     hist = hist.select(
+        *skeys,
         score_col,
         "__n",
         # assert_true returns NULL (or raises), so the when() always
@@ -191,19 +209,25 @@ def top_fraction_by_score(
         .otherwise(F.lit(None))
         .alias("__cum"),
     ).withColumn("__cum_prev", F.col("__cum") - F.col("__n"))
-    total = df.agg(F.count("*").alias("__total"))
-    hist = hist.crossJoin(F.broadcast(total)).withColumn(
+    total = df.groupBy(*skeys).agg(F.count("*").alias("__total"))
+    if skeys:
+        hist = hist.join(F.broadcast(total), skeys)
+    else:
+        hist = hist.crossJoin(F.broadcast(total))
+    hist = hist.withColumn(
         "__k", F.floor(F.lit(float(frac)) * F.col("__total")).cast("long")
     )
     marked = df.join(
-        F.broadcast(hist.select(score_col, "__cum", "__cum_prev", "__k")),
-        score_col,
+        F.broadcast(
+            hist.select(*skeys, score_col, "__cum", "__cum_prev", "__k")
+        ),
+        skeys + [score_col],
     )
     full = marked.filter(F.col("__cum") <= F.col("__k"))
     boundary = marked.filter(
         (F.col("__cum_prev") < F.col("__k")) & (F.col("__k") < F.col("__cum"))
     )
-    wb = Window.partitionBy(score_col).orderBy(id_col)
+    wb = Window.partitionBy(*skeys, score_col).orderBy(id_col)
     bkeep = (
         boundary.withColumn("__rn", F.row_number().over(wb))
         .filter(F.col("__rn") <= F.col("__k") - F.col("__cum_prev"))
