@@ -898,11 +898,34 @@ def semdedup_prune(
     )
     w = Window.partitionBy("list_id").orderBy("cent_sim", "__id")
     r = scored.withColumn("__rn", F.row_number().over(w))
-    x, y = r.alias("x"), r.alias("y")
+    # The pair join's OUTPUT is quadratic in cluster size while its
+    # INPUT is corpus-sized — AQE's byte-based estimates coalesce the
+    # tiny input shuffle and serialize the cosine work (measured 6x on
+    # the fixture: one task evaluated every pair). Salt the join key so
+    # the pair space spreads across ~4x cluster parallelism, and pin
+    # the layout with an explicit repartition (which AQE respects):
+    # x carries salt = rn mod S, y is replicated across the salt space.
+    nlist_n = max(1, len(centroids))
+    par = df.sparkSession.sparkContext.defaultParallelism
+    nsalt = max(1, -(-4 * par // nlist_n))  # ceil; 1 when nlist is wide
+    nparts = min(nlist_n * nsalt, 8 * par)
+    x = (
+        r.withColumn("__salt", F.pmod(F.col("__rn"), F.lit(nsalt)))
+        .repartition(nparts, F.col("list_id"), F.col("__salt"))
+        .alias("x")
+    )
+    y = (
+        r.withColumn(
+            "__salt", F.explode(F.sequence(F.lit(0), F.lit(nsalt - 1)))
+        )
+        .repartition(nparts, F.col("list_id"), F.col("__salt"))
+        .alias("y")
+    )
     drops = (
         x.join(
             y,
             (F.col("x.list_id") == F.col("y.list_id"))
+            & (F.col("x.__salt") == F.col("y.__salt"))
             & (F.col("y.__rn") < F.col("x.__rn")),
         )
         .filter(
