@@ -3377,8 +3377,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_query_topk": _q_text_query_topk,
         "csv_sentences_source": _q_csv_sentences_source,
         "text_lines_source": _q_text_lines_source,
-        "corpus_curation_pipeline": _q_corpus_curation_pipeline,
         "corpus_e2e_curation": _q_corpus_e2e_curation,
+        # ROUND-10 ROTATION: promoted dsir_selection + semdedup_prune —
+        # the round's most differentiated published-method operators
+        # (importance resampling; cluster-confined semantic dedup) —
+        # into the driver-scored 50; retired corpus_curation_pipeline
+        # (a strict subset of the corpus_e2e_curation stages, which
+        # stay scored) and event_sessions (sessionization remains
+        # scored via session_window_stats + stream_sessions; the batch
+        # entry stays oracle-green in overflow). Documented in
+        # BASELINE.md like the r7/r8/r9 swaps.
+        "dsir_selection": _q_dsir_selection,
+        "semdedup_prune": _q_semdedup_prune,
         "snapshot_bucketed_roundtrip": _q_snapshot_bucketed_roundtrip,
         "multimodal_metadata": _q_multimodal_metadata,
         "multimodal_frame_features": _q_multimodal_frame_features,
@@ -3406,7 +3416,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_window_topk": _q_salted_window_topk,
         "semi_anti_set_ops": _q_semi_anti_set_ops,
         "interval_join_events": _q_interval_join_events,
-        "event_sessions": _q_event_sessions,
         "session_window_stats": _q_session_window_stats,
         "stream_window_counts": _q_stream_window_counts,
         "stream_sessions": _q_stream_sessions,
@@ -3480,12 +3489,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_purchase_click": _q_asof_purchase_click,
         "lang_mixture_per_source": _q_lang_mixture_per_source,
         "funnel_counts": _q_funnel_counts,
-        "dsir_selection": _q_dsir_selection,
         "temperature_mixture": _q_temperature_mixture,
         "mmr_diverse_topk": _q_mmr_diverse_topk,
         "c4_quality_flags": _q_c4_quality_flags,
-        "semdedup_prune": _q_semdedup_prune,
         "quality_topp_per_source": _q_quality_topp_per_source,
+        # r10 retirees (still fully oracle-gated here in overflow)
+        "corpus_curation_pipeline": _q_corpus_curation_pipeline,
+        "event_sessions": _q_event_sessions,
     }
 
 
