@@ -218,3 +218,27 @@ def test_contrastive_examples_group_limits_and_broadcast_anti(spark, sf_dir):
     assert "WindowGroupLimit" in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan  # the exclusion anti-join
+
+
+def test_semdedup_pair_join_is_salted_not_coalesced(spark, sf_dir):
+    """The SemDeDup pair join's output is quadratic in cluster size
+    while its input is corpus-sized; AQE's byte-based coalescing would
+    serialize the cosine work onto nlist tasks (measured 6x on this
+    fixture). Pin the fix: the pair join keys carry the salt column
+    and the layout comes from an explicit round-robin-proof
+    hashpartitioning on (list_id, salt)."""
+    from vector_search_test_spark.io import load_table, spread
+    from vector_search_test_spark.operators.dedup import semdedup_prune
+
+    from __spark_entry__ import _partial_probe_centroids
+
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    out = semdedup_prune(emb, _partial_probe_centroids(sf_dir), tau=0.35)
+    plan = _plan(out)
+    norm = plan.lower().replace("#", "").replace(" ", "")
+    assert "hashpartitioning(list_id" in norm and "__salt" in norm
+    # y-side replication across the salt space is a generator explode,
+    # not a shuffle-side blowup
+    assert "Generate explode" in plan
