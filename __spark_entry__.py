@@ -2800,6 +2800,31 @@ def _q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CTT_TOPN = 5
+
+
+def _q_cluster_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic labels per embedding cluster (evaluate.py::
+    cluster_top_terms): top-5 terms of each shared-trainer k-means cell
+    by within-cluster document frequency — the qualitative companion to
+    ivf_index_stats / cluster_silhouette on the cluster dashboard.
+    Scan-only assignment, one distinct-term explode, (list_id, term)
+    map-side-combined aggregate, WindowGroupLimit top-n over nlist
+    keys; oracle replays from a VALUES centroid table."""
+    from vector_search_test_spark.io import spread
+    from vector_search_test_spark.operators.evaluate import (
+        cluster_top_terms,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    return cluster_top_terms(
+        docs, emb, _partial_probe_centroids(sf_dir), top_n=_CTT_TOPN
+    )
+
+
 def _q_c4_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 rule-based quality filter (Raffel et al. 2020 §2.2): the
     published heuristic signal set + page-level pass flags — the
@@ -3493,6 +3518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_diverse_topk": _q_mmr_diverse_topk,
         "c4_quality_flags": _q_c4_quality_flags,
         "quality_topp_per_source": _q_quality_topp_per_source,
+        "cluster_top_terms": _q_cluster_top_terms,
         # r10 retirees (still fully oracle-gated here in overflow)
         "corpus_curation_pipeline": _q_corpus_curation_pipeline,
         "event_sessions": _q_event_sessions,
@@ -4065,6 +4091,48 @@ def _semdedup_oracle_sql(sf_dir: str | None = None) -> str:
     """
 
 
+def _ctt_oracle_sql(sf_dir: str | None = None) -> str:
+    """DuckDB twin of cluster_top_terms (VALUES centroids; same
+    lowercase split + list_distinct; declarative QUALIFY top-n)."""
+    if sf_dir is None:
+        sf_dir = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    cents = _partial_probe_centroids(sf_dir)
+    values = ",\n                   ".join(
+        "({}, [{}]::DOUBLE[])".format(i, ", ".join(repr(x) for x in c))
+        for i, c in enumerate(cents)
+    )
+    d_assign = _l2_sq_sql("e.embedding", "c.centroid")
+    return f"""
+        WITH cents(list_id, centroid) AS (
+            VALUES {values}
+        ),
+        assign AS (
+            SELECT e.vec_id, c.list_id
+            FROM embeddings e CROSS JOIN cents c
+            QUALIFY row_number() OVER (
+                PARTITION BY e.vec_id ORDER BY {d_assign}, c.list_id
+            ) = 1
+        ),
+        terms AS (
+            SELECT d.doc_id,
+                   unnest(list_distinct(string_split(lower(d.text), ' ')))
+                       AS term
+            FROM documents d
+        ),
+        per AS (
+            SELECT a.list_id, t.term, count(*)::BIGINT AS df_docs
+            FROM assign a JOIN terms t ON a.vec_id = t.doc_id
+            GROUP BY a.list_id, t.term
+        )
+        SELECT list_id, term, df_docs,
+               row_number() OVER (
+                   PARTITION BY list_id ORDER BY df_docs DESC, term
+               )::INT AS rank
+        FROM per
+        QUALIFY rank <= {int(_CTT_TOPN)}
+    """
+
+
 def _c4_oracle_sql() -> str:
     from vector_search_test_spark.functions import textstats as ts
 
@@ -4611,6 +4679,10 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         _sd_sql = _semdedup_oracle_sql(sf_dir)
     except Exception:
         _sd_sql = None
+    try:
+        _ctt_sql = _ctt_oracle_sql(sf_dir)
+    except Exception:
+        _ctt_sql = None
     try:
         _pq_sql = _pq_oracle_sql(sf_dir)
     except Exception:
@@ -5288,11 +5360,14 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "c4_quality_flags": _c4_oracle_sql(),
         "semdedup_prune": _sd_sql,
         "quality_topp_per_source": _topp_per_source_oracle_sql(),
+        "cluster_top_terms": _ctt_sql,
     }
     if _pp_sql is None:
         del out["ivf_search_partial_probe"]
     if _sd_sql is None:
         del out["semdedup_prune"]
+    if _ctt_sql is None:
+        del out["cluster_top_terms"]
     if _pq_sql is None:
         del out["pq_adc_topk"]
     if _pqr_sql is None:

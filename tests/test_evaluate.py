@@ -139,3 +139,68 @@ def test_recall_curve_monotone_and_anchored(spark):
     vals = [rows[n] for n in (1, 2, 4, 8)]
     assert all(a <= b + 1e-9 for a, b in zip(vals, vals[1:]))
     assert vals[-1] == 1.0  # exhaustive probe == exact search
+
+
+def test_cluster_top_terms_semantics_and_determinism(spark):
+    """Known geometry: two well-separated cells; term ranking is
+    document frequency within the cell with (df DESC, term ASC)
+    tie-break; repartitioning does not change the result."""
+    from vector_search_test_spark.operators.evaluate import (
+        cluster_top_terms,
+    )
+
+    cents = [[0.0, 0.0], [10.0, 10.0]]
+    emb = spark.createDataFrame(
+        [(0, [0.1, 0.0]), (1, [0.0, 0.2]), (2, [10.0, 9.9]), (3, [9.8, 10.1])],
+        "vec_id long, embedding array<double>",
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, "apple banana apple"),   # df counts distinct per doc
+            (1, "apple cherry"),
+            (2, "dog elephant"),
+            (3, "dog fox"),
+        ],
+        "doc_id long, text string",
+    )
+    out = cluster_top_terms(docs, emb, cents, top_n=2)
+    rows = {(r.list_id, r.rank): (r.term, r.df_docs) for r in out.collect()}
+    assert rows[(0, 1)] == ("apple", 2)       # in both cell-0 docs
+    assert rows[(0, 2)] in {("banana", 1), ("cherry", 1)}
+    assert rows[(0, 2)][0] == "banana"        # tie -> term ASC
+    assert rows[(1, 1)] == ("dog", 2)
+    again = {
+        (r.list_id, r.rank): (r.term, r.df_docs)
+        for r in cluster_top_terms(
+            docs.repartition(5), emb.repartition(3), cents, top_n=2
+        ).collect()
+    }
+    assert again == rows
+    import pytest
+
+    with pytest.raises(ValueError):
+        cluster_top_terms(docs, emb, cents, top_n=0)
+
+
+def test_cluster_top_terms_plan_shape(spark, sf_dir):
+    """Scale pin: WindowGroupLimit prunes per-list top-n before the
+    final shuffle; no cartesian product anywhere."""
+    from vector_search_test_spark.io import load_table, spread
+    from vector_search_test_spark.operators.evaluate import (
+        cluster_top_terms,
+    )
+
+    from __spark_entry__ import _partial_probe_centroids
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    plan = (
+        cluster_top_terms(docs, emb, _partial_probe_centroids(sf_dir))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan
+    assert "Cartesian" not in plan

@@ -194,3 +194,64 @@ def ivf_index_stats(postings: DataFrame, list_col: str = "list_id") -> DataFrame
         F.round(ntotal / nlist, 6).alias("avg_list"),
         F.round(nlist * sum_sq / (ntotal * ntotal), 6).alias("imbalance"),
     )
+
+
+def cluster_top_terms(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    top_n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Topic labels for embedding clusters: the `top_n` terms of each
+    k-means cell by within-cluster DOCUMENT FREQUENCY (how many of the
+    cell's documents contain the term) — the "what is this cluster
+    about" readout every embedding-cluster dashboard (and SemDeDup /
+    mixture triage) needs next to the size/imbalance gauges.
+
+    Returns (list_id, term, df_docs, rank), rank 1..top_n by
+    (df_docs DESC, term ASC) — fully deterministic, so the DuckDB twin
+    replays it from a VALUES centroid table.
+
+    Scale shape: nearest-centroid assignment is the scan-only
+    `assign_cells` projection; terms come from ONE lowercased split
+    with per-doc array_distinct BEFORE the explode (document
+    frequency, not occurrence count — and the explode is bounded by
+    distinct terms per doc); the (list_id, term) aggregate does the
+    heavy lifting map-side; the final top-n is a WindowGroupLimit
+    window over nlist keys. The doc->embedding equi-join rides on the
+    narrow (id, text-derived terms) projection."""
+    from vector_search_test_spark.operators.dedup import tokens
+    from vector_search_test_spark.operators.ivf import assign_cells
+
+    if top_n < 1:
+        raise ValueError(f"top_n must be >= 1, got {top_n}")
+    from pyspark.sql import Window
+
+    assigned = assign_cells(
+        embeddings.select(
+            F.col(vec_id_col).alias("__id"), F.col(vec_col)
+        ),
+        centroids,
+        vec_col=vec_col,
+    ).select("__id", "list_id")
+    terms = docs.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.array_distinct(tokens(text_col))).alias("term"),
+    )
+    per = (
+        assigned.join(terms, "__id")
+        .groupBy("list_id", "term")
+        .agg(F.count("*").cast("long").alias("df_docs"))
+    )
+    w = Window.partitionBy("list_id").orderBy(
+        F.desc("df_docs"), F.asc("term")
+    )
+    return (
+        per.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(top_n))
+        .select("list_id", "term", "df_docs", F.col("rank").cast("int"))
+    )
