@@ -1351,6 +1351,63 @@ def _q_snapshot_bucketed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+_SNAP_MC_DELETES = (1, 3, 100001)  # 2 edited base ids + 1 appended id
+
+
+def _q_snapshot_maintenance_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full bucketed-snapshot MAINTENANCE lifecycle composed into
+    one certified operator — the storage-side analogue of
+    ivf_rebalance_cycle: base (v0) → partial-bucket upsert (v1) →
+    tombstone delete (v2, GDPR path) → full compaction (v3) → vacuum
+    to the retention horizon — then the live table read back off the
+    final manifest. The oracle restates the same literal change set
+    declaratively (edits win, appends present, tombstoned ids gone,
+    every other row byte-untouched — md5(text) per id), certifying
+    that four generations of copy-on-write mechanics + compaction +
+    vacuum are INVISIBLE to the data. In-entry guards pin what the
+    oracle cannot see: vacuum removes exactly the three
+    pre-compaction version dirs and the surviving manifest references
+    only v3 (operators/snapshot.py:254, 338, 573, 613)."""
+    from vector_search_test_spark.operators.snapshot import (
+        _current_version,
+        _read_manifest,
+        compact_snapshot,
+        delete_keys_bucketed,
+        read_current_snapshot,
+        upsert_bucketed,
+        vacuum_snapshots,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    edited, appended = _snapshot_change_set(docs)
+    path = _fresh_tmp_dir("spark_graft_snapmc", sf_dir)
+    upsert_bucketed(docs, path, "v0", key="doc_id", n_buckets=16)
+    upsert_bucketed(
+        edited.unionByName(appended), path, "v1", key="doc_id", n_buckets=16
+    )
+    tomb = spark.createDataFrame(
+        [(int(k),) for k in _SNAP_MC_DELETES], "doc_id long"
+    )
+    delete_keys_bucketed(tomb, path, "v2", key="doc_id", n_buckets=16)
+    compact_snapshot(spark, path, "v3")
+    removed = sorted(vacuum_snapshots(path, keep_last=1))
+    if removed != ["v0", "v1", "v2"]:
+        raise AssertionError(
+            f"maintenance cycle: vacuum removed {removed}, "
+            "expected exactly ['v0', 'v1', 'v2']"
+        )
+    manifest = _read_manifest(path, _current_version(path))
+    refs = set(manifest["buckets"].values())
+    if refs != {"v3"}:
+        raise AssertionError(
+            f"maintenance cycle: post-compaction manifest references "
+            f"{sorted(refs)}, expected only v3"
+        )
+    return read_current_snapshot(spark, path).select(
+        "doc_id", F.md5("text").alias("text_md5"), "source"
+    )
+
+
 def _q_sq8_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar-quantized search (operators/sq.py): encode the corpus to
     int8 codes + per-vector float32 scale (4x scan compression, no
@@ -3519,6 +3576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_quality_flags": _q_c4_quality_flags,
         "quality_topp_per_source": _q_quality_topp_per_source,
         "cluster_top_terms": _q_cluster_top_terms,
+        "snapshot_maintenance_cycle": _q_snapshot_maintenance_cycle,
         # r10 retirees (still fully oracle-gated here in overflow)
         "corpus_curation_pipeline": _q_corpus_curation_pipeline,
         "event_sessions": _q_event_sessions,
@@ -5361,6 +5419,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "semdedup_prune": _sd_sql,
         "quality_topp_per_source": _topp_per_source_oracle_sql(),
         "cluster_top_terms": _ctt_sql,
+        "snapshot_maintenance_cycle": _snapshot_mc_oracle_sql(),
     }
     if _pp_sql is None:
         del out["ivf_search_partial_probe"]
@@ -5635,6 +5694,27 @@ def _upsert_oracle_sql() -> str:
     return f"""
         SELECT doc_id, md5(text) AS text_md5, source
         FROM ({merged})
+    """
+
+
+def _snapshot_mc_oracle_sql() -> str:
+    """Declarative twin of the maintenance-cycle live table: the
+    corpus_upsert merge minus the tombstoned ids."""
+    from vector_search_test_spark.operators.snapshot import upsert_sql
+
+    updates = """
+        SELECT doc_id, '[v2] ' || text AS text, lang, source, n_chars
+        FROM documents WHERE doc_id < 10
+        UNION ALL
+        SELECT doc_id + 100000, text, lang, source, n_chars
+        FROM documents WHERE doc_id < 5
+    """
+    merged = upsert_sql("SELECT * FROM documents", updates)
+    dels = ", ".join(str(int(k)) for k in _SNAP_MC_DELETES)
+    return f"""
+        SELECT doc_id, md5(text) AS text_md5, source
+        FROM ({merged})
+        WHERE doc_id NOT IN ({dels})
     """
 
 

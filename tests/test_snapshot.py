@@ -827,3 +827,44 @@ def test_single_writer_commit_guards(spark, tmp_path):
     assert (out / "_CURRENT").read_text().strip() == "v1"
     # no orphaned tmp files from the losing publish
     assert not [p for p in out.iterdir() if p.name.endswith(".tmp")]
+
+
+def test_maintenance_cycle_disk_effects(spark, tmp_path):
+    """The composed upsert -> delete -> compact -> vacuum lifecycle:
+    live rows are exactly (base + edits + appends - tombstones); the
+    pre-compaction version dirs are REMOVED from disk; the surviving
+    manifest references only the compacted version."""
+    import os
+
+    from vector_search_test_spark.operators.snapshot import (
+        _current_version,
+        _read_manifest,
+        compact_snapshot,
+        delete_keys_bucketed,
+        read_current_snapshot,
+        upsert_bucketed,
+        vacuum_snapshots,
+    )
+
+    base = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(40)], "doc_id long, text string"
+    )
+    edits = spark.createDataFrame(
+        [(3, "E3"), (40, "A40")], "doc_id long, text string"
+    )
+    path = str(tmp_path / "mc")
+    upsert_bucketed(base, path, "v0", key="doc_id", n_buckets=4)
+    upsert_bucketed(edits, path, "v1", key="doc_id", n_buckets=4)
+    tomb = spark.createDataFrame([(7,), (40,)], "doc_id long")
+    delete_keys_bucketed(tomb, path, "v2", key="doc_id", n_buckets=4)
+    compact_snapshot(spark, path, "v3")
+    removed = sorted(vacuum_snapshots(path, keep_last=1))
+    assert removed == ["v0", "v1", "v2"]
+    for v in removed:
+        assert not os.path.exists(os.path.join(path, v))
+    manifest = _read_manifest(path, _current_version(path))
+    assert set(manifest["buckets"].values()) == {"v3"}
+    live = {r.doc_id: r.text for r in read_current_snapshot(spark, path).collect()}
+    want = {i: f"t{i}" for i in range(40) if i != 7}
+    want[3] = "E3"
+    assert live == want
