@@ -2521,7 +2521,8 @@ def _q_stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ingest-time quality gate (streaming/ingest.py::
-    stream_quality_gate): stateless quality + Gopher scoring with a
+    stream_quality_gate): stateless quality scoring plus BOTH
+    published rule families (Gopher + C4 conjunctions) with a
     threshold filter, drained availableNow; the oracle replays the
     batch filter value-for-value."""
     from vector_search_test_spark.streaming.ingest import stream_quality_gate
@@ -2539,7 +2540,9 @@ def _q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.table(qname).select("doc_id", "q_score", "gopher_pass")
+    return spark.table(qname).select(
+        "doc_id", "q_score", "gopher_pass", "c4_pass"
+    )
 
 
 def _q_stream_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3946,8 +3949,10 @@ def _stream_qgate_oracle_sql(min_quality: float = 0.9) -> str:
 
     q6 = f"round({ts.quality_score_sql('text')}, 6)"
     gp = ts.gopher_flags_sql("text")["gopher_pass"]
+    cp = ts.c4_flags_sql("text")["c4_pass"]
     return f"""
-        SELECT doc_id, {q6} AS q_score, {gp} AS gopher_pass
+        SELECT doc_id, {q6} AS q_score, {gp} AS gopher_pass,
+               {cp} AS c4_pass
         FROM documents
         WHERE {q6} >= {min_quality!r}
     """

@@ -178,15 +178,17 @@ def stream_quality_gate(
     min_quality: float = 0.9,
 ) -> DataFrame:
     """Streaming document-quality gate: arriving docs scored with the
-    composite quality heuristic AND the full Gopher rule flags
-    (functions/textstats.py), kept iff the ROUNDED quality clears
+    composite quality heuristic AND both published rule families —
+    the full Gopher conjunction and the C4 conjunction
+    (functions/textstats.py) — kept iff the ROUNDED quality clears
     `min_quality` — the ingest-time filter of a continuously-fed
-    curation pipeline. Entirely stateless (one lowercased split per
-    row, whole-stage codegen, no state store, no watermark needed), so
+    curation pipeline. Entirely stateless (lowercased splits per row,
+    whole-stage codegen, no state store, no watermark needed), so
     throughput scales with cores exactly like the batch gate; the
-    emitted (doc_id, q_score, gopher_pass) rows are value-identical to
-    the batch filter — the oracle replays it."""
+    emitted (doc_id, q_score, gopher_pass, c4_pass) rows are
+    value-identical to the batch filter — the oracle replays it."""
     from vector_search_test_spark.functions.textstats import (
+        c4_flags,
         gopher_flags,
         quality_score,
     )
@@ -202,6 +204,7 @@ def stream_quality_gate(
             "doc_id",
             s6.alias("q_score"),
             gopher_flags("text")["gopher_pass"].alias("gopher_pass"),
+            c4_flags("text")["c4_pass"].alias("c4_pass"),
         )
         .filter(F.col("q_score") >= F.lit(float(min_quality)))
     )
