@@ -290,3 +290,121 @@ def test_epoch_upsample_exact_multiplicity_bounds(spark, weights):
             n = sum(1 for (ss, _) in per if ss == s)
             assert n == (8 if w > 0 else 0)
             assert all(c == w for (ss, _), c in per.items() if ss == s)
+
+
+# ---------------------------------------------------------------------------
+# r10 data-selection operators: randomized cross-engine properties
+# ---------------------------------------------------------------------------
+
+_src_st = st.lists(
+    st.tuples(st.sampled_from(["a", "b", "c"]), text_st),
+    min_size=3,
+    max_size=12,
+)
+
+
+@settings(**_SETTINGS)
+@given(rows=_src_st, alpha=st.sampled_from([0.0, 0.3, 0.7, 1.0]))
+def test_temperature_mixture_matches_duckdb_on_random_corpora(
+    spark, rows, alpha
+):
+    """The realized (id, source, epoch) multiset equals the DuckDB twin
+    on arbitrary corpora and α — the quantized-weight determinism
+    holds beyond the fixture."""
+    import duckdb
+
+    from vector_search_test_spark.operators.sampling import (
+        temperature_mixture,
+        temperature_mixture_sql,
+    )
+
+    data = [(i, s, t) for i, (s, t) in enumerate(rows)]
+    df = spark.createDataFrame(data, "doc_id long, source string, text string")
+    got = {
+        (r.doc_id, r.source, r.epoch)
+        for r in temperature_mixture(
+            df.select("doc_id", "source"), alpha=alpha
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, source VARCHAR, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?)", data)
+    want = set(
+        con.execute(temperature_mixture_sql(alpha=alpha)).fetchall()
+    )
+    assert got == want
+    if alpha == 1.0:
+        assert len(got) == len(data)  # identity mix
+
+
+@settings(**_SETTINGS)
+@given(rows=_src_st, frac=st.sampled_from([0.25, 0.5, 1.0]))
+def test_dsir_select_matches_duckdb_on_random_corpora(spark, rows, frac):
+    """DSIR selection replays in DuckDB on arbitrary corpora: same
+    quantized log-ratios, same Gumbel, same top-frac set."""
+    import duckdb
+
+    from vector_search_test_spark.operators.sampling import (
+        dsir_select,
+        dsir_select_sql,
+    )
+
+    data = [(i, s, t) for i, (s, t) in enumerate(rows)]
+    # need at least one target and one raw row for the models
+    if not any(s == "a" for _, s, _ in data):
+        data.append((len(data), "a", "alpha beta"))
+    if all(s == "a" for _, s, _ in data):
+        data.append((len(data), "b", "gamma delta"))
+    df = spark.createDataFrame(data, "doc_id long, source string, text string")
+    got = {
+        (r.doc_id, r.n_grams, r.logw, r.score)
+        for r in dsir_select(
+            df, F.col("source") == "a", frac, n_buckets=64
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, source VARCHAR, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?)", data)
+    want = set(
+        con.execute(
+            dsir_select_sql("documents", "source = 'a'", frac, n_buckets=64)
+        ).fetchall()
+    )
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(texts=st.lists(
+    st.text(
+        alphabet=st.sampled_from("ab .!?\"{\n"), min_size=0, max_size=40
+    ),
+    min_size=1,
+    max_size=8,
+))
+def test_c4_flags_match_duckdb_on_adversarial_text(spark, texts):
+    """C4 signals/flags agree across engines on adversarial inputs:
+    empty docs, quote/brace/newline soup, punctuation-only lines."""
+    import duckdb
+
+    from vector_search_test_spark.functions import textstats as ts
+
+    data = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(data, "doc_id long, text string")
+    sig, flg = ts.c4_signals("text"), ts.c4_flags("text")
+    got = {
+        tuple(r)
+        for r in df.select(
+            "doc_id",
+            *[v.alias(k) for k, v in sig.items()],
+            *[v.alias(k) for k, v in flg.items()],
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", data)
+    cols = ", ".join(
+        [f"{v} AS {k}" for k, v in ts.c4_signals_sql("text").items()]
+        + [f"{v} AS {k}" for k, v in ts.c4_flags_sql("text").items()]
+    )
+    want = set(con.execute(f"SELECT doc_id, {cols} FROM d").fetchall())
+    assert got == want
