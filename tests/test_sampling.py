@@ -566,3 +566,33 @@ def test_top_fraction_per_stratum(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     norm = plan.lower().replace("#", "").replace(" ", "")
     assert "rangepartitioning(q" not in norm
+
+
+def test_null_stratum_is_its_own_group(spark):
+    """A NULL stratum is a legitimate group in both per-stratum
+    operators (null-safe join-backs): its rows are selected/weighted
+    within the NULL group instead of silently vanishing — matching the
+    declarative PARTITION BY semantics of the oracles."""
+    from vector_search_test_spark.operators.sampling import (
+        temperature_mixture,
+        top_fraction_by_score,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 0.9), (2, "a", 0.5), (3, "a", 0.1), (4, "a", 0.3),
+            (5, None, 0.8), (6, None, 0.2), (7, None, 0.6), (8, None, 0.4),
+        ],
+        "doc_id long, source string, q double",
+    )
+    kept = top_fraction_by_score(df, "q", 0.5, strata_col="source").collect()
+    by_src = {}
+    for r in kept:
+        by_src.setdefault(r.source, set()).add(r.doc_id)
+    # top-2 of each group, including the NULL group
+    assert by_src[None] == {5, 7}
+    assert by_src["a"] == {1, 2}
+    # temperature: alpha=1 identity must keep NULL-source rows too
+    mix = temperature_mixture(df.select("doc_id", "source"), alpha=1.0)
+    assert mix.count() == 8
+    assert mix.filter(F.col("source").isNull()).count() == 4

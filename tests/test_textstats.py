@@ -393,9 +393,11 @@ _C4_DOCS = [
     (1, "short.\nno"),                          # <5 sentences, short lines
     (2, "Lorem Ipsum dolor sit amet. a b c. d e f. g h i. j k l."),
     (3, "var x = { a: 1 }. one. two. three. four five."),   # brace
-    (4, "enable javascript to view this. a b c. d e. f. g h."),
+    (4, "enable javascript to view this.\none two three here.\n"
+        "four five six more.\nseven eight nine.\nten eleven twelve."),
     (5, "buy viagra now. a b c. d e f. g h i. j k l m."),   # badword
     (6, ""),                                    # empty doc
+    (7, "win big at the casino. a b c. d e f. g h i. j k l."),
 ]
 
 
@@ -437,9 +439,10 @@ def test_c4_flags_semantics(spark):
     assert out[1].pass_sentences == 0 and out[1].c4_pass == 0
     assert out[2].pass_lorem == 0
     assert out[3].pass_brace == 0
-    # the javascript rule is a LINE filter: doc 4 fails only if no
-    # other line survives — its other lines DO survive, so page passes
-    # lines but the js line is excluded from kept_line_frac
+    # the javascript rule is a LINE filter: doc 4's other four lines
+    # survive (page passes lines) while the js line itself is excluded
+    # from kept_line_frac — exactly 4/5
+    assert out[4].pass_lines == 1
     sig = ts.c4_signals("text")
     k4 = (
         df.filter(F.col("doc_id") == 4)
@@ -447,9 +450,12 @@ def test_c4_flags_semantics(spark):
         .first()
         .f
     )
-    assert k4 < 1.0
+    assert abs(k4 - 0.8) < 1e-9
     assert out[5].pass_badword == 0
     assert out[6].pass_lines == 0 and out[6].c4_pass == 0
+    # punctuation-adjacent badword ('casino.') must still trip the
+    # page filter — the rule is CONTAINS, not token equality
+    assert out[7].pass_badword == 0
 
 
 def test_c4_projection_is_scan_only(spark, sf_dir):

@@ -256,20 +256,18 @@ def c4_signals(col: Column | str) -> dict[str, Column]:
             & ~ln.contains("javascript"),
         )
     )
-    toks = F.split(c, " ")
-    bad = F.size(
-        F.filter(
-            F.array(*[F.lit(w) for w in C4_BADWORDS]),
-            lambda w: F.array_contains(toks, w),
-        )
-    )
+    # word-boundary match, not token equality: C4 removes any page that
+    # CONTAINED a listed word — 'casino.' / '(xxx)' must still hit.
+    # \b is word-char boundary ([A-Za-z0-9_]) in both Java regex and
+    # DuckDB's RE2, so the twin agrees.
+    bad_re = "\\b(" + "|".join(C4_BADWORDS) + ")\\b"
     return {
         "n_lines": F.size(lines).cast("long"),
         "n_sentences": F.regexp_count(c, F.lit("[.!?]")).cast("long"),
         "kept_line_frac": F.round(keep / n_lines, 6),
         "has_lorem_ipsum": c.contains("lorem ipsum").cast("int"),
         "has_brace": c.contains("{").cast("int"),
-        "has_badword": (bad > 0).cast("int"),
+        "has_badword": (F.regexp_count(c, F.lit(bad_re)) > 0).cast("int"),
     }
 
 
@@ -304,16 +302,14 @@ def c4_signals_sql(expr: str) -> dict[str, str]:
         f"AND len(regexp_extract_all(ln, '[^ ]+')) >= 3 "
         f"AND NOT contains(ln, 'javascript')))"
     )
-    toks = f"string_split({c}, ' ')"
-    badlist = ", ".join(f"'{w}'" for w in C4_BADWORDS)
-    bad = f"len(list_filter([{badlist}], w -> list_contains({toks}, w)))"
+    bad_re = "\\b(" + "|".join(C4_BADWORDS) + ")\\b"
     return {
         "n_lines": f"len({lines})::BIGINT",
         "n_sentences": f"len(regexp_extract_all({c}, '[.!?]'))::BIGINT",
         "kept_line_frac": f"round({keep} / {n_lines}, 6)",
         "has_lorem_ipsum": f"contains({c}, 'lorem ipsum')::INT",
         "has_brace": f"contains({c}, '{{')::INT",
-        "has_badword": f"({bad} > 0)::INT",
+        "has_badword": f"regexp_matches({c}, '{bad_re}')::INT",
     }
 
 

@@ -897,7 +897,13 @@ def semdedup_prune(
         ),
     )
     w = Window.partitionBy("list_id").orderBy("cent_sim", "__id")
-    r = scored.withColumn("__rn", F.row_number().over(w))
+    # localCheckpoint: THREE consumers read r (the x and y sides of the
+    # pair join and the final keep-annotation) and Spark does not CSE
+    # repeated subplans — without it the assignment projection and the
+    # per-list sort+row_number execute three times (ContextCleaner
+    # releases the blocks; at cluster scale the same seam is a parquet
+    # checkpoint)
+    r = scored.withColumn("__rn", F.row_number().over(w)).localCheckpoint()
     # The pair join's OUTPUT is quadratic in cluster size while its
     # INPUT is corpus-sized — AQE's byte-based estimates coalesce the
     # tiny input shuffle and serialize the cosine work (measured 6x on

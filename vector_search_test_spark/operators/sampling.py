@@ -210,18 +210,35 @@ def top_fraction_by_score(
         .alias("__cum"),
     ).withColumn("__cum_prev", F.col("__cum") - F.col("__n"))
     total = df.groupBy(*skeys).agg(F.count("*").alias("__total"))
+    # all histogram joins are NULL-SAFE on the stratum key: groupBy
+    # keeps a NULL stratum as its own group and the declarative twin
+    # (row_number PARTITION BY stratum) puts NULLs in one partition —
+    # a null-unsafe join-back would silently drop those rows instead
+    # of selecting within them
     if skeys:
-        hist = hist.join(F.broadcast(total), skeys)
+        t = total.select(
+            F.col(strata_col).alias("__ts"), "__total"
+        )
+        hist = hist.join(
+            F.broadcast(t), F.col(strata_col).eqNullSafe(F.col("__ts"))
+        ).drop("__ts")
     else:
         hist = hist.crossJoin(F.broadcast(total))
     hist = hist.withColumn(
         "__k", F.floor(F.lit(float(frac)) * F.col("__total")).cast("long")
     )
-    marked = df.join(
-        F.broadcast(
-            hist.select(*skeys, score_col, "__cum", "__cum_prev", "__k")
-        ),
-        skeys + [score_col],
+    h = hist.select(
+        *[F.col(k).alias(f"__h_{k}") for k in skeys],
+        F.col(score_col).alias("__h_score"),
+        "__cum",
+        "__cum_prev",
+        "__k",
+    )
+    mcond = F.col(score_col) == F.col("__h_score")
+    for k in skeys:
+        mcond = mcond & F.col(k).eqNullSafe(F.col(f"__h_{k}"))
+    marked = df.join(F.broadcast(h), mcond).drop(
+        "__h_score", *[f"__h_{k}" for k in skeys]
     )
     full = marked.filter(F.col("__cum") <= F.col("__k"))
     boundary = marked.filter(
@@ -399,16 +416,40 @@ def temperature_mixture(
     Scale shape: one count aggregate bounded at |sources| rows; its
     normalization rides a broadcast cross join of the 1-row total; the
     annotated weight table broadcasts back into the scan — no corpus
-    shuffle, no driver collect. w_s is quantized to integer 1e-9 units
-    BEFORE the floor/frac split (one round; everything after is integer
-    arithmetic), so the hash-Bernoulli threshold — and therefore the
-    exact copy set — replays bit-for-bit in the DuckDB twin regardless
-    of libm pow rounding."""
+    shuffle, no driver collect.
+
+    Determinism: pow(n_s, α) — the only transcendental — is quantized
+    to an integer IMMEDIATELY, so the normalizer is an integer sum
+    (exact, partition-order-free — the DSIR pattern) instead of a
+    float sum whose value would depend on summation order. Every
+    remaining operation is a correctly-rounded IEEE double op in one
+    fixed expression order over identical integer inputs, then one
+    final 1e-9 quantization feeding pure-integer floor/Bernoulli
+    arithmetic — so re-runs, repartitionings, and the DuckDB twin
+    reproduce the exact copy set. (As with every quantized-
+    transcendental twin in this repo — DSIR, the bigram LM — a 1-ulp
+    cross-engine pow difference could in principle land one source's
+    weight on the far side of a 1e-9 rounding boundary; measure-zero
+    in practice, and the oracle gate would catch it.)
+
+    NULL stratum values are a legitimate stratum: the count aggregate
+    keeps them as their own group and the weight join-back is
+    null-safe, so NULL-source rows are weighted and emitted like any
+    other stratum instead of silently dropping out."""
     if alpha < 0:
         raise ValueError(f"alpha must be >= 0, got {alpha}")
     counts = df.groupBy(strata_col).agg(F.count("*").alias("__n"))
-    tot = counts.agg(
-        F.sum(F.pow(F.col("__n"), F.lit(float(alpha)))).alias("__z"),
+    cq = counts.select(
+        strata_col,
+        "__n",
+        F.round(
+            F.pow(F.col("__n"), F.lit(float(alpha))) * F.lit(_TEMP_QUANT), 0
+        )
+        .cast("decimal(38,0)")
+        .alias("__qp"),
+    )
+    tot = cq.agg(
+        F.sum("__qp").alias("__qz"),
         F.sum("__n").alias("__total"),
     )
     b = (
@@ -416,18 +457,17 @@ def temperature_mixture(
         if budget is not None
         else F.col("__total").cast("double")
     )
+    w = (
+        b
+        * F.col("__qp").cast("double")
+        / F.col("__qz").cast("double")
+        / F.col("__n").cast("double")
+    )
     qw = (
-        counts.crossJoin(F.broadcast(tot))
+        cq.crossJoin(F.broadcast(tot))
         .select(
             strata_col,
-            F.round(
-                b
-                * F.pow(F.col("__n"), F.lit(float(alpha)))
-                / F.col("__z")
-                / F.col("__n")
-                * F.lit(_TEMP_QUANT),
-                0,
-            )
+            F.round(w * F.lit(float(_TEMP_QUANT)), 0)
             .cast("long")
             .alias("__qw"),
         )
@@ -440,8 +480,14 @@ def temperature_mixture(
     copies = (
         n_full + (hash_fraction(id_col, salt) < fpart).cast("long")
     ).cast("int")
+    # null-safe join-back: a NULL stratum is a real group (see
+    # docstring); plain join-on-name would silently drop its rows
+    qw2 = qw.select(F.col(strata_col).alias("__ws"), "__qw")
     return (
-        df.join(F.broadcast(qw), strata_col)
+        df.join(
+            F.broadcast(qw2), F.col(strata_col).eqNullSafe(F.col("__ws"))
+        )
+        .drop("__ws")
         .withColumn("__copies", copies)
         .filter(F.col("__copies") > 0)
         .withColumn(
@@ -461,24 +507,36 @@ def temperature_mixture_sql(
     table: str = "documents",
 ) -> str:
     """DuckDB twin of `temperature_mixture`, yielding ({key}, {strata},
-    epoch) rows — same quantized weights, same md5 Bernoulli."""
+    epoch) rows — same immediately-quantized pow, same integer
+    normalizer sum, same fixed-order double chain, same md5
+    Bernoulli."""
     a = float(alpha)
-    b = f"CAST({int(budget)} AS DOUBLE)" if budget is not None else "t.total"
+    b = (
+        f"CAST({int(budget)} AS DOUBLE)"
+        if budget is not None
+        else "CAST(t.total AS DOUBLE)"
+    )
     frac = hash_fraction_sql(key_expr, salt)
     return f"""
         WITH c AS (
             SELECT {strata_col}, count(*)::BIGINT AS n
             FROM {table} GROUP BY {strata_col}
         ),
+        cq AS (
+            SELECT {strata_col}, n,
+                   CAST(round(pow(n, {a!r}) * {_TEMP_QUANT})
+                        AS DECIMAL(38,0)) AS qp
+            FROM c
+        ),
         t AS (
-            SELECT sum(pow(n, {a!r}))::DOUBLE AS z,
-                   sum(n)::DOUBLE AS total FROM c
+            SELECT sum(qp) AS qz, sum(n)::BIGINT AS total FROM cq
         ),
         w AS (
-            SELECT c.{strata_col},
-                   round({b} * pow(c.n, {a!r}) / t.z / c.n
-                         * {_TEMP_QUANT})::BIGINT AS qw
-            FROM c CROSS JOIN t
+            SELECT cq.{strata_col},
+                   round({b} * CAST(qp AS DOUBLE) / CAST(qz AS DOUBLE)
+                         / CAST(n AS DOUBLE)
+                         * {float(_TEMP_QUANT)!r})::BIGINT AS qw
+            FROM cq CROSS JOIN t
         ),
         m AS (
             SELECT d.{key_expr}, d.{strata_col},
@@ -486,7 +544,8 @@ def temperature_mixture_sql(
                     + CASE WHEN {frac} < (qw % {_TEMP_QUANT})::DOUBLE
                                           / {float(_TEMP_QUANT)!r}
                            THEN 1 ELSE 0 END)::INT AS copies
-            FROM {table} d JOIN w USING ({strata_col})
+            FROM {table} d JOIN w
+              ON d.{strata_col} IS NOT DISTINCT FROM w.{strata_col}
         )
         SELECT {key_expr}, {strata_col},
                UNNEST(range(0, copies))::BIGINT AS epoch
