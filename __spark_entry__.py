@@ -3404,6 +3404,40 @@ def _q_text_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("dist", 6).alias("dist"))
 
 
+def _q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer et al. 2003, the MOSS
+    scheme): rightmost-min-per-window over the word-3-gram hash stream,
+    w=4 — scan-only array expressions, value-oracled hash-for-hash; see
+    functions/textstats.py::winnowing_fingerprints for the guarantee
+    and the plan."""
+    from vector_search_test_spark.functions.textstats import (
+        winnowing_fingerprints,
+    )
+
+    return winnowing_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+def _q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020)
+    over the corpus bigram LM — the LM-quality partition CCNet feeds to
+    pre-training; see textstats.py::ppl_buckets for the plan and the
+    cross-engine ntile determinism argument."""
+    from vector_search_test_spark.functions.textstats import ppl_buckets
+
+    return ppl_buckets(load_table(spark, sf_dir, "documents"))
+
+
+def _q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix over the clickstream — distinct
+    (user, week) projection, per-user cohort min, bounded (cohort,
+    offset) rollup; see timeseries.py::retention_cohorts for the plan."""
+    from vector_search_test_spark.operators.timeseries import (
+        retention_cohorts,
+    )
+
+    return retention_cohorts(load_table(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the correctness harness scores the FIRST 50
     # declared entries in dict order and skips the rest (observed in r2
@@ -3583,6 +3617,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r10 retirees (still fully oracle-gated here in overflow)
         "corpus_curation_pipeline": _q_corpus_curation_pipeline,
         "event_sessions": _q_event_sessions,
+        "winnowing_fingerprints": _q_winnowing_fingerprints,
+        "ppl_buckets": _q_ppl_buckets,
+        "retention_cohorts": _q_retention_cohorts,
     }
 
 
@@ -3940,6 +3977,22 @@ def _bigram_oracle_sql() -> str:
     )
 
     return bigram_lm_oracle_sql()
+
+
+def _winnowing_oracle_sql_() -> str:
+    from vector_search_test_spark.functions.textstats import (
+        winnowing_oracle_sql,
+    )
+
+    return winnowing_oracle_sql()
+
+
+def _ppl_buckets_oracle_sql_() -> str:
+    from vector_search_test_spark.functions.textstats import (
+        ppl_buckets_oracle_sql,
+    )
+
+    return ppl_buckets_oracle_sql()
 
 
 def _stream_qgate_oracle_sql(min_quality: float = 0.9) -> str:
@@ -5425,6 +5478,26 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "quality_topp_per_source": _topp_per_source_oracle_sql(),
         "cluster_top_terms": _ctt_sql,
         "snapshot_maintenance_cycle": _snapshot_mc_oracle_sql(),
+        "winnowing_fingerprints": _winnowing_oracle_sql_(),
+        "ppl_buckets": _ppl_buckets_oracle_sql_(),
+        "retention_cohorts": """
+            WITH a AS (
+                SELECT DISTINCT user_id,
+                       CAST(date_trunc('week', CAST(ts AS TIMESTAMP))
+                            AS DATE) AS week
+                FROM events
+            ),
+            f AS (
+                SELECT user_id, min(week) AS cohort_week
+                FROM a GROUP BY user_id
+            )
+            SELECT f.cohort_week,
+                   CAST(date_diff('day', f.cohort_week, a.week) / 7
+                        AS INT) AS week_offset,
+                   count(DISTINCT a.user_id)::BIGINT AS n_users
+            FROM a JOIN f USING (user_id)
+            GROUP BY 1, 2
+        """,
     }
     if _pp_sql is None:
         del out["ivf_search_partial_probe"]

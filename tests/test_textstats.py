@@ -468,3 +468,155 @@ def test_c4_projection_is_scan_only(spark, sf_dir):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (Schleimer et al. 2003;
+# textstats.py::winnowing_fingerprints)
+# ---------------------------------------------------------------------------
+
+
+def _py_winnow(text, k=3, w=4):
+    """Independent pure-Python reimplementation of the winnowing scheme
+    (same hash48 family member) — the cross-implementation oracle."""
+    import hashlib
+
+    toks = text.lower().split(" ")
+    if len(toks) >= k:
+        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    else:
+        grams = [" ".join(toks)]
+    h = [
+        int(hashlib.md5(f"0:{g}".encode()).hexdigest()[:12], 16)
+        for g in grams
+    ]
+    wl = min(w, len(h))
+    out = set()
+    for i in range(len(h) - wl + 1):
+        mn = min(h[i : i + wl])
+        pos = max(j for j in range(i, i + wl) if h[j] == mn)
+        out.add((pos, h[pos]))
+    return out
+
+
+def test_winnowing_matches_pure_python(spark):
+    texts = [
+        (0, "the quick brown fox jumps over the lazy dog again and again"),
+        (1, "a b a b a b a b a b"),  # heavy hash ties -> tie rule exercised
+        (2, "one two"),              # shorter than k -> single whole gram
+        (3, "x"),                    # single token
+        (4, "p q r s"),              # fewer grams than w -> one window
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {}
+    for r in ts.winnowing_fingerprints(df).collect():
+        got.setdefault(r.doc_id, set()).add((r.pos, r.fp))
+    for i, t in texts:
+        assert got[i] == _py_winnow(t), f"doc {i}"
+
+
+def test_winnowing_matches_duckdb_on_fixture(spark, sf_dir):
+    import duckdb
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = sorted(
+        (r.doc_id, r.pos, r.fp)
+        for r in ts.winnowing_fingerprints(docs).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = sorted(
+        (int(d), int(p), int(f))
+        for d, p, f in con.execute(ts.winnowing_oracle_sql()).fetchall()
+    )
+    assert got == want
+    # density sanity: winnowing keeps ~2/(w+1) of grams, never all of them
+    n_grams = docs.select(
+        F.sum(F.greatest(ts.token_count_ws("text") - 2, F.lit(1)))
+    ).first()[0]
+    assert 0 < len(got) < n_grams
+
+
+def test_winnowing_shared_run_guarantee(spark):
+    """Paper §3: two documents sharing a run of >= w + k - 1 words share
+    at least one selected fingerprint."""
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 = w + k - 1 words
+    df = spark.createDataFrame(
+        [
+            (0, f"unrelated prefix words here {shared} trailing bits"),
+            (1, f"{shared} completely different suffix content"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = {}
+    for r in ts.winnowing_fingerprints(df).collect():
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    assert fps[0] & fps[1]
+
+
+def test_winnowing_is_scan_only(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    plan = (
+        ts.winnowing_fingerprints(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_winnowing_rejects_bad_params(spark, sf_dir):
+    import pytest
+
+    docs = load_table(spark, sf_dir, "documents")
+    with pytest.raises(ValueError):
+        ts.winnowing_fingerprints(docs, w=0)
+    with pytest.raises(ValueError):
+        ts.winnowing_fingerprints(docs, k=0)
+
+
+# ---------------------------------------------------------------------------
+# CCNet perplexity buckets (Wenzek et al. 2020; textstats.py::ppl_buckets)
+# ---------------------------------------------------------------------------
+
+
+def test_ppl_buckets_balanced_and_ordered(spark):
+    """Per-source thirds: sizes differ by at most 1, every head ppl <=
+    every middle ppl <= every tail ppl, and the planted word-salad doc
+    lands in the tail."""
+    base = [(i, "the cat sat on the mat", "s") for i in range(8)]
+    salad = [(100, "mat the on sat cat the", "s")]
+    df = spark.createDataFrame(
+        base + salad, "doc_id long, text string, source string"
+    )
+    rows = ts.ppl_buckets(df).collect()
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r.bucket, []).append(r.ppl)
+    sizes = sorted(len(v) for v in by_bucket.values())
+    assert max(sizes) - min(sizes) <= 1
+    assert max(by_bucket["head"]) <= min(by_bucket["middle"])
+    assert max(by_bucket["middle"]) <= min(by_bucket["tail"])
+    assert next(r.bucket for r in rows if r.doc_id == 100) == "tail"
+
+
+def test_ppl_buckets_matches_duckdb_on_fixture(spark, sf_dir):
+    import duckdb
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = sorted(
+        (r.doc_id, r.source, r.ppl, r.bucket)
+        for r in ts.ppl_buckets(docs).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = sorted(
+        (int(d), s, float(p), b)
+        for d, s, p, b in con.execute(ts.ppl_buckets_oracle_sql()).fetchall()
+    )
+    assert got == want

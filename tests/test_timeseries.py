@@ -207,3 +207,104 @@ def test_funnel_ordering_matters(spark, monkeypatch, tmp_path):
     df.coalesce(1).write.mode("overwrite").parquet(str(pq))
     r = entrymod._q_funnel_counts(spark, str(tmp_path)).first()
     assert (r.n_view, r.n_view_click, r.n_full_funnel) == (4, 3, 2)
+
+
+# ---------------------------------------------------------------------------
+# retention cohorts (timeseries.py::retention_cohorts)
+# ---------------------------------------------------------------------------
+
+
+def test_retention_cohorts_hand_computed(spark):
+    """Two weekly cohorts with a known matrix. 2025-01-01 is a
+    Wednesday; its ISO week starts Monday 2024-12-30."""
+    from vector_search_test_spark.operators.timeseries import (
+        retention_cohorts,
+    )
+
+    rows = [
+        # cohort A (week of 2024-12-30): users 1, 2
+        (1, _ts(0)),                 # u1 week 0
+        (1, _ts(60 * 24 * 7)),       # u1 week 1
+        (1, _ts(60 * 24 * 21)),      # u1 week 3
+        (2, _ts(30)),                # u2 week 0 only
+        # cohort B (week of 2025-01-06): user 3
+        (3, _ts(60 * 24 * 6)),       # 2025-01-07 -> week of 01-06
+        (3, _ts(60 * 24 * 13)),      # one week later
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (str(r.cohort_week), r.week_offset): r.n_users
+        for r in retention_cohorts(df).collect()
+    }
+    assert got == {
+        ("2024-12-30", 0): 2,
+        ("2024-12-30", 1): 1,
+        ("2024-12-30", 3): 1,
+        ("2025-01-06", 0): 1,
+        ("2025-01-06", 1): 1,
+    }
+
+
+def test_retention_cohorts_matches_duckdb(spark, sf_dir):
+    import duckdb
+
+    from vector_search_test_spark.io import load_table
+    from vector_search_test_spark.operators.timeseries import (
+        retention_cohorts,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    got = sorted(
+        (str(r.cohort_week), int(r.week_offset), int(r.n_users))
+        for r in retention_cohorts(ev).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    want = sorted(
+        (str(c), int(o), int(n))
+        for c, o, n in con.execute(
+            """
+            WITH a AS (
+                SELECT DISTINCT user_id,
+                       CAST(date_trunc('week', CAST(ts AS TIMESTAMP))
+                            AS DATE) AS week
+                FROM events
+            ),
+            f AS (
+                SELECT user_id, min(week) AS cohort_week
+                FROM a GROUP BY user_id
+            )
+            SELECT f.cohort_week,
+                   CAST(date_diff('day', f.cohort_week, a.week) / 7
+                        AS INT) AS week_offset,
+                   count(DISTINCT a.user_id)::BIGINT AS n_users
+            FROM a JOIN f USING (user_id)
+            GROUP BY 1, 2
+            """
+        ).fetchall()
+    )
+    assert got == want
+    # offset 0 row exists for every cohort (the cohort size itself)
+    cohorts = {c for c, _, _ in got}
+    assert {(c) for c, o, _ in got if o == 0} == cohorts
+
+
+def test_retention_cohorts_no_window_no_cartesian(spark, sf_dir):
+    """Plan shape: per-user aggregates + equi-joins only — no window
+    over raw events, no cartesian product."""
+    from vector_search_test_spark.io import load_table
+    from vector_search_test_spark.operators.timeseries import (
+        retention_cohorts,
+    )
+
+    plan = (
+        retention_cohorts(load_table(spark, sf_dir, "events"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    assert "Cartesian" not in plan
+    assert "BatchEvalPython" not in plan

@@ -345,6 +345,97 @@ def rolling_fingerprint(col: Column | str, n: int = 3) -> Column:
     )
 
 
+def winnowing_fingerprints(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+):
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS fingerprinting algorithm): hash every word
+    k-gram, slide a w-window over the hash stream, and in each window
+    select the MINIMUM hash, rightmost occurrence on ties (the paper's
+    tie rule). The guarantee (paper §3): any shared run of at least
+    w + k - 1 words between two documents produces at least one shared
+    selected fingerprint, while only ~2/(w+1) of grams are kept — the
+    density/guarantee dial plagiarism and near-dup indexes tune.
+    `rolling_fingerprint` above is the degenerate whole-doc-window
+    special case; this is the full positional scheme.
+
+    Returns (id_col, pos, fp): one row per selected fingerprint, pos
+    the 0-based gram index, fp the 48-bit gram hash (portable_hash48,
+    so the DuckDB twin computes bit-identical values).
+
+    Plan (100 TB): scan-only — gram stream, hash stream, and the
+    per-window argmin selection are all array expressions inside ONE
+    projection (no explode before selection, no shuffle, no Python);
+    only the ~2/(w+1)-dense selected set explodes at the end. Short
+    documents (< w grams) winnow their single full-stream window.
+    Reference parity: generalizes app.py:96's whole-text keying the
+    way SURVEY §2.9 Q1 sketches."""
+    from vector_search_test_spark.operators.dedup import shingles_all
+
+    if w < 1 or k < 1:
+        raise ValueError(f"winnowing needs k >= 1 and w >= 1, got k={k} w={w}")
+    hashes = F.transform(
+        shingles_all(_col(text_col), k), lambda g: portable_hash48(g, salt=0)
+    )
+    d = docs.select(F.col(id_col), hashes.alias("h"))
+    m = F.size("h")
+    wl = F.least(F.lit(w), m)  # short docs: one whole-stream window
+
+    def _rightmost_min(i):
+        win_min = F.array_min(F.slice(F.col("h"), i + 1, wl))
+        return F.array_max(
+            F.filter(
+                F.sequence(i, i + wl - 1),
+                lambda j: F.element_at(F.col("h"), (j + 1).cast("int"))
+                == win_min,
+            )
+        )
+
+    sel = F.array_distinct(
+        F.transform(F.sequence(F.lit(0), m - wl), _rightmost_min)
+    )
+    return d.select(F.col(id_col), "h", F.explode(sel).alias("p")).select(
+        F.col(id_col),
+        F.col("p").cast("int").alias("pos"),
+        F.element_at("h", (F.col("p") + 1).cast("int")).alias("fp"),
+    )
+
+
+def winnowing_oracle_sql(k: int = 3, w: int = 4) -> str:
+    """DuckDB twin of `winnowing_fingerprints` — same gram stream, same
+    hash48 family member, same rightmost-min tie rule (list_max over
+    the positions attaining the window minimum)."""
+    from vector_search_test_spark.functions.hashing import hash48_sql
+    from vector_search_test_spark.operators.dedup import shingles_all_sql
+
+    return f"""
+        WITH g AS (
+            SELECT doc_id,
+                   list_transform({shingles_all_sql("text", k)},
+                                  s -> {hash48_sql("s", salt=0)}) AS h
+            FROM documents
+        ),
+        sel AS (
+            SELECT doc_id, h,
+                   list_distinct(list_transform(
+                       range(0, len(h) - least({w}, len(h)) + 1), i ->
+                       list_max(list_filter(
+                           range(i, i + least({w}, len(h))),
+                           j -> h[j + 1] = list_min(
+                               h[i + 1:i + least({w}, len(h))])))
+                   )) AS ps
+            FROM g
+        )
+        SELECT doc_id, CAST(p AS INT) AS pos,
+               h[CAST(p AS INT) + 1] AS fp
+        FROM sel, unnest(ps) AS u(p)
+    """
+
+
 def tfidf_top_terms(
     docs,
     id_col: str = "doc_id",
@@ -677,6 +768,69 @@ def bigram_lm_oracle_sql(lam: float = 0.7) -> str:
                    AS ppl
         FROM tf2 t JOIN probs p ON t.u = p.u AND t.v = p.v
         GROUP BY t.doc_id
+    """
+
+
+_PPL_BUCKET_LABELS = ("head", "middle", "tail")
+
+
+def ppl_buckets(
+    docs,
+    strata_col: str = "source",
+    lam: float = 0.7,
+):
+    """CCNet-style perplexity bucketing (Wenzek et al., LREC 2020 §4.3):
+    score every document with the corpus bigram LM (`bigram_lm_scores`,
+    the in-engine KenLM stand-in) and split each stratum into
+    equal-count head / middle / tail thirds by ascending perplexity —
+    head = the slice the LM finds most natural, which CCNet keeps (or
+    up-weights) for LM pre-training; tail = the word-salad end. Returns
+    (doc_id, source, ppl, bucket); documents with < 2 tokens have no
+    bigrams and are excluded upstream by construction.
+
+    Plan (100 TB): the bigram-LM plan (see bigram_lm_scores) plus ONE
+    per-stratum ntile window — a range-partitioned sort of the
+    (doc_id, ppl) table, which is id+double wide, orders of magnitude
+    narrower than the corpus. CCNet itself materializes exactly this
+    per-language sort to find its cutoffs; an approx_percentile
+    variant would avoid the sort at the cost of oracle-exact bucket
+    edges (documented seam, not taken). Determinism: ntile orders by
+    (ppl, doc_id) and ppl is bit-identical across engines (the
+    quantized-sum argument in bigram_lm_scores), so the DuckDB twin
+    buckets identically; Spark and DuckDB both deal ntile remainders
+    to the leading buckets (standard SQL)."""
+    from pyspark.sql import Window
+
+    scored = bigram_lm_scores(docs, lam=lam)
+    src = docs.select("doc_id", F.col(strata_col).alias("source"))
+    win = Window.partitionBy("source").orderBy(F.asc("ppl"), F.asc("doc_id"))
+    labels = F.array(*[F.lit(b) for b in _PPL_BUCKET_LABELS])
+    return (
+        scored.join(src, "doc_id")
+        .withColumn("nt", F.ntile(len(_PPL_BUCKET_LABELS)).over(win))
+        .select(
+            "doc_id",
+            "source",
+            "ppl",
+            F.element_at(labels, F.col("nt")).alias("bucket"),
+        )
+    )
+
+
+def ppl_buckets_oracle_sql(lam: float = 0.7) -> str:
+    """DuckDB twin of `ppl_buckets`: the bigram-LM oracle as a nested
+    CTE + the identical (ppl, doc_id)-ordered per-source ntile."""
+    return f"""
+        WITH base AS ({bigram_lm_oracle_sql(lam)})
+        SELECT doc_id, source, ppl,
+               CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                       ELSE 'tail' END AS bucket
+        FROM (
+            SELECT b.doc_id, s.source, b.ppl,
+                   ntile(3) OVER (PARTITION BY s.source
+                                  ORDER BY b.ppl, b.doc_id) AS nt
+            FROM base b JOIN documents s USING (doc_id)
+        )
     """
 
 

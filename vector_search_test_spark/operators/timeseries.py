@@ -194,3 +194,49 @@ def sessionize(
         .cast("long")
         - 1,
     )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention matrix — the classic product-analytics
+    rollup (and the freshness/engagement dashboard a 100 TB clickstream
+    pipeline materializes daily): cohort a user by the ISO week of
+    their FIRST event, then count, for every (cohort_week, week_offset)
+    cell, the distinct cohort users still active `week_offset` weeks
+    later. week_offset 0 is the cohort size itself; a row's
+    n_users / cohort-size column-0 value is the retention rate.
+
+    Returns (cohort_week date, week_offset int, n_users bigint).
+
+    Not in the reference (no time semantics there — SURVEY §2.8); the
+    standard companion to `sessionize` / funnel_counts on the events
+    table.
+
+    Plan (100 TB): distinct (user, week) projection — ONE shuffle with
+    map-side partial dedup, output bounded by users x active-weeks —
+    then a per-user min for the cohort week (second shuffle on the
+    already-narrow table, co-partitioned with the join-back that
+    follows, so the join itself is shuffle-free; AQE broadcasts the
+    cohort table when it is small), and a final (cohort, offset)
+    aggregate whose output is at most weeks^2 rows. No window over raw
+    events, no self-join on the event table. Week truncation is ISO
+    Monday in both engines, so offsets are exact multiples of 7 days
+    and the integer division is exact."""
+    active = events.select(
+        F.col(user_col).alias("user_id"),
+        F.to_date(F.date_trunc("week", F.col(ts_col))).alias("week"),
+    ).distinct()
+    first = active.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        active.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
