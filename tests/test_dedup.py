@@ -363,3 +363,93 @@ def test_semdedup_partition_invariance_and_validation(spark, sf_dir):
     assert len(a) == emb.count()  # every row annotated, none lost
     with pytest.raises(ValueError):
         semdedup_prune(emb, cents, tau=1.5)
+
+
+# ---------------------------------------------------------------------------
+# winnowing candidate pairs (dedup.py::winnowing_candidate_pairs)
+# ---------------------------------------------------------------------------
+
+
+def test_winnowing_candidates_planted_overlap(spark):
+    """Two docs sharing a long run become a candidate pair; an unrelated
+    doc pairs with neither."""
+    from vector_search_test_spark.operators.dedup import (
+        winnowing_candidate_pairs,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        [
+            (0, f"intro words {shared} outro one"),
+            (1, f"{shared} other tail entirely"),
+            (2, "nothing in common with those documents at all"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.a, r.b): (r.shared, r.containment)
+        for r in winnowing_candidate_pairs(df, min_shared=1).collect()
+    }
+    assert (0, 1) in pairs
+    assert all({a, b} == {0, 1} for a, b in pairs)
+    s, c = pairs[(0, 1)]
+    assert s >= 1 and 0 < c <= 1
+
+
+def test_winnowing_candidates_stop_fp_cap(spark):
+    """A fingerprint present in every doc is boilerplate: with max_df
+    below the corpus size it must not generate pairs on its own."""
+    from vector_search_test_spark.operators.dedup import (
+        winnowing_candidate_pairs,
+    )
+
+    boiler = "the same header line for every document"
+    df = spark.createDataFrame(
+        [(i, f"{boiler} unique tail {i} {i * 7} {i * 13}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    capped = winnowing_candidate_pairs(df, min_shared=1, max_df=3).collect()
+    uncapped = winnowing_candidate_pairs(
+        df, min_shared=1, max_df=None
+    ).collect()
+    assert len(uncapped) == 15  # all-pairs through the boilerplate fps
+    assert len(capped) < len(uncapped)
+
+
+def test_winnowing_candidates_matches_duckdb(spark, sf_dir):
+    import duckdb
+
+    from vector_search_test_spark.operators.dedup import (
+        winnowing_candidate_pairs,
+        winnowing_candidates_oracle_sql,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = sorted(
+        (r.a, r.b, r.shared, r.containment)
+        for r in winnowing_candidate_pairs(docs).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = sorted(
+        (int(a), int(b), int(s), float(c))
+        for a, b, s, c in con.execute(
+            winnowing_candidates_oracle_sql()
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_winnowing_candidates_rejects_bad_min_shared(spark, sf_dir):
+    import pytest
+
+    from vector_search_test_spark.operators.dedup import (
+        winnowing_candidate_pairs,
+    )
+
+    with pytest.raises(ValueError):
+        winnowing_candidate_pairs(
+            load_table(spark, sf_dir, "documents"), min_shared=0
+        )

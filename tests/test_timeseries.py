@@ -308,3 +308,54 @@ def test_retention_cohorts_no_window_no_cartesian(spark, sf_dir):
     assert "Window" not in plan
     assert "Cartesian" not in plan
     assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# robust value anomalies (timeseries.py::value_anomalies)
+# ---------------------------------------------------------------------------
+
+
+def test_value_anomalies_hand_computed(spark):
+    """[1,2,3,4,100]: median 3, MAD 1, Hampel threshold 3*1.4826 ->
+    exactly the 100 is anomalous."""
+    from vector_search_test_spark.operators.timeseries import value_anomalies
+
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in (1, 2, 3, 4, 100)]
+        + [("b", float(v)) for v in (10, 10, 10)],
+        "event_type string, value double",
+    )
+    got = {r.event_type: r for r in value_anomalies(df).collect()}
+    a = got["a"]
+    assert (a.n, a.med, a.mad, a.n_anomalies, a.anomaly_frac) == (
+        5, 3.0, 1.0, 1, 0.2,
+    )
+    b = got["b"]  # zero MAD: nothing exceeds a zero threshold band
+    assert (b.n, b.med, b.mad, b.n_anomalies) == (3, 10.0, 0.0, 0)
+
+
+def test_value_anomalies_matches_duckdb(spark, sf_dir):
+    import duckdb
+
+    from vector_search_test_spark.io import load_table
+    from vector_search_test_spark.operators.timeseries import (
+        value_anomalies,
+        value_anomalies_oracle_sql,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    got = sorted(
+        (r.event_type, r.n, r.med, r.mad, r.n_anomalies, r.anomaly_frac)
+        for r in value_anomalies(ev).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    want = sorted(
+        (k, int(n), float(m), float(d), int(na), float(fr))
+        for k, n, m, d, na, fr in con.execute(
+            value_anomalies_oracle_sql()
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0

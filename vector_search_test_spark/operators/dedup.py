@@ -954,3 +954,118 @@ def semdedup_prune(
             .alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# winnowing candidate pairs (fingerprint-overlap blocking)
+# ---------------------------------------------------------------------------
+
+
+def winnowing_candidate_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """Containment/near-dup candidate pairs by SHARED winnowing
+    fingerprints — the index use of the MOSS scheme (Schleimer et al.
+    2003 §5): two documents sharing any w+k-1-word run share a selected
+    fingerprint, so grouping the winnowed fingerprint table by fp and
+    joining on it surfaces every overlapping pair while touching only
+    the ~2/(w+1)-dense selected set, never the raw gram stream.
+
+    Returns (a, b, shared, containment): ids with a < b, the count of
+    distinct shared fingerprints, and shared / min(|fps_a|, |fps_b|)
+    (rounded 6dp) — the asymmetric-containment estimate MOSS ranks by.
+    Pairs below `min_shared` fingerprints are dropped.
+
+    Plan (100 TB): ONE shuffle on fp for the equi-self-join; candidate
+    volume is sum over fps of df^2, bounded by the `max_df`
+    stop-fingerprint cap (a fingerprint appearing in more than max_df
+    documents is boilerplate by definition and is dropped BEFORE the
+    join — the stop-word analogue of the prefix filter in
+    jaccard_join; dropped mass is countable from the df table). The
+    per-doc fingerprint sizes join back via broadcast when small, and
+    the final pair aggregate is candidate-bound. Never all-pairs.
+    """
+    from vector_search_test_spark.functions.textstats import (
+        winnowing_fingerprints,
+    )
+
+    if min_shared < 1:
+        raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+    fps = (
+        winnowing_fingerprints(docs, id_col=id_col, text_col=text_col, k=k, w=w)
+        .select(F.col(id_col).alias("id"), "fp")
+        .distinct()
+    )
+    if max_df is not None:
+        df_t = fps.groupBy("fp").agg(F.count("*").alias("df"))
+        fps = fps.join(
+            F.broadcast(df_t.filter(F.col("df") > max_df).select("fp")),
+            "fp",
+            "left_anti",
+        )
+    sizes = fps.groupBy("id").agg(F.count("*").alias("n_fp"))
+    a = fps.alias("a")
+    b = fps.alias("b")
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("a"), F.col("b.id").alias("b"))
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("id", "a").withColumnRenamed("n_fp", "na"), "a")
+        .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("n_fp", "nb"), "b")
+        .select(
+            "a",
+            "b",
+            "shared",
+            F.round(
+                F.col("shared") / F.least(F.col("na"), F.col("nb")), 6
+            ).alias("containment"),
+        )
+    )
+
+
+def winnowing_candidates_oracle_sql(
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = 1000,
+) -> str:
+    """DuckDB twin of `winnowing_candidate_pairs` — same fingerprint
+    CTE (winnowing_oracle_sql), same stop-fingerprint cap, same
+    containment arithmetic."""
+    from vector_search_test_spark.functions.textstats import (
+        winnowing_oracle_sql,
+    )
+
+    cap = (
+        f"WHERE fp NOT IN (SELECT fp FROM df_t WHERE df > {max_df})"
+        if max_df is not None
+        else ""
+    )
+    return f"""
+        WITH wfp AS ({winnowing_oracle_sql(k, w)}),
+        fps0 AS (SELECT DISTINCT doc_id AS id, fp FROM wfp),
+        df_t AS (SELECT fp, count(*)::BIGINT AS df FROM fps0 GROUP BY fp),
+        fps AS (SELECT id, fp FROM fps0 {cap}),
+        sizes AS (SELECT id, count(*)::BIGINT AS n_fp FROM fps GROUP BY id),
+        pairs AS (
+            SELECT x.id AS a, y.id AS b, count(*)::BIGINT AS shared
+            FROM fps x JOIN fps y ON x.fp = y.fp AND x.id < y.id
+            GROUP BY x.id, y.id
+            HAVING count(*) >= {min_shared}
+        )
+        SELECT p.a, p.b, p.shared,
+               round(p.shared / least(sa.n_fp, sb.n_fp), 6) AS containment
+        FROM pairs p
+        JOIN sizes sa ON p.a = sa.id
+        JOIN sizes sb ON p.b = sb.id
+    """

@@ -240,3 +240,109 @@ def retention_cohorts(
         )
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+def value_anomalies(
+    events: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    z: float = 3.0,
+) -> DataFrame:
+    """Robust per-key outlier gauge — the Hampel identifier (median /
+    MAD with the Gaussian consistency constant 1.4826), the standard
+    data-validation monitor a pipeline runs on every numeric column:
+    unlike mean/stddev, a contaminated tail cannot mask itself (50%
+    breakdown point). Flags value rows with
+    |v - median| > z * 1.4826 * MAD.
+
+    Returns per key: (key, n, med, mad, n_anomalies, anomaly_frac) —
+    med/mad rounded 6dp, frac = anomalies/n rounded 6dp.
+
+    Plan (100 TB): per-key exact median (ONE shuffle on the key),
+    broadcast the per-key medians back for the absolute deviations,
+    second per-key percentile for the MAD, broadcast again for the
+    final count — the key table is gauge-sized (distinct keys), so
+    both join-backs broadcast. Exact `percentile` buffers one group's
+    values per aggregation state: fine for gauge keys (event types,
+    sources, labels); for high-cardinality keys swap in
+    approx_percentile — the documented seam, not taken here because
+    the DuckDB twin (quantile_cont) is bit-identical to Spark's exact
+    percentile (verified: interpolation arithmetic agrees) and keeps
+    the oracle value-exact. Threshold compares are bit-deterministic
+    cross-engine: same input doubles, same literal, same expression
+    shape."""
+    kc, vc = F.col(key_col), F.col(value_col)
+    med = events.groupBy(kc.alias("k")).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("med"),
+        F.count(value_col).alias("n"),
+    )
+    dev = events.select(kc.alias("k"), vc.alias("v")).join(
+        F.broadcast(med), "k"
+    )
+    mad = dev.withColumn("adev", F.abs(F.col("v") - F.col("med"))).groupBy(
+        "k"
+    ).agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+    thresh = F.lit(float(z)) * F.lit(1.4826) * F.col("mad")
+    flagged = (
+        dev.join(F.broadcast(mad), "k")
+        .groupBy("k")
+        .agg(
+            F.sum(
+                (F.abs(F.col("v") - F.col("med")) > thresh).cast("long")
+            ).alias("n_anomalies")
+        )
+    )
+    return (
+        med.join(F.broadcast(mad), "k")
+        .join(F.broadcast(flagged), "k")
+        .select(
+            F.col("k").alias(key_col),
+            "n",
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+            "n_anomalies",
+            F.round(F.col("n_anomalies") / F.col("n"), 6).alias(
+                "anomaly_frac"
+            ),
+        )
+    )
+
+
+def value_anomalies_oracle_sql(
+    key_col: str = "event_type",
+    value_col: str = "value",
+    z: float = 3.0,
+) -> str:
+    """DuckDB twin of `value_anomalies` (quantile_cont is bit-identical
+    to Spark's exact interpolated percentile; same literals, same
+    expression shape, so the threshold compares agree row-for-row)."""
+    return f"""
+        WITH med AS (
+            SELECT {key_col} AS k,
+                   quantile_cont({value_col}, 0.5) AS med,
+                   count({value_col})::BIGINT AS n
+            FROM events GROUP BY 1
+        ),
+        mad AS (
+            SELECT e.{key_col} AS k,
+                   quantile_cont(abs(e.{value_col} - m.med), 0.5) AS mad
+            FROM events e JOIN med m ON e.{key_col} = m.k
+            GROUP BY 1
+        ),
+        fl AS (
+            SELECT e.{key_col} AS k,
+                   sum((abs(e.{value_col} - m.med)
+                        > {float(z)!r} * 1.4826 * d.mad)::BIGINT)::BIGINT
+                       AS n_anomalies
+            FROM events e
+            JOIN med m ON e.{key_col} = m.k
+            JOIN mad d ON e.{key_col} = d.k
+            GROUP BY 1
+        )
+        SELECT m.k AS {key_col}, m.n,
+               round(m.med, 6) AS med,
+               round(d.mad, 6) AS mad,
+               fl.n_anomalies,
+               round(fl.n_anomalies / m.n, 6) AS anomaly_frac
+        FROM med m JOIN mad d ON m.k = d.k JOIN fl ON m.k = fl.k
+    """
