@@ -3460,6 +3460,26 @@ def _q_event_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return value_anomalies(load_table(spark, sf_dir, "events"))
 
 
+def _q_pmi_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2phrase-style collocation mining: top-50 adjacent token pairs
+    by 1e-12-quantized PMI with min-count support — the phrase-merge
+    candidates a vocab/tokenizer pass consumes; see
+    textstats.py::pmi_phrases for the plan."""
+    from vector_search_test_spark.functions.textstats import pmi_phrases
+
+    return pmi_phrases(load_table(spark, sf_dir, "documents"))
+
+
+def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge training (Sennrich et al. 2016), 8 rounds:
+    vocabulary-sized pair-count rounds + greedy JVM merge folds, one
+    bounded 1-row argmax collect per round; the DuckDB twin unrolls the
+    identical rounds. See operators/bpe.py for the scale argument."""
+    from vector_search_test_spark.operators.bpe import bpe_merges
+
+    return bpe_merges(load_table(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the correctness harness scores the FIRST 50
     # declared entries in dict order and skips the rest (observed in r2
@@ -3644,6 +3664,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts": _q_retention_cohorts,
         "winnowing_candidates": _q_winnowing_candidates,
         "event_value_anomalies": _q_event_value_anomalies,
+        "pmi_phrases": _q_pmi_phrases,
+        "bpe_merges": _q_bpe_merges,
     }
 
 
@@ -4017,6 +4039,20 @@ def _ppl_buckets_oracle_sql_() -> str:
     )
 
     return ppl_buckets_oracle_sql()
+
+
+def _bpe_oracle_sql_() -> str:
+    from vector_search_test_spark.operators.bpe import bpe_merges_oracle_sql
+
+    return bpe_merges_oracle_sql()
+
+
+def _pmi_phrases_oracle_sql_() -> str:
+    from vector_search_test_spark.functions.textstats import (
+        pmi_phrases_oracle_sql,
+    )
+
+    return pmi_phrases_oracle_sql()
 
 
 def _winnowing_cand_oracle_sql_() -> str:
@@ -5522,6 +5558,8 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "ppl_buckets": _ppl_buckets_oracle_sql_(),
         "winnowing_candidates": _winnowing_cand_oracle_sql_(),
         "event_value_anomalies": _value_anomalies_oracle_sql_(),
+        "pmi_phrases": _pmi_phrases_oracle_sql_(),
+        "bpe_merges": _bpe_oracle_sql_(),
         "retention_cohorts": """
             WITH a AS (
                 SELECT DISTINCT user_id,

@@ -1,0 +1,123 @@
+"""BPE merge training tests (operators/bpe.py — Sennrich et al. 2016).
+
+The merge fold is the subtle part: greedy left-to-right non-overlapping,
+runs of identical symbols merge floor(run/2) times. Pinned against
+hand-written cases, a pure-Python reference, and the DuckDB unrolled
+twin on the fixture.
+"""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from vector_search_test_spark.io import load_table
+from vector_search_test_spark.operators.bpe import (
+    bpe_merges,
+    bpe_merges_oracle_sql,
+    merge_pair,
+)
+
+
+def _py_merge(s, a, b):
+    out, pend = [], ""
+    for x in s:
+        if pend == a and x == b:
+            out.append(a + b)
+            pend = ""
+        elif pend == "":
+            pend = x
+        else:
+            out.append(pend)
+            pend = x
+    if pend:
+        out.append(pend)
+    return out
+
+
+def _py_bpe(texts, rounds=8):
+    from collections import Counter
+
+    vocab = Counter()
+    for t in texts:
+        for w in t.lower().split(" "):
+            if w:
+                vocab[w] += 1
+    syms = {w: list(w) for w in vocab}
+    merges = []
+    for r in range(1, rounds + 1):
+        pc = Counter()
+        for w, c in vocab.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += c
+        if not pc:
+            break
+        (a, b), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((r, a, b, a + b, c))
+        syms = {w: _py_merge(s, a, b) for w, s in syms.items()}
+    return merges
+
+
+def test_merge_pair_cases(spark):
+    cases = [
+        (["a", "a", "a"], "a", "a", ["aa", "a"]),
+        (["a", "a", "a", "a"], "a", "a", ["aa", "aa"]),
+        (["a", "b", "a", "b"], "a", "b", ["ab", "ab"]),
+        (["n", "e", "w"], "e", "w", ["n", "ew"]),
+        (["x"], "a", "b", ["x"]),
+        (["b", "a", "b"], "a", "b", ["b", "ab"]),
+    ]
+    df = spark.createDataFrame(
+        [(s, a, b) for s, a, b, _ in cases],
+        "s array<string>, a string, b string",
+    )
+    got = [
+        r.m
+        for r in df.select(
+            merge_pair(F.col("s"), F.col("a"), F.col("b")).alias("m")
+        ).collect()
+    ]
+    assert got == [w for *_, w in cases]
+    for s, a, b, w in cases:
+        assert _py_merge(s, a, b) == w  # the reference agrees with itself
+
+
+def test_bpe_matches_pure_python(spark):
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new",
+        "wider wide wide new",
+        "aaaa aaa aa a",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = sorted(tuple(r) for r in bpe_merges(df, rounds=6).collect())
+    want = sorted(_py_bpe(texts, rounds=6))
+    assert got == want
+
+
+def test_bpe_matches_duckdb_on_fixture(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    got = sorted(tuple(r) for r in bpe_merges(docs).collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = sorted(
+        (int(r), a, b, m, int(c))
+        for r, a, b, m, c in con.execute(bpe_merges_oracle_sql()).fetchall()
+    )
+    assert got == want and len(got) == 8
+    # merges compound: later rounds may reuse earlier merged symbols
+    assert all(m == a + b for _, a, b, m, _ in got)
+
+
+def test_bpe_early_stop_on_fused_vocab(spark):
+    # single-char words only: no adjacent pairs exist -> zero merges
+    df = spark.createDataFrame([("a b c a",)], "text string")
+    assert bpe_merges(df, rounds=4).count() == 0
+
+
+def test_bpe_rejects_bad_rounds(spark):
+    df = spark.createDataFrame([("ab",)], "text string")
+    with pytest.raises(ValueError):
+        bpe_merges(df, rounds=0)

@@ -620,3 +620,52 @@ def test_ppl_buckets_matches_duckdb_on_fixture(spark, sf_dir):
         for d, s, p, b in con.execute(ts.ppl_buckets_oracle_sql()).fetchall()
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations (Mikolov et al. 2013; textstats.py::pmi_phrases)
+# ---------------------------------------------------------------------------
+
+
+def test_pmi_phrases_planted_collocation(spark):
+    """A pair that always co-occurs outranks independent pairs, and the
+    hand-computed PMI matches ln(N * c2 / (c1u * c1v))."""
+    import math
+
+    docs = [(i, "new york " + " ".join(["w%d x%d" % (i, j) for j in range(3)]), "s") for i in range(6)]
+    df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    rows = ts.pmi_phrases(df, min_count=3, top_n=5).collect()
+    assert rows[0].u == "new" and rows[0].v == "york"
+    n_total = 6 * 8  # 8 tokens per doc
+    want = round(round(math.log((6 * n_total) / (6 * 6)) * 1e12) / 1e12, 6)
+    assert abs(rows[0].pmi - want) < 1e-9
+    assert rows[0].pair_count == 6
+
+
+def test_pmi_phrases_min_count_filters(spark):
+    df = spark.createDataFrame(
+        [(0, "a b a b a b", "s"), (1, "c d", "s")],
+        "doc_id long, text string, source string",
+    )
+    got = {(r.u, r.v) for r in ts.pmi_phrases(df, min_count=2, top_n=10).collect()}
+    assert ("c", "d") not in got  # seen once: below support
+    assert ("a", "b") in got
+
+
+def test_pmi_phrases_matches_duckdb_on_fixture(spark, sf_dir):
+    import duckdb
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = [
+        (r.u, r.v, r.pair_count, r.pmi)
+        for r in ts.pmi_phrases(docs).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = [
+        (u, v, int(c), float(p))
+        for u, v, c, p in con.execute(ts.pmi_phrases_oracle_sql()).fetchall()
+    ]
+    assert got == want and len(got) == 50  # ORDER preserved, not just set

@@ -771,6 +771,128 @@ def bigram_lm_oracle_sql(lam: float = 0.7) -> str:
     """
 
 
+def pmi_phrases(
+    docs,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_n: int = 50,
+):
+    """word2phrase-style collocation mining (Mikolov et al. 2013 §4 —
+    the phrase-merge pass run before tokenizer/vocab construction):
+    rank adjacent token pairs by pointwise mutual information
+    PMI(u,v) = ln(N * c(u,v) / (c(u) * c(v))), keep pairs seen at
+    least `min_count` times (the support filter that kills
+    one-off-juxtaposition noise), return the global top_n as
+    (u, v, pair_count, pmi) — pmi rounded 6dp. Positive PMI = the
+    pair co-occurs more than its parts predict: a merge candidate.
+
+    Plan (100 TB): the bigram extraction shape of bigram_lm_scores
+    (one shifted-slice zip explode -> (u, v) count shuffle with
+    map-side combine; output vocabulary-sized), unigram counts from a
+    second explode off the same scan, broadcast unigram legs + the
+    1-row N scalar, and a global TakeOrdered top_n (no full sort).
+    Determinism: the ln argument is assembled double-by-double in the
+    same shape both engines fold ((c2::double * N) / (c1u::double *
+    c1v)), the score quantizes to a 1e-12 integer (the bigram-LM
+    pattern) and ordering is (quantized pmi desc, u asc, v asc) — no
+    float-tie ambiguity cross-engine."""
+    toks_arr = F.split(F.lower(F.col(text_col)), " ")
+    n = F.size(toks_arr)
+    pairs = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks_arr, 1, n - 1),
+            F.slice(toks_arr, 2, n - 1),
+            lambda a, b: F.struct(a.alias("u"), b.alias("v")),
+        ),
+    ).otherwise(F.array().cast("array<struct<u:string,v:string>>"))
+    bg = docs.select(F.explode(pairs).alias("p")).select(
+        F.col("p.u").alias("u"), F.col("p.v").alias("v")
+    )
+    c2 = (
+        bg.groupBy("u", "v")
+        .agg(F.count("*").alias("pair_count"))
+        .filter(F.col("pair_count") >= int(min_count))
+    )
+    uni = (
+        docs.select(F.explode(toks_arr).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("c1"))
+    )
+    n_total = uni.agg(F.sum("c1").cast("long").alias("n_total"))
+    qpmi = F.round(
+        F.log(
+            (F.col("pair_count").cast("double") * F.col("n_total"))
+            / (F.col("c1_u").cast("double") * F.col("c1_v"))
+        )
+        * F.lit(1e12)
+    ).cast("long")
+    scored = (
+        c2.join(
+            F.broadcast(
+                uni.select(F.col("term").alias("u"), F.col("c1").alias("c1_u"))
+            ),
+            "u",
+        )
+        .join(
+            F.broadcast(
+                uni.select(F.col("term").alias("v"), F.col("c1").alias("c1_v"))
+            ),
+            "v",
+        )
+        .crossJoin(F.broadcast(n_total))
+        .select("u", "v", "pair_count", qpmi.alias("qpmi"))
+    )
+    return (
+        scored.orderBy(F.desc("qpmi"), F.asc("u"), F.asc("v"))
+        .limit(int(top_n))
+        .select(
+            "u",
+            "v",
+            "pair_count",
+            F.round(F.col("qpmi") / 1e12, 6).alias("pmi"),
+        )
+    )
+
+
+def pmi_phrases_oracle_sql(min_count: int = 5, top_n: int = 50) -> str:
+    """DuckDB twin of `pmi_phrases` — same double-assembly shape, same
+    1e-12 quantization, same (qpmi desc, u, v) top-n order."""
+    return f"""
+        WITH tk AS (
+            SELECT string_split(lower(text), ' ') AS t FROM documents
+        ),
+        bg AS (
+            SELECT t[i] AS u, t[i + 1] AS v
+            FROM tk, unnest(range(1, len(t))) AS r(i)
+        ),
+        c2 AS (
+            SELECT u, v, count(*)::BIGINT AS pair_count
+            FROM bg GROUP BY u, v
+            HAVING count(*) >= {int(min_count)}
+        ),
+        uni AS (
+            SELECT term, count(*)::BIGINT AS c1
+            FROM (SELECT unnest(t) AS term FROM tk) GROUP BY term
+        ),
+        nt AS (SELECT sum(c1)::BIGINT AS n_total FROM uni),
+        scored AS (
+            SELECT c2.u, c2.v, c2.pair_count,
+                   round(ln((c2.pair_count::DOUBLE * nt.n_total)
+                            / (cu.c1::DOUBLE * cv.c1)) * 1e12)::BIGINT
+                       AS qpmi
+            FROM c2
+            JOIN uni cu ON c2.u = cu.term
+            JOIN uni cv ON c2.v = cv.term
+            CROSS JOIN nt
+        )
+        SELECT u, v, pair_count, round(qpmi / 1e12, 6) AS pmi
+        FROM scored
+        ORDER BY qpmi DESC, u, v
+        LIMIT {int(top_n)}
+    """
+
+
 _PPL_BUCKET_LABELS = ("head", "middle", "tail")
 
 

@@ -1,0 +1,217 @@
+"""Distributed byte-pair-encoding merge training (Sennrich, Haddow &
+Birch, ACL 2016 — the subword-vocabulary algorithm behind GPT/BERT-class
+tokenizers; Gage 1994 for the original compression form).
+
+The key scale fact BPE training exploits: after the first projection the
+algorithm never touches the corpus again — it runs on the WORD VOCABULARY
+with counts (Heaps-law sublinear in corpus size), exactly how the
+reference implementations (subword-nmt, HuggingFace trainers) structure
+it. Per round: count adjacent symbol pairs weighted by word frequency,
+take the argmax, merge it greedily left-to-right inside every word,
+repeat. The merge list IS the tokenizer artifact.
+
+Spark shape (100 TB):
+- ONE corpus-sized token-explode shuffle builds the (word, count) vocab;
+  every later round is vocabulary-sized.
+- Pair counts per round: shifted-slice zip over the symbol arrays (the
+  bigram_lm_scores trick) -> (a, b) sum(count) shuffle with map-side
+  combine.
+- The argmax is a 1-row `orderBy(count desc, a, b).limit(1)` collect —
+  the same bounded driver step as k-means centroid selection (BASELINE:
+  driver-trained codebooks pattern); rounds are inherently sequential,
+  so BPE cannot avoid one driver round-trip per merge.
+- The merge application is a pure JVM `aggregate` fold over each word's
+  symbol array (greedy non-overlapping left-to-right, the paper's rule)
+  — no Python, no shuffle; the vocab is `localCheckpoint()`ed each
+  round so round r+1 does not replay rounds 1..r's folds (the repo's
+  multi-consumer rule).
+
+Determinism: counts are integers; argmax ties break (count desc, a asc,
+b asc); the greedy fold is sequential by definition — the DuckDB twin
+unrolls the same rounds with a string-encoded `list_reduce` fold and
+matches value-for-value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_pair(s: Column, a: Column, b: Column) -> Column:
+    """Greedy left-to-right non-overlapping merge of adjacent (a, b)
+    into the concatenated symbol a||b inside one symbol array — the BPE
+    merge-application rule. Runs of a == b merge floor(run/2) times
+    ([a,a,a] -> [aa, a]), matching subword-nmt. Pure JVM fold
+    (F.aggregate with a (out, pending) struct accumulator): scan-only,
+    no Python."""
+    init = F.struct(
+        F.array().cast("array<string>").alias("out"), F.lit("").alias("pend")
+    )
+
+    def step(acc, x):
+        return (
+            F.when(
+                (acc["pend"] == a) & (x == b),
+                F.struct(
+                    F.array_append(acc["out"], F.concat(a, b)).alias("out"),
+                    F.lit("").alias("pend"),
+                ),
+            )
+            .when(
+                acc["pend"] == F.lit(""),
+                F.struct(acc["out"].alias("out"), x.alias("pend")),
+            )
+            .otherwise(
+                F.struct(
+                    F.array_append(acc["out"], acc["pend"]).alias("out"),
+                    x.alias("pend"),
+                ),
+            )
+        )
+
+    def fin(acc):
+        return F.when(acc["pend"] == F.lit(""), acc["out"]).otherwise(
+            F.array_append(acc["out"], acc["pend"])
+        )
+
+    return F.aggregate(s, init, step, fin)
+
+
+def _pair_counts(vocab: DataFrame) -> DataFrame:
+    """(a, b, pair_count) over the symbolized vocab, weighted by word
+    frequency — one vocabulary-sized shuffle with map-side combine."""
+    n = F.size("s")
+    pairs = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice("s", 1, n - 1),
+            F.slice("s", 2, n - 1),
+            lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    return (
+        vocab.select("cnt", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("cnt").cast("long").alias("pair_count"))
+    )
+
+
+def bpe_merges(
+    docs: DataFrame,
+    text_col: str = "text",
+    rounds: int = 8,
+) -> DataFrame:
+    """Train `rounds` BPE merges on the corpus; returns the merge table
+    (round, left, right, merged, pair_count) — round 1-based, in merge
+    order (the artifact a tokenizer replays). Stops early if no pair is
+    left to merge (every word fully fused). See the module docstring
+    for the scale argument; the returned table is rounds-sized and
+    driver-assembled from one bounded 1-row collect per round, the
+    k-means-centroid pattern."""
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    spark = docs.sparkSession
+    vocab = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.split("w", "").alias("s"), "cnt")
+        .localCheckpoint()
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    for r in range(1, rounds + 1):
+        best = (
+            _pair_counts(vocab)
+            .orderBy(F.desc("pair_count"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, c = best[0].a, best[0].b, best[0].pair_count
+        merges.append((r, a, b, a + b, int(c)))
+        vocab = vocab.select(
+            merge_pair(F.col("s"), F.lit(a), F.lit(b)).alias("s"), "cnt"
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges,
+        "round int, left string, right string, merged string, pair_count long",
+    )
+
+
+_FOLD_LAMBDA = """list_reduce(s, (acc, x) ->
+    CASE
+      WHEN len(string_split(acc, chr(31))) = 2 THEN
+        CASE
+          WHEN string_split(acc, chr(31))[2] = a AND x = b
+            THEN concat(string_split(acc, chr(31))[1], ' ', a, b, chr(31))
+          WHEN string_split(acc, chr(31))[2] = ''
+            THEN concat(string_split(acc, chr(31))[1], chr(31), x)
+          ELSE concat(string_split(acc, chr(31))[1], ' ',
+                      string_split(acc, chr(31))[2], chr(31), x)
+        END
+      ELSE
+        CASE WHEN acc = a AND x = b
+             THEN concat(' ', a, b, chr(31))
+             ELSE concat(' ', acc, chr(31), x) END
+    END)"""
+
+_FOLD_FINISH = """list_filter(string_split(trim(CASE
+    WHEN len(string_split(f, chr(31))) = 2
+    THEN concat(string_split(f, chr(31))[1], ' ',
+                string_split(f, chr(31))[2])
+    ELSE f END), ' '), x -> x != '')"""
+
+
+def bpe_merges_oracle_sql(rounds: int = 8) -> str:
+    """DuckDB twin of `bpe_merges`: the same rounds unrolled as chained
+    CTEs. The greedy merge fold is a `list_reduce` with a
+    string-encoded (out, pending) accumulator (chr(31) separator —
+    cannot appear in whitespace-split tokens; a bare accumulator with
+    no separator is the reduce's implicit first-element init, a lone
+    pending symbol); the argmax is the same (pair_count desc, a, b)
+    limit 1. Fold verified equivalent to merge_pair on runs
+    ([a,a,a] -> [aa, a]), alternations, and single-symbol words
+    (tests/test_bpe.py)."""
+    ctes = [
+        """v0 AS (
+            SELECT string_split(w, '') AS s, count(*)::BIGINT AS cnt
+            FROM (
+                SELECT unnest(string_split(lower(text), ' ')) AS w
+                FROM documents
+            ) WHERE w != '' GROUP BY w
+        )"""
+    ]
+    selects = []
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""p{r} AS (
+            SELECT s[i] AS a, s[i + 1] AS b, sum(cnt)::BIGINT AS pair_count
+            FROM v{r - 1}, unnest(range(1, len(s))) AS u(i)
+            GROUP BY 1, 2
+        )"""
+        )
+        ctes.append(
+            f"""b{r} AS (
+            SELECT a, b, pair_count FROM p{r}
+            ORDER BY pair_count DESC, a, b LIMIT 1
+        )"""
+        )
+        ctes.append(
+            f"""v{r} AS (
+            SELECT {_FOLD_FINISH} AS s, cnt
+            FROM (
+                SELECT cnt, {_FOLD_LAMBDA} AS f
+                FROM v{r - 1} CROSS JOIN b{r}
+            )
+        )"""
+        )
+        selects.append(
+            f"SELECT {r} AS round, a AS left, b AS right,"
+            f" a || b AS merged, pair_count FROM b{r}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
