@@ -3480,6 +3480,16 @@ def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merges(load_table(spark, sf_dir, "documents"))
 
 
+def _q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-eval composition: train 8 BPE merges, replay them over
+    the distinct-word vocabulary (scan-only JVM folds), broadcast-join
+    back to the corpus word stream, and report per-source fertility
+    (subwords per word); see operators/bpe.py::bpe_fertility."""
+    from vector_search_test_spark.operators.bpe import bpe_fertility
+
+    return bpe_fertility(load_table(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the correctness harness scores the FIRST 50
     # declared entries in dict order and skips the rest (observed in r2
@@ -3666,6 +3676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_value_anomalies": _q_event_value_anomalies,
         "pmi_phrases": _q_pmi_phrases,
         "bpe_merges": _q_bpe_merges,
+        "bpe_fertility": _q_bpe_fertility,
     }
 
 
@@ -4045,6 +4056,14 @@ def _bpe_oracle_sql_() -> str:
     from vector_search_test_spark.operators.bpe import bpe_merges_oracle_sql
 
     return bpe_merges_oracle_sql()
+
+
+def _bpe_fertility_oracle_sql_() -> str:
+    from vector_search_test_spark.operators.bpe import (
+        bpe_fertility_oracle_sql,
+    )
+
+    return bpe_fertility_oracle_sql()
 
 
 def _pmi_phrases_oracle_sql_() -> str:
@@ -5560,6 +5579,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "event_value_anomalies": _value_anomalies_oracle_sql_(),
         "pmi_phrases": _pmi_phrases_oracle_sql_(),
         "bpe_merges": _bpe_oracle_sql_(),
+        "bpe_fertility": _bpe_fertility_oracle_sql_(),
         "retention_cohorts": """
             WITH a AS (
                 SELECT DISTINCT user_id,

@@ -121,3 +121,42 @@ def test_bpe_rejects_bad_rounds(spark):
     df = spark.createDataFrame([("ab",)], "text string")
     with pytest.raises(ValueError):
         bpe_merges(df, rounds=0)
+
+
+def test_bpe_fertility_hand_computed(spark):
+    """One source, known merges: 'ab ab abc d' with 2 rounds merges
+    (a,b) then (ab,c): subword counts 1, 1, 1, 1 -> fertility 1.0;
+    verify against the pure-Python replay too."""
+    from vector_search_test_spark.operators.bpe import bpe_fertility
+
+    df = spark.createDataFrame(
+        [(0, "ab ab abc d", "s")], "doc_id long, text string, source string"
+    )
+    r = bpe_fertility(df, rounds=2).collect()[0]
+    # round 1 merges (a,b) [count 3]; round 2 merges (ab,c) [count 1]
+    assert (r.source, r.n_words, r.n_subwords, r.fertility) == (
+        "s", 4, 4, 1.0,
+    )
+
+
+def test_bpe_fertility_matches_duckdb_on_fixture(spark, sf_dir):
+    from vector_search_test_spark.operators.bpe import (
+        bpe_fertility,
+        bpe_fertility_oracle_sql,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = sorted(tuple(r) for r in bpe_fertility(docs).collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = sorted(
+        (s, int(nw), int(ns), float(f))
+        for s, nw, ns, f in con.execute(bpe_fertility_oracle_sql()).fetchall()
+    )
+    assert got == want and len(got) > 0
+    # more merges can only reduce (or keep) total subword counts
+    fewer = {r.source: r.n_subwords for r in bpe_fertility(docs, rounds=2).collect()}
+    more = {r.source: r.n_subwords for r in bpe_fertility(docs, rounds=8).collect()}
+    assert all(more[s] <= fewer[s] for s in fewer)

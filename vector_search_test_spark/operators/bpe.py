@@ -215,3 +215,102 @@ def bpe_merges_oracle_sql(rounds: int = 8) -> str:
             f" a || b AS merged, pair_count FROM b{r}"
         )
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def bpe_fertility(
+    docs: DataFrame,
+    text_col: str = "text",
+    strata_col: str = "source",
+    rounds: int = 8,
+) -> DataFrame:
+    """Tokenizer-eval composition: train `rounds` BPE merges
+    (`bpe_merges`), REPLAY them over the corpus, and report per-stratum
+    fertility — subwords per word, the standard tokenizer-quality
+    metric (a rising fertility on a source means the vocabulary fits it
+    badly). Returns (source, n_words, n_subwords, fertility) with
+    fertility rounded 6dp.
+
+    Plan (100 TB): the merges apply to the DISTINCT-WORD vocabulary
+    (Heaps-sublinear), as `rounds` chained scan-only JVM folds in ONE
+    projection; the corpus then joins word -> subword_count via
+    broadcast of that vocab table and aggregates per stratum — the
+    corpus is scanned once and never carries symbol arrays. The
+    training rounds are bpe_merges' (bounded 1-row argmax collect per
+    round)."""
+    trained = [
+        (r.left, r.right)
+        for r in bpe_merges(docs, text_col=text_col, rounds=rounds)
+        .orderBy("round")
+        .collect()
+    ]
+    words = docs.select(
+        F.col(strata_col).alias("source"),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w"),
+    ).filter(F.col("w") != "")
+    sym = F.split("w", "")
+    for a, b in trained:
+        sym = merge_pair(sym, F.lit(a), F.lit(b))
+    vocab = (
+        words.select("w").distinct().select("w", F.size(sym).alias("n_sub"))
+    )
+    return (
+        words.join(F.broadcast(vocab), "w")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_sub").cast("long").alias("n_subwords"),
+        )
+        .select(
+            "source",
+            "n_words",
+            "n_subwords",
+            F.round(F.col("n_subwords") / F.col("n_words"), 6).alias(
+                "fertility"
+            ),
+        )
+    )
+
+
+def bpe_fertility_oracle_sql(rounds: int = 8) -> str:
+    """DuckDB twin of `bpe_fertility`: the bpe_merges_oracle_sql CTE
+    chain, plus the same `rounds` folds replayed over the distinct-word
+    vocabulary and joined back to the corpus word stream."""
+    train = bpe_merges_oracle_sql(rounds)
+    # reuse the training CTE chain (strip the final merge-table SELECTs)
+    cte_body = train[len("WITH ") : train.index("\nSELECT 1 AS round")]
+    ctes = [cte_body]
+    ctes.append(
+        """cw AS (
+            SELECT source, w
+            FROM (
+                SELECT source,
+                       unnest(string_split(lower(text), ' ')) AS w
+                FROM documents
+            ) WHERE w != ''
+        )""".strip()
+    )
+    ctes.append(
+        "a0 AS (SELECT DISTINCT w, string_split(w, '') AS s FROM cw)"
+    )
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""a{r} AS (
+            SELECT w, {_FOLD_FINISH} AS s
+            FROM (
+                SELECT w, {_FOLD_LAMBDA} AS f
+                FROM a{r - 1} CROSS JOIN b{r}
+            )
+        )"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT cw.source,
+               count(*)::BIGINT AS n_words,
+               sum(len(v.s))::BIGINT AS n_subwords,
+               round(sum(len(v.s)) / count(*), 6) AS fertility
+        FROM cw JOIN a{rounds} v ON cw.w = v.w
+        GROUP BY cw.source
+    """
+    )
