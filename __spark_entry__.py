@@ -3480,6 +3480,38 @@ def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merges(load_table(spark, sf_dir, "documents"))
 
 
+def _q_stream_anomaly_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Hampel gate with frozen batch-trained (median, MAD)
+    stats — the frozen-centroid pattern on the numeric validator:
+    stateless broadcast stream-static join + codegen filter, drained
+    availableNow; the oracle replays the batch filter with DuckDB's
+    bit-identical quantile_cont medians. See
+    streaming/ingest.py::stream_anomaly_gate."""
+    from vector_search_test_spark.operators.timeseries import robust_stats
+    from vector_search_test_spark.streaming.ingest import stream_anomaly_gate
+
+    ev = load_table(spark, sf_dir, "events")
+    med, mad = robust_stats(ev)
+    stats = [
+        (r.k, r.med, r.mad)
+        for r in med.join(mad, "k").select("k", "med", "mad").collect()
+    ]
+    inp = _stream_staging_dir(sf_dir, "anom")
+    qname = "sg_anom_" + os.path.basename(sf_dir.rstrip("/")).replace(
+        ".", "_"
+    )
+    q = (
+        stream_anomaly_gate(spark, inp, stats)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname)
+
+
 def _q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-eval composition: train 8 BPE merges, replay them over
     the distinct-word vocabulary (scan-only JVM folds), broadcast-join
@@ -3677,6 +3709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_phrases": _q_pmi_phrases,
         "bpe_merges": _q_bpe_merges,
         "bpe_fertility": _q_bpe_fertility,
+        "stream_anomaly_gate": _q_stream_anomaly_gate,
     }
 
 
@@ -5580,6 +5613,25 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "pmi_phrases": _pmi_phrases_oracle_sql_(),
         "bpe_merges": _bpe_oracle_sql_(),
         "bpe_fertility": _bpe_fertility_oracle_sql_(),
+        "stream_anomaly_gate": """
+            WITH med AS (
+                SELECT event_type AS k,
+                       quantile_cont(value, 0.5) AS med
+                FROM events GROUP BY 1
+            ),
+            mad AS (
+                SELECT e.event_type AS k,
+                       quantile_cont(abs(e.value - m.med), 0.5) AS mad
+                FROM events e JOIN med m ON e.event_type = m.k
+                GROUP BY 1
+            )
+            SELECT e.event_id, e.event_type, e.value,
+                   round(m.med, 6) AS med, round(d.mad, 6) AS mad
+            FROM events e
+            JOIN med m ON e.event_type = m.k
+            JOIN mad d ON e.event_type = d.k
+            WHERE abs(e.value - m.med) > 3.0 * 1.4826 * d.mad
+        """,
         "retention_cohorts": """
             WITH a AS (
                 SELECT DISTINCT user_id,

@@ -453,3 +453,34 @@ def test_sliding_window_expansion_factor(spark, sf_dir, tmp_path):
         F.unix_timestamp("win_start") % 900 != 0
     ).count()
     assert bad == 0
+
+
+def test_stream_anomaly_gate_matches_batch(spark, sf_dir, tmp_path):
+    """Frozen-stats streaming Hampel gate == the batch filter on the
+    same input: same flagged event set, same emitted stats."""
+    from vector_search_test_spark.operators.timeseries import robust_stats
+    from vector_search_test_spark.streaming.ingest import stream_anomaly_gate
+
+    ev = load_table(spark, sf_dir, "events")
+    med, mad = robust_stats(ev)
+    stats = [
+        (r.k, r.med, r.mad)
+        for r in med.join(mad, "k").select("k", "med", "mad").collect()
+    ]
+    inp = str(tmp_path / "anom_in")
+    ev.write.parquet(inp)
+    out = str(tmp_path / "anom_out")
+    ckpt = str(tmp_path / "anom_ckpt")
+    run_stream_to_parquet(stream_anomaly_gate(spark, inp, stats), out, ckpt)
+    got = sorted(
+        tuple(r) for r in spark.read.parquet(out).collect()
+    )
+    lut = {k: (m, d) for k, m, d in stats}
+    want = sorted(
+        (r.event_id, r.event_type, r.value,
+         round(lut[r.event_type][0], 6), round(lut[r.event_type][1], 6))
+        for r in ev.select("event_id", "event_type", "value").collect()
+        if abs(r.value - lut[r.event_type][0])
+        > 3.0 * 1.4826 * lut[r.event_type][1]
+    )
+    assert got == want and len(got) > 0

@@ -408,3 +408,41 @@ def test_c4_flags_match_duckdb_on_adversarial_text(spark, texts):
     )
     want = set(con.execute(f"SELECT doc_id, {cols} FROM d").fetchall())
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    syms=st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=12),
+    pair=st.tuples(
+        st.sampled_from(["a", "b", "c"]), st.sampled_from(["a", "b", "c"])
+    ),
+)
+def test_merge_pair_equals_sequential_reference(spark, syms, pair):
+    """The JVM BPE merge fold equals the sequential greedy reference on
+    arbitrary symbol sequences — including same-symbol runs (the
+    floor(run/2) case) and empty input."""
+    from vector_search_test_spark.operators.bpe import merge_pair
+
+    a, b = pair
+    out, pend = [], ""
+    for x in syms:
+        if pend == a and x == b:
+            out.append(a + b)
+            pend = ""
+        elif pend == "":
+            pend = x
+        else:
+            out.append(pend)
+            pend = x
+    if pend:
+        out.append(pend)
+    df = spark.createDataFrame([(syms,)], "s array<string>")
+    got = df.select(
+        merge_pair(F.col("s"), F.lit(a), F.lit(b)).alias("m")
+    ).first().m
+    assert got == out
+    # merge conservation: k merges shrink the sequence by exactly k
+    k = sum(1 for y in got if y == a + b and len(y) == 2)
+    if a + b not in ("a", "b", "c"):  # merged symbol distinguishable
+        k = sum(1 for y in got if y == a + b)
+        assert len(got) == len(syms) - k

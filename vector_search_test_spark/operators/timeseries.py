@@ -242,6 +242,32 @@ def retention_cohorts(
     )
 
 
+def robust_stats(
+    events: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> tuple[DataFrame, DataFrame]:
+    """Per-key exact (median, MAD) — the shared core of the batch
+    `value_anomalies` gauge and the frozen-stats streaming gate.
+    Returns (med, mad): med = (k, med, n), mad = (k, mad), both
+    UNROUNDED doubles (bit-identical to DuckDB's quantile_cont; callers
+    round at the output edge only). One shuffle per percentile on the
+    gauge key; the medians broadcast back for the deviations."""
+    kc, vc = F.col(key_col), F.col(value_col)
+    med = events.groupBy(kc.alias("k")).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("med"),
+        F.count(value_col).alias("n"),
+    )
+    mad = (
+        events.select(kc.alias("k"), vc.alias("v"))
+        .join(F.broadcast(med), "k")
+        .withColumn("adev", F.abs(F.col("v") - F.col("med")))
+        .groupBy("k")
+        .agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+    )
+    return med, mad
+
+
 def value_anomalies(
     events: DataFrame,
     key_col: str = "event_type",
@@ -271,17 +297,11 @@ def value_anomalies(
     the oracle value-exact. Threshold compares are bit-deterministic
     cross-engine: same input doubles, same literal, same expression
     shape."""
+    med, mad = robust_stats(events, key_col, value_col)
     kc, vc = F.col(key_col), F.col(value_col)
-    med = events.groupBy(kc.alias("k")).agg(
-        F.expr(f"percentile({value_col}, 0.5)").alias("med"),
-        F.count(value_col).alias("n"),
-    )
     dev = events.select(kc.alias("k"), vc.alias("v")).join(
         F.broadcast(med), "k"
     )
-    mad = dev.withColumn("adev", F.abs(F.col("v") - F.col("med"))).groupBy(
-        "k"
-    ).agg(F.expr("percentile(adev, 0.5)").alias("mad"))
     thresh = F.lit(float(z)) * F.lit(1.4826) * F.col("mad")
     flagged = (
         dev.join(F.broadcast(mad), "k")

@@ -210,6 +210,45 @@ def stream_quality_gate(
     )
 
 
+def stream_anomaly_gate(
+    spark: SparkSession,
+    input_dir: str,
+    stats: list[tuple[str, float, float]],
+    z: float = 3.0,
+) -> DataFrame:
+    """Streaming Hampel gate with FROZEN batch-trained robust stats —
+    the frozen-centroid pattern (stream_assign_cells) applied to the
+    numeric-validation monitor (timeseries.py::value_anomalies):
+    `stats` is the batch-side (event_type, median, MAD) table; each
+    arriving event is flagged iff |value - med| > z * 1.4826 * mad.
+    Entirely stateless (one broadcast stream-static equi-join + a
+    codegen filter; no state store, no watermark), so throughput scales
+    with cores; at 100 TB/day you refresh `stats` on a batch cadence
+    and the stream never re-sorts anything. Emits
+    (event_id, event_type, value, med, mad) for flagged rows —
+    med/mad rounded 6dp at the edge; the oracle replays the batch
+    filter with DuckDB's bit-identical quantile_cont medians."""
+    st = spark.createDataFrame(
+        [(k, float(m), float(d)) for k, m, d in stats],
+        "event_type string, med double, mad double",
+    )
+    stream = events_stream_source(spark, input_dir).select(
+        "event_id", "event_type", "value"
+    )
+    thresh = F.lit(float(z)) * F.lit(1.4826) * F.col("mad")
+    return (
+        stream.join(F.broadcast(st), "event_type")
+        .filter(F.abs(F.col("value") - F.col("med")) > thresh)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+        )
+    )
+
+
 def stream_event_window_counts(
     spark: SparkSession,
     input_dir: str,
