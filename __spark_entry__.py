@@ -2338,6 +2338,7 @@ def reset_memos() -> None:
     _OPQ_MEMO.clear()
     _IVFPQ_MEMO.clear()
     _IVFPQ_BIG_MEMO.clear()
+    _BPE_MEMO.clear()
     for inp in _STREAM_STAGE_MEMO.values():
         shutil.rmtree(os.path.dirname(inp), ignore_errors=True)
     _STREAM_STAGE_MEMO.clear()
@@ -3470,14 +3471,31 @@ def _q_pmi_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pmi_phrases(load_table(spark, sf_dir, "documents"))
 
 
+_BPE_MEMO: dict[str, list[tuple[str, str]]] = {}
+
+
+def _bpe_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-once memo for the BPE entries (build-once-query-many, the
+    _IVF_MEMO pattern; reset_memos clears it between bench passes).
+    Returns the merge-table DataFrame and caches the (left, right)
+    list for replay consumers."""
+    from vector_search_test_spark.operators.bpe import bpe_merges
+
+    out = bpe_merges(load_table(spark, sf_dir, "documents"))
+    key = sf_dir.rstrip("/")
+    if key not in _BPE_MEMO:
+        _BPE_MEMO[key] = [
+            (r.left, r.right) for r in out.orderBy("round").collect()
+        ]
+    return out
+
+
 def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE merge training (Sennrich et al. 2016), 8 rounds:
     vocabulary-sized pair-count rounds + greedy JVM merge folds, one
     bounded 1-row argmax collect per round; the DuckDB twin unrolls the
     identical rounds. See operators/bpe.py for the scale argument."""
-    from vector_search_test_spark.operators.bpe import bpe_merges
-
-    return bpe_merges(load_table(spark, sf_dir, "documents"))
+    return _bpe_trained(spark, sf_dir)
 
 
 def _q_stream_anomaly_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3513,13 +3531,20 @@ def _q_stream_anomaly_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tokenizer-eval composition: train 8 BPE merges, replay them over
-    the distinct-word vocabulary (scan-only JVM folds), broadcast-join
-    back to the corpus word stream, and report per-source fertility
-    (subwords per word); see operators/bpe.py::bpe_fertility."""
+    """Tokenizer-eval composition: train 8 BPE merges (reused from the
+    _BPE_MEMO when the training entry already ran this pass), replay
+    them over the distinct-word vocabulary (scan-only JVM folds),
+    broadcast-join back to the corpus word stream, and report
+    per-source fertility (subwords per word); see
+    operators/bpe.py::bpe_fertility."""
     from vector_search_test_spark.operators.bpe import bpe_fertility
 
-    return bpe_fertility(load_table(spark, sf_dir, "documents"))
+    key = sf_dir.rstrip("/")
+    if key not in _BPE_MEMO:
+        _bpe_trained(spark, sf_dir)
+    return bpe_fertility(
+        load_table(spark, sf_dir, "documents"), merges=_BPE_MEMO[key]
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -120,7 +120,7 @@ def bpe_merges(
         .groupBy("w")
         .agg(F.count("*").alias("cnt"))
         .select(F.split("w", "").alias("s"), "cnt")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     merges: list[tuple[int, str, str, str, int]] = []
     for r in range(1, rounds + 1):
@@ -136,7 +136,7 @@ def bpe_merges(
         merges.append((r, a, b, a + b, int(c)))
         vocab = vocab.select(
             merge_pair(F.col("s"), F.lit(a), F.lit(b)).alias("s"), "cnt"
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     return spark.createDataFrame(
         merges,
         "round int, left string, right string, merged string, pair_count long",
@@ -222,6 +222,7 @@ def bpe_fertility(
     text_col: str = "text",
     strata_col: str = "source",
     rounds: int = 8,
+    merges: list[tuple[str, str]] | None = None,
 ) -> DataFrame:
     """Tokenizer-eval composition: train `rounds` BPE merges
     (`bpe_merges`), REPLAY them over the corpus, and report per-stratum
@@ -236,13 +237,18 @@ def bpe_fertility(
     broadcast of that vocab table and aggregates per stratum — the
     corpus is scanned once and never carries symbol arrays. The
     training rounds are bpe_merges' (bounded 1-row argmax collect per
-    round)."""
-    trained = [
-        (r.left, r.right)
-        for r in bpe_merges(docs, text_col=text_col, rounds=rounds)
-        .orderBy("round")
-        .collect()
-    ]
+    round); pass `merges` (ordered (left, right) pairs) to replay an
+    already-trained table instead of retraining."""
+    trained = (
+        list(merges)
+        if merges is not None
+        else [
+            (r.left, r.right)
+            for r in bpe_merges(docs, text_col=text_col, rounds=rounds)
+            .orderBy("round")
+            .collect()
+        ]
+    )
     words = docs.select(
         F.col(strata_col).alias("source"),
         F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w"),

@@ -997,10 +997,14 @@ def winnowing_candidate_pairs(
 
     if min_shared < 1:
         raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+    # the fp table feeds the df cap, both join sides, and the size
+    # legs — localCheckpoint so the winnowing scan runs ONCE (Spark
+    # does not CSE repeated subplans; the repo's multi-consumer rule)
     fps = (
         winnowing_fingerprints(docs, id_col=id_col, text_col=text_col, k=k, w=w)
         .select(F.col(id_col).alias("id"), "fp")
         .distinct()
+        .localCheckpoint()
     )
     if max_df is not None:
         df_t = fps.groupBy("fp").agg(F.count("*").alias("df"))
