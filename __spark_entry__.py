@@ -3471,23 +3471,26 @@ def _q_pmi_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pmi_phrases(load_table(spark, sf_dir, "documents"))
 
 
-_BPE_MEMO: dict[str, list[tuple[str, str]]] = {}
+_BPE_MEMO: dict[str, list[tuple[int, str, str, str, int]]] = {}
+_BPE_SCHEMA = (
+    "round int, left string, right string, merged string, pair_count long"
+)
 
 
 def _bpe_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train-once memo for the BPE entries (build-once-query-many, the
-    _IVF_MEMO pattern; reset_memos clears it between bench passes).
-    Returns the merge-table DataFrame and caches the (left, right)
-    list for replay consumers."""
+    _IVF_MEMO pattern; reset_memos clears it between bench passes):
+    a hot memo short-circuits retraining entirely — the merge table is
+    rounds-sized, so rebuilding the DataFrame from the cached rows is
+    free."""
     from vector_search_test_spark.operators.bpe import bpe_merges
 
-    out = bpe_merges(load_table(spark, sf_dir, "documents"))
     key = sf_dir.rstrip("/")
     if key not in _BPE_MEMO:
-        _BPE_MEMO[key] = [
-            (r.left, r.right) for r in out.orderBy("round").collect()
-        ]
-    return out
+        out = bpe_merges(load_table(spark, sf_dir, "documents"))
+        _BPE_MEMO[key] = [tuple(r) for r in out.orderBy("round").collect()]
+        return out
+    return spark.createDataFrame(_BPE_MEMO[key], _BPE_SCHEMA)
 
 
 def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3543,7 +3546,8 @@ def _q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key not in _BPE_MEMO:
         _bpe_trained(spark, sf_dir)
     return bpe_fertility(
-        load_table(spark, sf_dir, "documents"), merges=_BPE_MEMO[key]
+        load_table(spark, sf_dir, "documents"),
+        merges=[(a, b) for _, a, b, _, _ in _BPE_MEMO[key]],
     )
 
 
@@ -4146,6 +4150,14 @@ def _value_anomalies_oracle_sql_() -> str:
     )
 
     return value_anomalies_oracle_sql()
+
+
+def _retention_oracle_sql_() -> str:
+    from vector_search_test_spark.operators.timeseries import (
+        retention_cohorts_oracle_sql,
+    )
+
+    return retention_cohorts_oracle_sql()
 
 
 def _stream_qgate_oracle_sql(min_quality: float = 0.9) -> str:
@@ -5657,24 +5669,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
             JOIN mad d ON e.event_type = d.k
             WHERE abs(e.value - m.med) > 3.0 * 1.4826 * d.mad
         """,
-        "retention_cohorts": """
-            WITH a AS (
-                SELECT DISTINCT user_id,
-                       CAST(date_trunc('week', CAST(ts AS TIMESTAMP))
-                            AS DATE) AS week
-                FROM events
-            ),
-            f AS (
-                SELECT user_id, min(week) AS cohort_week
-                FROM a GROUP BY user_id
-            )
-            SELECT f.cohort_week,
-                   CAST(date_diff('day', f.cohort_week, a.week) / 7
-                        AS INT) AS week_offset,
-                   count(DISTINCT a.user_id)::BIGINT AS n_users
-            FROM a JOIN f USING (user_id)
-            GROUP BY 1, 2
-        """,
+        "retention_cohorts": _retention_oracle_sql_(),
     }
     if _pp_sql is None:
         del out["ivf_search_partial_probe"]

@@ -160,3 +160,52 @@ def test_bpe_fertility_matches_duckdb_on_fixture(spark, sf_dir):
     fewer = {r.source: r.n_subwords for r in bpe_fertility(docs, rounds=2).collect()}
     more = {r.source: r.n_subwords for r in bpe_fertility(docs, rounds=8).collect()}
     assert all(more[s] <= fewer[s] for s in fewer)
+
+
+def test_bpe_fertility_oracle_survives_early_exhaustion(spark, tmp_path):
+    """Review finding (r10): with merges exhausted before `rounds`, the
+    replay CTE chain must NOT wipe the vocabulary — the bx{r} no-op
+    sentinel keeps it intact and both engines agree."""
+    from vector_search_test_spark.operators.bpe import (
+        bpe_fertility,
+        bpe_fertility_oracle_sql,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "ab ab ab c d", "s")], "doc_id long, text string, source string"
+    )
+    got = sorted(tuple(r) for r in bpe_fertility(df, rounds=8).collect())
+    pq = str(tmp_path / "docs.parquet")
+    df.toPandas().to_parquet(pq)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pq}')")
+    want = sorted(
+        (s, int(nw), int(ns), float(f))
+        for s, nw, ns, f in con.execute(
+            bpe_fertility_oracle_sql(rounds=8)
+        ).fetchall()
+    )
+    assert got == want == [("s", 5, 5, 1.0)]
+
+
+def test_bpe_excludes_separator_words_both_engines(spark, tmp_path):
+    """Review finding (r10): words containing chr(31) (the oracle's
+    accumulator separator) are excluded from the vocabulary on BOTH
+    sides, so the engines keep agreeing when the corpus carries US
+    control characters."""
+    df = spark.createDataFrame(
+        [(0, "a\x1fb a\x1fb cc cc cc", "s")],
+        "doc_id long, text string, source string",
+    )
+    got = sorted(tuple(r) for r in bpe_merges(df, rounds=3).collect())
+    pq = str(tmp_path / "docs.parquet")
+    df.toPandas().to_parquet(pq)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pq}')")
+    want = sorted(
+        (int(r), a, b, m, int(c))
+        for r, a, b, m, c in con.execute(
+            bpe_merges_oracle_sql(rounds=3)
+        ).fetchall()
+    )
+    assert got == want == [(1, "c", "c", "cc", 3)]

@@ -442,7 +442,7 @@ def test_merge_pair_equals_sequential_reference(spark, syms, pair):
     ).first().m
     assert got == out
     # merge conservation: k merges shrink the sequence by exactly k
-    k = sum(1 for y in got if y == a + b and len(y) == 2)
-    if a + b not in ("a", "b", "c"):  # merged symbol distinguishable
-        k = sum(1 for y in got if y == a + b)
-        assert len(got) == len(syms) - k
+    # (the merged symbol is 2 chars; input symbols are 1 char, so it
+    # is always distinguishable)
+    k = sum(1 for y in got if y == a + b)
+    assert len(got) == len(syms) - k

@@ -258,32 +258,17 @@ def test_retention_cohorts_matches_duckdb(spark, sf_dir):
         (str(r.cohort_week), int(r.week_offset), int(r.n_users))
         for r in retention_cohorts(ev).collect()
     )
+    from vector_search_test_spark.operators.timeseries import (
+        retention_cohorts_oracle_sql,
+    )
+
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
     )
     want = sorted(
         (str(c), int(o), int(n))
-        for c, o, n in con.execute(
-            """
-            WITH a AS (
-                SELECT DISTINCT user_id,
-                       CAST(date_trunc('week', CAST(ts AS TIMESTAMP))
-                            AS DATE) AS week
-                FROM events
-            ),
-            f AS (
-                SELECT user_id, min(week) AS cohort_week
-                FROM a GROUP BY user_id
-            )
-            SELECT f.cohort_week,
-                   CAST(date_diff('day', f.cohort_week, a.week) / 7
-                        AS INT) AS week_offset,
-                   count(DISTINCT a.user_id)::BIGINT AS n_users
-            FROM a JOIN f USING (user_id)
-            GROUP BY 1, 2
-            """
-        ).fetchall()
+        for c, o, n in con.execute(retention_cohorts_oracle_sql()).fetchall()
     )
     assert got == want
     # offset 0 row exists for every cohort (the cohort size itself)

@@ -116,7 +116,7 @@ def bpe_merges(
         docs.select(
             F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w")
         )
-        .filter(F.col("w") != "")
+        .filter((F.col("w") != "") & (~F.col("w").contains("\x1f")))
         .groupBy("w")
         .agg(F.count("*").alias("cnt"))
         .select(F.split("w", "").alias("s"), "cnt")
@@ -171,9 +171,10 @@ def bpe_merges_oracle_sql(rounds: int = 8) -> str:
     """DuckDB twin of `bpe_merges`: the same rounds unrolled as chained
     CTEs. The greedy merge fold is a `list_reduce` with a
     string-encoded (out, pending) accumulator (chr(31) separator —
-    cannot appear in whitespace-split tokens; a bare accumulator with
-    no separator is the reduce's implicit first-element init, a lone
-    pending symbol); the argmax is the same (pair_count desc, a, b)
+    words containing the US control char are excluded from the
+    vocabulary on BOTH sides so the separator is genuinely
+    unreachable; a bare accumulator with no separator is the reduce's
+    implicit first-element init, a lone pending symbol); the argmax is the same (pair_count desc, a, b)
     limit 1. Fold verified equivalent to merge_pair on runs
     ([a,a,a] -> [aa, a]), alternations, and single-symbol words
     (tests/test_bpe.py)."""
@@ -183,7 +184,7 @@ def bpe_merges_oracle_sql(rounds: int = 8) -> str:
             FROM (
                 SELECT unnest(string_split(lower(text), ' ')) AS w
                 FROM documents
-            ) WHERE w != '' GROUP BY w
+            ) WHERE w != '' AND strpos(w, chr(31)) = 0 GROUP BY w
         )"""
     ]
     selects = []
@@ -252,7 +253,7 @@ def bpe_fertility(
     words = docs.select(
         F.col(strata_col).alias("source"),
         F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w"),
-    ).filter(F.col("w") != "")
+    ).filter((F.col("w") != "") & (~F.col("w").contains("\x1f")))
     sym = F.split("w", "")
     for a, b in trained:
         sym = merge_pair(sym, F.lit(a), F.lit(b))
@@ -292,19 +293,30 @@ def bpe_fertility_oracle_sql(rounds: int = 8) -> str:
                 SELECT source,
                        unnest(string_split(lower(text), ' ')) AS w
                 FROM documents
-            ) WHERE w != ''
+            ) WHERE w != '' AND strpos(w, chr(31)) = 0
         )""".strip()
     )
     ctes.append(
         "a0 AS (SELECT DISTINCT w, string_split(w, '') AS s FROM cw)"
     )
     for r in range(1, rounds + 1):
+        # b{r} is EMPTY when merges exhausted before `rounds`; a bare
+        # CROSS JOIN would wipe the replay vocabulary (Spark replays
+        # only the trained merges). bx{r} falls back to the no-op
+        # ('', '') pair — '' is not a symbol (split of a non-empty
+        # word never yields it), so the fold passes through untouched.
+        ctes.append(
+            f"""bx{r} AS (
+            SELECT coalesce((SELECT a FROM b{r}), '') AS a,
+                   coalesce((SELECT b FROM b{r}), '') AS b
+        )"""
+        )
         ctes.append(
             f"""a{r} AS (
             SELECT w, {_FOLD_FINISH} AS s
             FROM (
                 SELECT w, {_FOLD_LAMBDA} AS f
-                FROM a{r - 1} CROSS JOIN b{r}
+                FROM a{r - 1} CROSS JOIN bx{r}
             )
         )"""
         )

@@ -1004,15 +1004,18 @@ def winnowing_candidate_pairs(
         winnowing_fingerprints(docs, id_col=id_col, text_col=text_col, k=k, w=w)
         .select(F.col(id_col).alias("id"), "fp")
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     if max_df is not None:
         df_t = fps.groupBy("fp").agg(F.count("*").alias("df"))
+        # the capped table feeds three consumers (sizes + both join
+        # sides) — checkpoint AFTER the cap so the df shuffle and the
+        # anti-join run once, not per consumer
         fps = fps.join(
             F.broadcast(df_t.filter(F.col("df") > max_df).select("fp")),
             "fp",
             "left_anti",
-        )
+        ).localCheckpoint(eager=False)
     sizes = fps.groupBy("id").agg(F.count("*").alias("n_fp"))
     a = fps.alias("a")
     b = fps.alias("b")

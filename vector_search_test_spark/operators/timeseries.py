@@ -252,19 +252,23 @@ def robust_stats(
     Returns (med, mad): med = (k, med, n), mad = (k, mad), both
     UNROUNDED doubles (bit-identical to DuckDB's quantile_cont; callers
     round at the output edge only). One shuffle per percentile on the
-    gauge key; the medians broadcast back for the deviations."""
+    gauge key; the medians broadcast back for the deviations. Both
+    gauge tables are localCheckpoint()ed — each feeds 2-4 downstream
+    consumers (joins + flag pass) and Spark does not CSE repeated
+    subplans, so without the checkpoints the percentile aggregates
+    re-execute per consumer (the repo's multi-consumer rule)."""
     kc, vc = F.col(key_col), F.col(value_col)
     med = events.groupBy(kc.alias("k")).agg(
         F.expr(f"percentile({value_col}, 0.5)").alias("med"),
         F.count(value_col).alias("n"),
-    )
+    ).localCheckpoint(eager=False)
     mad = (
         events.select(kc.alias("k"), vc.alias("v"))
         .join(F.broadcast(med), "k")
         .withColumn("adev", F.abs(F.col("v") - F.col("med")))
         .groupBy("k")
         .agg(F.expr("percentile(adev, 0.5)").alias("mad"))
-    )
+    ).localCheckpoint(eager=False)
     return med, mad
 
 
@@ -365,4 +369,29 @@ def value_anomalies_oracle_sql(
                fl.n_anomalies,
                round(fl.n_anomalies / m.n, 6) AS anomaly_frac
         FROM med m JOIN mad d ON m.k = d.k JOIN fl ON m.k = fl.k
+    """
+
+
+def retention_cohorts_oracle_sql() -> str:
+    """DuckDB twin of `retention_cohorts` — the single shared copy the
+    driver oracle AND the pytest both consume (same week truncation,
+    same exact day/7 division; offsets are multiples of 7 by
+    construction so the integer cast is exact in both engines)."""
+    return """
+        WITH a AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_trunc('week', CAST(ts AS TIMESTAMP))
+                        AS DATE) AS week
+            FROM events
+        ),
+        f AS (
+            SELECT user_id, min(week) AS cohort_week
+            FROM a GROUP BY user_id
+        )
+        SELECT f.cohort_week,
+               CAST(date_diff('day', f.cohort_week, a.week) / 7
+                    AS INT) AS week_offset,
+               count(DISTINCT a.user_id)::BIGINT AS n_users
+        FROM a JOIN f USING (user_id)
+        GROUP BY 1, 2
     """
