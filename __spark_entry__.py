@@ -1857,14 +1857,45 @@ def _cluster_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+_GRAPH_MEMO: dict = {}
+
+
+def _similarity_graph_parts(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Build-once memo for the (deduped corpus, threshold edges) pair —
+    shared by the cluster pipeline and pagerank_similarity (the
+    build-once-query-many convention; reset_memos clears it)."""
+    from vector_search_test_spark.operators.cluster import similarity_graph
+
     key = (id(spark), sf_dir)
-    if key not in _CLUSTER_MEMO:
-        out = similarity_clusters(
+    if key not in _GRAPH_MEMO:
+        deduped, edges = similarity_graph(
             _cluster_corpus(spark, sf_dir),
             threshold=_CLUSTER_THETA,
             k=_CLUSTER_K,
             nlist=4,
+        )
+        _GRAPH_MEMO[key] = (deduped, edges.localCheckpoint())
+    return _GRAPH_MEMO[key]
+
+
+def _cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    if key not in _CLUSTER_MEMO:
+        # the same composition as operators/cluster.py::similarity_clusters
+        # (which tests certify), split so the graph memo is shared with
+        # pagerank_similarity
+        from vector_search_test_spark.operators.cluster import (
+            connected_components,
+            number_clusters,
+        )
+
+        deduped, edges = _similarity_graph_parts(spark, sf_dir)
+        nodes = deduped.select(F.col("id"))
+        assign = number_clusters(connected_components(nodes, edges))
+        out = assign.join(deduped.select("id", "text"), "id").select(
+            "text", "cluster_id"
         )
         _CLUSTER_MEMO[key] = out.localCheckpoint()
     return _CLUSTER_MEMO[key]
@@ -2332,6 +2363,7 @@ def reset_memos() -> None:
         except Exception:
             pass
     _CLUSTER_MEMO.clear()
+    _GRAPH_MEMO.clear()
     _PP_CENTS_MEMO.clear()
     _PCA_MEMO.clear()
     _PQ_MEMO.clear()
@@ -3551,6 +3583,19 @@ def _q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pagerank_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the similarity graph (Brin & Page 1998, 5 power
+    rounds, d=0.85) — the centrality companion to the CC clusters: the
+    same dedupe -> exact self-kNN -> threshold-edge build the cluster
+    entry certifies, then one contributions shuffle per round with
+    1e-12-quantized sums; the DuckDB twin unrolls the identical rounds.
+    See operators/cluster.py::pagerank."""
+    from vector_search_test_spark.operators.cluster import pagerank
+
+    _, edges = _similarity_graph_parts(spark, sf_dir)
+    return pagerank(edges, iters=5, damping=0.85)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the correctness harness scores the FIRST 50
     # declared entries in dict order and skips the rest (observed in r2
@@ -3739,6 +3784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": _q_bpe_merges,
         "bpe_fertility": _q_bpe_fertility,
         "stream_anomaly_gate": _q_stream_anomaly_gate,
+        "pagerank_similarity": _q_pagerank_similarity,
     }
 
 
@@ -3962,6 +4008,63 @@ def _e2e_curation_oracle_sql() -> str:
         FROM packed p
         JOIN chunk_md cm ON p.id = cm.id AND p.chunk_id = cm.chunk_id
     """
+
+
+def _pagerank_oracle_sql_(iters: int = 5, damping: float = 0.85) -> str:
+    """DuckDB twin of pagerank_similarity: the SAME dedupe/kNN/edge CTEs
+    as _cluster_cte (no recursion needed), then the power rounds
+    unrolled — per-destination sums over 1e-12-quantized contributions
+    (the engine's quantized-sum pattern), identical double literals."""
+    dq = _l2_sq_sql("q.embedding", "e.embedding")
+    d = float(damping)
+    base = f"{1.0 - d!r}"
+    ctes = [
+        f"""corpus AS (
+            SELECT min(doc_id) AS id, text FROM documents GROUP BY text
+        ),
+        vec AS (
+            SELECT c.id, c.text, em.embedding
+            FROM corpus c JOIN embeddings em ON c.id = em.vec_id
+        ),
+        knn AS (
+            SELECT q.id AS src, e.id AS dst, {dq} AS dist
+            FROM vec q CROSS JOIN vec e
+            QUALIFY row_number() OVER (PARTITION BY q.id ORDER BY {dq}, e.id)
+                <= {_CLUSTER_K}
+        ),
+        e0 AS (
+            SELECT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM knn WHERE src <> dst AND dist < {_CLUSTER_THETA}
+            GROUP BY 1, 2
+        ),
+        edges AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
+        deg AS (
+            SELECT a AS id, count(*)::BIGINT AS deg FROM edges GROUP BY 1
+        ),
+        nn AS (SELECT count(*)::BIGINT AS n FROM deg),
+        r0 AS (
+            SELECT id, deg, n, 1.0 / n AS rank FROM deg CROSS JOIN nn
+        )"""
+    ]
+    for i in range(1, int(iters) + 1):
+        ctes.append(
+            f"""r{i} AS (
+            SELECT r.id, r.deg, r.n,
+                   {base} / r.n + {d!r} * (s.s / 1e12) AS rank
+            FROM (
+                SELECT e.b AS id,
+                       sum(round(r.rank / r.deg * 1e12)::BIGINT)::BIGINT AS s
+                FROM edges e JOIN r{i - 1} r ON e.a = r.id
+                GROUP BY e.b
+            ) s
+            JOIN r{i - 1} r ON s.id = r.id
+        )"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT id, round(rank, 6) AS rank FROM r{int(iters)}"
+    )
 
 
 def _cluster_cte() -> str:
@@ -5644,6 +5747,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "cluster_top_terms": _ctt_sql,
         "snapshot_maintenance_cycle": _snapshot_mc_oracle_sql(),
         "winnowing_fingerprints": _winnowing_oracle_sql_(),
+        "pagerank_similarity": _pagerank_oracle_sql_(),
         "ppl_buckets": _ppl_buckets_oracle_sql_(),
         "winnowing_candidates": _winnowing_cand_oracle_sql_(),
         "event_value_anomalies": _value_anomalies_oracle_sql_(),

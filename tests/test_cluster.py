@@ -188,3 +188,39 @@ def test_clusters_by_size_display_cap(spark):
     # under the threshold: no truncation
     small = assignments.filter(F.col("cluster_id") < 50)
     assert len(clusters_by_size(small, cap_over=500).collect()) == 50
+
+
+def test_pagerank_matches_numpy_reference(spark):
+    """The quantized power iteration equals a pure-Python replay on a
+    hand-built graph (star + path + disconnected pair)."""
+    from vector_search_test_spark.operators.cluster import pagerank
+
+    edges = [(1, 2), (1, 3), (1, 4), (4, 5), (6, 7)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.id: r.rank for r in pagerank(df, iters=5).collect()}
+
+    und = set(edges) | {(b, a) for a, b in edges}
+    nodes = sorted({x for e in und for x in e})
+    deg = {n: sum(1 for a, _ in und if a == n) for n in nodes}
+    n = len(nodes)
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(5):
+        s = {v: 0 for v in nodes}
+        for a, b in und:
+            s[b] += round(rank[a] / deg[a] * 1e12)
+        rank = {v: 0.15 / n + 0.85 * (s[v] / 1e12) for v in nodes}
+    want = {v: round(rank[v], 6) for v in nodes}
+    assert got == want
+    # the hub out-ranks the leaves; ranks stay a near-distribution
+    assert got[1] == max(got.values())
+    assert abs(sum(got.values()) - 1.0) < 1e-3
+
+
+def test_pagerank_rejects_bad_iters(spark):
+    import pytest
+
+    from vector_search_test_spark.operators.cluster import pagerank
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError):
+        pagerank(df, iters=0)

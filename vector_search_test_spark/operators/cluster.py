@@ -300,7 +300,7 @@ def unassigned(assignments: DataFrame) -> DataFrame:
     return assignments.filter(F.col("cluster_id") == -1)
 
 
-def similarity_clusters(
+def similarity_graph(
     corpus: DataFrame,
     threshold: float = 0.75,
     k: int = 10,
@@ -310,14 +310,10 @@ def similarity_clusters(
     text_col: str = "text",
     vec_col: str = "embedding",
     seed: int = 42,
-) -> DataFrame:
-    """End-to-end `find_similarity_clusters` (reference app.py:77-114).
-
-    corpus: (id, text, embedding). nprobe=None probes all cells (exact
-    graph — the deterministic oracle configuration, SURVEY §2.9 Q3);
-    the reference's own defaults are k=10, nprobe=2 (approximate).
-    Returns (text, cluster_id): one row per distinct text.
-    """
+) -> tuple[DataFrame, DataFrame]:
+    """The shared dedupe -> self-kNN -> threshold-edges graph build
+    (extracted from similarity_clusters so pagerank composes on the
+    identical edge list). Returns (deduped_corpus, canonical_edges)."""
     from vector_search_test_spark.operators.ivf import ivf_build, ivf_search_all
 
     # Materialize the deduped corpus once: it feeds four consumers (KMeans
@@ -344,10 +340,118 @@ def similarity_clusters(
     knn = ivf_search_all(
         idx, queries, k=k, nprobe=nprobe if nprobe is not None else nlist
     )
-    edges = similarity_edges(knn, threshold)
+    return deduped, similarity_edges(knn, threshold)
+
+
+def similarity_clusters(
+    corpus: DataFrame,
+    threshold: float = 0.75,
+    k: int = 10,
+    nlist: int = 4,
+    nprobe: int | None = None,
+    id_col: str = "id",
+    text_col: str = "text",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """End-to-end `find_similarity_clusters` (reference app.py:77-114).
+
+    corpus: (id, text, embedding). nprobe=None probes all cells (exact
+    graph — the deterministic oracle configuration, SURVEY §2.9 Q3);
+    the reference's own defaults are k=10, nprobe=2 (approximate).
+    Returns (text, cluster_id): one row per distinct text.
+    """
+    deduped, edges = similarity_graph(
+        corpus,
+        threshold=threshold,
+        k=k,
+        nlist=nlist,
+        nprobe=nprobe,
+        id_col=id_col,
+        text_col=text_col,
+        vec_col=vec_col,
+        seed=seed,
+    )
     nodes = deduped.select(F.col(id_col).alias("id"))
     comp = connected_components(nodes, edges)
     assign = number_clusters(comp)
     return assign.join(
         deduped.select(F.col(id_col).alias("id"), F.col(text_col)), "id"
     ).select(text_col, "cluster_id")
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank over an undirected similarity graph (Brin & Page 1998;
+    power iteration, `iters` fixed rounds) — the centrality gauge of
+    the near-dup graph: a high-rank document sits in a dense
+    template/boilerplate neighborhood (the canonical pick for "which
+    duplicate cluster members matter"), complementing connected
+    components (which only says WHICH cluster, not how central).
+
+    `edges`: the canonical (src < dst) deduplicated edge table
+    (similarity_edges). Each edge counts in both directions; nodes are
+    the edge endpoints (singletons carry no edges and are excluded by
+    construction — document-level rank for them is the uniform
+    (1-d)/N floor anyway). Returns (id, rank) with rank rounded 6dp;
+    ranks sum to ~1 over the node set.
+
+    Plan (100 TB): the directed edge list and the (id, deg, n) rank
+    table are localCheckpoint()ed (multi-round consumers); each round
+    is ONE shuffle — contributions equi-join ranks on the source and
+    aggregate on the destination (map-side combine), the inherent
+    power-iteration data motion (Pregel's shape). Rounds are bounded
+    (`iters`), so the DuckDB twin unrolls them. Determinism: the only
+    order-sensitive step is the per-destination float sum, so each
+    contribution quantizes to a 1e-12 integer first (the repo's
+    quantized-sum pattern) and the grouped sum is exact; every other
+    step is per-row double arithmetic with identical literals in both
+    engines."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    d = float(damping)
+    und = (
+        edges.select("src", "dst")
+        .union(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = und.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("deg"))
+    nn = deg.agg(F.count("*").alias("n"))
+    ranks = (
+        deg.crossJoin(F.broadcast(nn))
+        .withColumn("rank", F.lit(1.0) / F.col("n"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(int(iters)):
+        contribs = und.join(
+            ranks.select(
+                F.col("id").alias("src"),
+                F.round(F.col("rank") / F.col("deg") * F.lit(1e12))
+                .cast("long")
+                .alias("q"),
+            ),
+            "src",
+        )
+        sums = contribs.groupBy(F.col("dst").alias("id")).agg(
+            F.sum("q").alias("s")
+        )
+        ranks = (
+            ranks.drop("rank")
+            .join(sums, "id")
+            .withColumn(
+                "rank",
+                F.lit(1.0 - d) / F.col("n")
+                + F.lit(d) * (F.col("s") / F.lit(1e12)),
+            )
+            .drop("s")
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select("id", F.round("rank", 6).alias("rank"))
