@@ -2706,20 +2706,37 @@ def _q_knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_ivf_persistence_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3/S4 through the driver: build -> save (partitioned parquet) ->
     load -> search. nprobe = nlist, so the reloaded index must reproduce
-    the exact brute-force answer (same oracle as ivf_search_topk)."""
+    the exact brute-force answer (same oracle as ivf_search_topk).
+
+    Phase-timed (VERDICT r10 next-#3): build (train + assign memo),
+    write (the partitionBy parquet save — at sf0.1 this produces many
+    small files, a scale-INVERTED artifact: at 100 TB the same write is
+    few-large-files per list partition), load (footer reads + the
+    eager query-vector fetch); bench.py reports the lazy remainder as
+    the search side — the trend line that must not rot."""
     import os
     import tempfile
+    import time as _time
 
     from vector_search_test_spark.operators.ivf import ivf_load, ivf_save
 
+    t0 = _time.perf_counter()
     emb = load_table(spark, sf_dir, "embeddings")
     idx = _ivf_index(spark, sf_dir, 4)
+    t_build = _time.perf_counter()
     path = os.path.join(
         tempfile.gettempdir(), f"sg_ivf_{os.path.basename(sf_dir.rstrip('/'))}"
     )
     ivf_save(idx, path)
+    t_write = _time.perf_counter()
     idx2 = ivf_load(spark, path)
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+    t_load = _time.perf_counter()
+    STAGE_TIMES["ivf_persistence_roundtrip"] = {
+        "build": round(t_build - t0, 4),
+        "write": round(t_write - t_build, 4),
+        "load": round(t_load - t_write, 4),
+    }
     out = ivf_search(idx2, qvec, k=5, nprobe=4)
     return out.select("vec_id", F.round("dist", 6).alias("dist"))
 
@@ -3261,9 +3278,14 @@ def _q_corpus_e2e_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     dup = docs.union(docs.withColumn("doc_id", F.col("doc_id") + 10000))
     bench = docs.filter(F.expr(_CONTAM_BENCH_PRED)).select("text")
+    # stage attribution (VERDICT r10 next-#2): the three eager
+    # checkpoint stages land in the bench sidecar's `stages` block; the
+    # lazy chunk/pack/split tail is the remainder bench.py reports
+    st: dict[str, float] = {}
     out = curate_corpus(
         dup,
         bench,
+        stage_times=st,
         quality_min=_QUALITY_MIN,
         contam_n=_CONTAM_N,
         contam_threshold=_CONTAM_THETA,
@@ -3273,6 +3295,7 @@ def _q_corpus_e2e_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         pack_buckets=_PACK_BUCKETS,
         split_weights=_SPLIT_WEIGHTS,
     )
+    STAGE_TIMES["corpus_e2e_curation"] = st
     return out.select(
         "split",
         "bucket",

@@ -117,7 +117,13 @@ def main() -> int:
 
     timings: dict[str, float] = {}
     stages: dict[str, dict[str, float]] = {}
+    # per-pass totals (VERDICT r10 next-#5): the sidecar records what each
+    # full pass cost, not just the per-entry minima — so drift claims
+    # ("driver saw 98 s, builder saw 85 s") are evidence-backed by the
+    # pass-to-pass spread instead of narrated
+    passes: list[float] = []
     for _ in range(repeat):
+        pass_total = 0.0
         for name, fn in entrymod.queries().items():
             if timings.get(name) == -1.0:
                 continue  # errored in an earlier pass; don't re-raise N times
@@ -127,6 +133,7 @@ def main() -> int:
                 df = fn(spark, SF_DIR)
                 df.write.format("noop").mode("overwrite").save()
                 elapsed = round(time.perf_counter() - t0, 4)
+                pass_total += elapsed
                 prev = timings.get(name)
                 if prev is None or elapsed < prev:
                     timings[name] = elapsed
@@ -150,6 +157,7 @@ def main() -> int:
         # pipeline each pass, like BASELINE.md's min over fresh processes
         # — clearCache() touches neither localCheckpoints nor dict memos
         entrymod.reset_memos()
+        passes.append(round(pass_total, 4))
 
     total = round(sum(v for v in timings.values() if v >= 0), 4)
     scored_names = list(timings)[:50]  # driver scores the first 50 entries
@@ -176,6 +184,7 @@ def main() -> int:
                 "repeat": repeat,
                 "scored50": scored50,
                 "n_entries": len(timings),
+                "passes": passes,
                 "regressed": {
                     n: {"prev": prev_q[n], "now": timings[n]}
                     for n in regressed
@@ -199,6 +208,9 @@ def main() -> int:
         "repeat": repeat,
         "scored50": scored50,
         "n_entries": len(timings),
+        # per-pass wall totals: the run-to-run spread IS the box-drift
+        # evidence (VERDICT r10 next-#5)
+        "passes": passes,
         # compressed-path trend line: ivfpq_bigscale's SEARCH side
         # (build/write jitter split out — VERDICT r8 next-#1)
         "ivfpq_big_search": stages.get("ivfpq_bigscale", {}).get("search"),

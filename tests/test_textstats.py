@@ -398,6 +398,11 @@ _C4_DOCS = [
     (5, "buy viagra now. a b c. d e f. g h i. j k l m."),   # badword
     (6, ""),                                    # empty doc
     (7, "win big at the casino. a b c. d e f. g h i. j k l."),
+    # CRLF document (ADVICE r10): without the \r strip, Java regex `$`
+    # matches before the trailing \r (lines kept) while DuckDB's RE2 `$`
+    # does not (lines dropped) — this doc pins the cross-engine parity
+    (8, "one two three.\r\nfour five six!\r\nseven eight nine?\r\n"
+        "ten eleven twelve.\r\nlast full line here."),
 ]
 
 
@@ -456,6 +461,9 @@ def test_c4_flags_semantics(spark):
     # punctuation-adjacent badword ('casino.') must still trip the
     # page filter — the rule is CONTAINS, not token equality
     assert out[7].pass_badword == 0
+    # CRLF doc: all 5 lines end in terminal punctuation once \r is
+    # stripped — it must PASS (and match DuckDB, via the twin test)
+    assert out[8].c4_pass == 1
 
 
 def test_c4_projection_is_scan_only(spark, sf_dir):
@@ -640,6 +648,42 @@ def test_pmi_phrases_planted_collocation(spark):
     want = round(round(math.log((6 * n_total) / (6 * 6)) * 1e12) / 1e12, 6)
     assert abs(rows[0].pmi - want) < 1e-9
     assert rows[0].pair_count == 6
+
+
+def test_pmi_phrases_ignores_empty_tokens(spark):
+    """ADVICE r10: repeated whitespace must not mint '' unigrams or
+    ('', w) bigrams — 'a  b' (double space) reads as the pair (a, b),
+    and N counts only real words. Pinned by hand-PMI on a doubled-space
+    corpus and by the DuckDB twin on the same rows."""
+    import math
+
+    import duckdb
+
+    rows = [
+        (0, "new  york  new  york  new  york", "s"),  # all double-spaced
+        (1, "foo   bar", "s"),                        # triple space
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = [
+        (r.u, r.v, r.pair_count, r.pmi)
+        for r in ts.pmi_phrases(df, min_count=1, top_n=10).collect()
+    ]
+    assert all(u != "" and v != "" for u, v, _, _ in got)
+    # N = 8 real tokens; ('new','york') c2=3, c1=3 each; ('foo','bar') once
+    by_pair = {(u, v): (c, p) for u, v, c, p in got}
+    assert by_pair[("new", "york")][0] == 3
+    want = round(round(math.log((3 * 8) / (3 * 3)) * 1e12) / 1e12, 6)
+    assert abs(by_pair[("new", "york")][1] - want) < 1e-9
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR, source VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?)", rows)
+    want_rows = [
+        (u, v, int(c), float(p))
+        for u, v, c, p in con.execute(
+            ts.pmi_phrases_oracle_sql(min_count=1, top_n=10)
+        ).fetchall()
+    ]
+    assert got == want_rows
 
 
 def test_pmi_phrases_min_count_filters(spark):

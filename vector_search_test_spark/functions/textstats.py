@@ -246,7 +246,12 @@ def c4_signals(col: Column | str) -> dict[str, Column]:
     dup_span_removal), not a per-doc projection.
     """
     c = F.lower(_col(col))
-    lines = F.split(c, "\n")
+    # strip \r BEFORE the line split (ADVICE r10): on CRLF text a line
+    # keeps its trailing \r after a \n-split, and Java regex `$` matches
+    # before that final \r while DuckDB's RE2 `$` matches only
+    # end-of-string — kept_line_frac would diverge cross-engine. The
+    # twin (c4_signals_sql) applies the same normalization.
+    lines = F.split(F.regexp_replace(c, "\r", ""), "\n")
     n_lines = F.greatest(F.size(lines), F.lit(1))
     keep = F.size(
         F.filter(
@@ -294,7 +299,8 @@ def c4_flags(col: Column | str) -> dict[str, Column]:
 def c4_signals_sql(expr: str) -> dict[str, str]:
     """DuckDB twins of `c4_signals` (same lowercase, same splits)."""
     c = f"lower({expr})"
-    lines = f"string_split({c}, chr(10))"
+    # \r stripped before the split, mirroring c4_signals (CRLF parity)
+    lines = f"string_split(replace({c}, chr(13), ''), chr(10))"
     n_lines = f"greatest(len({lines}), 1)"
     keep = (
         f"len(list_filter({lines}, ln -> "
@@ -795,8 +801,16 @@ def pmi_phrases(
     same shape both engines fold ((c2::double * N) / (c1u::double *
     c1v)), the score quantizes to a 1e-12 integer (the bigram-LM
     pattern) and ordering is (quantized pmi desc, u asc, v asc) — no
-    float-tie ambiguity cross-engine."""
-    toks_arr = F.split(F.lower(F.col(text_col)), " ")
+    float-tie ambiguity cross-engine.
+
+    Empty tokens from repeated whitespace are filtered BEFORE the
+    unigram/bigram counts (ADVICE r10): '' is not a word, and counting
+    it skews N and every PMI that shares a doc with a double space.
+    Tokens the filter removes make their neighbors adjacent — the
+    word2phrase reading of 'a  b' is the pair (a, b)."""
+    toks_arr = F.filter(
+        F.split(F.lower(F.col(text_col)), " "), lambda t: t != ""
+    )
     n = F.size(toks_arr)
     pairs = F.when(
         n >= 2,
@@ -857,10 +871,13 @@ def pmi_phrases(
 
 def pmi_phrases_oracle_sql(min_count: int = 5, top_n: int = 50) -> str:
     """DuckDB twin of `pmi_phrases` — same double-assembly shape, same
-    1e-12 quantization, same (qpmi desc, u, v) top-n order."""
+    1e-12 quantization, same (qpmi desc, u, v) top-n order, same
+    empty-token filter before the counts."""
     return f"""
         WITH tk AS (
-            SELECT string_split(lower(text), ' ') AS t FROM documents
+            SELECT list_filter(string_split(lower(text), ' '),
+                               x -> x <> '') AS t
+            FROM documents
         ),
         bg AS (
             SELECT t[i] AS u, t[i + 1] AS v

@@ -64,6 +64,7 @@ def curate_corpus(
     rules: "tuple[str, ...]" = (),
     id_col: str = "doc_id",
     text_col: str = "text",
+    stage_times: "dict[str, float] | None" = None,
 ) -> DataFrame:
     """The curated, chunked, packed, split training table.
 
@@ -81,13 +82,25 @@ def curate_corpus(
 
     All decisions are deterministic (hash-based, order-free), so the
     output is stable across runs, partitionings, and engines — the
-    DuckDB twin reproduces it value-for-value."""
+    DuckDB twin reproduces it value-for-value.
+
+    `stage_times` (optional, VERDICT r10 next-#2): a dict the caller
+    supplies to receive wall-clock seconds for the EAGER stage
+    boundaries — the three `localCheckpoint()` materializations:
+    ``quality_exact_dedup`` (quality scan + the exact-dedup hash
+    shuffle), ``near_dedup`` (MinHash banding + candidate verify + CC),
+    ``decontam`` (broadcast shingle overlap + anti-join). The
+    chunk/pack/split tail is lazy — it executes in the caller's sink
+    and is the remainder bench.py reports."""
     from ..functions.chunking import chunk_documents, pack_chunks
     from ..functions.textstats import quality_score
     from .dedup import dedup_exact, neardup_dedup_decisions
     from .sampling import contamination_report, hash_split
 
+    import time as _time
+
     weights = split_weights or DEFAULT_SPLIT_WEIGHTS
+    _t0 = _time.perf_counter()
     base = docs.select(F.col(id_col), F.col(text_col))
 
     # stage 1 — quality gate: native-expression filter, reaches the scan.
@@ -116,6 +129,9 @@ def curate_corpus(
         .select(F.col("rep_id").alias(id_col))
         .localCheckpoint()
     )
+    if stage_times is not None:
+        stage_times["quality_exact_dedup"] = round(_time.perf_counter() - _t0, 4)
+        _t0 = _time.perf_counter()
     exact_kept = good.join(exact_ids, id_col)
 
     # stage 3 — near-dedup: LSH pairs -> connected components -> keep
@@ -134,6 +150,9 @@ def curate_corpus(
         .select(F.col("id").alias(id_col))
         .localCheckpoint()
     )
+    if stage_times is not None:
+        stage_times["near_dedup"] = round(_time.perf_counter() - _t0, 4)
+        _t0 = _time.perf_counter()
     nd_kept = base.join(nd_ids, id_col)
 
     # stage 4 — decontamination: overlap vs the (broadcast) benchmark
@@ -152,6 +171,8 @@ def curate_corpus(
         .select(F.col("id").alias(id_col))
     )
     kept_ids = nd_ids.join(contaminated, id_col, "left_anti").localCheckpoint()
+    if stage_times is not None:
+        stage_times["decontam"] = round(_time.perf_counter() - _t0, 4)
     curated = base.join(kept_ids, id_col)
 
     # stages 5-7 — chunk once (single posexplode), pack on the

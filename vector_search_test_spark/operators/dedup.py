@@ -865,6 +865,19 @@ def semdedup_prune(
     on both engines, so the threshold compare is replayable). Returns
     every input row annotated: (id, list_id, cent_sim, keep 0/1).
 
+    DELIBERATE DEVIATION from the paper (ADVICE r10 — read before
+    relying on retention semantics): x is dropped when ANY
+    earlier-ordered y exceeds tau, **even if that y was itself
+    dropped** — drops can cascade through similarity chains
+    (a~b, b~c, a!~c still drops both b and c), which is STRICTER than
+    the paper's keep-one-per-duplicate-group reading where a surviving
+    keeper does the dropping. The one-join rule is what stays
+    oracle-replayable and single-pass at scale; the paper-exact
+    variant is an iterative keep-set fixpoint (the `neardup_dedup_
+    decisions` connected-components shape). If paper-exact retention
+    matters downstream, run this as a candidate filter and re-verify
+    survivors, or lower tau to compensate for the extra pruning.
+
     Scale shape: nearest-centroid assignment is the scan-only
     `assign_cells` projection; the centroid table is broadcast; the
     only corpus shuffles are the list_id window and the within-list
