@@ -404,7 +404,13 @@ def pagerank(
     is ONE shuffle — contributions equi-join ranks on the source and
     aggregate on the destination (map-side combine), the inherent
     power-iteration data motion (Pregel's shape). Rounds are bounded
-    (`iters`), so the DuckDB twin unrolls them. Determinism: the only
+    (`iters`), so the DuckDB twin unrolls them — fixed rounds are the
+    CONTRACT, not a fixpoint claim: the iterate contracts in L1 at
+    rate <= `damping` per round (measured 0.84-0.85 on the fixture
+    graph, test_pagerank_five_round_contraction_measured), so 5 rounds
+    is a bounded-round approximation; production convergence to eps
+    needs ~log(eps/d0)/log(damping) rounds, iterated to an L1-delta
+    stop. Determinism: the only
     order-sensitive step is the per-destination float sum, so each
     contribution quantizes to a 1e-12 integer first (the repo's
     quantized-sum pattern) and the grouped sum is exact; every other

@@ -92,18 +92,78 @@ def dedup_media_exact(
     )
 
 
-def decode_media(df: DataFrame, out_col: str = "decoded") -> DataFrame:
-    """The REAL decode seam — not implementable in this container.
+def fake_grid_codec(height: int = 8, width: int = 8):
+    """Deterministic pure-Python stand-in codec (VERDICT r10 next-#7):
+    'decodes' any payload into a fixed-shape (height, width) uint8 grid
+    by cyclically tiling the payload bytes (np.resize) — zeros for an
+    empty payload. Fake pixels, REAL contract: a factory that is called
+    once per Python worker and returns `bytes -> np.uint8[(h, w)]`,
+    exactly what a PIL/ffmpeg-backed codec supplies. Swapping in a real
+    decoder changes this function only — none of the Spark plumbing."""
 
-    A production implementation loads the codec once per executor and maps
-    Arrow batches of `payload` to decoded tensors with exactly the
-    `extract_byte_features` mapInPandas shape. Stubbed per the brief.
-    """
-    raise NotImplementedError(
-        "media decoding requires image/audio codecs not present in this "
-        "environment; use extract_byte_features (deterministic fake) for "
-        "pipeline plumbing, or plug a real decoder into this seam"
+    def factory():
+        def decode(buf: bytes) -> np.ndarray:
+            arr = np.frombuffer(bytes(buf), dtype=np.uint8)
+            if arr.size == 0:
+                return np.zeros((height, width), dtype=np.uint8)
+            return np.resize(arr, (height, width))
+
+        return decode
+
+    return factory
+
+
+def decode_media(
+    df: DataFrame,
+    codec=None,
+    payload_col: str = "payload",
+    out_col: str = "decoded",
+) -> DataFrame:
+    """The decode seam: payload bytes -> fixed-shape decoded grid.
+
+    `codec` is a FACTORY (zero-arg callable) invoked once per Python
+    worker task — the load-the-model-once contract a real decoder needs
+    (PIL/ffmpeg/librosa handles are per-process, not per-row) — whose
+    return value maps one payload's bytes to a uint8 numpy array of
+    fixed shape. The decoded grid is appended as `out_col`: a BINARY
+    column of exactly prod(shape) bytes (row-major), so the output
+    composes directly with every downstream payload consumer —
+    `extract_byte_features(..., payload_col=out_col)`, `frame_sample`,
+    `dedup_media_exact` — with zero re-plumbing.
+
+    `codec=None` (the default) raises NotImplementedError: real codec
+    libraries are not in this container; `fake_grid_codec` is the
+    deterministic stand-in that proves the seam end-to-end (pinned in
+    tests/test_multimodal.py). Scale shape: stateless mapInPandas over
+    Arrow batches — no shuffle, no state, decode parallelism = scan
+    parallelism."""
+    if codec is None:
+        raise NotImplementedError(
+            "media decoding requires image/audio codecs not present in "
+            "this environment; pass codec=fake_grid_codec() for the "
+            "deterministic plumbing proof, or plug a real decoder factory "
+            "into this seam"
+        )
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField(out_col, T.BinaryType(), False)]
     )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode = codec()  # once per worker task, NOT per row/batch
+        for pdf in batches:
+            out = []
+            for buf in pdf[payload_col]:
+                grid = decode(buf)
+                if grid.dtype != np.uint8:
+                    raise TypeError(
+                        f"codec must return uint8 arrays, got {grid.dtype}"
+                    )
+                out.append(grid.tobytes())
+            pdf = pdf.copy()
+            pdf[out_col] = out
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
 
 
 def extract_byte_features(
