@@ -82,6 +82,16 @@ def main() -> int:
         default=int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3")),
         help="full suite passes; per-query min is reported (default 3)",
     )
+    parser.add_argument(
+        "--only",
+        nargs="+",
+        default=None,
+        metavar="ENTRY",
+        help="time only these entries (diagnostic runs, e.g. chasing a "
+        "regression tripwire); the sidecar is NOT overwritten and the "
+        "tripwire still diffs against it, so a focused re-run can "
+        "confirm or clear a flagged entry without re-pinning anything",
+    )
     args = parser.parse_args()
     repeat = max(1, args.repeat)
 
@@ -122,9 +132,17 @@ def main() -> int:
     # ("driver saw 98 s, builder saw 85 s") are evidence-backed by the
     # pass-to-pass spread instead of narrated
     passes: list[float] = []
+    only = set(args.only) if args.only else None
+    if only:
+        unknown = only - set(entrymod.queries())
+        if unknown:
+            print(f"unknown entries: {sorted(unknown)}", file=sys.stderr)
+            return 1
     for _ in range(repeat):
         pass_total = 0.0
         for name, fn in entrymod.queries().items():
+            if only is not None and name not in only:
+                continue
             if timings.get(name) == -1.0:
                 continue  # errored in an earlier pass; don't re-raise N times
             getattr(entrymod, "STAGE_TIMES", {}).pop(name, None)
@@ -174,28 +192,29 @@ def main() -> int:
         and v > prev_q[n] * 1.25
         and v - prev_q[n] > 0.5
     )
-    with open(sidecar, "w") as f:
-        json.dump(
-            {
-                "metric": "total_wall",
-                "value": total,
-                "unit": "sec",
-                "sf": _sf_from_dir(SF_DIR),
-                "repeat": repeat,
-                "scored50": scored50,
-                "n_entries": len(timings),
-                "passes": passes,
-                "regressed": {
-                    n: {"prev": prev_q[n], "now": timings[n]}
-                    for n in regressed
+    if only is None:
+        with open(sidecar, "w") as f:
+            json.dump(
+                {
+                    "metric": "total_wall",
+                    "value": total,
+                    "unit": "sec",
+                    "sf": _sf_from_dir(SF_DIR),
+                    "repeat": repeat,
+                    "scored50": scored50,
+                    "n_entries": len(timings),
+                    "passes": passes,
+                    "regressed": {
+                        n: {"prev": prev_q[n], "now": timings[n]}
+                        for n in regressed
+                    },
+                    "stages": stages,
+                    "queries": timings,
                 },
-                "stages": stages,
-                "queries": timings,
-            },
-            f,
-            indent=1,
-        )
-        f.write("\n")
+                f,
+                indent=1,
+            )
+            f.write("\n")
 
     # stdout line: totals FIRST, scored-50 per-query at 2dp, compact
     # separators; hard byte budget so driver tail-capture can never
@@ -219,6 +238,9 @@ def main() -> int:
         "regressed": regressed[:8],
         "detail": "BENCH.local.json",
     }
+    if only is not None:
+        # diagnostic runs have no sidecar — surface the stage splits here
+        head["stages"] = stages
     line_with_q = json.dumps(
         {
             **head,

@@ -684,32 +684,65 @@ def ivf_rebalance_cycle(
     return rebalanced, report
 
 
-def write_partitioned_postings(postings: DataFrame, path: str) -> None:
+def write_partitioned_postings(
+    postings: DataFrame, path: str, nlist: int | None = None
+) -> None:
     """THE inverted-list sink all three index families share (float
     IVF, IVF-PQ, IVF-SQ8): shuffle on list_id before the partitioned
     write — without it every input partition writes one file per list
     it touches, parts * nlist files (1000 executors x nlist 1e4 would
-    be 10M files). Hashed on list_id each list lands in exactly one
-    task: file count is bounded by nlist at ANY partition count, and
-    locally a 4-list index writes 4 files, not 128. Task count is
-    defaultParallelism — tasks beyond the core count add
-    scheduler/committer overhead with no throughput (measured on the
-    IVF-PQ index: 12.2 s -> 7.8 s at nlist=192 on local[32]); on a real
-    cluster defaultParallelism already tracks total cores, so write
-    parallelism scales with the cluster, not with nlist."""
+    be 10M files). Hashing on list_id alone bounds the file count but
+    SERIALIZES the write when nlist < cores: a 4-list index ran 4
+    write tasks on a 32-core box, and the r11 stage split measured
+    that write at 70% of ivf_persistence_roundtrip's wall. So when the
+    caller passes `nlist` (all in-package callers do — it is the
+    centroid count they already hold) and nlist < cores, the shuffle
+    key becomes (list_id, salt) with salt width cores // nlist: every
+    core writes, and the file count stays bounded by max(cores, nlist)
+    — locally a 4-list index writes 8 files per list directory (32
+    total), a 192-list index still writes 1 per list (salt collapses
+    to 1 once nlist >= cores; tasks beyond the core count only add
+    scheduler/committer overhead — measured 12.2 s -> 7.8 s at
+    nlist=192 on local[32]). On a real cluster defaultParallelism
+    tracks total cores, so write parallelism scales with the cluster,
+    and at production nlist (1e4+) the salt is 1 — identical layout
+    to the unsalted form. `nlist=None` keeps the unsalted hash (no
+    data probe: correctness never depends on the salt)."""
     spark = postings.sparkSession
     par = spark.sparkContext.defaultParallelism
-    postings.repartition(par, "list_id").write.mode(
-        "overwrite"
-    ).partitionBy("list_id").parquet(path)
+    salt_w = max(1, par // max(1, int(nlist))) if nlist else 1
+    if salt_w > 1:
+        (
+            postings.withColumn(
+                "__salt", F.pmod(F.hash("vec_id"), F.lit(salt_w))
+            )
+            .repartition(par, "list_id", "__salt")
+            .drop("__salt")
+            .write.mode("overwrite")
+            .partitionBy("list_id")
+            .parquet(path)
+        )
+    else:
+        postings.repartition(par, "list_id").write.mode(
+            "overwrite"
+        ).partitionBy("list_id").parquet(path)
 
 
 def write_centroid_table(spark, centroids, path: str) -> None:
-    """Persist a (list_id, centroid) table — KBs, one file."""
+    """Persist a (list_id, centroid) table — KBs, one file.
+
+    Built as a SINGLE-slice parallelized relation, NOT createDataFrame
+    + coalesce(1): a parallelized local collection defaults to
+    defaultParallelism slices, and coalesce(1) makes one task fetch
+    all of them from the driver one RPC at a time — measured 5-7 s per
+    tiny write on local[32] (it was 70% of ivf_persistence_roundtrip's
+    'write' phase, r11 stage split). One slice = one task, no shuffle,
+    one file, ~0.4 s."""
+    rows = [(i, c) for i, c in enumerate(centroids)]
     spark.createDataFrame(
-        [(i, c) for i, c in enumerate(centroids)],
+        spark.sparkContext.parallelize(rows, 1),
         "list_id int, centroid array<float>",
-    ).coalesce(1).write.mode("overwrite").parquet(path)
+    ).write.mode("overwrite").parquet(path)
 
 
 def read_centroid_table(spark, path: str) -> list[list[float]]:
@@ -732,7 +765,9 @@ def ivf_save(index: IvfIndex, path: str, corpus: DataFrame | None = None) -> Non
     write_centroid_table(
         spark, index.centroids, os.path.join(path, "centroids")
     )
-    write_partitioned_postings(index.postings, os.path.join(path, "postings"))
+    write_partitioned_postings(
+        index.postings, os.path.join(path, "postings"), nlist=index.nlist
+    )
     if corpus is not None:
         corpus.write.mode("overwrite").parquet(os.path.join(path, "corpus"))
 

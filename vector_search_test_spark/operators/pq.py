@@ -793,17 +793,21 @@ def ivfpq_save(postings: DataFrame, coarse, books, path: str) -> None:
 
     spark = postings.sparkSession
     write_centroid_table(spark, coarse, _os.path.join(path, "coarse"))
+    # single-slice local relation, not coalesce(1): see
+    # ivf.py::write_centroid_table — coalesce over a parallelized
+    # collection fetches every slice from the driver serially (~5 s)
+    book_rows = [
+        (j, c, cent)
+        for j, book in enumerate(books)
+        for c, cent in enumerate(book)
+    ]
     spark.createDataFrame(
-        [
-            (j, c, cent)
-            for j, book in enumerate(books)
-            for c, cent in enumerate(book)
-        ],
+        spark.sparkContext.parallelize(book_rows, 1),
         "sub int, code int, centroid array<float>",
-    ).coalesce(1).write.mode("overwrite").parquet(
-        _os.path.join(path, "books")
+    ).write.mode("overwrite").parquet(_os.path.join(path, "books"))
+    write_partitioned_postings(
+        postings, _os.path.join(path, "postings"), nlist=len(coarse)
     )
-    write_partitioned_postings(postings, _os.path.join(path, "postings"))
 
 
 def ivfpq_load(spark, path: str, id_col: str = "vec_id"):

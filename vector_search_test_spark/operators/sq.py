@@ -138,7 +138,9 @@ def ivfsq8_save(postings: DataFrame, centroids, path: str) -> None:
 
     spark = postings.sparkSession
     write_centroid_table(spark, centroids, _os.path.join(path, "centroids"))
-    write_partitioned_postings(postings, _os.path.join(path, "postings"))
+    write_partitioned_postings(
+        postings, _os.path.join(path, "postings"), nlist=len(centroids)
+    )
 
 
 def ivfsq8_load(spark, path: str, id_col: str = "vec_id"):
