@@ -2813,8 +2813,11 @@ def _q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     before any model-based scoring. Absent from the reference (no text
     quality ops beyond trim, app.py:204)."""
     from vector_search_test_spark.functions import textstats as ts
+    from vector_search_test_spark.io import spread
 
-    docs = load_table(spark, sf_dir, "documents")
+    # spread: heavy per-row token/n-gram work over the 1-file fixture
+    # must not run as one task (no-op at real scale; r11 find)
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     sig = ts.gopher_signals("text")
     flg = ts.gopher_flags("text")
     return docs.select(
@@ -3142,8 +3145,11 @@ def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_search_test_spark.functions import textstats as ts
+    from vector_search_test_spark.io import spread
 
-    docs = load_table(spark, sf_dir, "documents")
+    # spread: the shingle-hash projection is compute-heavy per row and
+    # must not inherit the 1-file fixture's single task (r11 find)
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     return docs.select(
         "doc_id",
         ts.doc_fingerprint("text").alias("fp"),
@@ -3469,8 +3475,15 @@ def _q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_search_test_spark.functions.textstats import (
         winnowing_fingerprints,
     )
+    from vector_search_test_spark.io import spread
 
-    return winnowing_fingerprints(load_table(spark, sf_dir, "documents"))
+    # spread first: the O(grams x w) window-argmin projection must not
+    # inherit the single-file fixture's 1-task parallelism (r11 find)
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+    )
+    return winnowing_fingerprints(docs)
 
 
 def _q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:

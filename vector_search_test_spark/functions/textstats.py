@@ -662,8 +662,15 @@ def bigram_lm_scores(
     multiply by integer counts, and divide back once — the
     source_kl_divergence determinism pattern, so the DuckDB twin is
     value-identical."""
+    from vector_search_test_spark.io import spread
+
     lam = float(lam)
     om = 1.0 - lam
+    # spread: both explodes below are compute-heavy per row and must
+    # not inherit a 1-file source's single task (no-op at real scale)
+    base = spread(
+        docs.select(F.col(id_col).alias("id"), F.col(text_col)), "id"
+    )
     toks_arr = F.split(F.lower(F.col(text_col)), " ")
     n = F.size(toks_arr)
     # shifted-slice zip (the repetition_ratio trick): two whole-array
@@ -676,12 +683,12 @@ def bigram_lm_scores(
             lambda a, b: F.struct(a.alias("u"), b.alias("v")),
         ),
     ).otherwise(F.array().cast("array<struct<u:string,v:string>>"))
-    bg = docs.select(
-        F.col(id_col).alias("id"), F.explode(pairs).alias("p")
-    ).select("id", F.col("p.u").alias("u"), F.col("p.v").alias("v"))
+    bg = base.select("id", F.explode(pairs).alias("p")).select(
+        "id", F.col("p.u").alias("u"), F.col("p.v").alias("v")
+    )
     tf2 = bg.groupBy("id", "u", "v").agg(F.count("*").alias("tf"))
     c2 = tf2.groupBy("u", "v").agg(F.sum("tf").cast("long").alias("c2"))
-    uni = docs.select(
+    uni = base.select(
         F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term")
     ).groupBy("term").agg(F.count("*").alias("c1"))
     nv = uni.agg(

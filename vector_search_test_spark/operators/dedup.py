@@ -148,8 +148,14 @@ def dup_ngram_profile(
     NOT a window over gram, whose per-partition materialization cannot
     be split when a boilerplate gram appears in millions of documents.
     Output is one row per document."""
-    sh = df.select(
-        F.col(id_col).alias("id"),
+    from vector_search_test_spark.io import spread
+
+    # spread: the gram explode is the compute-heavy stage and must not
+    # inherit a 1-file source's single task (no-op at real scale)
+    sh = spread(
+        df.select(F.col(id_col).alias("id"), F.col(text_col)), "id"
+    ).select(
+        "id",
         F.explode(shingles_all(text_col, n)).alias("g"),
     )
     st = sh.groupBy("id", "g").agg(
@@ -207,8 +213,16 @@ def strip_dup_ngrams(
     of the final filter is O(len * |covered|): documents are assumed
     pre-chunked/bounded, the standing contract of every per-doc array
     op in this engine."""
+    from vector_search_test_spark.io import spread
+
     tk = tokens(text_col)
-    base = df.select(F.col(id_col).alias("id"), tk.alias("tk")).localCheckpoint()
+    # spread before the checkpoint: the tokenize + every downstream
+    # per-doc array op otherwise runs single-task off a 1-file source
+    base = (
+        spread(df.select(F.col(id_col), F.col(text_col)), id_col)
+        .select(F.col(id_col).alias("id"), tk.alias("tk"))
+        .localCheckpoint()
+    )
     glen = F.when(F.size("tk") >= n, F.lit(n)).otherwise(F.size("tk"))
     sh = base.select(
         "id",
@@ -1010,11 +1024,24 @@ def winnowing_candidate_pairs(
 
     if min_shared < 1:
         raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+    from vector_search_test_spark.io import spread
+
     # the fp table feeds the df cap, both join sides, and the size
     # legs — localCheckpoint so the winnowing scan runs ONCE (Spark
-    # does not CSE repeated subplans; the repo's multi-consumer rule)
+    # does not CSE repeated subplans; the repo's multi-consumer rule).
+    # spread() first: the winnowing projection is the compute-heavy
+    # stage (O(grams x w) window argmins per doc) and must not inherit
+    # a 1-2-file source's parallelism (measured: the whole fingerprint
+    # pass ran as ONE task on the sf0.1 single-file table — the same
+    # trap neardup_minhash documents; no-op at real scale)
     fps = (
-        winnowing_fingerprints(docs, id_col=id_col, text_col=text_col, k=k, w=w)
+        winnowing_fingerprints(
+            spread(docs.select(F.col(id_col), F.col(text_col)), id_col),
+            id_col=id_col,
+            text_col=text_col,
+            k=k,
+            w=w,
+        )
         .select(F.col(id_col).alias("id"), "fp")
         .distinct()
         .localCheckpoint(eager=False)
