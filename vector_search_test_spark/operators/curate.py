@@ -99,9 +99,14 @@ def curate_corpus(
 
     import time as _time
 
+    from ..io import spread
+
     weights = split_weights or DEFAULT_SPLIT_WEIGHTS
     _t0 = _time.perf_counter()
-    base = docs.select(F.col(id_col), F.col(text_col))
+    # spread: every stage's map side (quality scoring, normalize-and-
+    # hash, shingling, chunk tokenize) re-scans this base — off a 1-2
+    # file source they would all run 1-2 tasks wide (no-op at scale)
+    base = spread(docs.select(F.col(id_col), F.col(text_col)), id_col)
 
     # stage 1 — quality gate: native-expression filter, reaches the scan.
     # `rules` stacks published rule families (Gopher ∧ C4) onto the

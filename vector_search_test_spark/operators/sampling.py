@@ -712,9 +712,16 @@ def dsir_logweights(
     corpus scans total (model fit + scoring), no corpus-width shuffle:
     the only shuffles are bucket-keyed (bounded) and id-keyed (the
     per-doc sum)."""
+    from vector_search_test_spark.io import spread
+
     t = is_target.cast("boolean").alias("t")
-    gb = docs.select(
-        F.col(id_col).alias("id"), t, F.explode(_dsir_grams(text_col)).alias("g")
+    # spread: the gram explode + bucket hashing is the compute-heavy
+    # stage and must not inherit a 1-2-file source's parallelism
+    # (no-op at real scale)
+    gb = spread(
+        docs.select(F.col(id_col).alias("id"), t, F.col(text_col)), "id"
+    ).select(
+        "id", "t", F.explode(_dsir_grams(text_col)).alias("g")
     ).select(
         "id", "t", dsir_bucket(F.col("g"), n_buckets, salt).alias("bucket")
     )
