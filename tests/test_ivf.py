@@ -109,6 +109,35 @@ def test_ivf_save_load_roundtrip(spark, sf_dir, tmp_path):
     assert "list_id" in plan
 
 
+def test_postings_write_salted_layout(spark, sf_dir, tmp_path):
+    """r11: when nlist < cores the postings sink salts its shuffle key
+    so every core writes — file count bounded by max(cores, nlist),
+    never parts * nlist, and every row still lands in its list_id
+    partition directory (pruning intact)."""
+    import glob
+    import os
+
+    from vector_search_test_spark.operators.ivf import (
+        write_partitioned_postings,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = ivf_build(emb, nlist=4)
+    path = str(tmp_path / "salted_postings")
+    write_partitioned_postings(idx.postings, path, nlist=4)
+    par = spark.sparkContext.defaultParallelism
+    files = glob.glob(os.path.join(path, "list_id=*", "*.parquet"))
+    dirs = {os.path.basename(os.path.dirname(f)) for f in files}
+    assert dirs == {f"list_id={i}" for i in range(4)}
+    assert len(files) <= max(par, 4)
+    # roundtrip: contents identical to the unsalted layout
+    back = spark.read.parquet(path)
+    assert back.count() == idx.postings.count()
+    got = {(r.vec_id, r.list_id) for r in back.select("vec_id", "list_id").collect()}
+    want = {(r.vec_id, r.list_id) for r in idx.postings.select("vec_id", "list_id").collect()}
+    assert got == want
+
+
 def test_ivf_add_matches_full_build_at_exact_probe(spark, sf_dir):
     """train-on-half + add-the-rest, searched at nprobe=nlist, must equal
     exact brute force over the FULL corpus (cell layout is irrelevant
