@@ -965,6 +965,8 @@ def _q_ivf_rebalance_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     IS nprobe=nlist exactness, see the operator docstring) —
     rebalancing moves the recall/latency tradeoff (both recall columns
     are in the output), never the semantics."""
+    import time as _time
+
     from vector_search_test_spark.io import spread
     from vector_search_test_spark.operators.ivf import (
         IvfIndex,
@@ -973,6 +975,7 @@ def _q_ivf_rebalance_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_centroids,
     )
 
+    _t0 = _time.perf_counter()
     emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", "embedding"
     )
@@ -1009,9 +1012,21 @@ def _q_ivf_rebalance_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(r.vec_id), [float(x) for x in r.embedding]) for r in qrows],
         "query_id long, query_vec array<float>",
     )
+    # stage split (r11, the ivfpq_bigscale precedent): this probe is
+    # the highest-variance entry — attribute its wall to setup (train +
+    # drift-assign + checkpoint + query pin) vs the cycle's measure/
+    # rebalance/measure legs so drift claims name a phase
+    st: dict[str, float] = {"setup": round(_time.perf_counter() - _t0, 4)}
     _, report = ivf_rebalance_cycle(
-        index, queries, max_list_frac=0.2, sub_k=4, nprobe=2, k=10
+        index,
+        queries,
+        max_list_frac=0.2,
+        sub_k=4,
+        nprobe=2,
+        k=10,
+        stage_times=st,
     )
+    STAGE_TIMES["ivf_rebalance_cycle"] = st
     r = report.first()
     assert r.ntotal == 2 * int(offset), f"ntotal not conserved: {r}"
     assert r.n_hot >= 1 and r.nlist_after > r.nlist_before, f"no split: {r}"

@@ -549,7 +549,19 @@ def jaccard_join(
     plen = (
         F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz") - _EPS) + 1
     ).cast("int")
-    pref = ranked.filter(F.col("rn") <= plen).select("id", "sz", "tok", "rn")
+    # explicit repartition on the join key: the prefix table is BYTES-
+    # small so AQE coalesces the self-join to a handful of tasks, but
+    # its per-bucket probe work is quadratic in bucket density — the
+    # same compute-blind coalescing semdedup_prune pins against
+    # (measured: the join + verify ran 3-wide on 32 cores). AQE
+    # respects explicit repartitions.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    pref = (
+        ranked.filter(F.col("rn") <= plen)
+        .select("id", "sz", "tok", "rn")
+        .repartition(par, "tok")
+        .localCheckpoint()  # both join sides; keeps the pinned layout
+    )
     # Required overlap for J >= t: o >= t/(1+t) * (|A|+|B|).
     alpha = (
         F.lit(threshold / (1.0 + threshold)) * (F.col("x.sz") + F.col("y.sz"))

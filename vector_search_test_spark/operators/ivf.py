@@ -574,6 +574,7 @@ def ivf_rebalance_cycle(
     nprobe: int = 2,
     k: int = 10,
     seed: int = DEFAULT_SEED,
+    stage_times: "dict[str, float] | None" = None,
 ) -> "tuple[IvfIndex, DataFrame]":
     """The full index-maintenance loop composed as ONE certified
     operator (VERDICT r8 next-#7 — the ivf analogue of what
@@ -614,7 +615,14 @@ def ivf_rebalance_cycle(
     exact leg is the only corpus-wide scan, and it is the measurement,
     not the maintenance. The postings should be materialized (saved
     index or checkpoint) — the cycle reads them several times.
+
+    `stage_times` (optional): caller-supplied dict receiving seconds
+    for `measure_before` (exact ground truth + stats + audit + recall
+    gauge), `rebalance` (the hot-list split incl. the k-means retrain
+    + checkpoint — the variance-heavy leg), and `measure_after`
+    (stats + audit + recall re-gauge).
     """
+    import time as _time
     from vector_search_test_spark.operators.evaluate import (
         ivf_index_stats,
         recall_at_k,
@@ -640,20 +648,29 @@ def ivf_rebalance_cycle(
             F.sum(F.xxhash64("vec_id").cast("decimal(38,0)")).alias("h"),
         ).first()
 
+    _t0 = _time.perf_counter()
     before = ivf_index_stats(index.postings).first()
     n_hot = index.postings.groupBy("list_id").count().filter(
         F.col("count") > max_list_frac * before.ntotal
     ).count()
     audit_before = _audit(index.postings)
     recall_before = _mean_recall(index, nprobe)
+    if stage_times is not None:
+        stage_times["measure_before"] = round(_time.perf_counter() - _t0, 4)
+        _t0 = _time.perf_counter()
 
     rebalanced = ivf_rebalance(
         index, max_list_frac=max_list_frac, sub_k=sub_k, seed=seed
     )
     rebalanced.postings = rebalanced.postings.localCheckpoint()
+    if stage_times is not None:
+        stage_times["rebalance"] = round(_time.perf_counter() - _t0, 4)
+        _t0 = _time.perf_counter()
     after = ivf_index_stats(rebalanced.postings).first()
     audit_after = _audit(rebalanced.postings)
     recall_after = _mean_recall(rebalanced, nprobe)
+    if stage_times is not None:
+        stage_times["measure_after"] = round(_time.perf_counter() - _t0, 4)
     conserved = (
         audit_before.n == audit_after.n and audit_before.h == audit_after.h
     )
