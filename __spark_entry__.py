@@ -3649,6 +3649,53 @@ def _q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained quality filter (GPT-3 Appendix A / CCNet / fastText
+    shape): logistic regression over corpus-standardized hashed
+    token-frequency buckets, 8 full-batch GD rounds (bounded so the
+    DuckDB twin unrolls them — the bpe/pagerank precedent), scored
+    back over every tokenized document.
+
+    Label honesty: the fixture corpus carries NO organic reference
+    signal — its `lang`/`source` columns are independent of the text
+    (31-word uniform synthetic vocabulary; measured: every classifier
+    converges to the majority class on them). The entry therefore
+    trains against a PLANTED text-derived target — documents where
+    {'join','hash'} tokens outnumber {'slow','scan'} — which the model
+    must recover from hashed bucket space (accuracy >= 0.75 pinned in
+    tests/test_classifier.py; majority class is 0.556). On real data
+    the component takes the reference-membership Column, exactly like
+    dsir_select's is_target. See operators/classifier.py for the
+    component-by-component cross-engine determinism contract
+    (quantized moments/margins/gradients, 9dp sigmoid)."""
+    from vector_search_test_spark.operators.classifier import (
+        quality_classifier_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    n_pos = F.size(F.filter(toks, lambda t: (t == "join") | (t == "hash")))
+    n_neg = F.size(F.filter(toks, lambda t: (t == "slow") | (t == "scan")))
+    return quality_classifier_scores(
+        docs,
+        n_pos > n_neg,
+        n_buckets=_QC_BUCKETS,
+        rounds=_QC_ROUNDS,
+        lr=_QC_LR,
+    )
+
+
+_QC_BUCKETS = 32
+_QC_ROUNDS = 8
+_QC_LR = 2.0
+_QC_TARGET_SQL = (
+    "len(list_filter(string_split(lower(text), ' '), "
+    "t -> t IN ('join', 'hash'))) > "
+    "len(list_filter(string_split(lower(text), ' '), "
+    "t -> t IN ('slow', 'scan')))"
+)
+
+
 def _q_pagerank_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the similarity graph (Brin & Page 1998, 5 power
     rounds, d=0.85) — the centrality companion to the CC clusters: the
@@ -3865,6 +3912,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_adc_topk": _q_pq_adc_topk,
         "neardup_minhash": _q_neardup_minhash,
         "session_window_stats": _q_session_window_stats,
+        # r11 addition: the trained quality filter (oracle-gated)
+        "quality_classifier": _q_quality_classifier,
     }
 
 
@@ -4088,6 +4137,22 @@ def _e2e_curation_oracle_sql() -> str:
         FROM packed p
         JOIN chunk_md cm ON p.id = cm.id AND p.chunk_id = cm.chunk_id
     """
+
+
+def _quality_classifier_oracle_sql_() -> str:
+    """DuckDB twin of quality_classifier: identical hashed features,
+    quantized margins/gradients, 4 unrolled GD rounds (see
+    operators/classifier.py::quality_classifier_oracle_sql)."""
+    from vector_search_test_spark.operators.classifier import (
+        quality_classifier_oracle_sql,
+    )
+
+    return quality_classifier_oracle_sql(
+        _QC_TARGET_SQL,
+        n_buckets=_QC_BUCKETS,
+        rounds=_QC_ROUNDS,
+        lr=_QC_LR,
+    )
 
 
 def _pagerank_oracle_sql_(iters: int = 5, damping: float = 0.85) -> str:
@@ -5854,6 +5919,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
             WHERE abs(e.value - m.med) > 3.0 * 1.4826 * d.mad
         """,
         "retention_cohorts": _retention_oracle_sql_(),
+        "quality_classifier": _quality_classifier_oracle_sql_(),
     }
     if _pp_sql is None:
         del out["ivf_search_partial_probe"]

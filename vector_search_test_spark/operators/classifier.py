@@ -1,0 +1,401 @@
+"""In-engine quality classifier: the GPT-3-style "looks like the
+reference corpus" logistic filter, trained and scored entirely inside
+the engine (extension — no reference counterpart; the reference has no
+quality ops beyond trim, app.py:204).
+
+Published method being re-expressed: the web-corpus quality classifiers
+of GPT-3 (Brown et al. 2020, Appendix A — a linear classifier over
+hashed features separating the reference corpus from raw CommonCrawl),
+CCNet (Wenzek et al. 2020) and LLaMA's Wikipedia-reference filter,
+whose standard implementation is fastText (Joulin et al. 2016) — i.e.
+logistic regression over hashed bag-of-words features (the hashing
+trick, Weinberger et al. 2009).
+
+What this module contributes beyond DSIR (`sampling.dsir_select`, the
+importance-WEIGHTING view of the same problem): a trained DISCRIMINATIVE
+score with a decision boundary — the filter shape production pipelines
+actually deploy in front of pre-training ingestion.
+
+Training is full-batch gradient descent with a BOUNDED number of
+rounds, which is what makes the DuckDB value-oracle possible: bounded
+rounds unroll into a deterministic CTE chain (the repo's bpe_merges /
+pagerank precedent — the bound exists to keep the twin unrollable; at
+production scale you iterate to convergence or hand the same feature
+table to MLlib's LogisticRegression, which this module's feature seam
+feeds unchanged).
+
+Features are corpus-STANDARDIZED hashed token frequencies: raw
+frequency-scale features (x ~ 1/n_tokens) leave full-batch GD moving
+at a crawl — measured flat at the majority-class logit after any
+bounded round count — while z-scored features converge in single-digit
+rounds (the standard conditioning argument; fastText gets away with
+raw counts only because it runs many SGD epochs).
+
+Determinism contract (the cross-engine argument, component by
+component):
+
+- raw features: x_j = cnt_j / n_tokens — BIGINT/BIGINT division
+  producing identical doubles.
+- standardization: per-bucket moment sums quantize x and x*x to 1e-12
+  BIGINTs before the (order-free) integer sum; mu/var derive by the
+  same IEEE expression on both engines, and sqrt is CORRECTLY ROUNDED
+  by IEEE 754 (unlike exp), so sd and every z = (x - mu) / sd are
+  bit-identical. Constant buckets get sd = 1.0 on both engines.
+- margins: per-term products w_j * z_j are quantized to 1e-12 BIGINTs
+  BEFORE the per-doc sum (order-free integer addition — the repo's
+  quantized-sum pattern), so the sigmoid argument is bit-identical.
+- sigmoid: p = 1/(1+exp(-m)) is rounded to 9 dp before it feeds the
+  gradient (libm exp may differ by 1 ULP across engines; the rounding
+  absorbs it — the semdedup round-before-compare precedent).
+- gradient: per-(doc, j) contributions (p - y) * z_j quantized to
+  1e-12 BIGINTs, integer-summed per j; the weight update
+  w_j - lr * ((g_j / 1e12) / N) is the same IEEE double expression on
+  the Python driver and in the twin's CTE, fed identical integers.
+
+Scale shape (100 TB): the sparse counts are ONE token explode -> one
+(id, bucket) count shuffle with map-side combine; the moment table is
+an n_buckets-row aggregate; the z table is docs x (n_buckets + 1) rows
+(a bounded fan-out — smaller than the token explode that precedes it),
+localCheckpoint'ed once (every round reads it). NOTE the sparse
+identity for avoiding the dense fan-out in production: absent entries
+share the constant z0_j = -mu_j / sd_j, so the margin decomposes as
+sum_present(w_j * x_j / sd_j) + (b - sum_all(w_j * mu_j / sd_j)) — a
+per-model scalar; this module materializes the dense z table because
+the twin then replays it row-for-row. Each round is one margins
+aggregate plus one gradient aggregate — both map-side-combined
+shuffles — and a (n_buckets + 1)-row driver collect (the
+k-means-centroid bounded-collect pattern). Scoring is one broadcast-
+literal projection. Nothing is per-row Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vector_search_test_spark.functions.hashing import (
+    hash48_sql,
+    portable_hash48,
+)
+
+_Q = 1e12  # the repo's standard quantization for order-free sums
+
+
+def _feature_table(
+    docs: DataFrame,
+    is_target,
+    n_buckets: int,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """(id, y, j, xj): corpus-STANDARDIZED hashed token-frequency
+    features (dense — every doc carries all n_buckets z-scores) plus a
+    bias term (j = n_buckets, xj = 1.0). Documents with zero tokens
+    carry no signal and are excluded (mirrored in the twin). See the
+    module docstring for the quantized-moment determinism argument and
+    the sparse identity production would use instead of the dense
+    fan-out."""
+    from vector_search_test_spark.io import spread
+
+    d = int(n_buckets)
+    base = spread(
+        docs.select(
+            F.col(id_col).alias("id"),
+            is_target.cast("double").alias("y"),
+            F.col(text_col),
+        ),
+        "id",
+    ).select(
+        "id",
+        "y",
+        F.filter(
+            F.split(F.lower(F.col(text_col)), " "), lambda t: t != ""
+        ).alias("toks"),
+    )
+    docs2 = base.filter(F.size("toks") > 0).select(
+        "id", "y", F.size("toks").alias("nt"), "toks"
+    )
+    toked = docs2.select("id", "nt", F.explode("toks").alias("tok"))
+    sparse = (
+        toked.groupBy(
+            "id",
+            "nt",
+            F.pmod(portable_hash48("tok"), F.lit(d)).cast("int").alias("j"),
+        )
+        .agg(F.count("*").alias("cnt"))
+        .select("id", "j", (F.col("cnt") / F.col("nt")).alias("x"))
+    )
+    # dense grid: every (doc, bucket) cell, absent counts as x = 0.0
+    grid = (
+        docs2.select("id", "y")
+        .crossJoin(
+            F.broadcast(
+                docs2.sparkSession.range(d).select(
+                    F.col("id").cast("int").alias("j")
+                )
+            )
+        )
+        .join(sparse, ["id", "j"], "left")
+        .select("id", "y", "j", F.coalesce("x", F.lit(0.0)).alias("x"))
+    )
+    # per-bucket moments over ALL docs (absent cells contribute zero to
+    # the sums but count in N): quantized integer sums -> identical
+    # mu/sd doubles on both engines; constant buckets get sd = 1.0
+    stats = (
+        grid.groupBy("j")
+        .agg(
+            F.sum(F.round(F.col("x") * F.lit(_Q)).cast("long")).alias("sx"),
+            F.sum(
+                F.round(F.col("x") * F.col("x") * F.lit(_Q)).cast("long")
+            ).alias("sxx"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "j",
+            ((F.col("sx") / F.lit(_Q)) / F.col("n")).alias("mu"),
+            (
+                (F.col("sxx") / F.lit(_Q)) / F.col("n")
+                - ((F.col("sx") / F.lit(_Q)) / F.col("n"))
+                * ((F.col("sx") / F.lit(_Q)) / F.col("n"))
+            ).alias("var"),
+        )
+        .select(
+            "j",
+            "mu",
+            F.when(F.col("var") <= 0, F.lit(1.0))
+            .otherwise(F.sqrt("var"))
+            .alias("sd"),
+        )
+    )
+    zfeat = grid.join(F.broadcast(stats), "j").select(
+        "id",
+        "y",
+        "j",
+        ((F.col("x") - F.col("mu")) / F.col("sd")).alias("xj"),
+    )
+    bias = docs2.select(
+        "id", "y", F.lit(d).cast("int").alias("j"), F.lit(1.0).alias("xj")
+    )
+    return zfeat.unionByName(bias)
+
+
+def _margins(feats: DataFrame, weights: "list[float]") -> DataFrame:
+    """(id, y, p): sigmoid of the quantized-sum margin under `weights`
+    (a broadcast array literal), p rounded 9 dp (see module doc)."""
+    wlit = F.array(*[F.lit(float(w)) for w in weights])
+    term = (
+        F.round(F.element_at(wlit, F.col("j") + 1) * F.col("xj") * F.lit(_Q))
+        .cast("long")
+    )
+    return (
+        feats.groupBy("id", "y")
+        .agg(F.sum(term).alias("mq"))
+        .select(
+            "id",
+            "y",
+            F.round(
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("mq") / F.lit(_Q)))), 9
+            ).alias("p"),
+        )
+    )
+
+
+def quality_classifier_train(
+    docs: DataFrame,
+    is_target,
+    n_buckets: int = 32,
+    rounds: int = 4,
+    lr: float = 2.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "tuple[list[float], DataFrame]":
+    """Train the logistic quality filter; returns (weights, feats).
+
+    `weights` is the (n_buckets + 1)-vector after `rounds` full-batch
+    GD steps from w = 0 (last slot = bias); `feats` is the checkpointed
+    feature table so scoring (and MLlib handoff) reuses it without
+    re-tokenizing. One bounded (n_buckets+1)-row collect per round."""
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    feats = _feature_table(
+        docs, is_target, n_buckets, id_col, text_col
+    ).localCheckpoint()
+    n_docs = feats.select("id").distinct().count()
+    w = [0.0] * (n_buckets + 1)
+    for _ in range(int(rounds)):
+        p = _margins(feats, w)
+        g = (
+            feats.join(p.select("id", "p"), "id")
+            .groupBy("j")
+            .agg(
+                F.sum(
+                    F.round((F.col("p") - F.col("y")) * F.col("xj") * F.lit(_Q))
+                    .cast("long")
+                ).alias("gs")
+            )
+            .collect()
+        )
+        gs = {int(r.j): int(r.gs) for r in g}
+        # the exact double expression the twin's CTE computes — keep
+        # the association identical (see module determinism contract)
+        w = [
+            w[j] - lr * ((gs.get(j, 0) / _Q) / n_docs)
+            for j in range(n_buckets + 1)
+        ]
+    return w, feats
+
+
+def quality_classifier_scores(
+    docs: DataFrame,
+    is_target,
+    n_buckets: int = 32,
+    rounds: int = 4,
+    lr: float = 2.0,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Train on the corpus and score every (tokenized) document:
+    (id_col, y label 0/1, qscore = sigmoid margin rounded 6 dp,
+    pred 0/1 at `threshold`). The deployment shape: filter raw data on
+    `pred` (or rank by qscore with a noisy threshold, as GPT-3 did with
+    a Pareto draw — that variant composes as qscore + sampling.gumbel
+    machinery downstream)."""
+    w, feats = quality_classifier_train(
+        docs,
+        is_target,
+        n_buckets=n_buckets,
+        rounds=rounds,
+        lr=lr,
+        id_col=id_col,
+        text_col=text_col,
+    )
+    p = _margins(feats, w)
+    return p.select(
+        F.col("id").alias(id_col),
+        F.col("y").cast("int").alias("y"),
+        F.round("p", 6).alias("qscore"),
+        (F.col("p") >= F.lit(float(threshold))).cast("int").alias("pred"),
+    )
+
+
+def quality_classifier_oracle_sql(
+    target_pred: str,
+    n_buckets: int = 32,
+    rounds: int = 4,
+    lr: float = 2.0,
+    threshold: float = 0.5,
+) -> str:
+    """DuckDB twin: the identical feature table, the identical
+    quantized margins/gradients, and the `rounds` GD steps UNROLLED as
+    a CTE chain (the bpe_merges/pagerank bounded-rounds pattern).
+    `target_pred` is the SQL label predicate (e.g. "lang = 'en'")."""
+    d = int(n_buckets)
+    q = f"{_Q!r}"
+    h = hash48_sql("tok")
+    ctes = [
+        # tokenized corpus; zero-token docs excluded (mirrors Spark)
+        f"""base AS MATERIALIZED (
+            SELECT doc_id,
+                   CASE WHEN {target_pred} THEN 1.0 ELSE 0.0 END AS y,
+                   list_filter(string_split(lower(text), ' '),
+                               t -> t <> '') AS toks
+            FROM documents
+        )""",
+        """docs2 AS MATERIALIZED (
+            SELECT doc_id, y, len(toks) AS nt, toks
+            FROM base WHERE len(toks) > 0
+        )""",
+        """toked AS MATERIALIZED (
+            SELECT doc_id, nt, unnest(toks) AS tok FROM docs2
+        )""",
+        f"""sparse AS MATERIALIZED (
+            SELECT doc_id, CAST({h} % {d} AS INT) AS j,
+                   (count(*)::DOUBLE / nt) AS x
+            FROM toked GROUP BY doc_id, nt, {h} % {d}
+        )""",
+        f"""grid AS MATERIALIZED (
+            SELECT d.doc_id, d.y, CAST(r.j AS INT) AS j,
+                   COALESCE(s.x, 0.0) AS x
+            FROM docs2 d CROSS JOIN range({d}) r(j)
+            LEFT JOIN sparse s
+              ON s.doc_id = d.doc_id AND s.j = CAST(r.j AS INT)
+        )""",
+        f"""stats AS MATERIALIZED (
+            SELECT j,
+                   ((sx / {q}) / n) AS mu,
+                   CASE WHEN ((sxx / {q}) / n
+                              - ((sx / {q}) / n) * ((sx / {q}) / n)) <= 0
+                        THEN 1.0
+                        ELSE sqrt((sxx / {q}) / n
+                                  - ((sx / {q}) / n) * ((sx / {q}) / n))
+                   END AS sd
+            FROM (
+                SELECT j,
+                       SUM(CAST(round(x * {q}) AS BIGINT)) AS sx,
+                       SUM(CAST(round(x * x * {q}) AS BIGINT)) AS sxx,
+                       count(*) AS n
+                FROM grid GROUP BY j
+            )
+        )""",
+        f"""feats AS MATERIALIZED (
+            SELECT g.doc_id, g.y, g.j, ((g.x - t.mu) / t.sd) AS xj
+            FROM grid g JOIN stats t USING (j)
+            UNION ALL
+            SELECT doc_id, y, {d} AS j, 1.0 AS xj FROM docs2
+        )""",
+        "nn AS MATERIALIZED (SELECT count(DISTINCT doc_id) AS n FROM feats)",
+        f"w0 AS MATERIALIZED (SELECT CAST(r.j AS INT) AS j, 0.0 AS w FROM range({d + 1}) r(j))",
+    ]
+    for r in range(1, int(rounds) + 1):
+        ctes.append(
+            f"""m{r} AS MATERIALIZED (
+            SELECT f.doc_id, f.y,
+                   SUM(CAST(round(w.w * f.xj * {q}) AS BIGINT)) AS mq
+            FROM feats f JOIN w{r - 1} w USING (j)
+            GROUP BY f.doc_id, f.y
+        )"""
+        )
+        ctes.append(
+            f"""p{r} AS MATERIALIZED (
+            SELECT doc_id, y,
+                   round(1.0 / (1.0 + exp(-(mq / {q}))), 9) AS p
+            FROM m{r}
+        )"""
+        )
+        ctes.append(
+            f"""g{r} AS MATERIALIZED (
+            SELECT f.j,
+                   SUM(CAST(round((p.p - f.y) * f.xj * {q}) AS BIGINT)) AS gs
+            FROM feats f JOIN p{r} p USING (doc_id)
+            GROUP BY f.j
+        )"""
+        )
+        ctes.append(
+            f"""w{r} AS MATERIALIZED (
+            SELECT w.j,
+                   w.w - {lr!r} * ((COALESCE(g.gs, 0) / {q}) / nn.n) AS w
+            FROM w{r - 1} w LEFT JOIN g{r} g USING (j) CROSS JOIN nn
+        )"""
+        )
+    rr = int(rounds)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+        mf AS (
+            SELECT f.doc_id, f.y,
+                   SUM(CAST(round(w.w * f.xj * {q}) AS BIGINT)) AS mq
+            FROM feats f JOIN w{rr} w USING (j)
+            GROUP BY f.doc_id, f.y
+        )
+        SELECT doc_id,
+               CAST(y AS INT) AS y,
+               round(round(1.0 / (1.0 + exp(-(mq / {q}))), 9), 6) AS qscore,
+               CAST(round(1.0 / (1.0 + exp(-(mq / {q}))), 9)
+                    >= {float(threshold)!r} AS INT) AS pred
+        FROM mf
+    """
+    )
