@@ -717,6 +717,28 @@ def _q_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "vec_id", F.round("dist", 6).alias("dist"))
 
 
+def _fanout8(emb: DataFrame) -> DataFrame:
+    """8x corpus fan-out for the big-scale probes: ONE scan produces
+    all 8 copies (a union-of-8 re-reads the parquet per branch). The id
+    shift derives from the actual id range (a fixed constant silently
+    collides once a larger fixture crosses it — ADVICE r4) and the
+    shift arithmetic is explicit 64-bit: F.sequence yields int32 `rep`
+    and an int-typed offset literal would make rep * offset a wrapping
+    int32 multiply past offset ~= 307M (r11 review finding)."""
+    offset = int(emb.agg(F.max("vec_id")).first()[0]) + 1
+    return emb.select(
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("rep"),
+        "vec_id",
+        "embedding",
+    ).select(
+        (
+            F.col("vec_id").cast("long")
+            + F.col("rep").cast("long") * F.lit(offset).cast("long")
+        ).alias("vec_id"),
+        "embedding",
+    )
+
+
 def _self_check_topk(out: DataFrame, n_queries: int, k: int) -> DataFrame:
     """Rows-only sanity gate for bench-only entries (they sit past the
     driver's 50-entry correctness cap, so nothing else would catch silent
@@ -763,21 +785,7 @@ def _q_ivf_bignlist_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _t0 = _time.perf_counter()
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    # derive the fan-out id shift from the actual id range — a fixed
-    # constant silently collides once a larger fixture crosses it (ADVICE r4)
-    offset = emb.agg(F.max("vec_id")).first()[0] + 1
-    # explode-based fan-out: ONE scan produces all 8 copies (the
-    # union-of-8 form re-reads the parquet per branch — the
-    # ivfpq_bigscale precedent, applied here in r11)
-    corpus = emb.select(
-        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("rep"),
-        "vec_id",
-        "embedding",
-    ).select(
-        (F.col("vec_id") + F.col("rep") * F.lit(int(offset))).alias("vec_id"),
-        "embedding",
-    )
-    corpus = spread(corpus)
+    corpus = spread(_fanout8(emb))
     cents = train_centroids(corpus, nlist=300)
     # stage boundary: the MLlib k-means fit above is eager setup (the
     # probe's point is the BROADCAST assign/probe strategy below, not
@@ -924,18 +932,7 @@ def _q_ivfpq_bigscale(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarse, books, luts = _ivfpq_bigscale_artifacts(sf_dir)
     t_train = time.perf_counter()
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    offset = emb.agg(F.max("vec_id")).first()[0] + 1
-    # explode-based fan-out: ONE scan of the table produces all 8
-    # copies (the union-of-8 form re-reads the parquet per branch)
-    corpus = emb.select(
-        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("rep"),
-        "vec_id",
-        "embedding",
-    ).select(
-        (F.col("vec_id") + F.col("rep") * F.lit(int(offset))).alias("vec_id"),
-        "embedding",
-    )
-    corpus = spread(corpus)
+    corpus = spread(_fanout8(emb))
     postings = ivfpq_encode(corpus, coarse, books)
     path = os.path.join(
         tempfile.gettempdir(),
@@ -4141,8 +4138,8 @@ def _e2e_curation_oracle_sql() -> str:
 
 def _quality_classifier_oracle_sql_() -> str:
     """DuckDB twin of quality_classifier: identical hashed features,
-    quantized margins/gradients, 4 unrolled GD rounds (see
-    operators/classifier.py::quality_classifier_oracle_sql)."""
+    quantized moments/margins/gradients, _QC_ROUNDS unrolled GD rounds
+    (see operators/classifier.py::quality_classifier_oracle_sql)."""
     from vector_search_test_spark.operators.classifier import (
         quality_classifier_oracle_sql,
     )

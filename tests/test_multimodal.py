@@ -82,6 +82,32 @@ def test_decode_media_fake_codec_end_to_end(spark):
     assert again == {k: bytes(v.decoded) for k, v in got.items()}
 
 
+def test_decode_media_rejects_variable_shape_codec(spark):
+    """The fixed-shape half of the codec contract is validated as
+    loudly as the dtype half (r11 review): a codec emitting per-payload
+    native resolutions must resize, not leak variable-length binaries."""
+    import numpy as np
+    import pytest
+
+    from vector_search_test_spark.sources.multimodal import (
+        decode_media,
+        media_from_documents,
+    )
+
+    def varshape_factory():
+        # shape depends on payload length -> violates the contract
+        return lambda buf: np.zeros((max(1, len(bytes(buf))), 2), np.uint8)
+
+    # single partition so both rows share a task — the guard is
+    # per-task by design (see decode_media's in-function comment)
+    docs = spark.createDataFrame(
+        [(0, "a"), (1, "abcd")], "doc_id long, text string"
+    ).coalesce(1)
+    out = decode_media(media_from_documents(docs), codec=varshape_factory)
+    with pytest.raises(Exception, match="fixed-shape"):
+        out.collect()
+
+
 def test_decode_media_rejects_non_uint8_codec(spark):
     """The seam validates the codec contract loudly (a real decoder
     returning float tensors must convert, not silently reinterpret)."""

@@ -2,12 +2,16 @@
 binary columns with typed metadata, processed by Arrow-batched UDFs.
 
 The decode libraries (PIL/ffmpeg/librosa) are not in this container, so
-the *decode* step is stubbed two ways (clearly marked):
-- `decode_media` raises NotImplementedError — the seam where a real
-  decoder plugs in, with the exact mapInPandas signature it must satisfy.
-- `extract_byte_features` is a deterministic FAKE decoder (byte histogram
-  -> unit vector) so the Spark-side plumbing — binary schema, Arrow batch
-  shape, partitioning, downstream joins — is real and testable end-to-end.
+the *decode* step is environment-gated (clearly marked):
+- `decode_media` is the pluggable seam: pass a codec FACTORY (loaded
+  once per worker — the exact contract a real PIL/ffmpeg decoder needs)
+  and it runs the full Arrow path; with no codec it raises
+  NotImplementedError. `fake_grid_codec` is the deterministic
+  pure-Python stand-in that proves the seam end-to-end (r11).
+- `extract_byte_features` is a deterministic FAKE feature extractor
+  (byte histogram -> unit vector) so the Spark-side plumbing — binary
+  schema, Arrow batch shape, partitioning, downstream joins — is real
+  and testable end-to-end; it composes with decode_media's output.
 
 Scale notes: payloads stay columnar (Parquet binary) until the UDF; the
 feature extraction is a stateless mapInPandas (no shuffle); frame
@@ -150,6 +154,13 @@ def decode_media(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         decode = codec()  # once per worker task, NOT per row/batch
+        # fixed-shape contract: pinned by the task's first grid. The
+        # guard is PER-TASK (tasks don't coordinate) — it catches the
+        # real failure mode (a codec emitting per-payload native
+        # resolutions) but not a codec that is constant within a task
+        # and different across tasks, which only a caller-side
+        # octet_length audit would see.
+        shape = None
         for pdf in batches:
             out = []
             for buf in pdf[payload_col]:
@@ -157,6 +168,16 @@ def decode_media(
                 if grid.dtype != np.uint8:
                     raise TypeError(
                         f"codec must return uint8 arrays, got {grid.dtype}"
+                    )
+                if shape is None:
+                    shape = grid.shape
+                elif grid.shape != shape:
+                    # loud, like the dtype check: a variable-shape codec
+                    # silently breaks every downstream consumer that
+                    # assumes prod(shape) bytes per row (r11 review)
+                    raise ValueError(
+                        f"codec must return fixed-shape grids: got "
+                        f"{grid.shape} after {shape}"
                     )
                 out.append(grid.tobytes())
             pdf = pdf.copy()
