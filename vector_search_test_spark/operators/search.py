@@ -35,8 +35,16 @@ def build_text_index(
 ) -> IvfIndex:
     """Embed `text_col` (F1) then build the IVF index (I1/I2) —
     the reference's `build_index` (app.py:25-56) as one call."""
+    from vector_search_test_spark.io import spread
+
     embedded = embed_text(
-        docs.select(F.col(id_col).alias("vec_id"), F.col(text_col)),
+        # spread first: the Arrow-batched encode is the expensive stage
+        # and must not inherit a 1-file source's single task (r11 find;
+        # no-op at real scale)
+        spread(
+            docs.select(F.col(id_col).alias("vec_id"), F.col(text_col)),
+            "vec_id",
+        ),
         text_col=text_col,
         out_col="embedding",
         dim=dim,
