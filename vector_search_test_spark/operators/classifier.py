@@ -53,19 +53,26 @@ component):
   the Python driver and in the twin's CTE, fed identical integers.
 
 Scale shape (100 TB): the sparse counts are ONE token explode -> one
-(id, bucket) count shuffle with map-side combine; the moment table is
-an n_buckets-row aggregate; the z table is docs x (n_buckets + 1) rows
-(a bounded fan-out — smaller than the token explode that precedes it),
-localCheckpoint'ed once (every round reads it). NOTE the sparse
-identity for avoiding the dense fan-out in production: absent entries
-share the constant z0_j = -mu_j / sd_j, so the margin decomposes as
-sum_present(w_j * x_j / sd_j) + (b - sum_all(w_j * mu_j / sd_j)) — a
-per-model scalar; this module materializes the dense z table because
-the twin then replays it row-for-row. Each round is one margins
-aggregate plus one gradient aggregate — both map-side-combined
-shuffles — and a (n_buckets + 1)-row driver collect (the
-k-means-centroid bounded-collect pattern). Scoring is one broadcast-
-literal projection. Nothing is per-row Python.
+(id, bucket) count shuffle with map-side combine; the per-bucket
+moments come straight off the sparse table (absent cells contribute
+round(0 * Q) = 0 to both quantized sums and the dense row count is
+just n_docs — so the dense grid the math is defined over is never
+materialized); features are ONE (n_buckets + 1)-wide z-vector per
+document (map lookup against broadcast moment arrays),
+localCheckpoint'ed once. Each GD round is then a single scan: the
+margin is a codegen'd zip_with/aggregate over the vector (no groupBy —
+one row per doc already), and the gradient is one map-side-combined
+global aggregate producing a single (n_buckets + 1)-column row (the
+k-means-centroid bounded-collect pattern: the driver sees one gradient
+vector per round, never data rows). Scoring is one broadcast-literal
+projection. Nothing is per-row Python. r12 note: this vector layout
+replaced the r11 long-format (id, j, xj) table whose per-round
+groupBy(id) + join cost two 660k-row shuffles per round at sf0.1 —
+6.9 s -> the round cost is now the scan itself; identical quantized
+terms, oracle unchanged. For n_buckets beyond ~10^4, switch to the
+sparse identity: absent entries share the constant z0_j = -mu_j /
+sd_j, so the margin decomposes as sum_present(w_j * x_j / sd_j) +
+(b - sum_all(w_j * mu_j / sd_j)) — a per-model scalar.
 """
 
 from __future__ import annotations
@@ -87,14 +94,20 @@ def _feature_table(
     n_buckets: int,
     id_col: str,
     text_col: str,
-) -> DataFrame:
-    """(id, y, j, xj): corpus-STANDARDIZED hashed token-frequency
-    features (dense — every doc carries all n_buckets z-scores) plus a
-    bias term (j = n_buckets, xj = 1.0). Documents with zero tokens
-    carry no signal and are excluded (mirrored in the twin). See the
-    module docstring for the quantized-moment determinism argument and
-    the sparse identity production would use instead of the dense
-    fan-out."""
+) -> "tuple[DataFrame, int]":
+    """((id, y, z), n_docs): corpus-STANDARDIZED hashed token-frequency
+    feature VECTOR per document — z has n_buckets + 1 slots, the last
+    being the bias term (always 1.0). Documents with zero tokens carry
+    no signal and are excluded (mirrored in the twin). The math is
+    defined over the dense (doc x bucket) grid, but the grid is never
+    materialized: absent cells contribute round(0 * Q) = 0 to both
+    quantized moment sums and their count is just n_docs, so the
+    moments come straight off the per-doc sparse maps; the <= n_buckets
+    moment rows are collected to the driver (the k-means-centroid
+    bounded-collect pattern — mu/sd stay Spark-computed doubles, only
+    round-tripped exactly through binary64) and embedded as literal
+    maps, making the z projection join-free. The returned frame is a
+    cheap codegen'd projection over the checkpointed sparse maps."""
     from vector_search_test_spark.io import spread
 
     d = int(n_buckets)
@@ -115,48 +128,49 @@ def _feature_table(
     docs2 = base.filter(F.size("toks") > 0).select(
         "id", "y", F.size("toks").alias("nt"), "toks"
     )
-    toked = docs2.select("id", "nt", F.explode("toks").alias("tok"))
+    toked = docs2.select("id", "y", "nt", F.explode("toks").alias("tok"))
     sparse = (
         toked.groupBy(
             "id",
+            "y",
             "nt",
             F.pmod(portable_hash48("tok"), F.lit(d)).cast("int").alias("j"),
         )
         .agg(F.count("*").alias("cnt"))
-        .select("id", "j", (F.col("cnt") / F.col("nt")).alias("x"))
+        .select("id", "y", "j", (F.col("cnt") / F.col("nt")).alias("x"))
     )
-    # dense grid: every (doc, bucket) cell, absent counts as x = 0.0
-    grid = (
-        docs2.select("id", "y")
-        .crossJoin(
-            F.broadcast(
-                docs2.sparkSession.range(d).select(
-                    F.col("id").cast("int").alias("j")
-                )
+    # one row per doc: the sparse bucket->x map (checkpointed once —
+    # the z projection, every GD round, and scoring all replay it)
+    xmap = (
+        sparse.groupBy("id", "y")
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("j", "x"))).alias(
+                "xm"
             )
         )
-        .join(sparse, ["id", "j"], "left")
-        .select("id", "y", "j", F.coalesce("x", F.lit(0.0)).alias("x"))
+        .localCheckpoint()
     )
-    # per-bucket moments over ALL docs (absent cells contribute zero to
-    # the sums but count in N): quantized integer sums -> identical
-    # mu/sd doubles on both engines; constant buckets get sd = 1.0
+    n_docs = xmap.count()
+    # per-bucket moments over ALL docs: identical to the dense-grid
+    # sums (absent cells quantize to 0; each bucket's N = n_docs) ->
+    # identical mu/sd doubles on both engines; buckets whose variance
+    # is <= 0 (constant, incl. never-hit buckets: mu = 0) get sd = 1.0
     stats = (
-        grid.groupBy("j")
+        xmap.select(F.explode("xm").alias("j", "x"))
+        .groupBy("j")
         .agg(
             F.sum(F.round(F.col("x") * F.lit(_Q)).cast("long")).alias("sx"),
             F.sum(
                 F.round(F.col("x") * F.col("x") * F.lit(_Q)).cast("long")
             ).alias("sxx"),
-            F.count("*").alias("n"),
         )
         .select(
             "j",
-            ((F.col("sx") / F.lit(_Q)) / F.col("n")).alias("mu"),
+            ((F.col("sx") / F.lit(_Q)) / F.lit(n_docs)).alias("mu"),
             (
-                (F.col("sxx") / F.lit(_Q)) / F.col("n")
-                - ((F.col("sx") / F.lit(_Q)) / F.col("n"))
-                * ((F.col("sx") / F.lit(_Q)) / F.col("n"))
+                (F.col("sxx") / F.lit(_Q)) / F.lit(n_docs)
+                - ((F.col("sx") / F.lit(_Q)) / F.lit(n_docs))
+                * ((F.col("sx") / F.lit(_Q)) / F.lit(n_docs))
             ).alias("var"),
         )
         .select(
@@ -166,38 +180,65 @@ def _feature_table(
             .otherwise(F.sqrt("var"))
             .alias("sd"),
         )
+        .collect()
     )
-    zfeat = grid.join(F.broadcast(stats), "j").select(
-        "id",
-        "y",
-        "j",
-        ((F.col("x") - F.col("mu")) / F.col("sd")).alias("xj"),
+    # literal moment maps (bounded: <= n_buckets entries); a bucket no
+    # token ever hit is absent -> mu 0.0, sd 1.0 (the exact values the
+    # dense grid would have produced for an all-zero column)
+    mu = {int(r.j): float(r.mu) for r in stats}
+    sd = {int(r.j): float(r.sd) for r in stats}
+    # materialize z once (each GD round reads it; leaving it as a lazy
+    # projection re-expands the 33-term array into every z[j] reference
+    # of the gradient agg — a several-thousand-node plan per round) and
+    # right-size partitions: the vector table is (n_buckets + 1)
+    # doubles/doc, so ~50k docs per partition keeps partitions ~13 MB
+    # at d = 32 while collapsing local test scales to one task
+    parts = max(1, -(-n_docs // 50_000))
+    feats = (
+        xmap.select(
+            "id",
+            "y",
+            F.concat(
+                F.array(
+                    *[
+                        (
+                            F.coalesce(F.col("xm")[j], F.lit(0.0))
+                            - F.lit(mu.get(j, 0.0))
+                        )
+                        / F.lit(sd.get(j, 1.0))
+                        for j in range(d)
+                    ]
+                ),
+                F.array(F.lit(1.0)),
+            ).alias("z"),
+        )
+        .coalesce(min(parts, xmap.rdd.getNumPartitions()))
+        .localCheckpoint()
     )
-    bias = docs2.select(
-        "id", "y", F.lit(d).cast("int").alias("j"), F.lit(1.0).alias("xj")
+    return feats, n_docs
+
+
+def _p_expr(weights: "list[float]"):
+    """Column: sigmoid of the quantized-sum margin of the z-vector
+    under `weights` (an array literal), rounded 9 dp (see module doc).
+    A pure codegen'd expression over the `z` column."""
+    wlit = F.array(*[F.lit(float(w)) for w in weights])
+    mq = F.aggregate(
+        F.zip_with(
+            F.col("z"),
+            wlit,
+            lambda z, w: F.round(w * z * F.lit(_Q)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
     )
-    return zfeat.unionByName(bias)
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-(mq / F.lit(_Q)))), 9)
 
 
 def _margins(feats: DataFrame, weights: "list[float]") -> DataFrame:
-    """(id, y, p): sigmoid of the quantized-sum margin under `weights`
-    (a broadcast array literal), p rounded 9 dp (see module doc)."""
-    wlit = F.array(*[F.lit(float(w)) for w in weights])
-    term = (
-        F.round(F.element_at(wlit, F.col("j") + 1) * F.col("xj") * F.lit(_Q))
-        .cast("long")
-    )
-    return (
-        feats.groupBy("id", "y")
-        .agg(F.sum(term).alias("mq"))
-        .select(
-            "id",
-            "y",
-            F.round(
-                F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("mq") / F.lit(_Q)))), 9
-            ).alias("p"),
-        )
-    )
+    """(id, y, p): per-doc sigmoid margins — one row per doc already,
+    no aggregation."""
+    return feats.select("id", "y", _p_expr(weights).alias("p"))
 
 
 def quality_classifier_train(
@@ -213,35 +254,39 @@ def quality_classifier_train(
 
     `weights` is the (n_buckets + 1)-vector after `rounds` full-batch
     GD steps from w = 0 (last slot = bias); `feats` is the checkpointed
-    feature table so scoring (and MLlib handoff) reuses it without
-    re-tokenizing. One bounded (n_buckets+1)-row collect per round."""
+    per-doc feature-vector table so scoring (and MLlib handoff —
+    array_to_vector(z) is LogisticRegression's features column) reuses
+    it without re-tokenizing. One bounded single-row collect per round
+    (the gradient: n_buckets + 1 quantized sums)."""
     if rounds < 1:
         raise ValueError(f"rounds must be >= 1, got {rounds}")
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
-    feats = _feature_table(
+    feats, n_docs = _feature_table(
         docs, is_target, n_buckets, id_col, text_col
-    ).localCheckpoint()
-    n_docs = feats.select("id").distinct().count()
+    )
+    if n_docs == 0:
+        raise ValueError("no documents with at least one token to train on")
     w = [0.0] * (n_buckets + 1)
+    # gradient agg expressions don't depend on w — build once
+    gexprs = [
+        F.sum(
+            F.round(
+                (F.col("p") - F.col("y")) * F.col("z")[j] * F.lit(_Q)
+            ).cast("long")
+        ).alias(f"g{j}")
+        for j in range(n_buckets + 1)
+    ]
     for _ in range(int(rounds)):
-        p = _margins(feats, w)
-        g = (
-            feats.join(p.select("id", "p"), "id")
-            .groupBy("j")
-            .agg(
-                F.sum(
-                    F.round((F.col("p") - F.col("y")) * F.col("xj") * F.lit(_Q))
-                    .cast("long")
-                ).alias("gs")
-            )
-            .collect()
-        )
-        gs = {int(r.j): int(r.gs) for r in g}
+        # p is a projection of feats (no join needed): the whole round
+        # is ONE map-side-combined global agg — (n_buckets + 1)
+        # quantized sums, a single driver row
+        withz = feats.select("y", "z", _p_expr(w).alias("p"))
+        grow = withz.groupBy().agg(*gexprs).collect()[0]
         # the exact double expression the twin's CTE computes — keep
         # the association identical (see module determinism contract)
         w = [
-            w[j] - lr * ((gs.get(j, 0) / _Q) / n_docs)
+            w[j] - lr * ((int(grow[f"g{j}"] or 0) / _Q) / n_docs)
             for j in range(n_buckets + 1)
         ]
     return w, feats
