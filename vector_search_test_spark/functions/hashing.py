@@ -39,3 +39,43 @@ def hash48_sql(expr: str, salt: int | None = None) -> str:
         f"(strpos('0123456789abcdef', substring(md5({expr}), i, 1)) - 1) * (16.0 ** (12 - i))"
         ")) AS BIGINT)"
     )
+
+
+# --- MinHash hash family -----------------------------------------------------
+#
+# The textbook construction (Broder 1997; what datasketch ships): every
+# family member i is an affine map of ONE base hash, h_i(s) = (a_i * h(s)
+# + b_i) mod P, instead of i independent salted md5 computations. One md5
+# per shingle + H multiply-adds replaces H md5s — the signature projection
+# was the hash-heavy stage of every MinHash pipeline here (16x fewer md5 +
+# base-16 conv calls). P = 2^31 - 1 keeps every intermediate product under
+# 2^62 (h mod P < 2^31, a_i < 2^31), so the arithmetic is exact in both
+# engines' BIGINTs; the a_i/b_i constants derive from a fixed splitmix-
+# style expansion so Spark and DuckDB embed the identical literals.
+
+MINHASH_P = 2147483647  # 2^31 - 1 (Mersenne prime)
+
+
+def minhash_ab(i: int) -> tuple[int, int]:
+    """Deterministic (a_i, b_i) for family member i: a in [1, P-1],
+    b in [0, P-1]. Same constants on the Spark and DuckDB sides."""
+    x = ((i + 1) * 0x9E3779B97F4A7C15) % (1 << 64)
+    x ^= x >> 31
+    a = x % (MINHASH_P - 1) + 1
+    y = ((i + 1) * 0xBF58476D1CE4E5B9) % (1 << 64)
+    y ^= y >> 29
+    b = y % MINHASH_P
+    return a, b
+
+
+def minhash_member(h: Column, i: int) -> Column:
+    """Family member i applied to a base-hash column (a 48-bit
+    `portable_hash48` value): (a_i * (h % P) + b_i) % P."""
+    a, b = minhash_ab(i)
+    return (F.lit(a) * (h % F.lit(MINHASH_P)) + F.lit(b)) % F.lit(MINHASH_P)
+
+
+def minhash_member_sql(hexpr: str, i: int) -> str:
+    """The DuckDB-SQL twin of `minhash_member`."""
+    a, b = minhash_ab(i)
+    return f"(({a} * ({hexpr} % {MINHASH_P}) + {b}) % {MINHASH_P})"

@@ -65,6 +65,7 @@ def curate_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     stage_times: "dict[str, float] | None" = None,
+    neardup_prebuilt: "tuple[DataFrame, DataFrame] | None" = None,
 ) -> DataFrame:
     """The curated, chunked, packed, split training table.
 
@@ -141,6 +142,10 @@ def curate_corpus(
 
     # stage 3 — near-dedup: LSH pairs -> connected components -> keep
     # min-id per component. Runs once; only the keep-set survives it.
+    # `neardup_prebuilt`: an optional full-corpus minhash_tables() pair
+    # (the persistent signature-table asset); neardup_minhash restricts
+    # it to this stage's survivors with a semi-join instead of re-
+    # shingling and re-hashing them
     nd_ids = (
         neardup_dedup_decisions(
             exact_kept,
@@ -150,6 +155,7 @@ def curate_corpus(
             num_hashes=neardup_hashes,
             bands=neardup_bands,
             threshold=neardup_threshold,
+            prebuilt=neardup_prebuilt,
         )
         .filter("keep")
         .select(F.col("id").alias(id_col))
