@@ -3875,6 +3875,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_query_topk": _q_text_query_topk,
         "hybrid_search_rrf": _q_hybrid_search_rrf,
         "csv_sentences_source": _q_csv_sentences_source,
+        # neardup_decisions sits BEFORE the e2e curation entry so the
+        # build-once MinHash corpus assets (_minhash_tables_docs) land
+        # on the operator that owns them in bench timings; curation
+        # then reuses the memo (same convention as similarity_clusters
+        # absorbing the cluster-pipeline build)
+        "neardup_decisions": _q_neardup_decisions,
         "corpus_e2e_curation": _q_corpus_e2e_curation,
         # ROUND-10 ROTATION: promoted dsir_selection + semdedup_prune —
         # the round's most differentiated published-method operators
@@ -3897,7 +3903,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_join_prefix": _q_jaccard_join_prefix,
         "simhash_near_pairs": _q_simhash_near_pairs,
         "neardup_embedding": _q_neardup_embedding,
-        "neardup_decisions": _q_neardup_decisions,
         "dup_span_removal": _q_dup_span_removal,
         "winnowing_candidates": _q_winnowing_candidates,
         "text_quality_scores": _q_text_quality_scores,
