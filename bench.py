@@ -138,8 +138,14 @@ def main() -> int:
         if unknown:
             print(f"unknown entries: {sorted(unknown)}", file=sys.stderr)
             return 1
+    # entries actually timed per pass (ADVICE r11): an errored entry is
+    # excluded from later passes, so pass totals after a failure cover a
+    # smaller set — the count makes each pass self-describing instead of
+    # silently incomparable
+    pass_counts: list[int] = []
     for _ in range(repeat):
         pass_total = 0.0
+        pass_n = 0
         for name, fn in entrymod.queries().items():
             if only is not None and name not in only:
                 continue
@@ -152,6 +158,7 @@ def main() -> int:
                 df.write.format("noop").mode("overwrite").save()
                 elapsed = round(time.perf_counter() - t0, 4)
                 pass_total += elapsed
+                pass_n += 1
                 prev = timings.get(name)
                 if prev is None or elapsed < prev:
                     timings[name] = elapsed
@@ -176,6 +183,7 @@ def main() -> int:
         # — clearCache() touches neither localCheckpoints nor dict memos
         entrymod.reset_memos()
         passes.append(round(pass_total, 4))
+        pass_counts.append(pass_n)
 
     total = round(sum(v for v in timings.values() if v >= 0), 4)
     scored_names = list(timings)[:50]  # driver scores the first 50 entries
@@ -204,6 +212,7 @@ def main() -> int:
                     "scored50": scored50,
                     "n_entries": len(timings),
                     "passes": passes,
+                    "pass_counts": pass_counts,
                     "regressed": {
                         n: {"prev": prev_q[n], "now": timings[n]}
                         for n in regressed
@@ -228,8 +237,11 @@ def main() -> int:
         "scored50": scored50,
         "n_entries": len(timings),
         # per-pass wall totals: the run-to-run spread IS the box-drift
-        # evidence (VERDICT r10 next-#5)
+        # evidence (VERDICT r10 next-#5); pass_counts says how many
+        # entries each pass timed (ADVICE r11 — unequal counts mean an
+        # entry errored mid-run and the pass totals are incomparable)
         "passes": passes,
+        "pass_counts": pass_counts,
         # compressed-path trend line: ivfpq_bigscale's SEARCH side
         # (build/write jitter split out — VERDICT r8 next-#1)
         "ivfpq_big_search": stages.get("ivfpq_bigscale", {}).get("search"),
@@ -240,6 +252,9 @@ def main() -> int:
     }
     if only is not None:
         # diagnostic runs have no sidecar — surface the stage splits here
+        # and mark the run as PARTIAL (ADVICE r11: total/scored50 cover
+        # only the filtered subset; the field makes that unmistakable)
+        head["only"] = sorted(only)
         head["stages"] = stages
     line_with_q = json.dumps(
         {

@@ -108,6 +108,43 @@ def test_decode_media_rejects_variable_shape_codec(spark):
         out.collect()
 
 
+def test_decode_media_validates_declared_shape(spark):
+    """`expected_shape` (ADVICE r11) closes the cross-task hole in the
+    per-task guard: a codec that is internally consistent but does not
+    match the caller-declared shape is rejected from its FIRST grid,
+    even when every task would have agreed with itself."""
+    import numpy as np
+    import pytest
+
+    from vector_search_test_spark.sources.multimodal import (
+        decode_media,
+        fake_grid_codec,
+        media_from_documents,
+    )
+
+    def consistent_wrong_factory():
+        # constant within (and across) tasks — the first-grid pin alone
+        # would accept it; only the declared shape catches the drift
+        return lambda buf: np.zeros((2, 2), np.uint8)
+
+    docs = spark.createDataFrame(
+        [(0, "a"), (1, "abcd")], "doc_id long, text string"
+    )
+    media = media_from_documents(docs)
+    bad = decode_media(
+        media, codec=consistent_wrong_factory, expected_shape=(4, 8)
+    )
+    with pytest.raises(Exception, match="fixed-shape"):
+        bad.collect()
+    # and the matching declaration passes, byte-for-byte like undeclared
+    ok = decode_media(
+        media,
+        codec=fake_grid_codec(height=4, width=8),
+        expected_shape=(4, 8),
+    ).collect()
+    assert all(len(bytes(r.decoded)) == 32 for r in ok)
+
+
 def test_decode_media_rejects_non_uint8_codec(spark):
     """The seam validates the codec contract loudly (a real decoder
     returning float tensors must convert, not silently reinterpret)."""

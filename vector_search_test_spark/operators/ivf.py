@@ -770,15 +770,24 @@ def write_partitioned_postings(
     tracks total cores, so write parallelism scales with the cluster,
     and at production nlist (1e4+) the salt is 1 — identical layout
     to the unsalted form. `nlist=None` keeps the unsalted hash (no
-    data probe: correctness never depends on the salt)."""
+    data probe: correctness never depends on the salt).
+
+    The salt hashes the id column when the conventional `vec_id` is
+    present and falls back to a row-independent spark_partition_id
+    spread otherwise — the sink only requires `list_id`, so a postings
+    table with a differently-named id column must not fail here
+    (ADVICE r11)."""
     spark = postings.sparkSession
     par = spark.sparkContext.defaultParallelism
     salt_w = max(1, par // max(1, int(nlist))) if nlist else 1
     if salt_w > 1:
+        salt_src = (
+            F.hash("vec_id")
+            if "vec_id" in postings.columns
+            else F.spark_partition_id()
+        )
         (
-            postings.withColumn(
-                "__salt", F.pmod(F.hash("vec_id"), F.lit(salt_w))
-            )
+            postings.withColumn("__salt", F.pmod(salt_src, F.lit(salt_w)))
             .repartition(par, "list_id", "__salt")
             .drop("__salt")
             .write.mode("overwrite")

@@ -122,6 +122,7 @@ def decode_media(
     codec=None,
     payload_col: str = "payload",
     out_col: str = "decoded",
+    expected_shape: "tuple[int, ...] | None" = None,
 ) -> DataFrame:
     """The decode seam: payload bytes -> fixed-shape decoded grid.
 
@@ -140,7 +141,14 @@ def decode_media(
     deterministic stand-in that proves the seam end-to-end (pinned in
     tests/test_multimodal.py). Scale shape: stateless mapInPandas over
     Arrow batches — no shuffle, no state, decode parallelism = scan
-    parallelism."""
+    parallelism.
+
+    `expected_shape` (ADVICE r11): the caller-declared grid shape,
+    validated against EVERY decoded grid. Without it the fixed-shape
+    guard is pinned by each task's first grid, which misses a codec
+    that is internally consistent per task but varies across tasks
+    (e.g. shape derived from worker-local state); callers that know
+    the shape (fake_grid_codec callers always do) should pass it."""
     if codec is None:
         raise NotImplementedError(
             "media decoding requires image/audio codecs not present in "
@@ -154,13 +162,12 @@ def decode_media(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         decode = codec()  # once per worker task, NOT per row/batch
-        # fixed-shape contract: pinned by the task's first grid. The
-        # guard is PER-TASK (tasks don't coordinate) — it catches the
-        # real failure mode (a codec emitting per-payload native
-        # resolutions) but not a codec that is constant within a task
-        # and different across tasks, which only a caller-side
-        # octet_length audit would see.
-        shape = None
+        # fixed-shape contract: validated against `expected_shape` when
+        # the caller declared one (cross-task safe), else pinned by the
+        # task's first grid — the per-task guard catches a codec
+        # emitting per-payload native resolutions but not one that is
+        # constant within a task and different across tasks.
+        shape = tuple(expected_shape) if expected_shape is not None else None
         for pdf in batches:
             out = []
             for buf in pdf[payload_col]:
