@@ -1825,17 +1825,16 @@ def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MINHASH_MEMO: dict = {}
 
 
-def _minhash_tables_docs(
-    spark: SparkSession, sf_dir: str
-) -> "tuple[DataFrame, DataFrame]":
+def _minhash_tables_docs(spark: SparkSession, sf_dir: str):
     """Build-once memo for the documents corpus's MinHash assets —
-    (shingle table, exploded band table) at the default (n=3, H=16,
-    4x4) family — shared by neardup_decisions, neardup_minhash, and
-    the e2e curation entry (whose planted-duplicate corpus derives
-    from these same tables by an id-shifted union: signatures are
-    text-derived, so the shifted copy needs no re-hashing). Mirrors
-    production, where the signature/band table is a persistent corpus
-    asset written once at ingest; reset_memos clears it."""
+    the `dedup.MinhashTables` bundle (fingerprint/signature/band
+    tables + family params) at the default (n=3, H=16, 4x4) family —
+    shared by neardup_decisions, neardup_minhash, and the e2e
+    curation entry (whose planted-duplicate corpus derives from these
+    same tables by an id-shifted union: signatures are text-derived,
+    so the shifted copy needs no re-hashing). Mirrors production,
+    where the signature/band table is a persistent corpus asset
+    written once at ingest; reset_memos clears it."""
     from vector_search_test_spark.operators.dedup import minhash_tables
 
     key = (id(spark), sf_dir)
@@ -3262,10 +3261,17 @@ def _q_jaccard_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard similarity join via AllPairs prefix filtering
     (bucketed equi-join on prefix shingle hashes — never all-pairs); the
     oracle is the quadratic all-pairs form, which must match EXACTLY
-    (prefix filtering is lossless by the prefix lemma)."""
+    (prefix filtering is lossless by the prefix lemma). The fingerprint
+    table reuses the shared corpus asset (id-shifted union of the
+    _minhash_tables_docs memo — definitionally the same
+    fingerprint_shingles projection at n=3)."""
     from vector_search_test_spark.operators.dedup import jaccard_join
 
-    return jaccard_join(_dup_corpus(spark, sf_dir), threshold=0.5)
+    sh = _minhash_tables_docs(spark, sf_dir).sh
+    sh_dup = sh.union(sh.withColumn("id", F.col("id") + F.lit(10000)))
+    return jaccard_join(
+        _dup_corpus(spark, sf_dir), threshold=0.5, prebuilt_sh=sh_dup
+    )
 
 
 def _q_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3363,12 +3369,15 @@ def _q_corpus_e2e_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # signatures are text-derived, so the duplicate half re-uses the
     # base hashes instead of recomputing them (the persistent-signature-
     # table production shape; see dedup.minhash_tables)
-    sh, bands_df = _minhash_tables_docs(spark, sf_dir)
-    prebuilt = (
-        sh.union(sh.withColumn("id", F.col("id") + F.lit(10000))),
-        bands_df.union(
-            bands_df.withColumn("id", F.col("id") + F.lit(10000))
-        ),
+    tables = _minhash_tables_docs(spark, sf_dir)
+
+    def _shift(t: DataFrame) -> DataFrame:
+        return t.union(t.withColumn("id", F.col("id") + F.lit(10000)))
+
+    prebuilt = tables._replace(
+        sh=_shift(tables.sh),
+        bands_df=_shift(tables.bands_df),
+        sig=_shift(tables.sig),
     )
     # stage attribution (VERDICT r10 next-#2): the three eager
     # checkpoint stages land in the bench sidecar's `stages` block; the
@@ -4047,17 +4056,18 @@ def _minhash_cte(
     (_minhash_oracle_sql), the dedup-decisions oracle, and the e2e
     curation oracle (which runs it over an upstream CTE, hence the
     table/id parameters)."""
-    from vector_search_test_spark.functions.hashing import (
-        hash48_sql,
-        minhash_member_sql,
+    from vector_search_test_spark.functions.hashing import minhash_member_sql
+    from vector_search_test_spark.operators.dedup import (
+        fingerprint_shingles_sql,
     )
-    from vector_search_test_spark.operators.dedup import shingles_sql
 
-    # ONE base md5 hash per shingle, H affine family members off it —
-    # the identical construction minhash_signature_table compiles
-    # (functions/hashing.py::minhash_member)
+    # the shingle table IS the 48-bit fingerprint universe (ONE base md5
+    # per shingle, dedup.fingerprint_shingles); the H affine family
+    # members hash those fingerprints directly and the verify Jaccard
+    # compares the same fingerprint sets — the identical construction
+    # minhash_tables/minhash_signature_table compile
     mins = ",\n                ".join(
-        f"list_min(list_transform(hs, h -> {minhash_member_sql('h', i)})) AS m{i}"
+        f"list_min(list_transform(sh, h -> {minhash_member_sql('h', i)})) AS m{i}"
         for i in range(16)
     )
     bands = "\n            UNION ALL ".join(
@@ -4069,16 +4079,14 @@ def _minhash_cte(
         " / len(list_distinct(sa.sh || sb.sh))"
     )
     body = f"""sh AS (
-            SELECT {id_expr} AS id, {shingles_sql('text', 3)} AS sh FROM {docs_table}
+            SELECT {id_expr} AS id,
+                   {fingerprint_shingles_sql('text', 3)} AS sh
+            FROM {docs_table}
         ),
         sig AS (
             SELECT id, sh,
                 {mins}
-            FROM (
-                SELECT id, sh,
-                       list_transform(sh, s -> {hash48_sql('s')}) AS hs
-                FROM sh
-            )
+            FROM sh
         ),
         band AS (
             {bands}

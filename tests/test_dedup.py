@@ -453,3 +453,50 @@ def test_winnowing_candidates_rejects_bad_min_shared(spark, sf_dir):
         winnowing_candidate_pairs(
             load_table(spark, sf_dir, "documents"), min_shared=0
         )
+
+
+def test_prebuilt_superset_restriction_equals_rebuild(spark, sf_dir):
+    """The persistent-signature-table seam's central claim (r12):
+    superset-built MinHash tables semi-join-filtered to a subset's ids
+    produce EXACTLY the pairs (and decisions) a from-scratch build over
+    the subset produces — and a family-parameter mismatch is rejected
+    loudly instead of silently changing sensitivity."""
+    import pytest
+
+    from vector_search_test_spark.operators.dedup import (
+        minhash_tables,
+        neardup_dedup_decisions,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    subset = docs.filter(F.col("doc_id") % 3 != 1)  # proper subset
+    tables = minhash_tables(docs)
+
+    via_prebuilt = {
+        (r.a, r.b): r.jaccard
+        for r in neardup_minhash(
+            subset, threshold=0.9, prebuilt=tables
+        ).collect()
+    }
+    rebuilt = {
+        (r.a, r.b): r.jaccard
+        for r in neardup_minhash(subset, threshold=0.9).collect()
+    }
+    assert via_prebuilt == rebuilt
+    # pairs must only involve subset ids (the semi-join actually cuts)
+    kept = {r.doc_id for r in subset.select("doc_id").collect()}
+    assert all(a in kept and b in kept for a, b in via_prebuilt)
+
+    dec_pre = {
+        (r.id, r.rep_id, r.keep)
+        for r in neardup_dedup_decisions(subset, prebuilt=tables).collect()
+    }
+    dec_new = {
+        (r.id, r.rep_id, r.keep)
+        for r in neardup_dedup_decisions(subset).collect()
+    }
+    assert dec_pre == dec_new
+
+    # family-parameter mismatch: loud, not silent (r12 review finding)
+    with pytest.raises(ValueError, match="prebuilt MinHash tables"):
+        neardup_minhash(subset, bands=8, prebuilt=tables)

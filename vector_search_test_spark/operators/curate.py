@@ -65,7 +65,7 @@ def curate_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     stage_times: "dict[str, float] | None" = None,
-    neardup_prebuilt: "tuple[DataFrame, DataFrame] | None" = None,
+    neardup_prebuilt: "MinhashTables | None" = None,
 ) -> DataFrame:
     """The curated, chunked, packed, split training table.
 
@@ -142,10 +142,11 @@ def curate_corpus(
 
     # stage 3 — near-dedup: LSH pairs -> connected components -> keep
     # min-id per component. Runs once; only the keep-set survives it.
-    # `neardup_prebuilt`: an optional full-corpus minhash_tables() pair
-    # (the persistent signature-table asset); neardup_minhash restricts
-    # it to this stage's survivors with a semi-join instead of re-
-    # shingling and re-hashing them
+    # `neardup_prebuilt`: an optional full-corpus minhash_tables()
+    # bundle (dedup.MinhashTables — the persistent signature-table
+    # asset, carrying its family params for mismatch validation);
+    # neardup_minhash restricts it to this stage's survivors with a
+    # semi-join instead of re-shingling and re-hashing them
     nd_ids = (
         neardup_dedup_decisions(
             exact_kept,

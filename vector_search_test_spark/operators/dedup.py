@@ -24,6 +24,8 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -304,14 +306,16 @@ def minhash_signature_table(
     id_col: str = "id",
     shingle_col: str = "sh",
 ) -> DataFrame:
-    """MinHash signatures as a table: (id, m0..m{H-1}) — min-over-shingles
-    of H affine family members over ONE base `portable_hash48` (the
-    Broder construction: h_i = (a_i*h + b_i) mod P; see
-    functions/hashing.py). H=16 with 4x4 banding targets the s-curve
-    knee near Jaccard ~0.7.
+    """MinHash signatures as a table: (id, m0..m{H-1}) — min-over-shingle-
+    FINGERPRINTS of H affine family members (the Broder construction:
+    h_i = (a_i*h + b_i) mod P over one base hash; see
+    functions/hashing.py). `shingle_col` holds the 48-bit fingerprint
+    sets `fingerprint_shingles` produces — the single hashed universe
+    the whole dedup family computes on — so this stage is pure integer
+    multiply-adds: zero md5 calls. H=16 with 4x4 banding targets the
+    s-curve knee near Jaccard ~0.7.
 
-    Explode shingles -> ONE md5 base hash per occurrence -> flat
-    projection of the H affine members (multiply-adds, not md5s) ->
+    Explode fingerprints -> flat projection of the H affine members ->
     min-agg per id (map-side combine; the shuffle carries H longs per
     doc). The flat per-row projection stays inside whole-stage codegen —
     a single-expression array-of-array_min form compiles one 64 KB+ Java
@@ -320,15 +324,31 @@ def minhash_signature_table(
     """
     from vector_search_test_spark.functions.hashing import minhash_member
 
-    ex = sh.select(F.col(id_col).alias("id"), F.explode(shingle_col).alias("s"))
-    base = ex.select("id", portable_hash48(F.col("s")).alias("hb"))
-    hashed = base.select(
+    ex = sh.select(
+        F.col(id_col).alias("id"), F.explode(shingle_col).alias("hb")
+    )
+    hashed = ex.select(
         "id",
         *[minhash_member(F.col("hb"), i).alias(f"h{i}") for i in range(num_hashes)],
     )
     return hashed.groupBy("id").agg(
         *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_hashes)]
     )
+
+
+class MinhashTables(NamedTuple):
+    """The materialized MinHash corpus assets plus the family parameters
+    they were built with — carried together so a consumer passing them
+    as `prebuilt` can be VALIDATED against its own requested parameters
+    (a silent n/H/bands mismatch would produce wrong candidate pairs
+    with no error; r12 review finding)."""
+
+    sh: DataFrame  # (id, sh: array<bigint>) — 48-bit shingle fingerprints
+    bands_df: DataFrame  # (id, band_id, band_key)
+    sig: DataFrame  # (id, m0..m{H-1}) — the signature table, checkpointed
+    n: int
+    num_hashes: int
+    bands: int
 
 
 def minhash_tables(
@@ -338,16 +358,19 @@ def minhash_tables(
     n: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
-) -> "tuple[DataFrame, DataFrame]":
-    """The two materialized MinHash assets: (shingle table (id, sh),
-    exploded band table (id, band_id, band_key)), both localCheckpoint'ed.
+) -> MinhashTables:
+    """The materialized MinHash assets: the shingle-FINGERPRINT table
+    (id, sh: array<bigint> — see `fingerprint_shingles`: the single
+    hashed universe the dedup family computes on), the signature table,
+    and the exploded band table, all localCheckpoint'ed, bundled with
+    the family parameters (`MinhashTables`).
 
     Factored out of `neardup_minhash` so callers can build them ONCE per
     corpus and hand them to several consumers (the pairs join, the
-    dedup-decisions pipeline, a survivor-filtered curation stage) — the
-    production shape, where the signature/band table is a persistent
-    corpus asset written at ingest and reused by every dedup job, not
-    recomputed per query.
+    dedup-decisions pipeline, a survivor-filtered curation stage, the
+    estimator monitor) — the production shape, where the signature/band
+    table is a persistent corpus asset written at ingest and reused by
+    every dedup job, not recomputed per query.
 
     Cache lifecycle: pinned via localCheckpoint, not cache() —
     checkpointed RDDs are released by the ContextCleaner as soon as the
@@ -358,18 +381,20 @@ def minhash_tables(
     from vector_search_test_spark.io import spread
 
     rows = num_hashes // bands
-    # materialized once: the shingle sets feed three consumers (signature,
-    # and both sides of the verify join) — without pinning, each would
-    # re-shingle the corpus. spread() first: the signature projection is
-    # the hash-heavy stage and must not inherit a 1-2-file source's
-    # parallelism.
+    # materialized once: the fingerprint sets feed three consumers
+    # (signature, and both sides of the verify join) — without pinning,
+    # each would re-shingle the corpus. spread() first: the fingerprint
+    # projection is the md5-bearing stage and must not inherit a
+    # 1-2-file source's parallelism.
     sh = (
         spread(df.select(F.col(id_col).alias("id"), F.col(text_col)), "id")
-        .select("id", shingles(text_col, n).alias("sh"))
+        .select("id", fingerprint_shingles(text_col, n).alias("sh"))
         .filter(F.size("sh") > 0)
         .localCheckpoint()
     )
-    sig = minhash_signature_table(sh, num_hashes)
+    # pinned: the band projection and the estimator's per-component
+    # agreement both read it
+    sig = minhash_signature_table(sh, num_hashes).localCheckpoint()
     keys = F.array(
         *[
             F.concat_ws(
@@ -385,7 +410,14 @@ def minhash_tables(
     bands_df = sig.select(
         "id", F.posexplode(keys).alias("band_id", "band_key")
     ).localCheckpoint()
-    return sh, bands_df
+    return MinhashTables(
+        sh=sh,
+        bands_df=bands_df,
+        sig=sig,
+        n=int(n),
+        num_hashes=int(num_hashes),
+        bands=int(bands),
+    )
 
 
 def neardup_minhash(
@@ -396,15 +428,19 @@ def neardup_minhash(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.9,
-    prebuilt: "tuple[DataFrame, DataFrame] | None" = None,
+    prebuilt: "MinhashTables | None" = None,
 ) -> DataFrame:
-    """MinHash-LSH near-duplicate pairs, verified by exact Jaccard.
+    """MinHash-LSH near-duplicate pairs, verified by exact Jaccard over
+    the 48-bit shingle-fingerprint sets (`fingerprint_shingles` — the
+    hashed universe the whole dedup family shares; a collision merges
+    identically on both engines).
 
-    Plan: shingle -> signature -> posexplode band keys -> self-equi-join on
-    (band_id, band_key) with a < b -> distinct candidates -> join shingle
-    sets back -> exact Jaccard filter. The only joins are equi-joins on
-    band keys and ids — bucketed, never all-pairs (the all-pairs version
-    is the ORACLE, not the engine). Returns (a, b, jaccard) rounded 6dp.
+    Plan: fingerprint -> signature -> posexplode band keys -> self-equi-
+    join on (band_id, band_key) with a < b -> distinct candidates ->
+    join fingerprint sets back -> exact Jaccard filter. The only joins
+    are equi-joins on band keys and ids — bucketed, never all-pairs
+    (the all-pairs version is the ORACLE, not the engine). Returns
+    (a, b, jaccard) rounded 6dp.
 
     `prebuilt`: an optional `minhash_tables(...)` result for a SUPERSET
     corpus built with the same (text_col, n, num_hashes, bands); it is
@@ -412,15 +448,24 @@ def neardup_minhash(
     superset's rows restricted to the surviving ids are exactly the
     tables this call would build). This is the persistent-signature-
     table reuse seam: a pipeline stage running over survivors does not
-    re-hash the corpus.
-    """
+    re-hash the corpus. Family parameters are VALIDATED against the
+    caller's — a mismatch raises instead of silently producing pairs at
+    the wrong sensitivity."""
     if prebuilt is not None:
-        sh_full, bands_full = prebuilt
+        want = (int(n), int(num_hashes), int(bands))
+        got = (prebuilt.n, prebuilt.num_hashes, prebuilt.bands)
+        if got != want:
+            raise ValueError(
+                f"prebuilt MinHash tables were built with (n, H, bands)="
+                f"{got} but this call requests {want}; rebuild with "
+                f"minhash_tables(..., n={n}, num_hashes={num_hashes}, "
+                f"bands={bands})"
+            )
         ids = df.select(F.col(id_col).alias("id"))
-        sh = sh_full.join(ids, "id", "left_semi")
-        bands_df = bands_full.join(ids, "id", "left_semi")
+        sh = prebuilt.sh.join(ids, "id", "left_semi")
+        bands_df = prebuilt.bands_df.join(ids, "id", "left_semi")
     else:
-        sh, bands_df = minhash_tables(
+        tables = minhash_tables(
             df,
             id_col=id_col,
             text_col=text_col,
@@ -428,6 +473,7 @@ def neardup_minhash(
             num_hashes=num_hashes,
             bands=bands,
         )
+        sh, bands_df = tables.sh, tables.bands_df
     cand = (
         bands_df.alias("x")
         .join(
@@ -469,34 +515,22 @@ def minhash_estimate_quality(
     H-too-small drift numerically instead of via downstream recall.
 
     Output: (a, b, est_jaccard, jaccard, abs_err), candidates only —
-    output-bound like every LSH surface. Plan: the neardup_minhash
-    candidate generation (banding equi-join; kept inline rather than
-    refactored so the scored dedup path stays untouched) plus one join
-    of the H-component signatures per side; the estimator is H integer
-    equality checks per candidate. est steps of 1/H are exact binary
-    doubles at the default H=16, so the twin hashes identically."""
-    from vector_search_test_spark.io import spread
-
-    rows = num_hashes // bands
-    sh = (
-        spread(df.select(F.col(id_col).alias("id"), F.col(text_col)), "id")
-        .select("id", shingles(text_col, n).alias("sh"))
-        .filter(F.size("sh") > 0)
-        .localCheckpoint()
+    output-bound like every LSH surface. Plan: the shared
+    `minhash_tables` assets (r12 — previously an inline duplicate of
+    the same construction) plus one join of the H-component signatures
+    per side; the estimator is H integer equality checks per candidate.
+    est steps of 1/H are exact binary doubles at the default H=16, so
+    the twin hashes identically; `jaccard` is the fingerprint-set
+    Jaccard, the same universe the signatures hash."""
+    tables = minhash_tables(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        n=n,
+        num_hashes=num_hashes,
+        bands=bands,
     )
-    sig = minhash_signature_table(sh, num_hashes).localCheckpoint()
-    keys = F.array(
-        *[
-            F.concat_ws(
-                "-",
-                *[F.col(f"m{b * rows + r}").cast("string") for r in range(rows)],
-            )
-            for b in range(bands)
-        ]
-    )
-    bands_df = sig.select(
-        "id", F.posexplode(keys).alias("band_id", "band_key")
-    ).localCheckpoint()
+    sh, bands_df, sig = tables.sh, tables.bands_df, tables.sig
     cand = (
         bands_df.alias("x")
         .join(
@@ -578,6 +612,7 @@ def jaccard_join(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    prebuilt_sh: "DataFrame | None" = None,
 ) -> DataFrame:
     """Exact-threshold n-gram Jaccard similarity join via prefix filtering
     (Chaudhuri et al. SSJoin / Bayardo et al. "Scaling Up All Pairs" — the
@@ -610,12 +645,23 @@ def jaccard_join(
 
     from vector_search_test_spark.io import spread
 
-    sh = (
-        spread(df.select(F.col(id_col).alias("id"), F.col(text_col)), "id")
-        .select("id", fingerprint_shingles(text_col, n).alias("sh"))
-        .filter(F.size("sh") > 0)
-        .localCheckpoint()  # multi-consumer pin, ContextCleaner-released
-    )
+    if prebuilt_sh is not None:
+        # the fingerprint table is definitionally the same asset
+        # minhash_tables builds (same fingerprint_shingles projection,
+        # same n) — a caller holding that corpus asset (or a superset;
+        # ids are restricted by semi-join) skips the re-hash. The caller
+        # owns n-compatibility; the MinHash path's typed bundle carries
+        # its params, a bare (id, sh) frame cannot.
+        sh = prebuilt_sh.join(
+            df.select(F.col(id_col).alias("id")), "id", "left_semi"
+        ).localCheckpoint()
+    else:
+        sh = (
+            spread(df.select(F.col(id_col).alias("id"), F.col(text_col)), "id")
+            .select("id", fingerprint_shingles(text_col, n).alias("sh"))
+            .filter(F.size("sh") > 0)
+            .localCheckpoint()  # multi-consumer pin, ContextCleaner-released
+        )
     # Global shingle order = (document frequency asc, fingerprint) —
     # rarest-first. Low-entropy corpora (small vocabularies) make every
     # hash-ordered prefix token a hot bucket; ordering by DF puts each
@@ -904,7 +950,7 @@ def neardup_dedup_decisions(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.9,
-    prebuilt: "tuple[DataFrame, DataFrame] | None" = None,
+    prebuilt: "MinhashTables | None" = None,
 ) -> DataFrame:
     """The COMPLETE near-dedup pipeline, pair detection through keep
     decision: MinHash-LSH candidate pairs verified by exact Jaccard

@@ -773,10 +773,12 @@ def write_partitioned_postings(
     data probe: correctness never depends on the salt).
 
     The salt hashes the id column when the conventional `vec_id` is
-    present and falls back to a row-independent spark_partition_id
-    spread otherwise — the sink only requires `list_id`, so a postings
-    table with a differently-named id column must not fail here
-    (ADVICE r11)."""
+    present and falls back to a row-independent
+    monotonically_increasing_id spread otherwise — the sink only
+    requires `list_id`, so a postings table with a differently-named id
+    column must not fail here (ADVICE r11; spark_partition_id would be
+    constant per input partition and so would serialize a hot list
+    whose rows arrive already partitioned by list_id — r12 review)."""
     spark = postings.sparkSession
     par = spark.sparkContext.defaultParallelism
     salt_w = max(1, par // max(1, int(nlist))) if nlist else 1
@@ -784,7 +786,7 @@ def write_partitioned_postings(
         salt_src = (
             F.hash("vec_id")
             if "vec_id" in postings.columns
-            else F.spark_partition_id()
+            else F.monotonically_increasing_id()
         )
         (
             postings.withColumn("__salt", F.pmod(salt_src, F.lit(salt_w)))
