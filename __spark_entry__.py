@@ -3282,7 +3282,10 @@ def _q_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_estimate_quality,
     )
 
-    return minhash_estimate_quality(load_table(spark, sf_dir, "documents"))
+    return minhash_estimate_quality(
+        load_table(spark, sf_dir, "documents"),
+        prebuilt=_minhash_tables_docs(spark, sf_dir),
+    )
 
 
 def _q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -506,6 +506,7 @@ def minhash_estimate_quality(
     n: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
+    prebuilt: "MinhashTables | None" = None,
 ) -> DataFrame:
     """Numerically certify the MinHash estimator ON ITS OWN candidates:
     for every LSH candidate pair, the signature-agreement estimate
@@ -521,16 +522,31 @@ def minhash_estimate_quality(
     per side; the estimator is H integer equality checks per candidate.
     est steps of 1/H are exact binary doubles at the default H=16, so
     the twin hashes identically; `jaccard` is the fingerprint-set
-    Jaccard, the same universe the signatures hash."""
-    tables = minhash_tables(
-        df,
-        id_col=id_col,
-        text_col=text_col,
-        n=n,
-        num_hashes=num_hashes,
-        bands=bands,
-    )
-    sh, bands_df, sig = tables.sh, tables.bands_df, tables.sig
+    Jaccard, the same universe the signatures hash. `prebuilt` takes
+    the shared corpus asset (same contract and param validation as
+    neardup_minhash)."""
+    if prebuilt is not None:
+        want = (int(n), int(num_hashes), int(bands))
+        got = (prebuilt.n, prebuilt.num_hashes, prebuilt.bands)
+        if got != want:
+            raise ValueError(
+                f"prebuilt MinHash tables were built with (n, H, bands)="
+                f"{got} but this call requests {want}"
+            )
+        ids = df.select(F.col(id_col).alias("id"))
+        sh = prebuilt.sh.join(ids, "id", "left_semi")
+        bands_df = prebuilt.bands_df.join(ids, "id", "left_semi")
+        sig = prebuilt.sig.join(ids, "id", "left_semi")
+    else:
+        tables = minhash_tables(
+            df,
+            id_col=id_col,
+            text_col=text_col,
+            n=n,
+            num_hashes=num_hashes,
+            bands=bands,
+        )
+        sh, bands_df, sig = tables.sh, tables.bands_df, tables.sig
     cand = (
         bands_df.alias("x")
         .join(
