@@ -242,3 +242,31 @@ def test_semdedup_pair_join_is_salted_not_coalesced(spark, sf_dir):
     # y-side replication across the salt space is a generator explode,
     # not a shuffle-side blowup
     assert "Generate explode" in plan
+
+
+def test_prebuilt_minhash_paths_never_rehash(spark, sf_dir):
+    """The shared-corpus-asset seams (r12): with prebuilt tables, the
+    pairs/verify plans must contain NO md5 — the fingerprints come from
+    the checkpointed asset, restricted by semi-join, never recomputed.
+    (The from-scratch path necessarily md5s once per shingle.)"""
+    from vector_search_test_spark.operators.dedup import (
+        jaccard_join,
+        minhash_tables,
+        neardup_minhash,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tables = minhash_tables(docs)
+
+    pairs_plan = _plan(neardup_minhash(docs, prebuilt=tables))
+    assert "md5" not in pairs_plan
+
+    jac_plan = _plan(jaccard_join(docs, prebuilt_sh=tables.sh))
+    assert "md5" not in jac_plan
+
+    # the from-scratch path DOES hash (sanity: the assertion above is
+    # not vacuous because md5 never shows up in these plan strings)
+    scratch_plan = _plan(
+        docs.select(F.md5("text").alias("h"))
+    )
+    assert "md5" in scratch_plan
