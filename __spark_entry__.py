@@ -312,10 +312,38 @@ def _q_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # breaks. Both entries keep the lazy form; the verdict's memoize
     # idea is hereby measured and rejected, not ignored.
     exact = knn_exact(q, emb.select("vec_id", "embedding"), k=_PP_K)
-    out = None
-    for np_ in _CURVE_NPROBES:
-        r = recall_at_k(exact, ivf_search_all(idx, q, k=_PP_K, nprobe=np_))
-        row = r.agg(
+    # r12: the four searches collapse into ONE ranked corpus pass
+    # (operators/ivf.py::ivf_search_curve — probe ranks from a single
+    # probe_cells(with_rank) scan; candidates replicate only into the
+    # nprobe values whose probe set contains their list). Row-for-row
+    # identical to the per-value ivf_search_all calls, so the oracle
+    # (which replays all four searches declaratively) is unchanged.
+    # The recall arithmetic below replicates recall_at_k expression-
+    # for-expression, grouped by nprobe instead of run per nprobe.
+    from vector_search_test_spark.operators.ivf import ivf_search_curve
+
+    approx = ivf_search_curve(idx, q, k=_PP_K, nprobes=_CURVE_NPROBES)
+    hit = (
+        exact.select("query_id", "vec_id")
+        .join(approx.select("nprobe", "query_id", "vec_id"), ["query_id", "vec_id"])
+        .groupBy("nprobe", "query_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    base = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    pvals = F.array(*[F.lit(int(p)) for p in _CURVE_NPROBES])
+    per_q = (
+        base.select("query_id", "n_exact", F.explode(pvals).alias("nprobe"))
+        .join(hit, ["nprobe", "query_id"], "left")
+        .select(
+            "nprobe",
+            F.round(
+                F.coalesce("n_hit", F.lit(0)) / F.col("n_exact"), 6
+            ).alias("recall"),
+        )
+    )
+    return (
+        per_q.groupBy("nprobe")
+        .agg(
             F.count("*").cast("long").alias("n_queries"),
             F.round(
                 F.sum(F.round(F.col("recall") * 1e6, 0).cast("long"))
@@ -324,13 +352,13 @@ def _q_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.count("*"),
                 6,
             ).alias("mean_recall"),
-        ).select(
-            F.lit(np_).cast("long").alias("nprobe"),
+        )
+        .select(
+            F.col("nprobe").cast("long").alias("nprobe"),
             "n_queries",
             "mean_recall",
         )
-        out = row if out is None else out.unionByName(row)
-    return out
+    )
 
 
 def _q_ivf_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

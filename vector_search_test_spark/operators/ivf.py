@@ -358,6 +358,7 @@ def probe_cells(
     nprobe: int,
     query_vec_col: str = "query_vec",
     strategy: str = "auto",
+    with_rank: bool = False,
 ) -> DataFrame:
     """Per-query probe set: the nprobe cells nearest each query vector.
 
@@ -366,6 +367,11 @@ def probe_cells(
     probed cell. Mirrors faiss's quantizer ranking at app.py:69-70.
     Large nlist rides the one-row centroid broadcast instead of a literal
     matrix (see assign_cells), with the identical ranking expressions.
+
+    `with_rank=True` additionally emits `probe_rank` (0-based position
+    in the per-query ranking) — a cell is in the nprobe=p probe set iff
+    probe_rank < p, which is what lets `ivf_search_curve` evaluate every
+    nprobe value from ONE ranked scan.
     """
     nlist = len(centroids)
     nprobe = max(1, min(nprobe, nlist))
@@ -383,6 +389,12 @@ def probe_cells(
         F.zip_with(dists, cells, lambda d, i: F.struct(d.alias("d"), i.alias("i")))
     )
     probes = F.transform(F.slice(ranked, 1, nprobe), lambda s: s["i"].cast("int"))
+    if with_rank:
+        cols = [c for c in out.columns if c != "__cents"]
+        out = out.select(
+            *cols, F.posexplode(probes).alias("probe_rank", "list_id")
+        )
+        return out
     out = out.withColumn("list_id", F.explode(probes))
     return out.drop("__cents") if "__cents" in out.columns else out
 
@@ -963,4 +975,68 @@ def ivf_search_all(
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .drop("rn")
+    )
+
+
+def ivf_search_curve(
+    index: IvfIndex,
+    queries: DataFrame,
+    k: int = 10,
+    nprobes: "tuple[int, ...]" = (1, 2, 4, 8),
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Batched ANN search at SEVERAL nprobe values from ONE corpus pass
+    — the nprobe-tuning sweep as a single plan.
+
+    Running `ivf_search_all` once per nprobe scans the probed postings
+    once per value (the largest value's scan repeated, plus all the
+    smaller ones) and compiles one plan per search. This operator ranks
+    cells once WITH their probe rank (probe_cells with_rank), joins the
+    postings once at max(nprobes), replicates each candidate row only
+    into the nprobe values whose probe set contains its list
+    (probe_rank < p — an explode over the filtered literal array), and
+    takes one windowed top-k per (nprobe, query). Row-for-row identical
+    to the per-value searches: the probe set at p IS the first p
+    entries of the same ranking, distances are the same expression, and
+    the (dist, vec_id) tie-break matches. At 100 TB the difference is
+    one pruned pass instead of len(nprobes) passes over the hot lists.
+
+    Returns (nprobe int, query_id, vec_id, dist), <= k rows per
+    (nprobe, query). Values are clamped to [1, nlist] like probe_cells;
+    duplicate post-clamp values are the caller's to dedupe."""
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("query_vec"),
+    )
+    dim = len(index.centroids[0]) if index.centroids else 0
+    pvals = sorted({max(1, min(int(p), index.nlist)) for p in nprobes})
+    pr = probe_cells(
+        q,
+        index.centroids,
+        max(pvals),
+        query_vec_col="query_vec",
+        with_rank=True,
+    )
+    dist = (
+        l2_sq_unrolled(F.col("query_vec"), F.col("embedding"), dim)
+        if 0 < dim <= UNROLL_MAX_TERMS
+        else l2_sq(F.col("query_vec"), F.col("embedding"))
+    )
+    parr = F.array(*[F.lit(p) for p in pvals])
+    scored = (
+        pr.join(index.postings, "list_id")
+        .select("query_id", "probe_rank", "vec_id", dist.alias("dist"))
+        .withColumn(
+            "nprobe",
+            F.explode(F.filter(parr, lambda p: p > F.col("probe_rank"))),
+        )
+    )
+    w = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.col("dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("nprobe", "query_id", "vec_id", "dist")
     )
