@@ -330,12 +330,29 @@ def _q_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_hit"))
     )
     base = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
-    pvals = F.array(*[F.lit(int(p)) for p in _CURVE_NPROBES])
+    # ivf_search_curve clamps nprobes to [1, nlist] and dedupes, so its
+    # output rows are keyed by the EFFECTIVE value. Join each requested
+    # value through its clamped twin and label the output by the
+    # requested value — exactly how the oracle labels its blocks (each
+    # probes_{p} CTE self-clamps via row_number() <= p). Without this
+    # map, a degenerate corpus with nlist < max(_CURVE_NPROBES) would
+    # report recall 0 for the clamped-away values while the oracle
+    # reports the real clamped recall (ADVICE r12).
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(int(p)).alias("req"),
+                F.lit(max(1, min(int(p), idx.nlist))).alias("nprobe"),
+            )
+            for p in _CURVE_NPROBES
+        ]
+    )
     per_q = (
-        base.select("query_id", "n_exact", F.explode(pvals).alias("nprobe"))
+        base.select("query_id", "n_exact", F.explode(pairs).alias("pp"))
+        .select("query_id", "n_exact", "pp.req", "pp.nprobe")
         .join(hit, ["nprobe", "query_id"], "left")
         .select(
-            "nprobe",
+            F.col("req").alias("nprobe"),
             F.round(
                 F.coalesce("n_hit", F.lit(0)) / F.col("n_exact"), 6
             ).alias("recall"),

@@ -141,6 +141,45 @@ def test_recall_curve_monotone_and_anchored(spark):
     assert vals[-1] == 1.0  # exhaustive probe == exact search
 
 
+def test_recall_curve_degenerate_nlist_clamp(spark, tmp_path):
+    """ADVICE r12: with a corpus so small that nlist < max(nprobes)
+    (nlist = min(8, n)), ivf_search_curve clamps+dedupes the probe
+    values — the entry must map each REQUESTED nprobe through its
+    clamped twin instead of left-joining the raw value into a miss
+    (which reported recall 0 for the clamped-away values while the
+    oracle reported the real clamped recall)."""
+    import sys
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+
+    rng = np.random.default_rng(7)
+    vecs = [[float(np.float32(x)) for x in rng.normal(size=4)] for _ in range(3)]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([0, 1, 2], pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    rows = {
+        r.nprobe: r.mean_recall
+        for r in entrymod._q_ivf_recall_curve(spark, str(tmp_path)).collect()
+    }
+    # every REQUESTED value reports a row, labeled by the request
+    assert set(rows) == {1, 2, 4, 8}
+    # nlist = 3 here, so requested 4 and 8 both clamp to an exhaustive
+    # probe: real recall 1.0, never the left-join-miss 0.0
+    assert rows[4] == 1.0 and rows[8] == 1.0
+    assert rows[1] <= rows[2] + 1e-9 <= rows[4] + 2e-9
+
+
 def test_cluster_top_terms_semantics_and_determinism(spark):
     """Known geometry: two well-separated cells; term ranking is
     document frequency within the cell with (df DESC, term ASC)

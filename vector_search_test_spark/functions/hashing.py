@@ -52,6 +52,20 @@ def hash48_sql(expr: str, salt: int | None = None) -> str:
 # 2^62 (h mod P < 2^31, a_i < 2^31), so the arithmetic is exact in both
 # engines' BIGINTs; the a_i/b_i constants derive from a fixed splitmix-
 # style expansion so Spark and DuckDB embed the identical literals.
+#
+# Correlated-collision caveat (ADVICE r12): the 48-bit base hash is
+# reduced mod P BEFORE the per-member affine map, so two distinct
+# fingerprints that collide mod P (~2^-31 per pair) collide in ALL H
+# members at once — on such pairs the members are not independent and
+# signature agreement is slightly inflated. Engine/oracle parity is
+# unaffected (both sides share the construction), and at H=16 the
+# expected excess agreement is ~2^-31 per candidate pair — far below
+# the 1/H = 0.0625 estimator granularity, so the monitor entry
+# (minhash_estimate_error) cannot observe it at any tested scale. If a
+# deployment needs full member independence, mix per-member BEFORE the
+# reduction (e.g. xor the full 48-bit value with a member constant,
+# then % P) — both `minhash_member` and `minhash_member_sql` must
+# change in lockstep since every oracle twin derives from them.
 
 MINHASH_P = 2147483647  # 2^31 - 1 (Mersenne prime)
 

@@ -785,12 +785,18 @@ def write_partitioned_postings(
     data probe: correctness never depends on the salt).
 
     The salt hashes the id column when the conventional `vec_id` is
-    present and falls back to a row-independent
-    monotonically_increasing_id spread otherwise — the sink only
-    requires `list_id`, so a postings table with a differently-named id
-    column must not fail here (ADVICE r11; spark_partition_id would be
-    constant per input partition and so would serialize a hot list
-    whose rows arrive already partitioned by list_id — r12 review)."""
+    present and falls back to a hash of EVERY column otherwise — the
+    sink only requires `list_id`, so a postings table with a
+    differently-named id column must not fail here (ADVICE r11;
+    spark_partition_id would be constant per input partition and so
+    would serialize a hot list whose rows arrive already partitioned by
+    list_id — r12 review). Both salts are DETERMINISTIC functions of
+    the row: repartitioning on a non-deterministic key (the old
+    monotonically_increasing_id fallback) is the classic Spark hazard
+    where a shuffle-fetch failure + stage retry recomputes rows into
+    DIFFERENT partitions, losing or duplicating written postings
+    (ADVICE r12). Identical rows hash to the same salt, which only
+    co-locates exact duplicates — harmless for spread, safe on retry."""
     spark = postings.sparkSession
     par = spark.sparkContext.defaultParallelism
     salt_w = max(1, par // max(1, int(nlist))) if nlist else 1
@@ -798,7 +804,7 @@ def write_partitioned_postings(
         salt_src = (
             F.hash("vec_id")
             if "vec_id" in postings.columns
-            else F.monotonically_increasing_id()
+            else F.hash(*postings.columns)
         )
         (
             postings.withColumn("__salt", F.pmod(salt_src, F.lit(salt_w)))
