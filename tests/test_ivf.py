@@ -46,6 +46,28 @@ def test_ivf_search_exact_at_full_probe(spark, sf_dir):
     assert [(r.vec_id, r.dist) for r in got] == [(r.vec_id, r.dist) for r in want]
 
 
+def test_ivf_search_curve_rows_match_per_value_searches(spark, sf_dir):
+    """The one-pass multi-nprobe sweep (ivf_search_curve) must be
+    ROW-IDENTICAL to running ivf_search_all once per nprobe value —
+    including the clamp/dedupe contract (requested 8 on an nlist=4
+    index clamps to 4 and dedupes against the requested 4)."""
+    from vector_search_test_spark.operators.ivf import ivf_search_curve
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = ivf_build(emb, nlist=4)
+    q = _queries(emb, 8)
+    got = sorted(
+        (r.nprobe, r.query_id, r.vec_id, round(r.dist, 9))
+        for r in ivf_search_curve(idx, q, k=3, nprobes=(1, 2, 4, 8)).collect()
+    )
+    want = sorted(
+        (p, r.query_id, r.vec_id, round(r.dist, 9))
+        for p in (1, 2, 4)  # 8 clamps to nlist=4 and dedupes away
+        for r in ivf_search_all(idx, q, k=3, nprobe=p).collect()
+    )
+    assert got == want
+
+
 def test_ivf_search_all_exact_at_full_probe(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     idx = ivf_build(emb, nlist=4)
