@@ -103,6 +103,74 @@ def _gap_horizon_ms(end_us: int, gap_seconds: int) -> int:
     return ((end_us // 1_000_000) + gap_seconds + 1) * 1000
 
 
+def make_session_core(gap_seconds: int):
+    """The pure-numpy sessionization core SHARED by sessionize_buffered
+    (applyInPandasWithState) and streaming/tws.py's SessionizeProcessor
+    (transformWithStateInPandas) — ONE implementation of the gap rule,
+    the horizon arithmetic, the watermark-finality prefix, and the
+    NULL-sum semantics, so the two operators cannot drift (VERDICT r12
+    next-#4: with the core shared, only tws's protobuf protocol layer
+    is environment-gated; everything else is exercised by the buffered
+    operator's oracle plus the direct-drive processor tests).
+
+    Returned as a FACTORY-LOCAL closure on purpose: both operators ship
+    their per-key functions to Python workers via cloudpickle, and a
+    `<locals>` function pickles by VALUE (no package install needed on
+    the workers), whereas a module-level helper would pickle by
+    reference and require this package on every executor's PYTHONPATH.
+
+    core(us, vals, wm_ms) takes the key's FULL buffered event arrays
+    (int64 microsecond timestamps, float64 values with NULLs as NaN;
+    late rows already dropped by the caller) plus the current watermark
+    in ms, and returns (emit, keep_us, keep_vals, next_timer_ms):
+    - emit: None, or a dict of numpy arrays (start_us, end_us, n,
+      vsum, n_nonnull) for the watermark-final prefix of sessions;
+    - keep_us/keep_vals: the events of not-yet-final sessions (state);
+    - next_timer_ms: when to re-arm the event-time timer (None when no
+      state remains)."""
+
+    def core(us, vals, wm_ms):
+        import numpy as np
+
+        order = np.argsort(us, kind="stable")
+        us = us[order]
+        vals = vals[order]
+        sec = us // 1_000_000
+        brk = np.empty(us.size, dtype=bool)
+        brk[0] = True
+        # batch semantics: a new session starts on a whole-second gap
+        brk[1:] = (sec[1:] - sec[:-1]) > gap_seconds
+        gid = np.cumsum(brk) - 1
+        last = np.append(brk[1:], True)
+        g_start = us[brk]
+        g_end = us[last]
+        g_n = np.bincount(gid)
+        nonnull = ~np.isnan(vals)
+        g_v = np.bincount(gid, weights=np.where(nonnull, vals, 0.0))
+        g_nn = np.bincount(gid, weights=nonnull)
+        # final = watermark passed the session's gap horizon; horizons
+        # are monotone across a key's sessions, so finality is a prefix
+        horizons = ((g_end // 1_000_000) + gap_seconds + 1) * 1000
+        n_final = int(np.searchsorted(horizons, wm_ms, side="right"))
+        emit = None
+        if n_final:
+            emit = {
+                "start_us": g_start[:n_final],
+                "end_us": g_end[:n_final],
+                "n": g_n[:n_final].astype("int64"),
+                "vsum": g_v[:n_final],
+                "n_nonnull": g_nn[:n_final],
+            }
+        keep = gid >= n_final
+        if keep.any():
+            next_timer_ms = int(max(wm_ms + 1, int(horizons[n_final])))
+        else:
+            next_timer_ms = None
+        return emit, us[keep], vals[keep], next_timer_ms
+
+    return core
+
+
 def sessionize_stateful(
     events: DataFrame,
     key: str = "user_id",
@@ -282,6 +350,8 @@ def sessionize_buffered(
     state by the watermark horizon."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    core = make_session_core(gap_seconds)
+
     def fn(key_tuple, pdf_iter, state):
         import numpy as np
         import pandas as pd
@@ -318,55 +388,36 @@ def sessionize_buffered(
             if state.exists:
                 state.remove()
             return
-        order = np.argsort(buf_us, kind="stable")
-        buf_us = buf_us[order]
-        buf_v = buf_v[order]
-        sec = buf_us // 1_000_000
-        brk = np.empty(buf_us.size, dtype=bool)
-        brk[0] = True
-        brk[1:] = (sec[1:] - sec[:-1]) > gap_seconds
-        gid = np.cumsum(brk) - 1
-        last = np.append(brk[1:], True)
-        g_start = buf_us[brk]
-        g_end = buf_us[last]
-        g_n = np.bincount(gid)
-        nonnull = ~np.isnan(buf_v)
-        g_v = np.bincount(gid, weights=np.where(nonnull, buf_v, 0.0))
-        g_nn = np.bincount(gid, weights=nonnull)
-        # final = watermark passed the session's gap horizon; horizons are
-        # monotone across a key's sessions, so finality is a prefix
-        horizons = ((g_end // 1_000_000) + gap_seconds + 1) * 1000
-        n_final = int(np.searchsorted(horizons, wm, side="right"))
-        if n_final:
-            out = pd.DataFrame(
+        # the shared session core (gap rule, horizons, finality prefix,
+        # NULL-sum semantics) — ONE implementation with streaming/tws.py
+        emit, keep_us, keep_v, next_timer_ms = core(buf_us, buf_v, wm)
+        if keep_us.size:
+            state.update((keep_us.tolist(), keep_v.tolist()))
+            # arm at the oldest unemitted session's horizon; re-armed on
+            # every invocation, so a quiet key still drains once other
+            # keys (or the sentinel) advance the watermark
+            state.setTimeoutTimestamp(next_timer_ms)
+        else:
+            state.remove()
+        if emit is not None:
+            yield pd.DataFrame(
                 {
                     "user_id": uid,
-                    "session_start": pd.to_datetime(g_start[:n_final], unit="us"),
-                    "session_end": pd.to_datetime(g_end[:n_final], unit="us"),
-                    "n_events": g_n[:n_final].astype("int64"),
+                    "session_start": pd.to_datetime(emit["start_us"], unit="us"),
+                    "session_end": pd.to_datetime(emit["end_us"], unit="us"),
+                    "n_events": emit["n"],
                     # NULL (not 0.0) when a session's values were all NULL
                     "sum_value": pd.array(
                         [
-                            float(g_v[i]) if g_nn[i] > 0 else None
-                            for i in range(n_final)
+                            float(emit["vsum"][i])
+                            if emit["n_nonnull"][i] > 0
+                            else None
+                            for i in range(emit["n"].size)
                         ],
                         dtype="Float64",
                     ),
                 }
             )
-        else:
-            out = None
-        keep = gid >= n_final
-        if keep.any():
-            state.update((buf_us[keep].tolist(), buf_v[keep].tolist()))
-            # arm at the oldest unemitted session's horizon; re-armed on
-            # every invocation, so a quiet key still drains once other
-            # keys (or the sentinel) advance the watermark
-            state.setTimeoutTimestamp(max(wm + 1, int(horizons[n_final])))
-        else:
-            state.remove()
-        if out is not None:
-            yield out
 
     return (
         events.groupBy(key)
