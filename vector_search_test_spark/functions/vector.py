@@ -16,8 +16,54 @@ DuckDB's list_sum uses — so Spark and the oracle produce identical doubles.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+
+# PLAN-CONSTRUCTION cost note (r13, the root cause of the r11->r12
+# "drift-band upticks" on the quantized search entries): building
+# literal-heavy expressions one `F.lit()`/operator call at a time costs
+# one py4j round-trip PER CALL on the driver — an 8x64 centroid matrix
+# was ~1.06 s of pure driver time per invocation, a 64-term unrolled
+# distance ~0.25 s — re-paid on every entry invocation and sensitive to
+# host CPU steal (which is why the affected entries drifted without any
+# code change). The builders below render the identical expression as
+# ONE SQL string and make a single `F.expr()` call (~1 ms): same parsed
+# expression nodes (Literal/Cast/GetArrayItem/left-assoc Add), verified
+# bit-identical results. `repr(float)` is the shortest round-trip
+# decimal, so Java's Double.parseDouble reconstructs the exact same
+# IEEE-754 double the old `F.lit(float(x))` literal carried.
+
+
+def _sql_ident(name: str) -> str:
+    """Backquote a column name for embedding in an F.expr string."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _all_finite(vals: "list[float]") -> bool:
+    return all(math.isfinite(v) for v in vals)
+
+
+def const_double_array(values) -> Column:
+    """array<double> literal in ONE py4j call; per-element fallback for
+    empty input or non-finite values (which have no SQL literal)."""
+    vals = [float(v) for v in values]
+    if vals and _all_finite(vals):
+        return F.expr("array(" + ",".join(f"{v!r}D" for v in vals) + ")")
+    return F.array(*[F.lit(v) for v in vals])
+
+
+def const_float_array(values) -> Column:
+    """array<float> literal in ONE py4j call (double literal cast to
+    float, exactly like `F.lit(x).cast('float')`); same fallback."""
+    vals = [float(v) for v in values]
+    if vals and _all_finite(vals):
+        return F.expr(
+            "array(" + ",".join(f"CAST({v!r}D AS FLOAT)" for v in vals) + ")"
+        )
+    return F.array(*[F.lit(v).cast("float") for v in vals])
 
 
 # Unrolled distance expressions beat the HOF fold ONLY while the fused
@@ -58,7 +104,20 @@ def l2_sq_unrolled(a: Column | str, b: Column | str, dim: int) -> Column:
     so the resulting doubles are bit-identical. Requires both arrays to
     have exactly `dim` elements (shorter arrays would yield NULL terms).
     Only profitable while dim <= UNROLL_MAX_TERMS (see note above).
+
+    Pass plain column NAMES for the one-py4j-call construction path
+    (see the plan-construction note at the top of this module); Column
+    inputs take the per-element path with identical semantics.
     """
+    assert dim > 0
+    if isinstance(a, str) and isinstance(b, str):
+        ia, ib = _sql_ident(a), _sql_ident(b)
+        terms = " + ".join(
+            f"(CAST({ia}[{i}] AS DOUBLE) - CAST({ib}[{i}] AS DOUBLE))"
+            f" * (CAST({ia}[{i}] AS DOUBLE) - CAST({ib}[{i}] AS DOUBLE))"
+            for i in range(dim)
+        )
+        return F.expr(terms)
     a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
     expr: Column | None = None
     for i in range(dim):
@@ -72,11 +131,24 @@ def l2_sq_unrolled(a: Column | str, b: Column | str, dim: int) -> Column:
 def l2_sq_const(vec: Column | str, const: list[float]) -> Column:
     """`l2_sq` against a driver-side constant vector, unrolled to scalar
     literals — the fastest form for query-vector and centroid distances
-    (pure codegen arithmetic, no array literal at all)."""
+    (pure codegen arithmetic, no array literal at all).
+
+    Pass a plain column NAME for the one-py4j-call construction path
+    (see the plan-construction note at the top of this module)."""
+    vals = [float(c) for c in const]
+    assert vals
+    if isinstance(vec, str) and _all_finite(vals):
+        iv = _sql_ident(vec)
+        terms = " + ".join(
+            f"(CAST({iv}[{i}] AS DOUBLE) - {c!r}D)"
+            f" * (CAST({iv}[{i}] AS DOUBLE) - {c!r}D)"
+            for i, c in enumerate(vals)
+        )
+        return F.expr(terms)
     vec = F.col(vec) if isinstance(vec, str) else vec
     expr: Column | None = None
-    for i, c in enumerate(const):
-        t = vec[i].cast("double") - F.lit(float(c))
+    for i, c in enumerate(vals):
+        t = vec[i].cast("double") - F.lit(c)
         sq = t * t
         expr = sq if expr is None else expr + sq
     assert expr is not None

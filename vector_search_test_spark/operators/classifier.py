@@ -80,6 +80,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from vector_search_test_spark.functions.vector import const_double_array  # noqa: E501
 from vector_search_test_spark.functions.hashing import (
     hash48_sql,
     portable_hash48,
@@ -222,7 +223,7 @@ def _p_expr(weights: "list[float]"):
     """Column: sigmoid of the quantized-sum margin of the z-vector
     under `weights` (an array literal), rounded 9 dp (see module doc).
     A pure codegen'd expression over the `z` column."""
-    wlit = F.array(*[F.lit(float(w)) for w in weights])
+    wlit = const_double_array(weights)
     mq = F.aggregate(
         F.zip_with(
             F.col("z"),

@@ -48,6 +48,7 @@ from pyspark.sql import functions as F
 
 from vector_search_test_spark.functions.vector import (
     UNROLL_MAX_TERMS,
+    const_float_array,
     l2_sq,
     l2_sq_const,
     l2_sq_unrolled,
@@ -63,7 +64,29 @@ _MAX_LITERAL_TERMS = 16384
 
 
 def _centroid_literal(centroids: list[list[float]]) -> Column:
-    """The centroid matrix as a literal array<array<float>> column."""
+    """The centroid matrix as a literal array<array<float>> column.
+
+    Built as ONE F.expr call, not nlist*dim F.lit().cast() calls: the
+    per-element form cost ~1.06 s of driver-side py4j round-trips per
+    invocation at nlist=8 x dim=64 — the root cause of the r11->r12
+    drift on the quantized-search entries (every assign/probe pays
+    plan construction) — vs ~1 ms for the parsed string. Identical
+    expression nodes and bit-identical values (see the
+    plan-construction note in functions/vector.py)."""
+    import math
+
+    flat = [float(x) for c in centroids for x in c]
+    if flat and all(math.isfinite(x) for x in flat):
+        return F.expr(
+            "array("
+            + ",".join(
+                "array("
+                + ",".join(f"CAST({float(x)!r}D AS FLOAT)" for x in c)
+                + ")"
+                for c in centroids
+            )
+            + ")"
+        )
     return F.array(
         *[
             F.array(*[F.lit(float(x)).cast("float") for x in c])
@@ -910,12 +933,12 @@ def ivf_search(
     nprobe = max(1, min(nprobe, index.nlist))
     probe_ids = rank_cells(query_vec, index.centroids, nprobe)
     if len(query_vec) <= UNROLL_MAX_TERMS:
-        dist = l2_sq_const(F.col("embedding"), list(query_vec))
+        dist = l2_sq_const("embedding", list(query_vec))
     else:
         # wide vectors: the unrolled method would run un-JITed (and past
         # ~384 terms the plan build overflows the stack) — evaluate the
         # HOF form against a literal array instead (identical doubles)
-        qlit = F.array(*[F.lit(float(x)).cast("float") for x in query_vec])
+        qlit = const_float_array(query_vec)
         dist = l2_sq(qlit, F.col("embedding"))
     return (
         index.postings.filter(F.col("list_id").isin(probe_ids))
@@ -967,7 +990,7 @@ def ivf_search_all(
         )
     probed = probe_cells(q, index.centroids, nprobe, query_vec_col="query_vec")
     dist = (
-        l2_sq_unrolled(F.col("query_vec"), F.col("embedding"), dim)
+        l2_sq_unrolled("query_vec", "embedding", dim)
         if 0 < dim <= UNROLL_MAX_TERMS
         else l2_sq(F.col("query_vec"), F.col("embedding"))
     )
@@ -1025,7 +1048,7 @@ def ivf_search_curve(
         with_rank=True,
     )
     dist = (
-        l2_sq_unrolled(F.col("query_vec"), F.col("embedding"), dim)
+        l2_sq_unrolled("query_vec", "embedding", dim)
         if 0 < dim <= UNROLL_MAX_TERMS
         else l2_sq(F.col("query_vec"), F.col("embedding"))
     )

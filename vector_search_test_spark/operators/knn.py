@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from vector_search_test_spark.functions.vector import (
     UNROLL_MAX_TERMS,
+    const_float_array,
     cosine_sim,
     l2_sq,
     l2_sq_const,
@@ -58,11 +59,11 @@ def topk_global(
     """
     if metric == "l2_sq" and len(query_vec) <= UNROLL_MAX_TERMS:
         # unrolled-to-literals form: pure whole-stage codegen (see vector.py)
-        dist, asc = l2_sq_const(F.col(vec_col), list(query_vec)), True
+        dist, asc = l2_sq_const(vec_col, list(query_vec)), True
     else:
         # wide vectors: the HOF fold (the unrolled method would blow the
         # JIT budget / plan-conversion stack — vector.py UNROLL_MAX_TERMS)
-        qlit = F.array(*[F.lit(float(x)).cast("float") for x in query_vec])
+        qlit = const_float_array(query_vec)
         dist, asc = _distance(metric, qlit, F.col(vec_col))
     scored = corpus.select(F.col(id_col), dist.alias("dist"))
     order = [F.col("dist").asc() if asc else F.col("dist").desc(), F.col(id_col).asc()]
@@ -144,7 +145,7 @@ def knn_exact(
         F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("__qv")
     )
     if metric == "l2_sq" and dim is not None and dim <= UNROLL_MAX_TERMS:
-        dist, asc = l2_sq_unrolled(F.col("__qv"), F.col(vec_col), dim), True
+        dist, asc = l2_sq_unrolled("__qv", vec_col, dim), True
     else:
         dist, asc = _distance(metric, F.col("__qv"), F.col(vec_col))
     scored = corpus.join(F.broadcast(q) if broadcast else q).select(
@@ -189,7 +190,7 @@ def range_search(
         F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("__qv")
     )
     if metric == "l2_sq" and dim is not None and dim <= UNROLL_MAX_TERMS:
-        dist, asc = l2_sq_unrolled(F.col("__qv"), F.col(vec_col), dim), True
+        dist, asc = l2_sq_unrolled("__qv", vec_col, dim), True
     else:
         dist, asc = _distance(metric, F.col("__qv"), F.col(vec_col))
     scored = corpus.join(F.broadcast(q) if broadcast else q).select(
@@ -241,7 +242,7 @@ def contrastive_examples(
         F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("__qv")
     )
     if dim is not None and dim <= UNROLL_MAX_TERMS:
-        dist = l2_sq_unrolled(F.col("__qv"), F.col(vec_col), dim)
+        dist = l2_sq_unrolled("__qv", vec_col, dim)
     else:
         dist, _ = _distance("l2_sq", F.col("__qv"), F.col(vec_col))
     scored = (

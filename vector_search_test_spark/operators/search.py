@@ -206,7 +206,7 @@ def hybrid_search_rrf(
         "lex_rank", F.row_number().over(w_lex).cast("long")
     ).select("id", "lex_rank")
 
-    dist = l2_sq_const(F.col(vec_col), [float(v) for v in query_vec])
+    dist = l2_sq_const(vec_col, [float(v) for v in query_vec])
     vec_top = (
         embeddings.select(F.col(vec_id_col).alias("id"), dist.alias("d"))
         .orderBy(F.asc("d"), F.asc("id"))

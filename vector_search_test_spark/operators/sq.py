@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from vector_search_test_spark.functions.vector import const_double_array
+
 
 def sq8_encode(
     df: DataFrame,
@@ -73,7 +75,7 @@ def sq8_l2_topk(
     (code*scale), global top-k: TakeOrderedAndProject over the
     compressed scan — the float table is never read. Returns
     (id, dist) ascending, ties broken by id."""
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    q = const_double_array(query_vec)
     scl = F.col("scale").cast("double")  # decode in double, explicitly —
     # int*float would stay float32 in Spark but engines differ on
     # promotion; double-everywhere is what the DuckDB twin replays
@@ -261,7 +263,7 @@ def bq_rerank(
     from vector_search_test_spark.functions.vector import l2_sq_const
 
     shortlist = bq_hamming_topk(bits_df, query_vec, k=r, id_col=id_col)
-    dist = l2_sq_const(F.col(vec_col), [float(v) for v in query_vec])
+    dist = l2_sq_const(vec_col, [float(v) for v in query_vec])
     return (
         corpus.join(F.broadcast(shortlist.select(id_col)), id_col)
         .select(F.col(id_col), dist.alias("dist"))
