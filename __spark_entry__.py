@@ -404,6 +404,35 @@ def _q_ivf_search_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MRL_CUTS = (8, 16, 32, 64)
+
+
+def _q_mrl_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka / prefix-dimension recall curve (Kusupati et al. 2022
+    — operators/evaluate.py::mrl_recall_curve): mean recall@k of exact
+    search in each embedding PREFIX (8/16/32/64 dims) vs the full-width
+    ground truth — the storage/latency laddering gauge MRL deployments
+    tune against (shortlist in dim/8 of the bytes, rerank at full
+    width). One broadcast-join corpus pass scores every cut from
+    cumulative segment sums; the oracle replays the IDENTICAL
+    segment-grouped distance chains (the parity contract — grouping
+    differs from the flat l2_sq chain, so both sides share it), all
+    four per-cut top-k rankings, and the quantized recall aggregation.
+    The fixture embeddings carry signal in every dimension block, so
+    the curve is non-trivial (recall < 1 below the full width)."""
+    from vector_search_test_spark.io import spread
+    from vector_search_test_spark.operators.evaluate import mrl_recall_curve
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return mrl_recall_curve(
+        q, emb.select("vec_id", "embedding"), k=_PP_K, cuts=_MRL_CUTS
+    )
+
+
 def _q_ivf_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF list-balance summary (faiss imbalance-factor convention) on
     the shared-trainer index — the drift dashboard that triggers
@@ -4144,7 +4173,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_adc_topk": _q_pq_adc_topk,
         "neardup_minhash": _q_neardup_minhash,
         "session_window_stats": _q_session_window_stats,
-        # r11 addition: the trained quality filter (oracle-gated)
+        # r13 addition: the Matryoshka prefix-dimension recall curve
+        # (full oracle; overflow — joins the drain queue)
+        "mrl_recall_curve": _q_mrl_recall_curve,
     }
 
 
@@ -5387,6 +5418,67 @@ def _search_curve_oracle_sql(sf_dir: str | None = None) -> str:
     """
 
 
+def _mrl_oracle_sql() -> str:
+    """DuckDB twin of the Matryoshka prefix-dim recall curve: per-cut
+    distances as the SAME segment-grouped left-associative chains the
+    engine builds (vector.py::l2_sq_prefix_array — cut j = parenthesized
+    segment 1 + ... + segment j), one top-k block per cut, recall of
+    each cut against the largest cut's top-k, quantized means."""
+    cuts = _MRL_CUTS
+
+    def seg(lo: int, hi: int) -> str:
+        return (
+            "("
+            + " + ".join(
+                f"(CAST(q.embedding[{i + 1}] AS DOUBLE)"
+                f" - CAST(e.embedding[{i + 1}] AS DOUBLE))"
+                f" * (CAST(q.embedding[{i + 1}] AS DOUBLE)"
+                f" - CAST(e.embedding[{i + 1}] AS DOUBLE))"
+                for i in range(lo, hi)
+            )
+            + ")"
+        )
+
+    segs = []
+    lo = 0
+    for hi in cuts:
+        segs.append(seg(lo, hi))
+        lo = hi
+    dists = {c: " + ".join(segs[: j + 1]) for j, c in enumerate(cuts)}
+    blocks = []
+    for c in cuts:
+        blocks.append(f"""
+        topk_{c} AS (
+            SELECT q.vec_id AS query_id, e.vec_id
+            FROM embeddings q CROSS JOIN embeddings e
+            WHERE q.vec_id < 10
+            QUALIFY row_number() OVER (
+                PARTITION BY q.vec_id ORDER BY {dists[c]}, e.vec_id
+            ) <= {_PP_K}
+        )""")
+    last = cuts[-1]
+    selects = []
+    for c in cuts:
+        blocks.append(f"""
+        rec_{c} AS (
+            SELECT x.query_id, round(count(a.vec_id) / count(*), 6) AS recall
+            FROM topk_{last} x
+            LEFT JOIN topk_{c} a
+              ON x.query_id = a.query_id AND x.vec_id = a.vec_id
+            GROUP BY x.query_id
+        )""")
+        selects.append(f"""
+        SELECT {c}::BIGINT AS dim,
+               count(*)::BIGINT AS n_queries,
+               round(sum(round(recall * 1e6)::BIGINT)::DOUBLE / 1e6
+                     / count(*), 6) AS mean_recall
+        FROM rec_{c}""")
+    return f"""
+        WITH {",".join(blocks)}
+        {" UNION ALL ".join(selects)}
+    """
+
+
 def _recall_curve_oracle_sql(sf_dir: str | None = None) -> str:
     """DuckDB twin of the nprobe tuning curve: one shared exact/assign
     CTE pair, one probes/approx/recall block per nprobe, UNION ALL."""
@@ -6123,6 +6215,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "cluster_silhouette": _silh_sql,
         "ivf_recall_curve": _curve_sql,
         "ivf_search_curve": _scurve_sql,
+        "mrl_recall_curve": _mrl_oracle_sql(),
         "range_search_radius": f"""
             SELECT q.vec_id AS query_id, e.vec_id, round({dq}, 6) AS dist
             FROM embeddings q CROSS JOIN embeddings e

@@ -180,6 +180,85 @@ def test_recall_curve_degenerate_nlist_clamp(spark, tmp_path):
     assert rows[1] <= rows[2] + 1e-9 <= rows[4] + 2e-9
 
 
+def test_mrl_curve_anchor_and_planted_prefix(spark):
+    """Matryoshka prefix-dim recall curve: the largest cut IS the
+    ground truth (recall 1.0 by construction); when all the signal
+    lives in the first 8 dims (rest zero), every cut recalls 1.0."""
+    import numpy as np
+
+    from vector_search_test_spark.operators.evaluate import mrl_recall_curve
+
+    rng = np.random.default_rng(3)
+    n, cuts = 40, (8, 16, 32)
+    X = np.zeros((n, 32), dtype=np.float64)
+    X[:, :8] = rng.normal(size=(n, 8))  # signal only in the first block
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    rows = {
+        r.dim: r.mean_recall
+        for r in mrl_recall_curve(q, emb, k=4, cuts=cuts).collect()
+    }
+    assert set(rows) == set(cuts)
+    assert all(v == 1.0 for v in rows.values())
+
+
+def test_mrl_curve_matches_numpy_twin(spark):
+    """Cross-implementation equality on random data: numpy replays the
+    SAME segment-grouped distance accumulation (cumulative sum of
+    per-segment left-to-right sums), the same (dist, vec_id) tie-break,
+    and the same recall arithmetic."""
+    import numpy as np
+
+    from vector_search_test_spark.operators.evaluate import mrl_recall_curve
+
+    rng = np.random.default_rng(11)
+    n, dim, k, cuts = 60, 16, 5, (4, 8, 16)
+    X = rng.normal(size=(n, dim)).astype(np.float32).astype(np.float64)
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    q = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = {
+        r.dim: r.mean_recall
+        for r in mrl_recall_curve(q, emb, k=k, cuts=cuts).collect()
+    }
+
+    def topk(qi, cut):
+        # segment-grouped accumulation, matching l2_sq_prefix_array
+        d = np.zeros(n)
+        lo = 0
+        for hi in cuts:
+            if hi > cut:
+                break
+            seg = np.zeros(n)
+            for j in range(lo, hi):  # left-to-right within the segment
+                t = X[qi, j] - X[:, j]
+                seg = seg + t * t
+            d = d + seg
+            lo = hi
+        order = sorted(range(n), key=lambda i: (d[i], i))
+        return set(order[:k])
+
+    want = {}
+    for cut in cuts:
+        recs = []
+        for qi in range(6):
+            exact = topk(qi, cuts[-1])
+            recs.append(round(len(topk(qi, cut) & exact) / len(exact), 6))
+        want[cut] = round(
+            sum(int(round(r * 1e6)) for r in recs) / 1e6 / len(recs), 6
+        )
+    assert got == want
+
+
 def test_cluster_top_terms_semantics_and_determinism(spark):
     """Known geometry: two well-separated cells; term ranking is
     document frequency within the cell with (df DESC, term ASC)

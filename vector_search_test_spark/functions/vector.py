@@ -155,6 +155,44 @@ def l2_sq_const(vec: Column | str, const: list[float]) -> Column:
     return expr
 
 
+def l2_sq_prefix_array(a: str, b: str, cuts: "tuple[int, ...]") -> Column:
+    """array<double> of squared-L2 distances over PREFIX dimensions —
+    one element per cut in `cuts` (strictly ascending), computed from
+    ONE walk of the arrays: the segment between consecutive cuts is its
+    own left-associative term chain, and cut j's distance is the
+    left-associative sum of segments 1..j (each segment parenthesized).
+    This is the one-pass multi-operating-point construction for the
+    dimension axis (the ivf_search_curve idea applied to Matryoshka
+    prefixes): O(cuts[-1]) arithmetic per pair instead of O(sum(cuts)).
+
+    NOTE the per-segment grouping differs from l2_sq_unrolled's flat
+    chain, so the last element is NOT guaranteed bit-identical to
+    l2_sq(a, b) — consumers' oracles must replay the identical segment
+    grouping (mrl_recall_curve's does). Built as ONE F.expr call (see
+    the plan-construction note at the top of this module). Both inputs
+    are column NAMES; arrays shorter than cuts[-1] yield NULL entries.
+    """
+    cuts = tuple(int(c) for c in cuts)
+    assert cuts and all(c > 0 for c in cuts)
+    assert all(x < y for x, y in zip(cuts, cuts[1:])), "cuts must ascend"
+    ia, ib = _sql_ident(a), _sql_ident(b)
+    segs = []
+    lo = 0
+    for hi in cuts:
+        segs.append(
+            "("
+            + " + ".join(
+                f"(CAST({ia}[{i}] AS DOUBLE) - CAST({ib}[{i}] AS DOUBLE))"
+                f" * (CAST({ia}[{i}] AS DOUBLE) - CAST({ib}[{i}] AS DOUBLE))"
+                for i in range(lo, hi)
+            )
+            + ")"
+        )
+        lo = hi
+    entries = [" + ".join(segs[: j + 1]) for j in range(len(segs))]
+    return F.expr("array(" + ", ".join(entries) + ")")
+
+
 def dot(a: Column | str, b: Column | str) -> Column:
     """Inner product of two array<float> columns (double math)."""
     a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b

@@ -19,8 +19,10 @@ value hashes identically across engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from vector_search_test_spark.functions.vector import l2_sq_prefix_array
 
 
 def recall_at_k(
@@ -55,6 +57,101 @@ def recall_at_k(
         F.round(
             F.coalesce("n_hit", F.lit(0)) / F.col("n_exact"), 6
         ).alias("recall"),
+    )
+
+
+def mrl_recall_curve(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    cuts: "tuple[int, ...]" = (8, 16, 32, 64),
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka / prefix-dimension recall curve (Kusupati et al.
+    2022, Matryoshka Representation Learning): mean recall@k of exact
+    search in each PREFIX of the embedding space against full-width
+    ground truth (the largest cut) — the measurement behind "how few
+    dimensions can we keep": MRL-style deployments shortlist in a low
+    prefix (dim/8 of the scan bytes) and rerank survivors at full
+    width, and this curve is the evidence for choosing the cut.
+
+    ONE broadcast-join corpus pass computes EVERY cut's distance from
+    cumulative segment sums (vector.py::l2_sq_prefix_array — O(d_max)
+    arithmetic per pair, not O(sum(cuts))), posexplode replicates each
+    scored pair into its cuts, and one window top-k per (cut, query)
+    ranks them — the ivf_search_curve one-pass pattern applied to the
+    dimension axis instead of the probe-depth axis. At 100 TB this is
+    one corpus scan for the whole curve instead of len(cuts) scans.
+
+    Output: (dim, n_queries, mean_recall), one row per cut, recall of
+    the largest cut = 1.0 by construction (it IS the ground truth).
+    Per-query recalls are 6dp-rounded and aggregated via 1e-6-quantized
+    integer sums so the grouped mean is order-free across engines.
+    """
+    cuts = tuple(int(c) for c in cuts)
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("__qv"),
+    )
+    darr = l2_sq_prefix_array("__qv", vec_col, cuts)
+    dim_of = F.element_at(
+        F.array(*[F.lit(c) for c in cuts]), F.col("__cut") + 1
+    )
+    scored = (
+        corpus.join(F.broadcast(q))
+        .select(
+            "query_id",
+            F.col(id_col).alias("vec_id"),
+            F.posexplode(darr).alias("__cut", "dist"),
+        )
+    )
+    w = Window.partitionBy("__cut", "query_id").orderBy(
+        F.col("dist").asc(), F.col("vec_id").asc()
+    )
+    hits = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(dim_of.alias("dim"), "query_id", "vec_id")
+    )
+    exact = hits.filter(F.col("dim") == cuts[-1]).select(
+        "query_id", "vec_id"
+    )
+    n_hit = (
+        exact.join(hits, ["query_id", "vec_id"])
+        .groupBy("dim", "query_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    base = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    per_q = (
+        base.select(
+            "query_id",
+            "n_exact",
+            F.explode(F.array(*[F.lit(c) for c in cuts])).alias("dim"),
+        )
+        .join(n_hit, ["dim", "query_id"], "left")
+        .select(
+            "dim",
+            F.round(
+                F.coalesce("n_hit", F.lit(0)) / F.col("n_exact"), 6
+            ).alias("recall"),
+        )
+    )
+    return (
+        per_q.groupBy("dim")
+        .agg(
+            F.count("*").cast("long").alias("n_queries"),
+            F.round(
+                F.sum(F.round(F.col("recall") * 1e6, 0).cast("long"))
+                .cast("double")
+                / F.lit(1e6)
+                / F.count("*"),
+                6,
+            ).alias("mean_recall"),
+        )
+        .select(F.col("dim").cast("long").alias("dim"), "n_queries", "mean_recall")
     )
 
 
