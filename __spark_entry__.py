@@ -1951,6 +1951,54 @@ def _minhash_tables_docs(spark: SparkSession, sf_dir: str):
     return _MINHASH_MEMO[key]
 
 
+def _q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest NEAR-dup gate (dedup.py::incremental_neardup)
+    — the LSH sibling of incremental_dedup and the production shape of
+    continuous ingestion: the standing corpus is docs 0..399, whose
+    persistent LSH index comes from the shared build-once memo
+    semi-filtered to the standing ids (signatures are per-document, so
+    the filtered superset tables ARE the standing index — the
+    persistent-asset reuse seam); the incoming batch is docs 400..899
+    (an ingest batch MUCH SMALLER than the standing corpus — the
+    realistic shape, and what bounds the batch-hashing cost) plus
+    a deterministic re-ingest of docs 0..49 (ids +10000 — planted
+    cross near-dups at jaccard 1.0, since the fixture has no natural
+    exact overlaps across the split). Each incoming doc keeps iff no
+    banded candidate verifies at exact fingerprint-set Jaccard >= 0.9
+    against the standing index or an EARLIER-id batch doc (the
+    semdedup one-join cascade rule, documented on the operator). The
+    oracle replays hashing, banding, both candidate joins,
+    verification, and the best-match window."""
+    from vector_search_test_spark.operators.dedup import (
+        MinhashTables,
+        incremental_neardup,
+    )
+
+    t = _minhash_tables_docs(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    old_ids = docs.filter(F.col("doc_id") < 400).select(
+        F.col("doc_id").alias("id")
+    )
+    existing = MinhashTables(
+        sh=t.sh.join(old_ids, "id", "left_semi"),
+        bands_df=t.bands_df.join(old_ids, "id", "left_semi"),
+        sig=t.sig.join(old_ids, "id", "left_semi"),
+        n=t.n,
+        num_hashes=t.num_hashes,
+        bands=t.bands,
+    )
+    incoming = (
+        docs.filter((F.col("doc_id") >= 400) & (F.col("doc_id") < 900))
+        .select("doc_id", "text")
+        .unionByName(
+            docs.filter(F.col("doc_id") < 50).select(
+                (F.col("doc_id") + 10000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return incremental_neardup(incoming, existing, threshold=0.9)
+
+
 def _q_neardup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full near-dedup decision pipeline (operators/dedup.py::
     neardup_dedup_decisions): MinHash-LSH pairs -> connected components
@@ -4136,6 +4184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup_keys": _q_stream_dedup_keys,
         "source_centroids": _q_source_centroids,
         "incremental_dedup": _q_incremental_dedup,
+        "incremental_neardup": _q_incremental_neardup,
         "knn_filtered_topk": _q_knn_filtered_topk,
         "stream_enriched_counts": _q_stream_enriched_counts,
         "stream_stream_left_join": _q_stream_stream_left_join,
@@ -4263,6 +4312,86 @@ def _minhash_oracle_sql() -> str:
         JOIN sh sa ON c.a = sa.id
         JOIN sh sb ON c.b = sb.id
         WHERE {jac} >= 0.9
+    """
+
+
+def _incr_neardup_oracle_sql() -> str:
+    """DuckDB twin of _q_incremental_neardup: the standing corpus
+    (doc_id < 400) and the incoming batch (doc_id in [400, 900) plus
+    docs 0..49 re-ingested at ids +10000) hashed through the identical
+    fingerprint/signature/band construction, candidates = band matches
+    against the standing side OR earlier-id batch docs, exact-Jaccard
+    verification, best match per incoming doc by (jaccard DESC,
+    match_id ASC), keep = no match."""
+    from vector_search_test_spark.functions.hashing import minhash_member_sql
+    from vector_search_test_spark.operators.dedup import (
+        fingerprint_shingles_sql,
+    )
+
+    mins = ",\n                ".join(
+        f"list_min(list_transform(sh, h -> {minhash_member_sql('h', i)})) AS m{i}"
+        for i in range(16)
+    )
+    bands = "\n            UNION ALL ".join(
+        f"SELECT id, is_new, {b} AS band_id,"
+        f" concat_ws('-', m{4*b}, m{4*b+1}, m{4*b+2}, m{4*b+3}) AS band_key"
+        " FROM sig"
+        for b in range(4)
+    )
+    jac = (
+        "len(list_intersect(sa.sh, sb.sh))::DOUBLE"
+        " / len(list_distinct(sa.sh || sb.sh))"
+    )
+    return f"""
+        WITH alld AS (
+            SELECT doc_id, text, 0 AS is_new FROM documents WHERE doc_id < 400
+            UNION ALL
+            SELECT doc_id, text, 1 FROM documents
+            WHERE doc_id >= 400 AND doc_id < 900
+            UNION ALL
+            SELECT doc_id + 10000, text, 1 FROM documents WHERE doc_id < 50
+        ),
+        shf AS (
+            SELECT id, is_new, sh FROM (
+                SELECT doc_id AS id, is_new,
+                       {fingerprint_shingles_sql('text', 3)} AS sh
+                FROM alld
+            ) WHERE len(sh) > 0
+        ),
+        sig AS (
+            SELECT id, is_new, sh,
+                {mins}
+            FROM shf
+        ),
+        band AS (
+            {bands}
+        ),
+        cand AS (
+            SELECT DISTINCT x.id AS id, y.id AS match_id
+            FROM band x
+            JOIN band y
+              ON x.band_id = y.band_id AND x.band_key = y.band_key
+            WHERE x.is_new = 1
+              AND (y.is_new = 0 OR (y.is_new = 1 AND y.id < x.id))
+        ),
+        ver AS (
+            SELECT c.id, c.match_id, round({jac}, 6) AS jaccard
+            FROM cand c
+            JOIN shf sa ON c.id = sa.id
+            JOIN shf sb ON c.match_id = sb.id
+            WHERE {jac} >= 0.9
+        ),
+        best AS (
+            SELECT id, match_id, jaccard FROM ver
+            QUALIFY row_number() OVER (
+                PARTITION BY id ORDER BY jaccard DESC, match_id
+            ) = 1
+        )
+        SELECT s.id,
+               (CASE WHEN b.match_id IS NULL THEN 1 ELSE 0 END)::INT AS keep,
+               b.match_id, b.jaccard
+        FROM shf s LEFT JOIN best b ON s.id = b.id
+        WHERE s.is_new = 1
     """
 
 
@@ -6216,6 +6345,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "ivf_recall_curve": _curve_sql,
         "ivf_search_curve": _scurve_sql,
         "mrl_recall_curve": _mrl_oracle_sql(),
+        "incremental_neardup": _incr_neardup_oracle_sql(),
         "range_search_radius": f"""
             SELECT q.vec_id AS query_id, e.vec_id, round({dq}, 6) AS dist
             FROM embeddings q CROSS JOIN embeddings e

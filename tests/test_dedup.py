@@ -500,3 +500,53 @@ def test_prebuilt_superset_restriction_equals_rebuild(spark, sf_dir):
     # family-parameter mismatch: loud, not silent (r12 review finding)
     with pytest.raises(ValueError, match="prebuilt MinHash tables"):
         neardup_minhash(subset, bands=8, prebuilt=tables)
+
+
+def test_incremental_neardup_planted_and_cascade(spark):
+    """Incremental LSH near-dup gate (dedup.py::incremental_neardup):
+    re-ingested exact copies match their standing original at jaccard
+    1.0; genuinely new docs keep with NULL match; within the batch an
+    earlier doc drops a later near-dup, and drops CASCADE through
+    chains (the documented semdedup one-join rule: b drops c even
+    though a dropped b)."""
+    from vector_search_test_spark.operators.dedup import (
+        incremental_neardup,
+        minhash_tables,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    existing_rows = [
+        (1, base),
+        (2, "completely different standing text about spark and parquet files"),
+    ]
+    # a ~ b ~ c chain on its OWN vocabulary (unrelated to the standing
+    # docs), long enough that single-word edits stay above theta=0.9:
+    # 100 words, 98 shingles; one edit perturbs 3 shingles -> j ~ 0.94;
+    # two edits (a vs c) -> j ~ 0.89 < 0.9, so only CONSECUTIVE links
+    # verify and the chain is a real cascade, not a clique
+    chain = [f"zz{i}token" for i in range(100)]
+    a_words = list(chain)
+    b_words = list(chain); b_words[30] = "editone"
+    c_words = list(b_words); c_words[70] = "edittwo"
+    incoming_rows = [
+        (100, base),                 # exact copy of standing doc 1
+        (101, "an entirely novel document with no relatives anywhere"),
+        (102, " ".join(a_words)),    # chain head: no standing match
+        (103, " ".join(b_words)),    # dropped by 102
+        (104, " ".join(c_words)),    # dropped by 103 (itself dropped)
+    ]
+    existing = minhash_tables(
+        spark.createDataFrame(existing_rows, "doc_id long, text string")
+    )
+    incoming = spark.createDataFrame(incoming_rows, "doc_id long, text string")
+    got = {
+        r.id: (r.keep, r.match_id, r.jaccard)
+        for r in incremental_neardup(incoming, existing, threshold=0.9).collect()
+    }
+    assert got[100] == (0, 1, 1.0)            # exact re-ingest -> original
+    assert got[101][0] == 1 and got[101][1] is None and got[101][2] is None
+    assert got[102][0] == 1                    # chain head survives
+    assert got[103] == (0, 102, got[103][2]) and got[103][2] >= 0.9
+    # the cascade: 104's only verified match is 103 (itself dropped;
+    # 104 vs 102 sits below theta, so keep-one-per-group would differ)
+    assert got[104][0] == 0 and got[104][1] == 103

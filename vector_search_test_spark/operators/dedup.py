@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from vector_search_test_spark.functions.hashing import portable_hash48
@@ -1046,6 +1046,116 @@ def incremental_dedup(
     return (
         batch_unique.join(seen, "__norm", "left_anti")
         .select("id", portable_hash48(F.col("__norm")).alias("text_hash"))
+    )
+
+
+def incremental_neardup(
+    incoming: DataFrame,
+    existing: "MinhashTables",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Incremental-ingest NEAR-dup gate against a persistent LSH index —
+    the missing sibling of `incremental_dedup` (exact) and the
+    production shape of continuous corpus ingestion: the EXISTING
+    corpus's MinHash assets (`minhash_tables` — at 100 TB a bucketed
+    signature/band parquet written at ingest) are probed by the new
+    batch, which is never compared all-pairs against the corpus or
+    itself.
+
+    For each incoming doc: near-dup matches (exact fingerprint-set
+    Jaccard >= threshold, verified on banded candidates only) are
+    looked up (a) in the existing band table and (b) among EARLIER-id
+    docs of the same batch; keep = 1 iff no match. The within-batch
+    rule matches semdedup_prune's documented one-join deviation: an
+    earlier doc drops a later near-dup even if the earlier doc was
+    itself dropped (cascades are stricter than keep-one-per-group, but
+    stay single-pass and oracle-replayable; run `neardup_dedup_
+    decisions` over survivors when paper-exact group retention
+    matters).
+
+    Family parameters come FROM the existing assets (signatures must be
+    comparable, so the batch is hashed with the same (n, H, bands) —
+    there is nothing to validate against, the index dictates them).
+
+    Output: one row per incoming doc with a nonempty shingle set —
+    (id, keep int, match_id bigint NULL for keepers, jaccard double
+    NULL for keepers), match = the (jaccard desc, match_id asc)-best
+    verified match across both sides, jaccard rounded 6dp.
+
+    Scale shape: batch assets are batch-sized; both candidate
+    generators are band equi-joins (the existing band table is the
+    build side, bucketed on band_key at scale); exact verification
+    touches banded candidates only; the final assembly is one window
+    over matches + one left join back to batch ids."""
+    inc = minhash_tables(
+        incoming,
+        id_col=id_col,
+        text_col=text_col,
+        n=existing.n,
+        num_hashes=existing.num_hashes,
+        bands=existing.bands,
+    )
+    cand_old = (
+        inc.bands_df.alias("x")
+        .join(
+            existing.bands_df.alias("y"),
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_key") == F.col("y.band_key")),
+        )
+        .select(F.col("x.id").alias("id"), F.col("y.id").alias("match_id"))
+        .dropDuplicates()
+    )
+    cand_new = (
+        inc.bands_df.alias("x")
+        .join(
+            inc.bands_df.alias("y"),
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("y.id") < F.col("x.id")),  # earlier batch doc drops later
+        )
+        .select(F.col("x.id").alias("id"), F.col("y.id").alias("match_id"))
+        .dropDuplicates()
+    )
+    sh_x = inc.sh.select(F.col("id"), F.col("sh").alias("sh_x"))
+    sh_old = existing.sh.select(
+        F.col("id").alias("match_id"), F.col("sh").alias("sh_y")
+    )
+    sh_new = inc.sh.select(
+        F.col("id").alias("match_id"), F.col("sh").alias("sh_y")
+    )
+    jac = F.size(F.array_intersect("sh_x", "sh_y")) / F.size(
+        F.array_union("sh_x", "sh_y")
+    )
+    verified = (
+        cand_old.join(sh_old, "match_id")
+        .unionByName(cand_new.join(sh_new, "match_id"))
+        .join(sh_x, "id")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id", "match_id", F.round("jaccard", 6).alias("jaccard"))
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("jaccard").desc(), F.col("match_id").asc()
+    )
+    best = (
+        verified.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return (
+        inc.sh.select("id")
+        .join(best, "id", "left")
+        .select(
+            "id",
+            F.when(F.col("match_id").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("keep"),
+            "match_id",
+            "jaccard",
+        )
     )
 
 
