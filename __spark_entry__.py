@@ -2778,6 +2778,103 @@ def _q_stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(qname).select("list_id", "vec_id")
 
 
+def _q_stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup ingest over a GROWING persistent LSH index
+    (streaming/ingest.py::stream_neardup_ingest): the standing corpus
+    (docs 0..399) is written once as a `minhash_store` parquet; two
+    ordered micro-batches then arrive — batch 0 = docs 400..649 + docs
+    0..24 re-ingested at ids +10000 (planted matches against the
+    standing store), batch 1 = docs 650..899 + docs 400..424 at +20000
+    (matches whatever batch 0 KEPT — the cross-batch keeper-only
+    propagation) + docs 0..9 at +30000 (standing matches through a
+    two-batch-old store). Each epoch probes the store, writes its
+    decisions, and appends its keepers' signatures, all to replay-safe
+    per-epoch directories. The oracle UNROLLS both epochs (the
+    bounded-rounds pattern): batch-0 decisions from (standing ∪
+    earlier-batch-0), keepers feed batch-1's candidate set exactly as
+    the store append does."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from vector_search_test_spark.operators.dedup import (
+        MinhashTables,
+        minhash_store,
+    )
+    from vector_search_test_spark.streaming.ingest import (
+        stream_neardup_ingest,
+    )
+
+    t = _minhash_tables_docs(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    old_ids = docs.filter(F.col("doc_id") < 400).select(
+        F.col("doc_id").alias("id")
+    )
+    standing = MinhashTables(
+        sh=t.sh.join(old_ids, "id", "left_semi"),
+        bands_df=t.bands_df.join(old_ids, "id", "left_semi"),
+        sig=t.sig.join(old_ids, "id", "left_semi"),
+        n=t.n,
+        num_hashes=t.num_hashes,
+        bands=t.bands,
+    )
+    tmp = tempfile.mkdtemp(prefix="sg_ndstream_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    inp = os.path.join(tmp, "in")
+    os.makedirs(inp, exist_ok=True)
+    assets = os.path.join(tmp, "assets")
+    out = os.path.join(tmp, "dec")
+    minhash_store(standing).coalesce(4).write.parquet(
+        os.path.join(assets, "ingest_batch=-1")
+    )
+    batch_a = (
+        docs.filter((F.col("doc_id") >= 400) & (F.col("doc_id") < 650))
+        .select("doc_id", "text")
+        .unionByName(
+            docs.filter(F.col("doc_id") < 25).select(
+                (F.col("doc_id") + 10000).alias("doc_id"), "text"
+            )
+        )
+    )
+    batch_b = (
+        docs.filter((F.col("doc_id") >= 650) & (F.col("doc_id") < 900))
+        .select("doc_id", "text")
+        .unionByName(
+            docs.filter((F.col("doc_id") >= 400) & (F.col("doc_id") < 425))
+            .select((F.col("doc_id") + 20000).alias("doc_id"), "text")
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") < 10).select(
+                (F.col("doc_id") + 30000).alias("doc_id"), "text"
+            )
+        )
+    )
+    for i, b in enumerate((batch_a, batch_b)):
+        stage = os.path.join(tmp, f"stage{i}")
+        b.coalesce(1).write.parquet(stage)
+        (pq_file,) = [
+            f for f in os.listdir(stage) if f.endswith(".parquet")
+        ]
+        dst = os.path.join(inp, f"{i:02d}.parquet")
+        os.rename(os.path.join(stage, pq_file), dst)
+        # mtime order = processing order for the file-stream source
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    q = (
+        stream_neardup_ingest(spark, inp, assets, out)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out).select(
+        "id",
+        "keep",
+        "match_id",
+        "jaccard",
+        F.col("ingest_batch").cast("long").alias("batch"),
+    )
+
+
 def _q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ingest-time quality gate (streaming/ingest.py::
     stream_quality_gate): stateless quality scoring plus BOTH
@@ -4185,6 +4282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_centroids": _q_source_centroids,
         "incremental_dedup": _q_incremental_dedup,
         "incremental_neardup": _q_incremental_neardup,
+        "stream_neardup_ingest": _q_stream_neardup_ingest,
         "knn_filtered_topk": _q_knn_filtered_topk,
         "stream_enriched_counts": _q_stream_enriched_counts,
         "stream_stream_left_join": _q_stream_stream_left_join,
@@ -4392,6 +4490,110 @@ def _incr_neardup_oracle_sql() -> str:
                b.match_id, b.jaccard
         FROM shf s LEFT JOIN best b ON s.id = b.id
         WHERE s.is_new = 1
+    """
+
+
+def _stream_neardup_oracle_sql() -> str:
+    """DuckDB twin of _q_stream_neardup_ingest — the bounded-rounds
+    UNROLL of the two micro-batch epochs: batch 0's decisions come from
+    (standing ∪ earlier-batch-0), its KEEPERS join the store, and batch
+    1's candidate set is (standing ∪ batch-0 keepers ∪ earlier-batch-1)
+    — exactly the keeper-only append semantics of the foreachBatch
+    sink. Hashing/banding/verification/window replay the same
+    construction as the incremental_neardup oracle."""
+    from vector_search_test_spark.functions.hashing import minhash_member_sql
+    from vector_search_test_spark.operators.dedup import (
+        fingerprint_shingles_sql,
+    )
+
+    mins = ",\n                ".join(
+        f"list_min(list_transform(sh, h -> {minhash_member_sql('h', i)})) AS m{i}"
+        for i in range(16)
+    )
+    bands = "\n            UNION ALL ".join(
+        f"SELECT id, batch, {b} AS band_id,"
+        f" concat_ws('-', m{4*b}, m{4*b+1}, m{4*b+2}, m{4*b+3}) AS band_key"
+        " FROM sig"
+        for b in range(4)
+    )
+    jac = (
+        "len(list_intersect(sa.sh, sb.sh))::DOUBLE"
+        " / len(list_distinct(sa.sh || sb.sh))"
+    )
+
+    def epoch(b: int, earlier: str) -> str:
+        return f"""
+        cand{b} AS (
+            SELECT DISTINCT x.id AS id, y.id AS match_id
+            FROM band x
+            JOIN band y
+              ON x.band_id = y.band_id AND x.band_key = y.band_key
+            WHERE x.batch = {b}
+              AND ({earlier} OR (y.batch = {b} AND y.id < x.id))
+        ),
+        ver{b} AS (
+            SELECT c.id, c.match_id, round({jac}, 6) AS jaccard
+            FROM cand{b} c
+            JOIN shf sa ON c.id = sa.id
+            JOIN shf sb ON c.match_id = sb.id
+            WHERE {jac} >= 0.9
+        ),
+        best{b} AS (
+            SELECT id, match_id, jaccard FROM ver{b}
+            QUALIFY row_number() OVER (
+                PARTITION BY id ORDER BY jaccard DESC, match_id
+            ) = 1
+        ),
+        dec{b} AS (
+            SELECT s.id,
+                   (CASE WHEN x.match_id IS NULL THEN 1 ELSE 0 END)::INT
+                       AS keep,
+                   x.match_id, x.jaccard
+            FROM shf s LEFT JOIN best{b} x ON s.id = x.id
+            WHERE s.batch = {b}
+        )"""
+
+    return f"""
+        WITH alld AS (
+            SELECT doc_id, text, -1 AS batch FROM documents
+            WHERE doc_id < 400
+            UNION ALL
+            SELECT doc_id, text, 0 FROM documents
+            WHERE doc_id >= 400 AND doc_id < 650
+            UNION ALL
+            SELECT doc_id + 10000, text, 0 FROM documents WHERE doc_id < 25
+            UNION ALL
+            SELECT doc_id, text, 1 FROM documents
+            WHERE doc_id >= 650 AND doc_id < 900
+            UNION ALL
+            SELECT doc_id + 20000, text, 1 FROM documents
+            WHERE doc_id >= 400 AND doc_id < 425
+            UNION ALL
+            SELECT doc_id + 30000, text, 1 FROM documents WHERE doc_id < 10
+        ),
+        shf AS (
+            SELECT id, batch, sh FROM (
+                SELECT doc_id AS id, batch,
+                       {fingerprint_shingles_sql('text', 3)} AS sh
+                FROM alld
+            ) WHERE len(sh) > 0
+        ),
+        sig AS (
+            SELECT id, batch, sh,
+                {mins}
+            FROM shf
+        ),
+        band AS (
+            {bands}
+        ),{epoch(0, "y.batch = -1")},
+        kept0 AS (SELECT id FROM dec0 WHERE keep = 1),{epoch(
+            1,
+            "(y.batch = -1 OR (y.batch = 0"
+            " AND y.id IN (SELECT id FROM kept0)))",
+        )}
+        SELECT id, keep, match_id, jaccard, 0::BIGINT AS batch FROM dec0
+        UNION ALL
+        SELECT id, keep, match_id, jaccard, 1::BIGINT AS batch FROM dec1
     """
 
 
@@ -6346,6 +6548,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "ivf_search_curve": _scurve_sql,
         "mrl_recall_curve": _mrl_oracle_sql(),
         "incremental_neardup": _incr_neardup_oracle_sql(),
+        "stream_neardup_ingest": _stream_neardup_oracle_sql(),
         "range_search_radius": f"""
             SELECT q.vec_id AS query_id, e.vec_id, round({dq}, 6) AS dist
             FROM embeddings q CROSS JOIN embeddings e

@@ -484,3 +484,69 @@ def test_stream_anomaly_gate_matches_batch(spark, sf_dir, tmp_path):
         > 3.0 * 1.4826 * lut[r.event_type][1]
     )
     assert got == want and len(got) > 0
+
+
+def test_stream_neardup_ingest_keeper_only_propagation(spark, tmp_path):
+    """The growing-store semantics of stream_neardup_ingest: a batch-1
+    doc near a DROPPED batch-0 doc (but below theta vs that doc's
+    standing match) must be KEPT — only keepers' signatures join the
+    store, so drops do not propagate across batches (within a batch
+    they still cascade). Exact copies of a batch-0 KEEPER are dropped
+    with the keeper as match."""
+    import os
+
+    from vector_search_test_spark.operators.dedup import (
+        minhash_store,
+        minhash_tables,
+    )
+    from vector_search_test_spark.streaming.ingest import (
+        stream_neardup_ingest,
+    )
+
+    base = [f"qq{i}word" for i in range(100)]
+    x_words = list(base); x_words[20] = "editx"          # j(X,S) ~ 0.94
+    y_words = list(x_words); y_words[60] = "edity"       # j(Y,X) ~ 0.94, j(Y,S) ~ 0.885
+    keeper = [f"kk{i}tok" for i in range(60)]            # unrelated batch-0 keeper
+    standing_df = spark.createDataFrame(
+        [(1, " ".join(base))], "doc_id long, text string"
+    )
+    batch0 = spark.createDataFrame(
+        [(100, " ".join(x_words)), (101, " ".join(keeper))],
+        "doc_id long, text string",
+    )
+    batch1 = spark.createDataFrame(
+        [(200, " ".join(y_words)), (201, " ".join(keeper))],
+        "doc_id long, text string",
+    )
+    assets = str(tmp_path / "assets")
+    out = str(tmp_path / "dec")
+    inp = tmp_path / "in"
+    inp.mkdir()
+    minhash_store(minhash_tables(standing_df)).coalesce(1).write.parquet(
+        os.path.join(assets, "ingest_batch=-1")
+    )
+    for i, b in enumerate((batch0, batch1)):
+        stage = tmp_path / f"stage{i}"
+        b.coalesce(1).write.parquet(str(stage))
+        (pq,) = [f for f in os.listdir(stage) if f.endswith(".parquet")]
+        os.rename(stage / pq, inp / f"{i:02d}.parquet")
+        os.utime(inp / f"{i:02d}.parquet", (1_700_000_000 + i,) * 2)
+    q = (
+        stream_neardup_ingest(spark, str(inp), assets, out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.id: (r.keep, r.match_id)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got[100] == (0, 1)      # batch 0: X dropped by standing S
+    assert got[101] == (1, None)   # batch 0: keeper survives
+    # the point of the test: Y is near the DROPPED X, below theta vs S
+    assert got[200] == (1, None)
+    assert got[201] == (0, 101)    # exact copy of a batch-0 keeper
+    # the store grew by exactly the keepers (standing + 101 + 200)
+    store = spark.read.parquet(assets)
+    assert sorted(r.id for r in store.select("id").collect()) == [1, 101, 200]

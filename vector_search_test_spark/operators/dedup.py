@@ -420,6 +420,52 @@ def minhash_tables(
     )
 
 
+def minhash_store(tables: "MinhashTables") -> DataFrame:
+    """The PERSISTABLE form of the MinHash corpus assets: one table
+    (id, sh, m0..m{H-1}) = the fingerprint sets joined to the
+    signatures. Bands are NOT stored — they are a cheap projection of
+    the signature columns and `minhash_tables_from_store` re-derives
+    them on read (storing them would triple the row count for data the
+    reader reconstructs in one codegen projection). This is the parquet
+    an ingest job writes once per corpus; see stream_neardup_ingest for
+    the continuously-growing variant."""
+    return tables.sh.join(tables.sig, "id")
+
+
+def minhash_tables_from_store(
+    store: DataFrame, n: int = 3, num_hashes: int = 16, bands: int = 4
+) -> MinhashTables:
+    """Reconstruct the `MinhashTables` bundle from a persisted store
+    table (id, sh, m0..m{H-1}) — the READ side of the persistent-asset
+    lifecycle: consumers derive the fingerprint and band projections
+    from storage instead of re-hashing text (zero md5 calls). The
+    family parameters are the CALLER's assertion about how the store
+    was written (they are not derivable from the bytes); pass the same
+    (n, H, bands) the writer used — every consumer with a `prebuilt`
+    seam re-validates them. No checkpointing: a parquet-backed store is
+    already stable, and each derived table is one narrow projection."""
+    rows = num_hashes // bands
+    keys = F.array(
+        *[
+            F.concat_ws(
+                "-",
+                *[F.col(f"m{b * rows + r}").cast("string") for r in range(rows)],
+            )
+            for b in range(bands)
+        ]
+    )
+    return MinhashTables(
+        sh=store.select("id", "sh"),
+        bands_df=store.select(
+            "id", F.posexplode(keys).alias("band_id", "band_key")
+        ),
+        sig=store.drop("sh"),
+        n=int(n),
+        num_hashes=int(num_hashes),
+        bands=int(bands),
+    )
+
+
 def neardup_minhash(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1055,6 +1101,7 @@ def incremental_neardup(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.9,
+    inc: "MinhashTables | None" = None,
 ) -> DataFrame:
     """Incremental-ingest NEAR-dup gate against a persistent LSH index —
     the missing sibling of `incremental_dedup` (exact) and the
@@ -1078,6 +1125,10 @@ def incremental_neardup(
     Family parameters come FROM the existing assets (signatures must be
     comparable, so the batch is hashed with the same (n, H, bands) —
     there is nothing to validate against, the index dictates them).
+    `inc` optionally passes the batch's OWN prebuilt tables (validated
+    against the index's parameters) so a caller that also persists the
+    batch signatures — stream_neardup_ingest appends keepers to the
+    store — hashes the batch exactly once.
 
     Output: one row per incoming doc with a nonempty shingle set —
     (id, keep int, match_id bigint NULL for keepers, jaccard double
@@ -1089,14 +1140,23 @@ def incremental_neardup(
     build side, bucketed on band_key at scale); exact verification
     touches banded candidates only; the final assembly is one window
     over matches + one left join back to batch ids."""
-    inc = minhash_tables(
-        incoming,
-        id_col=id_col,
-        text_col=text_col,
-        n=existing.n,
-        num_hashes=existing.num_hashes,
-        bands=existing.bands,
-    )
+    if inc is None:
+        inc = minhash_tables(
+            incoming,
+            id_col=id_col,
+            text_col=text_col,
+            n=existing.n,
+            num_hashes=existing.num_hashes,
+            bands=existing.bands,
+        )
+    else:
+        want = (existing.n, existing.num_hashes, existing.bands)
+        got = (inc.n, inc.num_hashes, inc.bands)
+        if got != want:
+            raise ValueError(
+                f"prebuilt batch tables were built with (n, H, bands)="
+                f"{got} but the standing index uses {want}"
+            )
     cand_old = (
         inc.bands_df.alias("x")
         .join(

@@ -210,6 +210,80 @@ def stream_quality_gate(
     )
 
 
+def stream_neardup_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    assets_dir: str,
+    out_dir: str,
+    threshold: float = 0.9,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_files_per_trigger: int = 1,
+):
+    """Streaming near-dup ingest over a GROWING persistent LSH index —
+    the continuous form of `incremental_neardup` and the shape a
+    production corpus feed actually runs: every micro-batch (a) probes
+    the standing signature store (`assets_dir`, key=value
+    `ingest_batch=N` subdirs of `minhash_store` parquet; the initial
+    corpus sits at ingest_batch=-1), (b) writes one keep/drop decision
+    row per doc to `out_dir`, and (c) APPENDS the keepers' signatures
+    to the store, so later batches dedup against everything kept so
+    far. Keeper-only appends keep match semantics stable: a future
+    duplicate matches the kept representative, not a dropped copy
+    (within a batch, drops still cascade — the operator's documented
+    one-join rule).
+
+    Replay safety: both writes go to per-epoch `ingest_batch=<epoch>`
+    directories in overwrite mode, so a crashed-and-retried epoch
+    rewrites its own output instead of duplicating rows (the
+    snapshot-sink idempotence pattern without needing a marker: the
+    epoch id IS the partition). The batch is hashed exactly once (its
+    prebuilt tables serve both the decision join and the store append).
+
+    Returns a DataStreamWriter (foreachBatch); the caller sets
+    checkpointLocation + trigger and starts it. Decisions read back as
+    (id, keep, match_id, jaccard) partitioned by ingest_batch."""
+    from vector_search_test_spark.operators.dedup import (
+        incremental_neardup,
+        minhash_store,
+        minhash_tables,
+        minhash_tables_from_store,
+    )
+
+    stream = (
+        spark.readStream.schema(DOCUMENT_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", int(max_files_per_trigger))
+        .parquet(input_dir)
+        .select("doc_id", "text")
+    )
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        sess = batch_df.sparkSession
+        standing = minhash_tables_from_store(
+            sess.read.parquet(assets_dir).drop("ingest_batch"),
+            n=n,
+            num_hashes=num_hashes,
+            bands=bands,
+        )
+        inc = minhash_tables(
+            batch_df, n=n, num_hashes=num_hashes, bands=bands
+        )
+        dec = incremental_neardup(
+            batch_df, standing, threshold=threshold, inc=inc
+        ).localCheckpoint()  # consumed by the decision write AND the
+        # keeper semi-join; unpinned it would re-run the LSH joins
+        dec.write.mode("overwrite").parquet(
+            f"{out_dir}/ingest_batch={int(epoch_id)}"
+        )
+        kept = dec.filter(F.col("keep") == 1).select("id")
+        minhash_store(inc).join(kept, "id", "left_semi").write.mode(
+            "overwrite"
+        ).parquet(f"{assets_dir}/ingest_batch={int(epoch_id)}")
+
+    return stream.writeStream.foreachBatch(_apply)
+
+
 def stream_anomaly_gate(
     spark: SparkSession,
     input_dir: str,
