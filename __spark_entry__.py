@@ -1203,6 +1203,50 @@ def _q_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLOOM_M_BITS = 16384
+_BLOOM_K = 3
+_BLOOM_BENCH_PRED = "doc_id < 40"
+
+
+def _q_bloom_prefilter_contamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bloom-prefiltered benchmark decontamination (operators/
+    sampling.py::bloom_contamination_report): the shape exact
+    decontamination takes when the reference shingle set is too large to
+    broadcast exactly — a fixed m-bit bitmap (m=16384, k=3 probes over
+    the portable affine hash family) is built from the benchmark side
+    and tested JVM-side per corpus shingle; only the passing sliver
+    reaches the exact-verification broadcast semi-join. The report
+    carries the filter's measured health per document (n_pass, n_hits,
+    n_false_pos), and overlap/contaminated are guaranteed identical to
+    the exact report (no false negatives by construction). The oracle
+    replays bitmap decisions bit-for-bit via the same probe positions."""
+    from vector_search_test_spark.operators.sampling import (
+        bloom_contamination_report,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.expr(_BLOOM_BENCH_PRED)).select("text")
+    rep = bloom_contamination_report(
+        docs,
+        bench,
+        n=_CONTAM_N,
+        m_bits=_BLOOM_M_BITS,
+        k=_BLOOM_K,
+        threshold=_CONTAM_THETA,
+    )
+    return rep.select(
+        "id",
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        F.col("n_pass").cast("long").alias("n_pass"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+        F.col("n_false_pos").cast("long").alias("n_false_pos"),
+        "overlap",
+        "contaminated",
+    )
+
+
 _CHUNK_SIZE = 64
 _CHUNK_OVERLAP = 8
 
@@ -4323,6 +4367,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r13 addition: the Matryoshka prefix-dimension recall curve
         # (full oracle; overflow — joins the drain queue)
         "mrl_recall_curve": _q_mrl_recall_curve,
+        # r13 addition: Bloom-prefiltered decontamination (full oracle;
+        # overflow — joins the drain queue)
+        "bloom_prefilter_contamination": _q_bloom_prefilter_contamination,
     }
 
 
@@ -6432,6 +6479,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "corpus_e2e_curation": _e2e_curation_oracle_sql(),
         "corpus_split_stats": _split_stats_oracle_sql(),
         "contamination_overlap": _contamination_oracle_sql(),
+        "bloom_prefilter_contamination": _bloom_contamination_oracle_sql(),
         "pii_redaction_hashes": _pii_oracle_sql(),
         "doc_chunks": _chunks_oracle_sql(),
         "packed_sequences": _packing_oracle_sql(),
@@ -6733,6 +6781,20 @@ def _contamination_oracle_sql() -> str:
         n=_CONTAM_N,
         threshold=_CONTAM_THETA,
         bench_sql=f"SELECT text FROM documents WHERE {_CONTAM_BENCH_PRED}",
+    )
+
+
+def _bloom_contamination_oracle_sql() -> str:
+    from vector_search_test_spark.operators.sampling import (
+        bloom_contamination_report_sql,
+    )
+
+    return bloom_contamination_report_sql(
+        n=_CONTAM_N,
+        m_bits=_BLOOM_M_BITS,
+        k=_BLOOM_K,
+        threshold=_CONTAM_THETA,
+        bench_sql=f"SELECT text FROM documents WHERE {_BLOOM_BENCH_PRED}",
     )
 
 

@@ -596,3 +596,164 @@ def test_null_stratum_is_its_own_group(spark):
     mix = temperature_mixture(df.select("doc_id", "source"), alpha=1.0)
     assert mix.count() == 8
     assert mix.filter(F.col("source").isNull()).count() == 4
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter contamination prefilter
+# --------------------------------------------------------------------------
+
+
+def test_bloom_report_matches_duckdb(spark, sf_dir):
+    """Full cross-engine value equality of the bloom-prefiltered report —
+    bitmap decisions included (n_pass / n_false_pos are bitmap-derived)."""
+    from vector_search_test_spark.operators.sampling import (
+        bloom_contamination_report,
+        bloom_contamination_report_sql,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter("doc_id < 8").select("text")
+    got = sorted(
+        tuple(str(x) for x in r)
+        for r in bloom_contamination_report(
+            docs, bench, n=3, m_bits=1024, k=3, threshold=0.5
+        ).collect()
+    )
+    con = _ddb(sf_dir)
+    want = sorted(
+        tuple(str(x) for x in r)
+        for r in con.execute(
+            bloom_contamination_report_sql(
+                n=3,
+                m_bits=1024,
+                k=3,
+                threshold=0.5,
+                bench_sql="SELECT text FROM documents WHERE doc_id < 8",
+            )
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_bloom_no_false_negatives_and_agrees_with_exact(spark, sf_dir):
+    """The prefilter must never lose a true match: n_hits (and so
+    overlap/contaminated) must equal the exact contamination_report even
+    through a deliberately tiny, saturated bitmap."""
+    from vector_search_test_spark.operators.sampling import (
+        bloom_contamination_report,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    bench = docs.filter("doc_id < 8").select("text")
+    bloom = {
+        r["id"]: (r["n_shingles"], r["n_hits"], r["overlap"], r["contaminated"])
+        for r in bloom_contamination_report(
+            docs, bench, n=3, m_bits=64, k=2, threshold=0.5
+        ).collect()
+    }
+    exact = {
+        r["id"]: (r["n_shingles"], r["n_hits"], r["overlap"], r["contaminated"])
+        for r in contamination_report(docs, bench, n=3, threshold=0.5).collect()
+    }
+    assert bloom == exact
+    # planted benchmark docs self-contaminate fully
+    for i in range(8):
+        assert exact[i][2] == 1.0 and exact[i][3] is True
+
+
+def test_bloom_pass_counts_bound_hits(spark, sf_dir):
+    """n_pass >= n_hits, n_false_pos = n_pass - n_hits >= 0, and with a
+    realistic bitmap the pass sliver is far below the shingle total
+    (the prefilter actually prefilters)."""
+    from vector_search_test_spark.operators.sampling import (
+        bloom_contamination_report,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter("doc_id < 8").select("text")
+    rows = bloom_contamination_report(
+        docs, bench, n=3, m_bits=16384, k=3, threshold=0.5
+    ).collect()
+    assert all(r["n_pass"] >= r["n_hits"] >= 0 for r in rows)
+    assert all(r["n_false_pos"] == r["n_pass"] - r["n_hits"] for r in rows)
+    clean = [r for r in rows if r["id"] >= 8]
+    assert sum(r["n_pass"] for r in clean) < 0.2 * sum(
+        r["n_shingles"] for r in clean
+    )
+
+
+def test_bloom_bitmap_bit63_and_word_boundaries(spark):
+    """The literal-bitmap probe must extract bits correctly across word
+    boundaries and at bit 63 (negative Java long)."""
+    from vector_search_test_spark.operators.sampling import bloom_pass_expr
+
+    # bitmap with ONLY bits 0, 63, 64, 127 set (words: 1|1<<63, 1|1<<63)
+    w = [(1 | (1 << 63)) - (1 << 64), (1 | (1 << 63)) - (1 << 64)]
+    df = spark.createDataFrame(
+        [(p,) for p in [0, 1, 62, 63, 64, 65, 126, 127]], "h long"
+    )
+    # k=1 probe whose position is the raw h value: monkey-patch via a
+    # direct expression — replicate bloom_pass_expr's bit test with the
+    # identity position
+    arr = "array(" + ",".join(f"{int(x)}L" for x in w) + ")"
+    got = {
+        r["h"]: r["p"]
+        for r in df.selectExpr(
+            "h",
+            f"((shiftright(element_at({arr}, CAST(h DIV 64 AS INT) + 1), "
+            f"CAST(h % 64 AS INT))) & 1L) = 1L AS p",
+        ).collect()
+    }
+    assert got == {0: True, 1: False, 62: False, 63: True,
+                   64: True, 65: False, 126: False, 127: True}
+    # and the real pass expr agrees with python-side set membership
+    from vector_search_test_spark.functions.hashing import minhash_ab, MINHASH_P
+    from vector_search_test_spark.operators.sampling import (
+        BLOOM_MEMBER_BASE,
+        bloom_build,
+    )
+
+    bench = spark.createDataFrame(
+        [("red green blue cyan magenta yellow",)], "text string"
+    )
+    words = bloom_build(bench, n=3, m_bits=256, k=3)
+    hs = spark.createDataFrame([(i * 7919,) for i in range(50)], "h long")
+    got2 = {
+        r["h"]: r["p"]
+        for r in hs.select(
+            "h", bloom_pass_expr("h", words, 256, 3).alias("p")
+        ).collect()
+    }
+    setbits = set()
+    for wi, wv in enumerate(words):
+        uv = wv + (1 << 64) if wv < 0 else wv
+        for b in range(64):
+            if (uv >> b) & 1:
+                setbits.add(wi * 64 + b)
+    for h, p in got2.items():
+        exp = all(
+            ((minhash_ab(BLOOM_MEMBER_BASE + j)[0] * (h % MINHASH_P)
+              + minhash_ab(BLOOM_MEMBER_BASE + j)[1]) % MINHASH_P) % 256
+            in setbits
+            for j in range(3)
+        )
+        assert p == exp
+
+
+def test_bloom_verify_join_sees_only_the_pass_sliver(spark, sf_dir):
+    """Scale-shape pin: the exact-verification broadcast join's probe side
+    is filtered by the bitmap predicate BEFORE the join (the sliver), and
+    the corpus side of the report is never shuffled at full width."""
+    from vector_search_test_spark.operators.sampling import (
+        bloom_contamination_report,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter("doc_id < 8").select("text")
+    rep = bloom_contamination_report(docs, bench, n=3, m_bits=16384, k=3)
+    plan = _plan(rep)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    # the bitmap test (shiftright over the literal array) appears as a
+    # filter in the plan, upstream of the semi join
+    assert "shiftright" in plan
+    assert plan.index("shiftright") > plan.index("BroadcastHashJoin")

@@ -892,3 +892,240 @@ SELECT {id_col}, n_grams, logw, score FROM scored
 QUALIFY row_number() OVER (ORDER BY score DESC, {id_col})
     <= (SELECT floor({float(frac)!r} * count(*)) FROM scored)
 """
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter contamination prefilter — the shape exact decontamination
+# takes when the reference set itself is too large to broadcast exactly.
+#
+# `contamination_report` above broadcasts the benchmark's DISTINCT shingle
+# set — right when the benchmark is MBs. When the reference side is a
+# blocklist of billions of shingles (held-out eval suites aggregated
+# across releases, copyright blocklists, the previous crawl's corpus), the
+# exact set no longer fits an executor broadcast. The production answer is
+# a Bloom filter: a fixed m-bit bitmap with k probe hashes, built once
+# over the reference side and broadcast to every task as plain bytes. A
+# corpus shingle that misses ANY probe bit is provably absent (no false
+# negatives), so the exact verification join only has to touch the sliver
+# of shingles the bitmap lets through; the false-positive rate is
+# (1 - e^{-kn/m})^k, tunable by sizing m. Spark itself uses the identical
+# trick for runtime join pruning (spark.sql.optimizer.runtime.bloomFilter)
+# — here it is surfaced as an operator with the FPR measured per document
+# (n_pass - n_hits), because at 100 TB you want the filter's health
+# observable, not assumed.
+#
+# Probe hashes reuse the affine family over the portable 48-bit base hash
+# (functions/hashing.py::minhash_member) at member indices
+# BLOOM_MEMBER_BASE+j, far above the MinHash signature range (0..H-1), so
+# bloom probes and MinHash signatures stay uncorrelated. Both engines
+# derive positions from the same arithmetic, so the DuckDB oracle replays
+# the bitmap decision bit-for-bit via set membership of the same
+# positions (a bitmap test IS set membership of its set bits).
+# --------------------------------------------------------------------------
+
+BLOOM_MEMBER_BASE = 1009  # prime offset, outside every signature family in use
+
+
+def _bloom_pos_sql(hexpr: str, j: int, m_bits: int) -> str:
+    """Position of probe j in the m-bit bitmap, as engine-portable SQL
+    (valid in both Spark SQL and DuckDB): affine member over the 48-bit
+    base hash, reduced mod m."""
+    from vector_search_test_spark.functions.hashing import minhash_member_sql
+
+    return f"({minhash_member_sql(hexpr, BLOOM_MEMBER_BASE + j)} % {int(m_bits)})"
+
+
+def bloom_build(
+    bench: DataFrame,
+    n: int = 3,
+    m_bits: int = 16384,
+    k: int = 3,
+    text_col: str = "text",
+) -> list[int]:
+    """Build the reference-side Bloom bitmap: distinct shingles → 48-bit
+    fingerprints → k probe positions each → set bits. Returns the bitmap
+    as ceil(m/64) SIGNED 64-bit words (Java long semantics, so the same
+    list can feed a literal array column or be written as an
+    array<bigint> artifact).
+
+    The collect is bounded by m_bits/64 + (distinct positions ≤ m_bits)
+    — it IS the broadcast artifact, never corpus-sized: on a cluster the
+    reference side is aggregated distributed-side and only the fixed-size
+    position set ever reaches the driver."""
+    if m_bits <= 0 or m_bits % 64:
+        raise ValueError("m_bits must be a positive multiple of 64")
+    if k <= 0:
+        raise ValueError("k must be >= 1")
+    from vector_search_test_spark.functions.hashing import portable_hash48
+
+    sh = (
+        bench.select(F.explode(shingles(text_col, n)).alias("s"))
+        .distinct()
+        .select(portable_hash48(F.col("s")).alias("h"))
+        .distinct()
+    )
+    pos_cols = [
+        F.expr(_bloom_pos_sql("h", j, m_bits)).alias(f"p{j}") for j in range(k)
+    ]
+    rows = (
+        sh.select(F.explode(F.array(*pos_cols)).alias("pos")).distinct().collect()
+    )
+    words = [0] * (m_bits // 64)
+    for r in rows:
+        p = int(r["pos"])
+        words[p >> 6] |= 1 << (p & 63)
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def bloom_pass_expr(h_name: str, words: list[int], m_bits: int, k: int) -> Column:
+    """Boolean column: does the 48-bit hash column `h_name` pass every
+    probe of the bitmap? Rendered as ONE SQL expression (a single parse —
+    the plan-construction lesson from functions/vector.py): the bitmap is
+    one array<bigint> literal, each probe extracts its bit with
+    element_at + shiftright. Arithmetic right shift preserves low bits of
+    negative words, so bit 63 tests correctly (pinned in tests)."""
+    arr = "array(" + ",".join(f"{int(w)}L" for w in words) + ")"
+    tests = []
+    for j in range(k):
+        pos = _bloom_pos_sql(h_name, j, m_bits)
+        tests.append(
+            f"((shiftright(element_at({arr}, CAST({pos} DIV 64 AS INT) + 1), "
+            f"CAST({pos} % 64 AS INT))) & 1L) = 1L"
+        )
+    return F.expr("(" + " AND ".join(tests) + ")")
+
+
+def bloom_contamination_report(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 3,
+    m_bits: int = 16384,
+    k: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination through a Bloom prefilter: per document,
+    (id, n_shingles, n_pass, n_hits, n_false_pos, overlap, contaminated)
+    where n_pass counts shingles the bitmap lets through, n_hits the
+    exactly-verified matches among them, and n_false_pos = n_pass -
+    n_hits the measured filter noise. overlap/contaminated match
+    `contamination_report` exactly (no false negatives: a true match
+    passes every probe by construction), so this is a drop-in
+    replacement whose extra columns expose the prefilter's health.
+
+    Plan shape at 100 TB: the corpus scan computes hash + k probe tests
+    JVM-side (whole-stage codegen, zero joins); ONLY the passing sliver
+    flows into the exact-verification broadcast join; per-doc totals come
+    from one map-side-combined aggregate over the scan and one over the
+    sliver, joined on id (narrow rows). The full-width corpus is never
+    shuffled."""
+    from vector_search_test_spark.functions.hashing import portable_hash48
+    from vector_search_test_spark.io import spread
+
+    words = bloom_build(bench, n=n, m_bits=m_bits, k=k, text_col=bench_text_col)
+    # spread first: shingle hashing is the compute-heavy stage and must
+    # not inherit a 1-file source's single task (no-op at real scale)
+    doc_sh = spread(docs.select(F.col(id_col).alias("id"), text_col), "id").select(
+        "id", F.explode(shingles(text_col, n)).alias("s")
+    ).select("id", portable_hash48(F.col("s")).alias("h"))
+    flagged = doc_sh.withColumn(
+        "p", bloom_pass_expr("h", words, m_bits, k)
+    )
+    totals = flagged.groupBy("id").agg(
+        F.count("*").alias("n_shingles"),
+        F.sum(F.col("p").cast("long")).alias("n_pass"),
+    )
+    bench_h = (
+        bench.select(F.explode(shingles(bench_text_col, n)).alias("s"))
+        .distinct()
+        .select(portable_hash48(F.col("s")).alias("h"))
+        .distinct()
+    )
+    hits = (
+        flagged.filter("p")
+        .join(F.broadcast(bench_h), "h", "left_semi")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    joined = totals.join(hits, "id", "left").withColumn(
+        "n_hits", F.coalesce(F.col("n_hits"), F.lit(0))
+    )
+    overlap = F.col("n_hits") / F.col("n_shingles")
+    return (
+        joined.withColumn("n_false_pos", F.col("n_pass") - F.col("n_hits"))
+        .withColumn("overlap", F.round(overlap, 6))
+        .withColumn("contaminated", overlap >= F.lit(float(threshold)))
+        .select(
+            "id",
+            "n_shingles",
+            "n_pass",
+            "n_hits",
+            "n_false_pos",
+            "overlap",
+            "contaminated",
+        )
+    )
+
+
+def bloom_contamination_report_sql(
+    n: int = 3,
+    m_bits: int = 16384,
+    k: int = 3,
+    threshold: float = 0.5,
+    docs_table: str = "documents",
+    bench_sql: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of `bloom_contamination_report`: identical shingles,
+    identical 48-bit hashes, identical affine probe positions; the bitmap
+    test is replayed as membership of each probe position in the distinct
+    set-bit position set (exactly what the bitmap stores)."""
+    from vector_search_test_spark.functions.hashing import hash48_sql
+
+    bench_sql = bench_sql or f"SELECT {text_col} AS text FROM {docs_table} LIMIT 0"
+    pos_list = ", ".join(_bloom_pos_sql("h", j, m_bits) for j in range(k))
+    pass_pred = " AND ".join(
+        f"{_bloom_pos_sql('h', j, m_bits)} IN (SELECT pos FROM bits)"
+        for j in range(k)
+    )
+    return f"""
+WITH bench_h AS (
+  SELECT DISTINCT {hash48_sql('s')} AS h FROM (
+    SELECT DISTINCT UNNEST({shingles_sql('text', n)}) AS s FROM ({bench_sql})
+  )
+),
+bits AS (
+  SELECT DISTINCT UNNEST([{pos_list}]) AS pos FROM bench_h
+),
+dh AS (
+  SELECT id, {hash48_sql('s')} AS h FROM (
+    SELECT {id_col} AS id, UNNEST({shingles_sql(text_col, n)}) AS s
+    FROM {docs_table}
+  )
+),
+dp AS (
+  SELECT id, h, ({pass_pred}) AS p FROM dh
+),
+tot AS (
+  SELECT id, count(*)::BIGINT AS n_shingles,
+         sum(CASE WHEN p THEN 1 ELSE 0 END)::BIGINT AS n_pass
+  FROM dp GROUP BY id
+),
+hits AS (
+  SELECT id, count(*)::BIGINT AS n_hits
+  FROM dp WHERE p AND h IN (SELECT h FROM bench_h)
+  GROUP BY id
+)
+SELECT t.id,
+       t.n_shingles,
+       t.n_pass,
+       COALESCE(x.n_hits, 0) AS n_hits,
+       t.n_pass - COALESCE(x.n_hits, 0) AS n_false_pos,
+       ROUND(COALESCE(x.n_hits, 0) / CAST(t.n_shingles AS DOUBLE), 6) AS overlap,
+       COALESCE(x.n_hits, 0) / CAST(t.n_shingles AS DOUBLE) >= {float(threshold)}
+         AS contaminated
+FROM tot t LEFT JOIN hits x ON t.id = x.id
+"""
