@@ -2060,6 +2060,27 @@ def _q_neardup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment (operators/sampling.py::
+    leakage_safe_splits): near-duplicates are collapsed into groups
+    first (the dedup family's certified MinHash-LSH -> exact-Jaccard ->
+    connected-components machinery, riding the shared signature assets)
+    and the GROUP representative is what the md5-range split keys on —
+    cross-split near-dup pairs are impossible by construction (audit
+    pinned at zero in tests; the id-keyed hash_split leaks on the same
+    corpus). The oracle replays banding, verification, the recursive
+    closure, AND the split arithmetic, so the certified value is the
+    per-document assignment itself."""
+    from vector_search_test_spark.operators.sampling import (
+        leakage_safe_splits,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return leakage_safe_splits(
+        docs, _SPLIT_WEIGHTS, prebuilt=_minhash_tables_docs(spark, sf_dir)
+    )
+
+
 def _q_source_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped vector statistics (operators/vstats.py): per-(source,
     dim) mean embedding in long form — the corpus-analytics view behind
@@ -4370,6 +4391,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r13 addition: Bloom-prefiltered decontamination (full oracle;
         # overflow — joins the drain queue)
         "bloom_prefilter_contamination": _q_bloom_prefilter_contamination,
+        # r13 addition: near-dup-group-keyed train/val/test assignment
+        # (full oracle; overflow — joins the drain queue)
+        "leakage_safe_splits": _q_leakage_safe_splits,
     }
 
 
@@ -4694,6 +4718,40 @@ def _neardup_decisions_oracle_sql() -> str:
         )
         SELECT id, min(label) AS rep_id, id = min(label) AS keep
         FROM walk GROUP BY id
+    """
+
+
+def _leakage_safe_splits_oracle_sql() -> str:
+    """DuckDB twin of leakage_safe_splits: the dedup-decisions closure
+    (identical to _neardup_decisions_oracle_sql) with hash_split's
+    md5-range CASE applied to the group representative."""
+    from vector_search_test_spark.operators.sampling import hash_split_sql
+
+    body, jac = _minhash_cte()
+    split_case = hash_split_sql(_SPLIT_WEIGHTS, "rep_id")
+    return f"""
+        WITH RECURSIVE {body},
+        verified AS (
+            SELECT c.a, c.b
+            FROM cand c
+            JOIN sh sa ON c.a = sa.id
+            JOIN sh sb ON c.b = sb.id
+            WHERE {jac} >= 0.9
+        ),
+        edges AS (
+            SELECT a, b FROM verified
+            UNION SELECT b AS a, a AS b FROM verified
+        ),
+        nodes AS (SELECT doc_id AS id FROM documents),
+        walk(id, label) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.id
+        ),
+        comp AS (
+            SELECT id, min(label) AS rep_id FROM walk GROUP BY id
+        )
+        SELECT id, rep_id, {split_case} AS split FROM comp
     """
 
 
@@ -6480,6 +6538,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "corpus_split_stats": _split_stats_oracle_sql(),
         "contamination_overlap": _contamination_oracle_sql(),
         "bloom_prefilter_contamination": _bloom_contamination_oracle_sql(),
+        "leakage_safe_splits": _leakage_safe_splits_oracle_sql(),
         "pii_redaction_hashes": _pii_oracle_sql(),
         "doc_chunks": _chunks_oracle_sql(),
         "packed_sequences": _packing_oracle_sql(),

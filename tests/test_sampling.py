@@ -757,3 +757,70 @@ def test_bloom_verify_join_sees_only_the_pass_sliver(spark, sf_dir):
     # filter in the plan, upstream of the semi join
     assert "shiftright" in plan
     assert plan.index("shiftright") > plan.index("BroadcastHashJoin")
+
+
+# --------------------------------------------------------------------------
+# Leakage-safe splits
+# --------------------------------------------------------------------------
+
+
+def test_leakage_safe_splits_zero_crossing_pairs(spark, sf_dir):
+    """The guarantee itself: zero near-dup pairs straddle splits under
+    the group-keyed assignment, while the id-keyed hash_split DOES leak
+    on the same corpus (the failure mode the operator exists to stop)."""
+    from vector_search_test_spark.operators.dedup import neardup_minhash
+    from vector_search_test_spark.operators.sampling import (
+        leakage_safe_splits,
+        split_leakage_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    asg = leakage_safe_splits(docs, WEIGHTS)
+    pairs = neardup_minhash(docs)
+    assert pairs.count() > 0
+    assert split_leakage_count(asg, pairs) == 0
+    naive = hash_split(docs.selectExpr("doc_id AS id"), WEIGHTS, id_col="id")
+    assert split_leakage_count(naive, pairs) > 0
+
+
+def test_leakage_safe_splits_contract(spark, sf_dir):
+    """One row per document, every split named, duplicates inherit their
+    representative's assignment, singletons represent themselves."""
+    from vector_search_test_spark.operators.sampling import (
+        leakage_safe_splits,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = leakage_safe_splits(docs, WEIGHTS).collect()
+    assert len(rows) == docs.count()
+    assert {r["split"] for r in rows} <= set(WEIGHTS)
+    by_id = {r["id"]: r for r in rows}
+    rep_split = {}
+    for r in rows:
+        assert r["rep_id"] in by_id and r["rep_id"] <= r["id"]
+        rep_split.setdefault(r["rep_id"], r["split"])
+        assert rep_split[r["rep_id"]] == r["split"]
+    # the rep itself must be assigned where its group is
+    for rep, s in rep_split.items():
+        assert by_id[rep]["split"] == s
+
+
+def test_leakage_safe_splits_prebuilt_seam(spark, sf_dir):
+    """The persistent-signature seam produces the identical assignment
+    (superset tables semi-filtered), and a parameter mismatch raises."""
+    import pytest as _pytest
+
+    from vector_search_test_spark.operators.dedup import minhash_tables
+    from vector_search_test_spark.operators.sampling import (
+        leakage_safe_splits,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(300)
+    tables = minhash_tables(docs)
+    a = sorted(map(tuple, leakage_safe_splits(docs, WEIGHTS).collect()))
+    b = sorted(
+        map(tuple, leakage_safe_splits(docs, WEIGHTS, prebuilt=tables).collect())
+    )
+    assert a == b
+    with _pytest.raises(ValueError):
+        leakage_safe_splits(docs, WEIGHTS, bands=8, prebuilt=tables)

@@ -1129,3 +1129,76 @@ SELECT t.id,
          AS contaminated
 FROM tot t LEFT JOIN hits x ON t.id = x.id
 """
+
+
+# --------------------------------------------------------------------------
+# Leakage-safe dataset splitting — split by near-duplicate GROUP, not by
+# document. `hash_split` above is id-keyed: two near-identical documents
+# can land in train and test, and the test metric silently measures
+# memorization (the published failure mode behind benchmark leakage;
+# Lee et al. 2022's dedup study measures exactly this effect). The fix
+# every careful pipeline applies: collapse near-duplicates into groups
+# first (MinHash-LSH pairs -> connected components, the dedup family's
+# certified machinery), then assign the GROUP's representative to a
+# split and inherit the assignment — cross-split near-dup pairs are
+# impossible by construction, and the guarantee is auditable (count the
+# crossing pairs; pinned at zero in tests).
+# --------------------------------------------------------------------------
+
+
+def leakage_safe_splits(
+    docs: DataFrame,
+    weights: dict[str, float],
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.9,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "split",
+    prebuilt=None,
+) -> DataFrame:
+    """Assign every document to a named split such that near-duplicates
+    (exact-Jaccard >= threshold over the banded candidate graph,
+    transitively closed) always share a split. Returns one row per
+    document: (id, rep_id, split) — rep_id is the near-dup group
+    representative (min id; singletons represent themselves) and split
+    is `hash_split`'s md5-range assignment keyed on rep_id.
+
+    Scale shape: inherits the dedup family's plan (banded equi-join
+    pairs, edge-list-only connected components — see
+    dedup.py::neardup_dedup_decisions, including the persistent
+    `prebuilt` signature-asset seam); the split itself is one scan-only
+    projection over the (id, rep_id) map. Id-stable: adding documents
+    can merge groups (and re-key a group's rep), but an unchanged
+    group's assignment never moves."""
+    from vector_search_test_spark.operators.dedup import (
+        neardup_dedup_decisions,
+    )
+
+    comp = neardup_dedup_decisions(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        n=n,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
+        prebuilt=prebuilt,
+    ).select("id", "rep_id")
+    return hash_split(comp, weights, id_col="rep_id", salt=salt)
+
+
+def split_leakage_count(assign: DataFrame, pairs: DataFrame) -> int:
+    """Audit: the number of near-dup pairs whose endpoints landed in
+    different splits (0 for `leakage_safe_splits` by construction; > 0
+    is the id-keyed `hash_split` failure mode this operator exists to
+    prevent). `assign` carries (id, split); `pairs` carries (a, b)."""
+    sa = assign.select(F.col("id").alias("a"), F.col("split").alias("split_a"))
+    sb = assign.select(F.col("id").alias("b"), F.col("split").alias("split_b"))
+    return (
+        pairs.join(sa, "a")
+        .join(sb, "b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .count()
+    )
