@@ -2060,6 +2060,33 @@ def _q_neardup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SHARD_N = 16
+_SHARD_SEED = "epoch0"
+
+
+def _q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard audit (operators/sampling.py::
+    training_shards): the seeded hash-order global shuffle — shard =
+    h48(seed:id) mod N, within-shard order = h ascending — with an
+    order-PROVING fingerprint per shard (sum of rank * (h mod 1e6) mod
+    P), so the certified value pins the exact permutation every loader
+    streams, not just shard membership. One hash shuffle + per-shard
+    sort; no global sort (the thing ORDER BY rand() would cost at
+    100 TB). The write path (write_training_shards) ships the identical
+    physical plan; round-trip order is pytest-pinned."""
+    from vector_search_test_spark.operators.sampling import training_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    return training_shards(docs, _SHARD_N, seed=_SHARD_SEED).select(
+        "shard",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("sum_tokens").cast("long").alias("sum_tokens"),
+        "min_h",
+        "max_h",
+        F.col("order_fp").cast("long").alias("order_fp"),
+    )
+
+
 def _q_leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/val/test assignment (operators/sampling.py::
     leakage_safe_splits): near-duplicates are collapsed into groups
@@ -4394,6 +4421,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r13 addition: near-dup-group-keyed train/val/test assignment
         # (full oracle; overflow — joins the drain queue)
         "leakage_safe_splits": _q_leakage_safe_splits,
+        # r13 addition: seeded hash-order shuffle -> shard audit with
+        # order-proving fingerprints (full oracle; overflow)
+        "training_shards": _q_training_shards,
     }
 
 
@@ -4719,6 +4749,14 @@ def _neardup_decisions_oracle_sql() -> str:
         SELECT id, min(label) AS rep_id, id = min(label) AS keep
         FROM walk GROUP BY id
     """
+
+
+def _training_shards_oracle_sql() -> str:
+    from vector_search_test_spark.operators.sampling import (
+        training_shards_sql,
+    )
+
+    return training_shards_sql(_SHARD_N, seed=_SHARD_SEED)
 
 
 def _leakage_safe_splits_oracle_sql() -> str:
@@ -6539,6 +6577,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "contamination_overlap": _contamination_oracle_sql(),
         "bloom_prefilter_contamination": _bloom_contamination_oracle_sql(),
         "leakage_safe_splits": _leakage_safe_splits_oracle_sql(),
+        "training_shards": _training_shards_oracle_sql(),
         "pii_redaction_hashes": _pii_oracle_sql(),
         "doc_chunks": _chunks_oracle_sql(),
         "packed_sequences": _packing_oracle_sql(),

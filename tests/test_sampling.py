@@ -824,3 +824,79 @@ def test_leakage_safe_splits_prebuilt_seam(spark, sf_dir):
     assert a == b
     with _pytest.raises(ValueError):
         leakage_safe_splits(docs, WEIGHTS, bands=8, prebuilt=tables)
+
+
+# --------------------------------------------------------------------------
+# Training shards — the deterministic global shuffle
+# --------------------------------------------------------------------------
+
+
+def test_training_shards_matches_duckdb(spark, sf_dir):
+    from vector_search_test_spark.operators.sampling import (
+        training_shards,
+        training_shards_sql,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = sorted(
+        tuple(str(x) for x in r)
+        for r in training_shards(docs, 8, seed="t1").collect()
+    )
+    con = _ddb(sf_dir)
+    want = sorted(
+        tuple(str(x) for x in r)
+        for r in con.execute(training_shards_sql(8, seed="t1")).fetchall()
+    )
+    assert got == want and len(got) == 8
+
+
+def test_training_shards_contract(spark, sf_dir):
+    """Partition: every doc in exactly one shard; seeds give different
+    permutations; the fingerprint is order-sensitive (a transposition
+    changes it)."""
+    from vector_search_test_spark.operators.sampling import (
+        shard_assignment,
+        training_shards,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    rows = training_shards(docs, 8, seed="t1").collect()
+    assert sum(r["n_docs"] for r in rows) == n
+    rows2 = training_shards(docs, 8, seed="t2").collect()
+    assert {r["shard"]: r["order_fp"] for r in rows} != {
+        r["shard"]: r["order_fp"] for r in rows2
+    }
+    # determinism: same seed, same audit
+    again = training_shards(docs, 8, seed="t1").collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    # shard balance in expectation: no shard more than 2x the mean
+    sizes = [r["n_docs"] for r in rows]
+    assert max(sizes) < 2 * (n / 8)
+    # assignment is scan-only (no shuffle in shard_assignment itself)
+    plan = _plan(shard_assignment(docs, 8))
+    assert "Exchange" not in plan
+
+
+def test_write_training_shards_roundtrip_order(spark, sf_dir, tmp_path):
+    """Every shard directory reads back in exactly the h-ascending
+    permutation the audit fingerprints (the writer's dynamic-partition
+    sort must not disturb it)."""
+    from vector_search_test_spark.operators.sampling import (
+        write_training_shards,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(300)
+    path = str(tmp_path / "shards")
+    write_training_shards(docs, path, 4, seed="t1")
+    total = 0
+    for s in range(4):
+        hs = [
+            r["h"]
+            for r in spark.read.parquet(f"{path}/shard={s}")
+            .select("h")
+            .collect()
+        ]
+        assert hs == sorted(hs) and len(hs) > 0
+        total += len(hs)
+    assert total == 300

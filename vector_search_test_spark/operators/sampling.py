@@ -1202,3 +1202,145 @@ def split_leakage_count(assign: DataFrame, pairs: DataFrame) -> int:
         .filter(F.col("split_a") != F.col("split_b"))
         .count()
     )
+
+
+# --------------------------------------------------------------------------
+# Training-shard export — the deterministic global shuffle.
+#
+# Training runs want the corpus in RANDOM order, split into N
+# equal-weight shards that loaders can stream independently. The naive
+# plan — ORDER BY rand() then chop — is a full global sort of the
+# corpus, the single most expensive thing you can ask a 100 TB job to
+# do, and rand() makes it unreproducible. The scan-only equivalent: key
+# every row by a seeded md5 hash of its id; shard = h mod N (balanced in
+# expectation, no sort), within-shard order = h ascending (hash order IS
+# the permutation). One hash-partitioned shuffle + a per-partition sort
+# — exactly the physical work `repartition(N).sortWithinPartitions`
+# ships — replaces the global sort, and the same (seed, id) always
+# lands in the same shard position on any cluster, so re-runs and
+# loader-side resumption are reproducible by construction.
+# --------------------------------------------------------------------------
+
+_SHARD_FP_P = 2147483647  # Mersenne 2^31-1: keeps rank*(h%1e6) sums exact
+
+
+def shard_assignment(
+    df: DataFrame, n_shards: int, seed: str = "shard", id_col: str = "doc_id"
+) -> DataFrame:
+    """Add (h, shard): the seeded 48-bit permutation key and its shard.
+    Scan-only projection — the shuffle happens only when a consumer
+    repartitions by `shard` (the write path), never here."""
+    if n_shards <= 0:
+        raise ValueError("n_shards must be >= 1")
+    from vector_search_test_spark.functions.hashing import portable_hash48
+
+    h = portable_hash48(
+        F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))
+    )
+    return df.withColumn("h", h).withColumn(
+        "shard", (F.col("h") % F.lit(int(n_shards))).cast("int")
+    )
+
+
+def training_shards(
+    df: DataFrame,
+    n_shards: int,
+    seed: str = "shard",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-shard audit of the deterministic shuffle: (shard, n_docs,
+    sum_tokens, min_h, max_h, order_fp). `order_fp` is order-PROVING:
+    sum over the shard of rank * (h mod 1e6) mod P with rank =
+    row_number by (h, id) — any transposition, drop, or duplicate in
+    the shard's stream changes it, so the certified value pins the
+    exact permutation each loader will see, not just shard membership.
+
+    Plan: one scan + ONE hash shuffle on shard + per-shard sort (the
+    row_number window, partitioned by shard — physically identical to
+    what writing the shards costs) + map-side-combined aggregate. No
+    global sort anywhere. Balance is auditable from the output
+    (min/max n_docs, sum_tokens across shards)."""
+    from pyspark.sql import Window
+
+    from vector_search_test_spark.operators.dedup import tokens
+
+    keyed = shard_assignment(df, n_shards, seed=seed, id_col=id_col).select(
+        F.col(id_col).alias("id"),
+        "h",
+        "shard",
+        F.size(tokens(text_col)).alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy("h", "id")
+    ranked = keyed.withColumn("rank", F.row_number().over(w))
+    term = (F.col("rank") * (F.col("h") % F.lit(1000003))) % F.lit(_SHARD_FP_P)
+    return (
+        ranked.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.min("h").alias("min_h"),
+            F.max("h").alias("max_h"),
+            F.sum(term).alias("order_fp"),
+        )
+    )
+
+
+def training_shards_sql(
+    n_shards: int,
+    seed: str = "shard",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of `training_shards` (same hash, same rank, same
+    fingerprint arithmetic)."""
+    from vector_search_test_spark.functions.hashing import hash48_sql
+
+    h = hash48_sql(f"('{seed}:' || CAST({id_col} AS VARCHAR))")
+    return f"""
+WITH keyed AS (
+  SELECT {id_col} AS id, {h} AS h,
+         CAST({h} % {int(n_shards)} AS INT) AS shard,
+         len(string_split(lower({text_col}), ' '))::BIGINT AS n_tokens
+  FROM {table}
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY shard ORDER BY h, id) AS rank
+  FROM keyed
+)
+SELECT shard,
+       count(*)::BIGINT AS n_docs,
+       sum(n_tokens)::BIGINT AS sum_tokens,
+       min(h) AS min_h,
+       max(h) AS max_h,
+       sum((rank * (h % 1000003)) % {_SHARD_FP_P})::BIGINT AS order_fp
+FROM ranked GROUP BY shard
+"""
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    seed: str = "shard",
+    id_col: str = "doc_id",
+) -> None:
+    """Materialize the shards: hash-partition by shard, sort each
+    partition by the permutation key, write parquet partitioned by
+    shard directory. Row order inside each shard's files IS the
+    permutation `training_shards` fingerprints (parquet preserves write
+    order; pinned by the round-trip test)."""
+    keyed = shard_assignment(df, n_shards, seed=seed, id_col=id_col)
+    (
+        keyed.repartition(int(n_shards), "shard")
+        # shard FIRST: the dynamic-partition writer requires its output
+        # sorted by the partition column and would otherwise insert its
+        # own (unstable) sort, destroying the h order inside each shard;
+        # leading with shard makes our sort satisfy that requirement, so
+        # the writer re-sorts nothing
+        .sortWithinPartitions("shard", "h", id_col)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
