@@ -1532,6 +1532,45 @@ def _q_snapshot_bucketed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
 _SNAP_MC_DELETES = (1, 3, 100001)  # 2 edited base ids + 1 appended id
 
 
+_ZORDER_BITS = 8
+_ZORDER_FILES = 64
+_ZORDER_BOX = (45, 55)
+
+
+def _q_zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order vs linear data-layout audit (operators/snapshot.py::
+    zorder_layout_stats): per-(layout, file) min/max fences over
+    lineitem's (l_partkey, l_suppkey) plus the `scanned` verdict a
+    reader's file-pruning would reach for a rectangular two-column
+    predicate — the measured form of the lake-format OPTIMIZE ZORDER
+    decision (on the sf0.01 fixture the 10%x10% box costs linear 8/64
+    files and z-order 4/64). Integer-exact quantization + Morton
+    interleave off one 4-scalar seed aggregate; one scan, one explode,
+    one map-side-combined groupBy — no sort anywhere."""
+    from vector_search_test_spark.operators.snapshot import (
+        zorder_layout_stats,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return zorder_layout_stats(
+        li,
+        "l_partkey",
+        "l_suppkey",
+        bits=_ZORDER_BITS,
+        n_files=_ZORDER_FILES,
+        box_pct=_ZORDER_BOX,
+    ).select(
+        "layout",
+        "file_id",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        "min_a",
+        "max_a",
+        "min_b",
+        "max_b",
+        "scanned",
+    )
+
+
 def _q_snapshot_maintenance_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full bucketed-snapshot MAINTENANCE lifecycle composed into
     one certified operator — the storage-side analogue of
@@ -4424,6 +4463,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r13 addition: seeded hash-order shuffle -> shard audit with
         # order-proving fingerprints (full oracle; overflow)
         "training_shards": _q_training_shards,
+        # r13 addition: Z-order vs linear file-pruning audit (full
+        # oracle; overflow)
+        "zorder_layout_stats": _q_zorder_layout_stats,
     }
 
 
@@ -4749,6 +4791,20 @@ def _neardup_decisions_oracle_sql() -> str:
         SELECT id, min(label) AS rep_id, id = min(label) AS keep
         FROM walk GROUP BY id
     """
+
+
+def _zorder_oracle_sql() -> str:
+    from vector_search_test_spark.operators.snapshot import (
+        zorder_layout_stats_sql,
+    )
+
+    return zorder_layout_stats_sql(
+        "l_partkey",
+        "l_suppkey",
+        bits=_ZORDER_BITS,
+        n_files=_ZORDER_FILES,
+        box_pct=_ZORDER_BOX,
+    )
 
 
 def _training_shards_oracle_sql() -> str:
@@ -6578,6 +6634,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "bloom_prefilter_contamination": _bloom_contamination_oracle_sql(),
         "leakage_safe_splits": _leakage_safe_splits_oracle_sql(),
         "training_shards": _training_shards_oracle_sql(),
+        "zorder_layout_stats": _zorder_oracle_sql(),
         "pii_redaction_hashes": _pii_oracle_sql(),
         "doc_chunks": _chunks_oracle_sql(),
         "packed_sequences": _packing_oracle_sql(),

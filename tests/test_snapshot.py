@@ -868,3 +868,107 @@ def test_maintenance_cycle_disk_effects(spark, tmp_path):
     want = {i: f"t{i}" for i in range(40) if i != 7}
     want[3] = "E3"
     assert live == want
+
+
+# --------------------------------------------------------------------------
+# Z-order layout audit
+# --------------------------------------------------------------------------
+
+
+def test_zorder_matches_duckdb(spark, sf_dir):
+    import duckdb
+
+    from vector_search_test_spark.operators.snapshot import (
+        zorder_layout_stats,
+        zorder_layout_stats_sql,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    got = sorted(
+        tuple(str(x) for x in r)
+        for r in zorder_layout_stats(
+            li, "l_partkey", "l_suppkey", bits=8, n_files=32
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/lineitem.parquet')"
+    )
+    want = sorted(
+        tuple(str(x) for x in r)
+        for r in con.execute(
+            zorder_layout_stats_sql(
+                "l_partkey", "l_suppkey", bits=8, n_files=32
+            )
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_zorder_interleave_is_morton(spark):
+    """The z value must be the textbook Morton interleave: engine
+    assignment equals a pure-python bit-interleave cross-check."""
+    from vector_search_test_spark.operators.snapshot import (
+        zorder_layout_stats,
+    )
+
+    # 16x16 grid, 4 bits, 16 files -> each file is one z-contiguous run
+    rows = [(a, b) for a in range(16) for b in range(16)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = {
+        (r["layout"], r["file_id"]): r["n_rows"]
+        for r in zorder_layout_stats(
+            df, "a", "b", bits=4, n_files=16
+        ).collect()
+    }
+
+    def morton(a, b):
+        z = 0
+        for i in range(4):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    from collections import Counter
+
+    zc = Counter(morton(a, b) >> 4 for a, b in rows)
+    for f, n in zc.items():
+        assert got[("zorder", f)] == n
+    # balanced: the full grid fills every file equally
+    assert all(got[("zorder", f)] == 16 for f in range(16))
+
+
+def test_zorder_skips_more_than_linear_on_two_dim_box(spark, sf_dir):
+    """The reason the operator exists: for a predicate on BOTH
+    dimensions, the z-order layout must scan no more files than the
+    A-sorted linear layout, and fewer on the fixtures."""
+    from vector_search_test_spark.operators.snapshot import (
+        zorder_layout_stats,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rows = zorder_layout_stats(
+        li, "l_partkey", "l_suppkey", bits=8, n_files=64
+    ).collect()
+    z = sum(1 for r in rows if r["layout"] == "zorder" and r["scanned"])
+    lin = sum(1 for r in rows if r["layout"] == "linear" and r["scanned"])
+    assert 0 < z < lin
+    # rows partition exactly under both layouts
+    n = li.count()
+    for layout in ("zorder", "linear"):
+        assert sum(r["n_rows"] for r in rows if r["layout"] == layout) == n
+
+
+def test_zorder_rejects_bad_file_count(spark):
+    import pytest as _pytest
+
+    from vector_search_test_spark.operators.snapshot import (
+        zorder_layout_stats,
+    )
+
+    df = spark.createDataFrame([(1, 2)], "a long, b long")
+    with _pytest.raises(ValueError):
+        zorder_layout_stats(df, "a", "b", bits=4, n_files=24)
+    with _pytest.raises(ValueError):
+        zorder_layout_stats(df, "a", "b", bits=4, n_files=32)

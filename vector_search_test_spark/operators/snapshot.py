@@ -720,3 +720,185 @@ def read_current_snapshot(spark, base_dir: str) -> DataFrame:
     if not os.path.exists(mpath):
         return spark.read.parquet(os.path.join(base_dir, cur))
     return _manifest_df(spark, base_dir, _read_manifest(base_dir, cur))
+
+
+# --------------------------------------------------------------------------
+# Z-order layout audit — multi-dimensional data-skipping.
+#
+# File-level min/max pruning (what every parquet/lake reader does) only
+# skips on the column the data happens to be SORTED by. A query that
+# filters on two columns scans nearly everything unless the layout
+# interleaves both — the Z-order (Morton) curve: quantize each dimension
+# to `bits` levels, bit-interleave into one key, lay files out along
+# that key. The lake-format OPTIMIZE ZORDER command is exactly this plan;
+# here it is surfaced as an auditable operator that computes BOTH
+# layouts' per-file min/max fences and marks which files a rectangular
+# predicate would force each layout to scan — so the clustering decision
+# is measured, not assumed, before anyone rewrites 100 TB.
+#
+# Everything is integer arithmetic off the dimensions' global min/max
+# (one tiny aggregate, embedded as literals), so the DuckDB twin replays
+# file assignment and fence values exactly. No sort anywhere: the
+# z-file is the z-value's high bits (a range partition of the curve),
+# the linear baseline is the same quantization applied to column A only
+# (the "table sorted by insertion key" layout it competes against).
+# --------------------------------------------------------------------------
+
+
+def _interleave_sql(qa: str, qb: str, bits: int) -> str:
+    """Bit-interleave two `bits`-wide quantized values into a Z value —
+    engine-portable SQL (shiftleft/shiftright/& work in Spark SQL and
+    DuckDB alike)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"shiftleft(shiftright({qa}, {i}) & 1, {2 * i})")
+        terms.append(f"shiftleft(shiftright({qb}, {i}) & 1, {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _quant_sql(col: str, lo: int, hi: int, bits: int) -> str:
+    """Quantize an integer column into [0, 2^bits): exact integer
+    arithmetic, identical in both engines (both DIV toward zero on
+    non-negative operands)."""
+    span = max(int(hi) - int(lo), 1)
+    return f"CAST((({col} - {int(lo)}) * {(1 << bits) - 1}) DIV {span} AS BIGINT)"
+
+
+def zorder_layout_stats(
+    df: "DataFrame",
+    col_a: str,
+    col_b: str,
+    bits: int = 8,
+    n_files: int = 64,
+    box_pct: tuple = (45, 55),
+) -> "DataFrame":
+    """Per-file skipping audit of Z-order vs linear layout: one row per
+    (layout, file_id) with its row count, min/max fences for both
+    dimensions, and `scanned` — whether the rectangular predicate
+    [box_pct of A's range] x [box_pct of B's range] intersects the
+    file's fences (the exact test a reader's pruning applies).
+
+    Plan: one scan computes quantized dims + both file assignments
+    (z-high-bits and A-only buckets — no sort, no window), explodes each
+    row into its two layout rows, and one map-side-combined aggregate
+    produces the fences. The min/max seed aggregate collects 4 scalars.
+    n_files must be a power of two <= 2^bits (file = z >> shift)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    shift = int(math.log2(n_files))
+    if 1 << shift != n_files or n_files > (1 << bits):
+        raise ValueError("n_files must be a power of two <= 2**bits")
+    stats = df.agg(
+        F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
+    ).first()
+    lo_a, hi_a, lo_b, hi_b = (int(x) for x in stats)
+    qa = _quant_sql(col_a, lo_a, hi_a, bits)
+    qb = _quant_sql(col_b, lo_b, hi_b, bits)
+    z = _interleave_sql(qa, qb, bits)
+    zfile = f"CAST(shiftright({z}, {2 * bits - shift}) AS INT)"
+    lfile = f"CAST(shiftright({qa}, {bits - shift}) AS INT)"
+    pairs = df.select(
+        F.col(col_a).alias("a"),
+        F.col(col_b).alias("b"),
+        F.expr(
+            f"array(struct('zorder' AS layout, {zfile} AS file_id), "
+            f"struct('linear' AS layout, {lfile} AS file_id))"
+        ).alias("ls"),
+    ).select("a", "b", F.explode("ls").alias("l"))
+    lo_pa = lo_a + (hi_a - lo_a) * int(box_pct[0]) // 100
+    hi_pa = lo_a + (hi_a - lo_a) * int(box_pct[1]) // 100
+    lo_pb = lo_b + (hi_b - lo_b) * int(box_pct[0]) // 100
+    hi_pb = lo_b + (hi_b - lo_b) * int(box_pct[1]) // 100
+    agg = pairs.groupBy(
+        F.col("l.layout").alias("layout"), F.col("l.file_id").alias("file_id")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.min("a").alias("min_a"),
+        F.max("a").alias("max_a"),
+        F.min("b").alias("min_b"),
+        F.max("b").alias("max_b"),
+    )
+    scanned = ~(
+        (F.col("max_a") < F.lit(lo_pa))
+        | (F.col("min_a") > F.lit(hi_pa))
+        | (F.col("max_b") < F.lit(lo_pb))
+        | (F.col("min_b") > F.lit(hi_pb))
+    )
+    return agg.withColumn("scanned", scanned)
+
+
+def zorder_layout_stats_sql(
+    col_a: str,
+    col_b: str,
+    bits: int = 8,
+    n_files: int = 64,
+    box_pct: tuple = (45, 55),
+    table: str = "lineitem",
+) -> str:
+    """DuckDB twin of `zorder_layout_stats` — the min/max seed runs as a
+    CTE instead of literals, but every downstream value is the same
+    integer arithmetic."""
+    import math
+
+    shift = int(math.log2(n_files))
+    # quantization with CTE-sourced bounds: replicate _quant_sql with
+    # span guarded by greatest(..., 1)
+    def q(col, lo, hi):
+        return (
+            f"CAST((({col} - {lo}) * {(1 << bits) - 1}) // "
+            f"greatest({hi} - {lo}, 1) AS BIGINT)"
+        )
+
+    qa = q(col_a, "s.lo_a", "s.hi_a")
+    qb = q(col_b, "s.lo_b", "s.hi_b")
+
+    def interleave(xa, xb):
+        # every term fully parenthesized: DuckDB gives + a TIGHTER
+        # binding than <<, so an unparenthesized "x << 0 + y << 1"
+        # chain-shifts into overflow
+        terms = []
+        for i in range(bits):
+            terms.append(f"((({xa} >> {i}) & 1) << {2 * i})")
+            terms.append(f"((({xb} >> {i}) & 1) << {2 * i + 1})")
+        return "(" + " + ".join(terms) + ")"
+
+    z = interleave("qa", "qb")
+    return f"""
+WITH s AS (
+  SELECT min({col_a}) AS lo_a, max({col_a}) AS hi_a,
+         min({col_b}) AS lo_b, max({col_b}) AS hi_b
+  FROM {table}
+),
+quant AS (
+  SELECT {col_a} AS a, {col_b} AS b, {qa} AS qa, {qb} AS qb
+  FROM {table}, s
+),
+assigned AS (
+  SELECT a, b,
+         CAST({z} >> {2 * bits - shift} AS INT) AS zfile,
+         CAST(qa >> {bits - shift} AS INT) AS lfile
+  FROM quant
+),
+layouts AS (
+  SELECT 'zorder' AS layout, zfile AS file_id, a, b FROM assigned
+  UNION ALL
+  SELECT 'linear' AS layout, lfile AS file_id, a, b FROM assigned
+),
+box AS (
+  SELECT lo_a + (hi_a - lo_a) * {int(box_pct[0])} // 100 AS lo_pa,
+         lo_a + (hi_a - lo_a) * {int(box_pct[1])} // 100 AS hi_pa,
+         lo_b + (hi_b - lo_b) * {int(box_pct[0])} // 100 AS lo_pb,
+         lo_b + (hi_b - lo_b) * {int(box_pct[1])} // 100 AS hi_pb
+  FROM s
+)
+SELECT layout, file_id,
+       count(*)::BIGINT AS n_rows,
+       min(a) AS min_a, max(a) AS max_a,
+       min(b) AS min_b, max(b) AS max_b,
+       NOT (max(a) < lo_pa OR min(a) > hi_pa
+            OR max(b) < lo_pb OR min(b) > hi_pb) AS scanned
+FROM layouts, box
+GROUP BY layout, file_id, lo_pa, hi_pa, lo_pb, hi_pb
+"""
