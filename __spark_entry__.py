@@ -3865,6 +3865,38 @@ def _q_multimodal_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_AHASH_SHAPE = (8, 8)
+_AHASH_BANDS = 4
+_AHASH_MAXHAM = 3
+
+
+def _q_multimodal_neardup_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate media pairs (sources/multimodal.py::
+    media_neardup_ahash): decode through the real factory seam (the
+    deterministic fake codec — swapping in PIL changes nothing
+    Spark-side), average-hash each grid into 16-bit band keys inside
+    the same Arrow pass, banded self-equi-join (exact for
+    hamming <= 3 < 4 bands by pigeonhole, never all-pairs), JVM-side
+    bit_count(xor) verify. The byte-exact multimodal dedup's
+    re-encode-tolerant sibling; the oracle replays decode, threshold,
+    banding, and the Hamming verdict value-for-value."""
+    from vector_search_test_spark.sources.multimodal import (
+        fake_grid_codec,
+        media_from_documents,
+        media_neardup_ahash,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = media_from_documents(docs, kind="image")
+    return media_neardup_ahash(
+        media,
+        codec=fake_grid_codec(*_AHASH_SHAPE),
+        max_hamming=_AHASH_MAXHAM,
+        shape=_AHASH_SHAPE,
+        bands=_AHASH_BANDS,
+    )
+
+
 def _q_sketch_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketches (HLL++ distinct count, approx percentile) gated on their
     ERROR BOUNDS: the query emits the exact values plus in-bounds
@@ -4466,6 +4498,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r13 addition: Z-order vs linear file-pruning audit (full
         # oracle; overflow)
         "zorder_layout_stats": _q_zorder_layout_stats,
+        # r13 addition: perceptual (aHash) media near-dup through the
+        # decode seam (full oracle; overflow)
+        "multimodal_neardup_ahash": _q_multimodal_neardup_ahash,
     }
 
 
@@ -4791,6 +4826,16 @@ def _neardup_decisions_oracle_sql() -> str:
         SELECT id, min(label) AS rep_id, id = min(label) AS keep
         FROM walk GROUP BY id
     """
+
+
+def _ahash_oracle_sql() -> str:
+    from vector_search_test_spark.sources.multimodal import (
+        media_neardup_ahash_sql,
+    )
+
+    return media_neardup_ahash_sql(
+        max_hamming=_AHASH_MAXHAM, shape=_AHASH_SHAPE, bands=_AHASH_BANDS
+    )
 
 
 def _zorder_oracle_sql() -> str:
@@ -6635,6 +6680,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "leakage_safe_splits": _leakage_safe_splits_oracle_sql(),
         "training_shards": _training_shards_oracle_sql(),
         "zorder_layout_stats": _zorder_oracle_sql(),
+        "multimodal_neardup_ahash": _ahash_oracle_sql(),
         "pii_redaction_hashes": _pii_oracle_sql(),
         "doc_chunks": _chunks_oracle_sql(),
         "packed_sequences": _packing_oracle_sql(),

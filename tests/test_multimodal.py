@@ -163,3 +163,130 @@ def test_decode_media_rejects_non_uint8_codec(spark):
     out = decode_media(media_from_documents(docs), codec=bad_factory)
     with pytest.raises(Exception, match="uint8"):
         out.collect()
+
+
+# --------------------------------------------------------------------------
+# Perceptual (aHash) near-dup
+# --------------------------------------------------------------------------
+
+
+def test_ahash_matches_duckdb(spark, sf_dir):
+    import duckdb
+
+    from vector_search_test_spark.io import load_table
+    from vector_search_test_spark.sources.multimodal import (
+        fake_grid_codec,
+        media_from_documents,
+        media_neardup_ahash,
+        media_neardup_ahash_sql,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = media_from_documents(docs, kind="image")
+    got = sorted(
+        tuple(str(x) for x in r)
+        for r in media_neardup_ahash(
+            media, codec=fake_grid_codec(8, 8), max_hamming=3
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = sorted(
+        tuple(str(x) for x in r)
+        for r in con.execute(media_neardup_ahash_sql(max_hamming=3)).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_ahash_bands_pure_python_crosscheck(spark):
+    """Engine band keys equal a straight python re-implementation of
+    tile -> mean-threshold -> little-endian packing, including the
+    empty-payload zeros case."""
+    import numpy as np
+
+    from vector_search_test_spark.sources.multimodal import (
+        ahash_bands,
+        fake_grid_codec,
+    )
+
+    texts = ["hello world this is a test", "aAbBcC", "", "zzzz"]
+    df = spark.createDataFrame(
+        [(i, t.encode()) for i, t in enumerate(texts)],
+        "media_id long, payload binary",
+    )
+    got = {
+        r["media_id"]: list(r["pbands"])
+        for r in ahash_bands(df, codec=fake_grid_codec(8, 8)).collect()
+    }
+
+    def expect(t):
+        b = t.encode()
+        arr = (
+            np.resize(np.frombuffer(b, np.uint8), (8, 8)).reshape(-1)
+            if b
+            else np.zeros(64, np.uint8)
+        )
+        bits = (arr.astype(float) > arr.astype(float).mean()).astype(int)
+        return [
+            int(sum(bits[16 * j + k] << k for k in range(16)))
+            for j in range(4)
+        ]
+
+    for i, t in enumerate(texts):
+        assert got[i] == expect(t), t
+    assert got[2] == [0, 0, 0, 0]  # empty payload -> zero hash
+
+
+def test_ahash_neardup_radius_and_plan(spark):
+    """Identical payloads pair at hamming 0; a payload differing in one
+    grid cell's threshold side pairs within radius; pairs beyond the
+    radius are excluded; the candidate stage is a banded equi-join
+    (never a cartesian)."""
+    from vector_search_test_spark.sources.multimodal import (
+        fake_grid_codec,
+        media_neardup_ahash,
+    )
+
+    base = bytes(range(64))  # mean 31.5: bits = cells 32..63
+    # nudge cell 32 from 32 to 31: it crosses the (barely moved) mean,
+    # every other cell stays on its side -> hamming exactly 1
+    onebit = bytes(list(range(32)) + [31] + list(range(33, 64)))
+    far = bytes([0, 255] * 32)  # alternating bits: no band matches base
+    df = spark.createDataFrame(
+        [(0, base), (1, base), (2, onebit), (3, far)],
+        "media_id long, payload binary",
+    )
+    rows = media_neardup_ahash(
+        df, codec=fake_grid_codec(8, 8), max_hamming=3
+    ).collect()
+    got = {(r["a"], r["b"]): r["hamming"] for r in rows}
+    assert got[(0, 1)] == 0
+    assert got.get((0, 2)) == 1
+    assert (0, 3) not in got and (1, 3) not in got
+    plan = media_neardup_ahash(
+        df, codec=fake_grid_codec(8, 8), max_hamming=3
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+def test_ahash_validates_params(spark):
+    import pytest as _pytest
+
+    from vector_search_test_spark.sources.multimodal import (
+        ahash_bands,
+        fake_grid_codec,
+        media_neardup_ahash,
+    )
+
+    df = spark.createDataFrame([(0, b"x")], "media_id long, payload binary")
+    with _pytest.raises(NotImplementedError):
+        ahash_bands(df)  # no codec -> honest environment seam
+    with _pytest.raises(ValueError):
+        ahash_bands(df, codec=fake_grid_codec(8, 8), bands=3)  # 64 % 3
+    with _pytest.raises(ValueError):
+        media_neardup_ahash(
+            df, codec=fake_grid_codec(8, 8), max_hamming=4, bands=4
+        )  # pigeonhole bound violated

@@ -260,3 +260,204 @@ def frame_sample(
         F.col("f.frame").alias("frame"),
         F.octet_length("f.frame").cast("long").alias("frame_bytes"),
     )
+
+
+# --------------------------------------------------------------------------
+# Perceptual near-dup — average hash (aHash) over the decode seam.
+#
+# Byte-exact dedup (dedup_media_exact) misses re-encoded / slightly-
+# edited media; the standard first-line answer is a perceptual hash:
+# decode to a fixed small grid, threshold each cell against the grid
+# mean into one bit, compare hashes by Hamming distance. Near-dup
+# candidates come from the SAME banded-LSH shape the text family uses:
+# split the 64 bits into `bands` 16-bit band keys — two hashes within
+# Hamming distance k < bands MUST agree on at least one band
+# (pigeonhole), so the banded equi-join is exact for the chosen radius,
+# never all-pairs.
+#
+# The hash is computed INSIDE the decode pass (one Arrow batch, the
+# realistic shape: hash at ingest, store bands as the persistent
+# index); bands are plain ints, so the verify stage is JVM-side
+# bit_count(xor) — no Python. With fake_grid_codec the full decision is
+# value-replayable in SQL (grid = cyclic byte tiling), which is what
+# the oracle certifies; a real PIL decoder swaps in at the same factory
+# seam with zero plumbing changes.
+# --------------------------------------------------------------------------
+
+
+def ahash_bands(
+    df: DataFrame,
+    codec=None,
+    payload_col: str = "payload",
+    out_col: str = "pbands",
+    shape: tuple = (8, 8),
+    bands: int = 4,
+) -> DataFrame:
+    """Decode each payload with `codec` (the decode_media factory
+    contract — once per worker task) and append the aHash as `bands`
+    16-bit band keys (array<int>): bit_i = grid_i > mean(grid), band_j
+    packs bits [16j, 16j+16) little-endian. Stateless mapInPandas; no
+    shuffle."""
+    if codec is None:
+        raise NotImplementedError(
+            "perceptual hashing requires a decoder; pass "
+            "codec=fake_grid_codec() for the deterministic plumbing proof"
+        )
+    n_bits = int(shape[0]) * int(shape[1])
+    if bands <= 0 or n_bits % bands or (n_bits // bands) > 31:
+        raise ValueError(
+            "bands must divide the grid size into <=31-bit band keys"
+        )
+    width = n_bits // bands
+    out_schema = T.StructType(
+        df.schema.fields
+        + [T.StructField(out_col, T.ArrayType(T.IntegerType()), False)]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode = codec()  # once per worker task
+        weights = (1 << np.arange(width, dtype=np.int64)).astype(np.int64)
+        for pdf in batches:
+            out = []
+            for buf in pdf[payload_col]:
+                grid = decode(buf)
+                if grid.shape != tuple(shape):
+                    raise ValueError(
+                        f"codec returned shape {grid.shape}, expected {shape}"
+                    )
+                flat = grid.reshape(-1).astype(np.float64)
+                bits = (flat > flat.mean()).astype(np.int64)
+                keys = [
+                    int(bits[j * width : (j + 1) * width] @ weights)
+                    for j in range(bands)
+                ]
+                out.append(keys)
+            pdf = pdf.copy()
+            pdf[out_col] = out
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def media_neardup_ahash(
+    media: DataFrame,
+    codec=None,
+    max_hamming: int = 3,
+    shape: tuple = (8, 8),
+    bands: int = 4,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Perceptual near-duplicate media pairs: (a, b, hamming) with
+    hamming(aHash_a, aHash_b) <= max_hamming, a < b. Exact for the
+    radius when max_hamming < bands (pigeonhole over the banded keys).
+
+    Plan: one decode+hash pass (Arrow), posexplode band keys, self
+    equi-join on (band_id, band_key) — bucketed, never all-pairs —
+    distinct candidates, then a JVM-side verify: hamming is
+    aggregate(zip_with(xor)) over the two band arrays via bit_count.
+    The band table is the persistent artifact an ingest pipeline keeps
+    (exactly the MinHash-signature shape, one array per medium)."""
+    if max_hamming >= bands:
+        raise ValueError(
+            "max_hamming must be < bands for the banded join to be exact"
+        )
+    hashed = ahash_bands(
+        media.select(id_col, payload_col),
+        codec=codec,
+        payload_col=payload_col,
+        shape=shape,
+        bands=bands,
+    ).select(F.col(id_col).alias("id"), "pbands")
+    bt = hashed.select(
+        "id", F.posexplode("pbands").alias("band_id", "band_key")
+    )
+    cand = (
+        bt.alias("x")
+        .join(
+            bt.alias("y"),
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .dropDuplicates()
+    )
+    ha = hashed.select(F.col("id").alias("a"), F.col("pbands").alias("pa"))
+    hb = hashed.select(F.col("id").alias("b"), F.col("pbands").alias("pb"))
+    hamming = F.aggregate(
+        F.zip_with("pa", "pb", lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ).cast("int")
+    return (
+        cand.join(ha, "a")
+        .join(hb, "b")
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= F.lit(int(max_hamming)))
+        .select("a", "b", "hamming")
+    )
+
+
+def media_neardup_ahash_sql(
+    max_hamming: int = 3,
+    shape: tuple = (8, 8),
+    bands: int = 4,
+    docs_table: str = "documents",
+) -> str:
+    """DuckDB twin of `media_neardup_ahash` over
+    `media_from_documents(docs)` + `fake_grid_codec(*shape)`: the fake
+    decode is cyclic byte tiling, so grid cell i holds the byte at
+    payload position i mod len (the corpus is ASCII, so character codes
+    ARE the UTF-8 bytes — same assumption the frame-features oracle is
+    certified under); empty payloads decode to zeros. Same mean
+    threshold, same little-endian band packing, same banded candidate
+    join, same Hamming verify via per-band xor bit counts."""
+    n_bits = int(shape[0]) * int(shape[1])
+    width = n_bits // bands
+    grid = (
+        f"CASE WHEN length(text) = 0 THEN [0 for i in range({n_bits})] "
+        f"ELSE list_transform(range({n_bits}), "
+        f"i -> ord(substring(text, CAST(i % length(text) AS INT) + 1, 1))) END"
+    )
+    return f"""
+WITH g AS (
+  SELECT doc_id AS id, {grid} AS cells FROM {docs_table}
+),
+m AS (
+  SELECT id, cells, list_sum(cells) / {float(n_bits)!r} AS mu FROM g
+),
+bits AS (
+  SELECT id,
+         list_transform(cells, c -> CASE WHEN c > mu THEN 1 ELSE 0 END) AS b
+  FROM m
+),
+bandkeys AS (
+  SELECT id,
+         list_transform(range({bands}), j ->
+           list_sum(list_transform(range({width}),
+             k -> b[CAST(j * {width} + k AS INT) + 1] * (1 << CAST(k AS INT))))
+         ) AS pbands
+  FROM bits
+),
+bt AS (
+  SELECT id, j - 1 AS band_id, pbands[j] AS band_key
+  FROM bandkeys, UNNEST(range(1, {bands} + 1)) AS t(j)
+),
+cand AS (
+  SELECT DISTINCT x.id AS a, y.id AS b
+  FROM bt x JOIN bt y
+    ON x.band_id = y.band_id AND x.band_key = y.band_key AND x.id < y.id
+),
+verified AS (
+  SELECT c.a, c.b,
+         CAST(list_sum(list_transform(range({bands}),
+           j -> bit_count(xor(CAST(ba.pbands[CAST(j AS INT) + 1] AS BIGINT),
+                              CAST(bb.pbands[CAST(j AS INT) + 1] AS BIGINT)))))
+              AS INT) AS hamming
+  FROM cand c
+  JOIN bandkeys ba ON c.a = ba.id
+  JOIN bandkeys bb ON c.b = bb.id
+)
+SELECT a, b, hamming FROM verified WHERE hamming <= {int(max_hamming)}
+"""
