@@ -550,3 +550,53 @@ def test_stream_neardup_ingest_keeper_only_propagation(spark, tmp_path):
     # the store grew by exactly the keepers (standing + 101 + 200)
     store = spark.read.parquet(assets)
     assert sorted(r.id for r in store.select("id").collect()) == [1, 101, 200]
+
+
+def test_neardup_ingest_epoch_retry_is_idempotent(spark, tmp_path):
+    """The replay-safety contract itself: re-running an epoch whose
+    writes already landed (crash AFTER both writes, BEFORE the
+    streaming commit) must reproduce identical decisions and an
+    identical store — the retried epoch must NOT see its own prior
+    attempt's append (a keeper would self-match at jaccard 1.0, flip
+    to drop, and erase its signatures from the store)."""
+    import os
+
+    from vector_search_test_spark.operators.dedup import (
+        minhash_store,
+        minhash_tables,
+    )
+    from vector_search_test_spark.streaming.ingest import (
+        neardup_ingest_epoch,
+    )
+
+    base = [f"rr{i}tok" for i in range(80)]
+    near = list(base); near[10] = "editz"
+    standing_df = spark.createDataFrame(
+        [(1, " ".join(base))], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(100, " ".join(near)), (101, " ".join(f"uu{i}w" for i in range(50)))],
+        "doc_id long, text string",
+    )
+    assets = str(tmp_path / "assets")
+    out = str(tmp_path / "dec")
+    minhash_store(minhash_tables(standing_df)).coalesce(1).write.parquet(
+        os.path.join(assets, "ingest_batch=-1")
+    )
+
+    def snapshot():
+        dec = sorted(
+            map(tuple, spark.read.parquet(out).drop("ingest_batch").collect())
+        )
+        store = sorted(
+            r.id for r in spark.read.parquet(assets).select("id").collect()
+        )
+        return dec, store
+
+    neardup_ingest_epoch(batch, 0, assets, out)
+    first = snapshot()
+    # keeper 101 present in the store after attempt 1
+    assert 101 in first[1]
+    # simulate the crashed-commit retry: same batch, same epoch id
+    neardup_ingest_epoch(batch, 0, assets, out)
+    assert snapshot() == first

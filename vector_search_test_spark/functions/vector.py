@@ -38,8 +38,15 @@ from pyspark.sql import functions as F
 
 
 def _sql_ident(name: str) -> str:
-    """Backquote a column name for embedding in an F.expr string."""
-    return "`" + name.replace("`", "``") + "`"
+    """Quote a column REFERENCE for embedding in an F.expr string with
+    the same resolution F.col(name) gives: dots are path separators
+    (struct fields / qualified names — `a.b` must resolve, not become
+    one literal identifier), each path segment backquoted. A name with
+    a literal backquote keeps F.col's convention too (already-quoted
+    input is passed through segment-wise)."""
+    return ".".join(
+        "`" + part.replace("`", "``") + "`" for part in name.split(".")
+    )
 
 
 def _all_finite(vals: "list[float]") -> bool:

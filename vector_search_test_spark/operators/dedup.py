@@ -351,6 +351,26 @@ class MinhashTables(NamedTuple):
     bands: int
 
 
+def _band_keys(num_hashes: int, bands: int):
+    """The band-key projection shared by the WRITE side
+    (minhash_tables) and the READ side (minhash_tables_from_store):
+    band b's key is the '-'-joined signature members m[b*rows : b*rows
+    + rows]. One definition — the store reader must rebuild keys
+    byte-identical to the writer's, and a format change in only one
+    copy would silently stop candidates matching for every
+    persistent-store consumer."""
+    rows = num_hashes // bands
+    return F.array(
+        *[
+            F.concat_ws(
+                "-",
+                *[F.col(f"m{b * rows + r}").cast("string") for r in range(rows)],
+            )
+            for b in range(bands)
+        ]
+    )
+
+
 def minhash_tables(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -380,7 +400,6 @@ def minhash_tables(
     explicit unpersist)."""
     from vector_search_test_spark.io import spread
 
-    rows = num_hashes // bands
     # materialized once: the fingerprint sets feed three consumers
     # (signature, and both sides of the verify join) — without pinning,
     # each would re-shingle the corpus. spread() first: the fingerprint
@@ -395,15 +414,7 @@ def minhash_tables(
     # pinned: the band projection and the estimator's per-component
     # agreement both read it
     sig = minhash_signature_table(sh, num_hashes).localCheckpoint()
-    keys = F.array(
-        *[
-            F.concat_ws(
-                "-",
-                *[F.col(f"m{b * rows + r}").cast("string") for r in range(rows)],
-            )
-            for b in range(bands)
-        ]
-    )
+    keys = _band_keys(num_hashes, bands)
     # pinned: both sides of the self-join read the exploded band table; an
     # unpinned plan would re-run the signature aggregation once per side.
     # Small: num_bands rows per doc, short strings.
@@ -444,16 +455,7 @@ def minhash_tables_from_store(
     (n, H, bands) the writer used — every consumer with a `prebuilt`
     seam re-validates them. No checkpointing: a parquet-backed store is
     already stable, and each derived table is one narrow projection."""
-    rows = num_hashes // bands
-    keys = F.array(
-        *[
-            F.concat_ws(
-                "-",
-                *[F.col(f"m{b * rows + r}").cast("string") for r in range(rows)],
-            )
-            for b in range(bands)
-        ]
-    )
+    keys = _band_keys(num_hashes, bands)
     return MinhashTables(
         sh=store.select("id", "sh"),
         bands_df=store.select(

@@ -935,12 +935,30 @@ def _bloom_pos_sql(hexpr: str, j: int, m_bits: int) -> str:
     return f"({minhash_member_sql(hexpr, BLOOM_MEMBER_BASE + j)} % {int(m_bits)})"
 
 
+def bloom_reference_hashes(
+    bench: DataFrame, n: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """The reference side reduced once to its distinct 48-bit shingle
+    hashes — the single projection BOTH the bitmap build and the exact
+    verification derive from (hashing the reference twice is a second
+    full scan + md5 pass at blocklist scale)."""
+    from vector_search_test_spark.functions.hashing import portable_hash48
+
+    return (
+        bench.select(F.explode(shingles(text_col, n)).alias("s"))
+        .distinct()
+        .select(portable_hash48(F.col("s")).alias("h"))
+        .distinct()
+    )
+
+
 def bloom_build(
     bench: DataFrame,
     n: int = 3,
     m_bits: int = 16384,
     k: int = 3,
     text_col: str = "text",
+    prehashed: DataFrame | None = None,
 ) -> list[int]:
     """Build the reference-side Bloom bitmap: distinct shingles → 48-bit
     fingerprints → k probe positions each → set bits. Returns the bitmap
@@ -956,13 +974,10 @@ def bloom_build(
         raise ValueError("m_bits must be a positive multiple of 64")
     if k <= 0:
         raise ValueError("k must be >= 1")
-    from vector_search_test_spark.functions.hashing import portable_hash48
-
     sh = (
-        bench.select(F.explode(shingles(text_col, n)).alias("s"))
-        .distinct()
-        .select(portable_hash48(F.col("s")).alias("h"))
-        .distinct()
+        prehashed
+        if prehashed is not None
+        else bloom_reference_hashes(bench, n=n, text_col=text_col)
     )
     pos_cols = [
         F.expr(_bloom_pos_sql("h", j, m_bits)).alias(f"p{j}") for j in range(k)
@@ -1024,7 +1039,13 @@ def bloom_contamination_report(
     from vector_search_test_spark.functions.hashing import portable_hash48
     from vector_search_test_spark.io import spread
 
-    words = bloom_build(bench, n=n, m_bits=m_bits, k=k, text_col=bench_text_col)
+    # ONE reference-side projection feeds both the bitmap and the exact
+    # verify set; checkpointed because two consumers read it and the
+    # bitmap build collects it eagerly
+    bench_h = bloom_reference_hashes(
+        bench, n=n, text_col=bench_text_col
+    ).localCheckpoint()
+    words = bloom_build(bench, n=n, m_bits=m_bits, k=k, prehashed=bench_h)
     # spread first: shingle hashing is the compute-heavy stage and must
     # not inherit a 1-file source's single task (no-op at real scale)
     doc_sh = spread(docs.select(F.col(id_col).alias("id"), text_col), "id").select(
@@ -1037,15 +1058,13 @@ def bloom_contamination_report(
         F.count("*").alias("n_shingles"),
         F.sum(F.col("p").cast("long")).alias("n_pass"),
     )
-    bench_h = (
-        bench.select(F.explode(shingles(bench_text_col, n)).alias("s"))
-        .distinct()
-        .select(portable_hash48(F.col("s")).alias("h"))
-        .distinct()
-    )
+    # NO broadcast hint: the operator exists for reference sets too big
+    # to broadcast exactly — let the planner broadcast small sets and
+    # shuffle-join the prefiltered sliver against big ones (the sliver,
+    # not the corpus, is what pays that shuffle)
     hits = (
         flagged.filter("p")
-        .join(F.broadcast(bench_h), "h", "left_semi")
+        .join(bench_h, "h", "left_semi")
         .groupBy("id")
         .agg(F.count("*").alias("n_hits"))
     )

@@ -759,9 +759,16 @@ def _interleave_sql(qa: str, qb: str, bits: int) -> str:
 def _quant_sql(col: str, lo: int, hi: int, bits: int) -> str:
     """Quantize an integer column into [0, 2^bits): exact integer
     arithmetic, identical in both engines (both DIV toward zero on
-    non-negative operands)."""
+    non-negative operands). The column is widened to BIGINT BEFORE the
+    multiply: a 32-bit column whose span exceeds 2^31/(2^bits - 1)
+    would otherwise wrap silently in Spark's non-ANSI mode (garbage
+    file ids) while DuckDB raises — widening keeps both engines exact
+    to spans of 2^63/(2^bits - 1)."""
     span = max(int(hi) - int(lo), 1)
-    return f"CAST((({col} - {int(lo)}) * {(1 << bits) - 1}) DIV {span} AS BIGINT)"
+    return (
+        f"CAST(((CAST({col} AS BIGINT) - {int(lo)}) * {(1 << bits) - 1}) "
+        f"DIV {span} AS BIGINT)"
+    )
 
 
 def zorder_layout_stats(
@@ -846,8 +853,9 @@ def zorder_layout_stats_sql(
     # quantization with CTE-sourced bounds: replicate _quant_sql with
     # span guarded by greatest(..., 1)
     def q(col, lo, hi):
+        # BIGINT-widened before the multiply, mirroring _quant_sql
         return (
-            f"CAST((({col} - {lo}) * {(1 << bits) - 1}) // "
+            f"CAST(((CAST({col} AS BIGINT) - {lo}) * {(1 << bits) - 1}) // "
             f"greatest({hi} - {lo}, 1) AS BIGINT)"
         )
 

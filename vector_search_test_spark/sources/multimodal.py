@@ -362,13 +362,21 @@ def media_neardup_ahash(
         raise ValueError(
             "max_hamming must be < bands for the banded join to be exact"
         )
-    hashed = ahash_bands(
-        media.select(id_col, payload_col),
-        codec=codec,
-        payload_col=payload_col,
-        shape=shape,
-        bands=bands,
-    ).select(F.col(id_col).alias("id"), "pbands")
+    hashed = (
+        ahash_bands(
+            media.select(id_col, payload_col),
+            codec=codec,
+            payload_col=payload_col,
+            shape=shape,
+            bands=bands,
+        )
+        .select(F.col(id_col).alias("id"), "pbands")
+        # three consumers (band explode + both verify sides) and Spark
+        # does not CSE shared subplans: unpinned, the Arrow decode+hash
+        # pass re-executes per consumer — with a real codec that is
+        # every payload decoded 3x (the minhash_tables precedent)
+        .localCheckpoint()
+    )
     bt = hashed.select(
         "id", F.posexplode("pbands").alias("band_id", "band_key")
     )

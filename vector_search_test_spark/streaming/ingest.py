@@ -244,13 +244,6 @@ def stream_neardup_ingest(
     Returns a DataStreamWriter (foreachBatch); the caller sets
     checkpointLocation + trigger and starts it. Decisions read back as
     (id, keep, match_id, jaccard) partitioned by ingest_batch."""
-    from vector_search_test_spark.operators.dedup import (
-        incremental_neardup,
-        minhash_store,
-        minhash_tables,
-        minhash_tables_from_store,
-    )
-
     stream = (
         spark.readStream.schema(DOCUMENT_STREAM_SCHEMA)
         .option("maxFilesPerTrigger", int(max_files_per_trigger))
@@ -259,29 +252,68 @@ def stream_neardup_ingest(
     )
 
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
-        sess = batch_df.sparkSession
-        standing = minhash_tables_from_store(
-            sess.read.parquet(assets_dir).drop("ingest_batch"),
+        neardup_ingest_epoch(
+            batch_df,
+            int(epoch_id),
+            assets_dir,
+            out_dir,
+            threshold=threshold,
             n=n,
             num_hashes=num_hashes,
             bands=bands,
         )
-        inc = minhash_tables(
-            batch_df, n=n, num_hashes=num_hashes, bands=bands
-        )
-        dec = incremental_neardup(
-            batch_df, standing, threshold=threshold, inc=inc
-        ).localCheckpoint()  # consumed by the decision write AND the
-        # keeper semi-join; unpinned it would re-run the LSH joins
-        dec.write.mode("overwrite").parquet(
-            f"{out_dir}/ingest_batch={int(epoch_id)}"
-        )
-        kept = dec.filter(F.col("keep") == 1).select("id")
-        minhash_store(inc).join(kept, "id", "left_semi").write.mode(
-            "overwrite"
-        ).parquet(f"{assets_dir}/ingest_batch={int(epoch_id)}")
 
     return stream.writeStream.foreachBatch(_apply)
+
+
+def neardup_ingest_epoch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    assets_dir: str,
+    out_dir: str,
+    threshold: float = 0.9,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> None:
+    """One `stream_neardup_ingest` micro-batch, exposed for direct
+    testing of the epoch contract (the foreachBatch closure delegates
+    here): probe strictly-earlier store epochs, write decisions, append
+    keepers' signatures — all to per-epoch overwrite paths, so a
+    re-invocation with the same (batch, epoch) is IDEMPOTENT."""
+    from vector_search_test_spark.operators.dedup import (
+        incremental_neardup,
+        minhash_store,
+        minhash_tables,
+        minhash_tables_from_store,
+    )
+
+    sess = batch_df.sparkSession
+    standing = minhash_tables_from_store(
+        # STRICTLY-EARLIER epochs only: a retried epoch must not see
+        # its own prior attempt's append (every keeper would
+        # self-match at jaccard 1.0, flip to keep=0, and the retry's
+        # keeper-only append would then erase the signatures) — the
+        # replay-safety contract the per-epoch overwrite promises
+        sess.read.parquet(assets_dir)
+        .filter(F.col("ingest_batch") < F.lit(int(epoch_id)))
+        .drop("ingest_batch"),
+        n=n,
+        num_hashes=num_hashes,
+        bands=bands,
+    )
+    inc = minhash_tables(batch_df, n=n, num_hashes=num_hashes, bands=bands)
+    dec = incremental_neardup(
+        batch_df, standing, threshold=threshold, inc=inc
+    ).localCheckpoint()  # consumed by the decision write AND the
+    # keeper semi-join; unpinned it would re-run the LSH joins
+    dec.write.mode("overwrite").parquet(
+        f"{out_dir}/ingest_batch={int(epoch_id)}"
+    )
+    kept = dec.filter(F.col("keep") == 1).select("id")
+    minhash_store(inc).join(kept, "id", "left_semi").write.mode(
+        "overwrite"
+    ).parquet(f"{assets_dir}/ingest_batch={int(epoch_id)}")
 
 
 def stream_anomaly_gate(
