@@ -1532,6 +1532,47 @@ def _q_snapshot_bucketed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
 _SNAP_MC_DELETES = (1, 3, 100001)  # 2 edited base ids + 1 appended id
 
 
+_EXPECT_CHECKS = [
+    {"name": "orders_key_unique", "table": "orders", "kind": "unique",
+     "col": "o_orderkey"},
+    {"name": "orders_custkey_not_null", "table": "orders",
+     "kind": "not_null", "col": "o_custkey"},
+    {"name": "orders_status_accepted", "table": "orders",
+     "kind": "accepted", "col": "o_orderstatus", "values": ["O", "F"]},
+    {"name": "orders_price_range", "table": "orders", "kind": "range",
+     "col": "o_totalprice", "lo": 0.0, "hi": 250000.0},
+    {"name": "orders_fk_customer", "table": "orders", "kind": "fk",
+     "col": "o_custkey", "ref_table": "customer", "ref_col": "c_custkey"},
+    {"name": "lineitem_fk_orders", "table": "lineitem", "kind": "fk",
+     "col": "l_orderkey", "ref_table": "orders", "ref_col": "o_orderkey"},
+    {"name": "lineitem_discount_range", "table": "lineitem",
+     "kind": "range", "col": "l_discount", "lo": 0.0, "hi": 0.1},
+    {"name": "customer_nation_unique", "table": "customer",
+     "kind": "unique", "col": "c_nationkey"},
+]
+
+
+def _q_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations (operators/expect.py):
+    an 8-check battery over orders/customer/lineitem exercising all
+    five kinds — not-null, range, accepted values, key uniqueness,
+    referential integrity — with a deliberate mix of passing and
+    violated checks so the certified values carry real violation
+    counts. Scalar checks compile to ONE conditional aggregate per
+    table (N checks never cost N scans); each fk check is one left
+    join against the parent's distinct keys + a single-pass count.
+    The validation gate a pipeline runs before training on a table."""
+    from vector_search_test_spark.operators.expect import (
+        expectations_report,
+    )
+
+    tables = {
+        t: load_table(spark, sf_dir, t)
+        for t in ("orders", "customer", "lineitem")
+    }
+    return expectations_report(tables, _EXPECT_CHECKS)
+
+
 _ZORDER_BITS = 8
 _ZORDER_FILES = 64
 _ZORDER_BOX = (45, 55)
@@ -4501,6 +4542,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r13 addition: perceptual (aHash) media near-dup through the
         # decode seam (full oracle; overflow)
         "multimodal_neardup_ahash": _q_multimodal_neardup_ahash,
+        # r13 addition: declarative data-quality expectations battery
+        # (full oracle; overflow)
+        "expectations_report": _q_expectations_report,
     }
 
 
@@ -4826,6 +4870,14 @@ def _neardup_decisions_oracle_sql() -> str:
         SELECT id, min(label) AS rep_id, id = min(label) AS keep
         FROM walk GROUP BY id
     """
+
+
+def _expectations_oracle_sql() -> str:
+    from vector_search_test_spark.operators.expect import (
+        expectations_report_sql,
+    )
+
+    return expectations_report_sql(_EXPECT_CHECKS)
 
 
 def _ahash_oracle_sql() -> str:
@@ -6681,6 +6733,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "training_shards": _training_shards_oracle_sql(),
         "zorder_layout_stats": _zorder_oracle_sql(),
         "multimodal_neardup_ahash": _ahash_oracle_sql(),
+        "expectations_report": _expectations_oracle_sql(),
         "pii_redaction_hashes": _pii_oracle_sql(),
         "doc_chunks": _chunks_oracle_sql(),
         "packed_sequences": _packing_oracle_sql(),
