@@ -446,3 +446,105 @@ def test_merge_pair_equals_sequential_reference(spark, syms, pair):
     # is always distinguishable)
     k = sum(1 for y in got if y == a + b)
     assert len(got) == len(syms) - k
+
+
+# --------------------------------------------------------------------------
+# r13 additions
+# --------------------------------------------------------------------------
+
+
+@settings(**_SETTINGS)
+@given(texts=corpus_st, bench_idx=st.sets(st.integers(0, 9), max_size=4))
+def test_bloom_never_loses_a_true_match(spark, texts, bench_idx):
+    """No false negatives on ARBITRARY corpora: the bloom-prefiltered
+    report's n_hits/overlap/contaminated equal the exact report's,
+    even through a tiny (high-FPR) bitmap."""
+    from vector_search_test_spark.operators.sampling import (
+        bloom_contamination_report,
+        contamination_report,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    bench = docs.filter(
+        F.col("doc_id").isin([i for i in bench_idx if i < len(texts)] or [0])
+    ).select("text")
+    bloom = {
+        r["id"]: (r["n_hits"], r["overlap"], r["contaminated"])
+        for r in bloom_contamination_report(
+            docs, bench, n=2, m_bits=64, k=2, threshold=0.6
+        ).collect()
+    }
+    exact = {
+        r["id"]: (r["n_hits"], r["overlap"], r["contaminated"])
+        for r in contamination_report(
+            docs, bench, n=2, threshold=0.6
+        ).collect()
+    }
+    assert bloom == exact
+
+
+@settings(**_SETTINGS)
+@given(
+    ids=st.sets(st.integers(0, 10_000), min_size=1, max_size=40),
+    n_shards=st.sampled_from([1, 2, 4, 8]),
+)
+def test_training_shards_partition_and_determinism(spark, ids, n_shards):
+    """Arbitrary id sets: shards partition the corpus exactly, and the
+    audit is a pure function of (ids, seed) — engine fingerprints equal
+    a pure-python replay of hash -> shard -> rank -> fp."""
+    import hashlib
+
+    from vector_search_test_spark.operators.sampling import training_shards
+
+    docs = spark.createDataFrame(
+        [(i, f"t {i}") for i in sorted(ids)], "doc_id long, text string"
+    )
+    rows = training_shards(docs, n_shards, seed="p").collect()
+    assert sum(r["n_docs"] for r in rows) == len(ids)
+
+    def h48(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+    by_shard = {}
+    for i in sorted(ids):
+        h = h48(f"p:{i}")
+        by_shard.setdefault(h % n_shards, []).append((h, i))
+    expect = {}
+    for s, hs in by_shard.items():
+        hs.sort()
+        expect[s] = (
+            len(hs),
+            sum(
+                (rank + 1) * (h % 1000003) % 2147483647
+                for rank, (h, _) in enumerate(hs)
+            ),
+        )
+    got = {r["shard"]: (r["n_docs"], r["order_fp"]) for r in rows}
+    assert got == expect
+
+
+@settings(**_SETTINGS)
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(0, 50), st.integers(0, 50)),
+        min_size=2,
+        max_size=30,
+    )
+)
+def test_zorder_layouts_always_partition_rows(spark, vals):
+    """Arbitrary integer pairs: both layouts partition every row into
+    exactly one file, fences bound the data, and the scanned verdict is
+    consistent with the fences."""
+    from vector_search_test_spark.operators.snapshot import (
+        zorder_layout_stats,
+    )
+
+    df = spark.createDataFrame(vals, "a long, b long")
+    rows = zorder_layout_stats(df, "a", "b", bits=4, n_files=4).collect()
+    for layout in ("zorder", "linear"):
+        rs = [r for r in rows if r["layout"] == layout]
+        assert sum(r["n_rows"] for r in rs) == len(vals)
+        for r in rs:
+            assert r["min_a"] <= r["max_a"] and r["min_b"] <= r["max_b"]
