@@ -52,6 +52,31 @@ def main() -> int:
             print(f"  {name}: COLUMN MISMATCH {cols} vs {sorted(odf.columns)}")
             failed.append(name)
             continue
+        # DATE columns arrive asymmetrically: Spark's toPandas yields
+        # datetime.date objects, duckdb's .df() a midnight
+        # datetime64[us] — equal values, unequal types. Canonicalize
+        # the datetime64 side to dates when the other side holds dates
+        # (true TIMESTAMP columns are datetime64 on BOTH sides and are
+        # untouched).
+        import datetime as _dt
+
+        def _is_date_obj(s):
+            return (
+                s.dtype == object
+                and len(s) > 0
+                and isinstance(s.iloc[0], _dt.date)
+                and not isinstance(s.iloc[0], _dt.datetime)
+            )
+
+        for c in cols:
+            if _is_date_obj(sdf[c]) and str(odf[c].dtype).startswith(
+                "datetime64"
+            ):
+                odf[c] = odf[c].dt.date
+            elif _is_date_obj(odf[c]) and str(sdf[c].dtype).startswith(
+                "datetime64"
+            ):
+                sdf[c] = sdf[c].dt.date
         sdf = sdf[cols].sort_values(by=cols, ignore_index=True)
         odf = odf[cols].sort_values(by=cols, ignore_index=True)
         if len(sdf) != len(odf):
