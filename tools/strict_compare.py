@@ -35,13 +35,24 @@ def main() -> int:
     sf_dir = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
     names = sys.argv[1:] or list(entry.oracle_sql())
     spark = get_session("strict-compare", shuffle_partitions=16)
-    con = duckdb.connect()
-    for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    def _connect():
+        c = duckdb.connect()
+        for t in TABLES:
+            c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        return c
+
+    con = _connect()
     oracles = entry.oracle_sql()
     queries = entry.queries()
     failed = []
-    for name in names:
+    for qi, name in enumerate(names):
+        # one long-lived DuckDB process walking the whole suite OOMs
+        # its allocator around ~100 entries (r13 finding); a fresh
+        # connection every 25 releases whatever the old one retains
+        if qi and qi % 25 == 0:
+            con.close()
+            con = _connect()
         if name not in oracles:
             print(f"  {name}: skipped (no oracle)")
             continue
