@@ -72,11 +72,16 @@ def main() -> int:
         import datetime as _dt
 
         def _is_date_obj(s):
+            # probe the first NON-NULL value (r13 ADVICE): a date column
+            # whose row 0 is NULL/NaT would otherwise skip conversion
+            # and report a spurious dtype mismatch
+            if s.dtype != object:
+                return False
+            nn = s.dropna()
             return (
-                s.dtype == object
-                and len(s) > 0
-                and isinstance(s.iloc[0], _dt.date)
-                and not isinstance(s.iloc[0], _dt.datetime)
+                len(nn) > 0
+                and isinstance(nn.iloc[0], _dt.date)
+                and not isinstance(nn.iloc[0], _dt.datetime)
             )
 
         for c in cols:
