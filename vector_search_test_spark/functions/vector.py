@@ -162,21 +162,30 @@ def l2_sq_const(vec: Column | str, const: list[float]) -> Column:
     return expr
 
 
-def l2_sq_prefix_array(a: str, b: str, cuts: "tuple[int, ...]") -> Column:
-    """array<double> of squared-L2 distances over PREFIX dimensions —
-    one element per cut in `cuts` (strictly ascending), computed from
-    ONE walk of the arrays: the segment between consecutive cuts is its
-    own left-associative term chain, and cut j's distance is the
-    left-associative sum of segments 1..j (each segment parenthesized).
-    This is the one-pass multi-operating-point construction for the
-    dimension axis (the ivf_search_curve idea applied to Matryoshka
-    prefixes): O(cuts[-1]) arithmetic per pair instead of O(sum(cuts)).
+def l2_sq_segments(
+    a: str, b: str, cuts: "tuple[int, ...]"
+) -> "list[Column]":
+    """Per-SEGMENT squared-L2 partial sums for prefix-dimension scoring:
+    one Column per consecutive (cuts[j-1], cuts[j]] dimension slice,
+    each a parenthesized left-associative term chain built as ONE
+    F.expr call (see the plan-construction note at the top of this
+    module). Cut j's full prefix distance is the left-associative sum
+    of segments 0..j — assemble it with `prefix_sum_array` IN A
+    SEPARATE select from the one that computes these segments: the
+    segments then reach downstream operators (posexplode's Generate in
+    particular) as bound column references instead of inlined
+    arithmetic. The previous single-expression form re-inlined every
+    segment chain into each array entry (120 terms for cuts
+    8/16/32/64), and a consuming Generate node — which cannot split
+    its doConsume method the way Project can — blew janino's 64 KB
+    method limit and silently fell back to interpreted execution
+    (BENCH_r13's stderr trace; root-caused r14). Split this way every
+    generated method stays far under the limit.
 
     NOTE the per-segment grouping differs from l2_sq_unrolled's flat
-    chain, so the last element is NOT guaranteed bit-identical to
-    l2_sq(a, b) — consumers' oracles must replay the identical segment
-    grouping (mrl_recall_curve's does). Built as ONE F.expr call (see
-    the plan-construction note at the top of this module). Both inputs
+    chain, so the largest cut's distance is NOT guaranteed
+    bit-identical to l2_sq(a, b) — consumers' oracles must replay the
+    identical segment grouping (mrl_recall_curve's does). Both inputs
     are column NAMES; arrays shorter than cuts[-1] yield NULL entries.
     """
     cuts = tuple(int(c) for c in cuts)
@@ -187,17 +196,32 @@ def l2_sq_prefix_array(a: str, b: str, cuts: "tuple[int, ...]") -> Column:
     lo = 0
     for hi in cuts:
         segs.append(
-            "("
-            + " + ".join(
-                f"(CAST({ia}[{i}] AS DOUBLE) - CAST({ib}[{i}] AS DOUBLE))"
-                f" * (CAST({ia}[{i}] AS DOUBLE) - CAST({ib}[{i}] AS DOUBLE))"
-                for i in range(lo, hi)
+            F.expr(
+                "("
+                + " + ".join(
+                    f"(CAST({ia}[{i}] AS DOUBLE) - CAST({ib}[{i}] AS DOUBLE))"
+                    f" * (CAST({ia}[{i}] AS DOUBLE) - CAST({ib}[{i}] AS DOUBLE))"
+                    for i in range(lo, hi)
+                )
+                + ")"
             )
-            + ")"
         )
         lo = hi
-    entries = [" + ".join(segs[: j + 1]) for j in range(len(segs))]
-    return F.expr("array(" + ", ".join(entries) + ")")
+    return segs
+
+
+def prefix_sum_array(cols: "list[Column]") -> Column:
+    """array<double> of left-associative running sums of `cols` —
+    entry j = ((cols[0] + cols[1]) + ...) + cols[j], the exact
+    association `l2_sq_segments` documents for prefix distances."""
+    assert cols
+    entries: "list[Column]" = []
+    acc = cols[0]
+    entries.append(acc)
+    for c in cols[1:]:
+        acc = acc + c
+        entries.append(acc)
+    return F.array(*entries)
 
 
 def dot(a: Column | str, b: Column | str) -> Column:

@@ -22,7 +22,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from vector_search_test_spark.functions.vector import l2_sq_prefix_array
+from vector_search_test_spark.functions.vector import (
+    l2_sq_segments,
+    prefix_sum_array,
+)
 
 
 def recall_at_k(
@@ -96,16 +99,28 @@ def mrl_recall_curve(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).alias("__qv"),
     )
-    darr = l2_sq_prefix_array("__qv", vec_col, cuts)
+    segs = l2_sq_segments("__qv", vec_col, cuts)
     dim_of = F.element_at(
         F.array(*[F.lit(c) for c in cuts]), F.col("__cut") + 1
     )
+    # two selects, deliberately: the segment chains materialize in a
+    # Project (splittable codegen), and the Generate consumes only the
+    # running-sum array over bound seg columns — see the janino note
+    # on vector.py::l2_sq_segments
+    seg_names = [f"__seg{j}" for j in range(len(segs))]
     scored = (
         corpus.join(F.broadcast(q))
         .select(
             "query_id",
             F.col(id_col).alias("vec_id"),
-            F.posexplode(darr).alias("__cut", "dist"),
+            *[s.alias(n) for s, n in zip(segs, seg_names)],
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            F.posexplode(
+                prefix_sum_array([F.col(n) for n in seg_names])
+            ).alias("__cut", "dist"),
         )
     )
     w = Window.partitionBy("__cut", "query_id").orderBy(
