@@ -1219,9 +1219,14 @@ def _q_bloom_prefilter_contamination(
     and tested JVM-side per corpus shingle; only the passing sliver
     reaches the exact-verification broadcast semi-join. The report
     carries the filter's measured health per document (n_pass, n_hits,
-    n_false_pos), and overlap/contaminated are guaranteed identical to
-    the exact report (no false negatives by construction). The oracle
-    replays bitmap decisions bit-for-bit via the same probe positions."""
+    n_false_pos). No false negatives by construction; in the other
+    direction overlap/contaminated match the exact report up to 48-bit
+    fingerprint collisions — the verify join here matches on
+    portable_hash48 values while contamination_report matches on
+    shingle strings, so a ~2^-48 collision could inflate n_hits
+    relative to the exact report (r13 ADVICE: the earlier 'guaranteed
+    identical' claim overstated this). The oracle replays bitmap
+    decisions bit-for-bit via the same probe positions."""
     from vector_search_test_spark.operators.sampling import (
         bloom_contamination_report,
     )
@@ -2148,8 +2153,10 @@ def _q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-shard audit (operators/sampling.py::
     training_shards): the seeded hash-order global shuffle — shard =
     h48(seed:id) mod N, within-shard order = h ascending — with an
-    order-PROVING fingerprint per shard (sum of rank * (h mod 1e6) mod
-    P), so the certified value pins the exact permutation every loader
+    order-PROVING fingerprint per shard ((sum of rank * (h mod 1e6)
+    mod P) mod P — mod-bounded on BOTH engines so the int64 sum can
+    never overflow-diverge at scale, see sampling.py::training_shards),
+    so the certified value pins the exact permutation every loader
     streams, not just shard membership. One hash shuffle + per-shard
     sort; no global sort (the thing ORDER BY rand() would cost at
     100 TB). The write path (write_training_shards) ships the identical

@@ -519,7 +519,8 @@ def test_training_shards_partition_and_determinism(spark, ids, n_shards):
             sum(
                 (rank + 1) * (h % 1000003) % 2147483647
                 for rank, (h, _) in enumerate(hs)
-            ),
+            )
+            % 2147483647,
         )
     got = {r["shard"]: (r["n_docs"], r["order_fp"]) for r in rows}
     assert got == expect

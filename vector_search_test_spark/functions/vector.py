@@ -41,9 +41,16 @@ def _sql_ident(name: str) -> str:
     """Quote a column REFERENCE for embedding in an F.expr string with
     the same resolution F.col(name) gives: dots are path separators
     (struct fields / qualified names — `a.b` must resolve, not become
-    one literal identifier), each path segment backquoted. A name with
-    a literal backquote keeps F.col's convention too (already-quoted
-    input is passed through segment-wise)."""
+    one literal identifier), each path segment backquoted. A name that
+    arrives ALREADY backquoted (starts and ends with a backquote —
+    F.col's own convention for flat columns whose names contain a
+    literal dot, e.g. "`a.b`" or "`q`.`v`") is passed through verbatim
+    instead of being re-split, so the caller's quoting survives
+    (r13 ADVICE: splitting inside the quotes rendered a malformed
+    identifier). Flat columns with literal dots must therefore be
+    passed pre-quoted, exactly as F.col requires."""
+    if name.startswith("`") and name.endswith("`") and len(name) >= 2:
+        return name
     return ".".join(
         "`" + part.replace("`", "``") + "`" for part in name.split(".")
     )

@@ -1270,10 +1270,18 @@ def training_shards(
 ) -> DataFrame:
     """Per-shard audit of the deterministic shuffle: (shard, n_docs,
     sum_tokens, min_h, max_h, order_fp). `order_fp` is order-PROVING:
-    sum over the shard of rank * (h mod 1e6) mod P with rank =
+    (sum over the shard of rank * (h mod 1e6) mod P) mod P with rank =
     row_number by (h, id) — any transposition, drop, or duplicate in
     the shard's stream changes it, so the certified value pins the
     exact permutation each loader will see, not just shard membership.
+    The OUTER mod P matters at scale (r13 ADVICE): per-term reduction
+    alone leaves an int64 running sum that overflows around 2^32 rows
+    per shard, where Spark (non-ANSI) would wrap silently while
+    DuckDB's HUGEINT-promoting sum() would raise on the BIGINT cast —
+    the engines would diverge exactly at 100 TB. The sum is therefore
+    carried exactly on both engines (DECIMAL(38,0) on Spark, HUGEINT
+    on DuckDB) and reduced mod P once at the end, so the fingerprint
+    is bounded and engine-identical at any shard size.
 
     Plan: one scan + ONE hash shuffle on shard + per-shard sort (the
     row_number window, partitioned by shard — physically identical to
@@ -1300,7 +1308,9 @@ def training_shards(
             F.sum("n_tokens").alias("sum_tokens"),
             F.min("h").alias("min_h"),
             F.max("h").alias("max_h"),
-            F.sum(term).alias("order_fp"),
+            (F.sum(term.cast("decimal(38,0)")) % F.lit(_SHARD_FP_P))
+            .cast("long")
+            .alias("order_fp"),
         )
     )
 
@@ -1333,7 +1343,7 @@ SELECT shard,
        sum(n_tokens)::BIGINT AS sum_tokens,
        min(h) AS min_h,
        max(h) AS max_h,
-       sum((rank * (h % 1000003)) % {_SHARD_FP_P})::BIGINT AS order_fp
+       (sum((rank * (h % 1000003)) % {_SHARD_FP_P}) % {_SHARD_FP_P})::BIGINT AS order_fp
 FROM ranked GROUP BY shard
 """
 
