@@ -3945,6 +3945,54 @@ def _q_multimodal_neardup_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CLIP_THETA = 0.96
+_CLIP_DIM = 64
+_CLIP_SHAPE = (8, 8)
+
+
+def _q_clip_pair_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLIP-score image-text pair filtering (sources/multimodal.py::
+    clip_pair_filter — the LAION-400M / DataComp curation gate,
+    VERDICT r13 next-#5): each (image, caption) pair is kept iff the
+    cosine of its image-tower and text-tower embeddings clears the
+    threshold, and every row carries its source's retention stats.
+    Composition is entirely certified seams in ONE scan, no join (the
+    LAION-parquet row shape: payload + caption together): decode via
+    the factory seam (fake codec = cyclic tiling; PIL swaps in with
+    zero plumbing change), image tower = extract_byte_features over
+    the DECODED grid, text tower = the same extractor over the raw
+    caption bytes (the stand-in pair for CLIP's two towers — the
+    contract is two array<float> columns, whatever model fills them),
+    then the JVM-side cosine gate with the zero-norm NULL guard and a
+    broadcast-joined per-source retention report — the wide embedding
+    columns never shuffle. The oracle replays decode, both histogram
+    towers, float32 storage, double cosine, threshold, and retention
+    value-for-value."""
+    from vector_search_test_spark.sources.multimodal import (
+        clip_pair_filter,
+        decode_media,
+        extract_byte_features,
+        fake_grid_codec,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.select(
+        F.col("doc_id").alias("id"),
+        "source",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    dec = decode_media(
+        pairs, codec=fake_grid_codec(*_CLIP_SHAPE), expected_shape=_CLIP_SHAPE
+    )
+    img = extract_byte_features(
+        dec, dim=_CLIP_DIM, payload_col="decoded", out_col="img_emb"
+    )
+    both = extract_byte_features(
+        img, dim=_CLIP_DIM, payload_col="payload", out_col="txt_emb"
+    )
+    return clip_pair_filter(both, None, _CLIP_THETA, id_col="id")
+
+
 def _q_sketch_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketches (HLL++ distinct count, approx percentile) gated on their
     ERROR BOUNDS: the query emits the exact values plus in-bounds
@@ -4593,6 +4641,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r13 addition: declarative data-quality expectations battery
         # (full oracle; overflow)
         "expectations_report": _q_expectations_report,
+        # r14 addition: CLIP-score image-text pair filtering — the
+        # LAION/DataComp curation gate over the decode/embed seams
+        # (full oracle; overflow — joins the drain queue)
+        "clip_pair_filter": _q_clip_pair_filter,
     }
 
 
@@ -4926,6 +4978,16 @@ def _expectations_oracle_sql() -> str:
     )
 
     return expectations_report_sql(_EXPECT_CHECKS)
+
+
+def _clip_oracle_sql() -> str:
+    from vector_search_test_spark.sources.multimodal import (
+        clip_pair_filter_sql,
+    )
+
+    return clip_pair_filter_sql(
+        _CLIP_THETA, dim=_CLIP_DIM, shape=_CLIP_SHAPE
+    )
 
 
 def _ahash_oracle_sql() -> str:
@@ -6781,6 +6843,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "training_shards": _training_shards_oracle_sql(),
         "zorder_layout_stats": _zorder_oracle_sql(),
         "multimodal_neardup_ahash": _ahash_oracle_sql(),
+        "clip_pair_filter": _clip_oracle_sql(),
         "expectations_report": _expectations_oracle_sql(),
         "pii_redaction_hashes": _pii_oracle_sql(),
         "doc_chunks": _chunks_oracle_sql(),

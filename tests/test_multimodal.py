@@ -290,3 +290,111 @@ def test_ahash_validates_params(spark):
         media_neardup_ahash(
             df, codec=fake_grid_codec(8, 8), max_hamming=4, bands=4
         )  # pigeonhole bound violated
+
+
+def _clip_pipeline(spark, rows, theta, dim=16, shape=(4, 4)):
+    """Run the full entry-shaped pipeline over literal (id, source,
+    text) rows: decode seam -> both towers -> gate."""
+    from pyspark.sql import functions as F
+
+    from vector_search_test_spark.sources.multimodal import (
+        clip_pair_filter,
+        decode_media,
+        extract_byte_features,
+        fake_grid_codec,
+    )
+
+    docs = spark.createDataFrame(rows, "id long, source string, text string")
+    pairs = docs.select(
+        "id", "source", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    dec = decode_media(
+        pairs, codec=fake_grid_codec(*shape), expected_shape=shape
+    )
+    img = extract_byte_features(
+        dec, dim=dim, payload_col="decoded", out_col="img_emb"
+    )
+    both = extract_byte_features(
+        img, dim=dim, payload_col="payload", out_col="txt_emb"
+    )
+    return clip_pair_filter(both, None, theta, id_col="id")
+
+
+def test_clip_pair_filter_perfect_and_mismatched_pairs(spark):
+    """A caption whose bytes tile the grid exactly scores cosine 1.0
+    (both towers see identical byte histograms); a caption disjoint
+    in byte values from its tiled grid... is impossible by
+    construction (the grid IS tiled caption bytes), so the planted
+    mismatch uses a LONG caption whose 16-byte prefix-tiling has a
+    different histogram than the full text — the score drops below 1
+    and below the perfect pair's."""
+    rows = [
+        # 16 chars == grid size: tiling preserves the full histogram
+        (0, "s1", "abcdefghijklmnop"),
+        # long text, skewed tail: the grid sees only the first 16 bytes
+        (1, "s1", "abcdefghijklmnop" + "z" * 400),
+    ]
+    out = {r["id"]: r for r in _clip_pipeline(spark, rows, 0.99).collect()}
+    assert out[0]["clip_score"] == 1.0 and out[0]["kept"]
+    assert out[1]["clip_score"] < 1.0 and not out[1]["kept"]
+    # per-source stats repeat on every row of the source
+    for r in out.values():
+        assert r["src_n_pairs"] == 2 and r["src_n_kept"] == 1
+        assert r["src_retention"] == 0.5
+
+
+def test_clip_pair_filter_zero_norm_guard(spark):
+    """An empty caption gives a zero text tower: the score must be
+    NULL (not NaN) and the pair dropped — 0/0 must never pass a
+    gate."""
+    rows = [(0, "s1", ""), (1, "s1", "hello world")]
+    out = {r["id"]: r for r in _clip_pipeline(spark, rows, 0.0).collect()}
+    assert out[0]["clip_score"] is None and not out[0]["kept"]
+    assert out[1]["clip_score"] is not None and out[1]["kept"]
+    assert out[0]["src_n_pairs"] == 2 and out[0]["src_n_kept"] == 1
+
+
+def test_clip_pair_filter_joined_towers_match_single_scan(spark):
+    """The production two-table form (separate media/caption embedding
+    jobs, equi-joined on id) must gate identically to the one-scan
+    form."""
+    from pyspark.sql import functions as F
+
+    from vector_search_test_spark.sources.multimodal import clip_pair_filter
+
+    rows = [
+        (0, "s1", [1.0, 0.0], [1.0, 0.0]),
+        (1, "s1", [1.0, 0.0], [0.0, 1.0]),
+        (2, "s2", [0.5, 0.5], [0.5, 0.5]),
+    ]
+    both = spark.createDataFrame(
+        rows,
+        "id long, source string, img_emb array<float>, txt_emb array<float>",
+    )
+    media = both.select("id", "img_emb")
+    caps = both.select("id", "source", "txt_emb")
+    one = clip_pair_filter(both, None, 0.9, id_col="id")
+    two = clip_pair_filter(media, caps, 0.9, id_col="id")
+    assert sorted(map(tuple, one.collect())) == sorted(
+        map(tuple, two.collect())
+    )
+    got = {r["id"]: r for r in two.collect()}
+    assert got[0]["kept"] and not got[1]["kept"] and got[2]["kept"]
+    assert got[1]["clip_score"] == 0.0
+    assert got[0]["src_n_pairs"] == 2 and got[0]["src_retention"] == 0.5
+    assert got[2]["src_retention"] == 1.0
+
+
+def test_clip_pair_filter_threshold_boundary_on_rounded_score(spark):
+    """kept applies the threshold to the 6dp-ROUNDED score, so a score
+    that rounds exactly onto theta passes on every engine."""
+    from vector_search_test_spark.sources.multimodal import clip_pair_filter
+
+    both = spark.createDataFrame(
+        [(0, "s", [1.0, 0.0], [1.0, 0.0])],
+        "id long, source string, img_emb array<float>, txt_emb array<float>",
+    )
+    assert clip_pair_filter(both, None, 1.0, id_col="id").collect()[0]["kept"]
+    assert not clip_pair_filter(
+        both, None, 1.0000001, id_col="id"
+    ).collect()[0]["kept"]

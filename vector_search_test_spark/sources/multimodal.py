@@ -469,3 +469,164 @@ verified AS (
 )
 SELECT a, b, hamming FROM verified WHERE hamming <= {int(max_hamming)}
 """
+
+
+# --------------------------------------------------------------------------
+# Image-text pair filtering — the CLIP-score gate (VERDICT r13 next-#5).
+#
+# The LAION / DataComp curation recipe keeps an (image, caption) pair
+# only when the cosine similarity of the image-tower and text-tower
+# embeddings clears a threshold (LAION-400M used 0.28 with CLIP
+# ViT-B/32; DataComp sweeps the percentile). This is the multimodal
+# family's missing LLM-data-pipeline operator: the decode/embed seams
+# produce the two towers, and this operator is the gate + the per-source
+# retention report a curation run keys on.
+#
+# The operator is generic over any pair table that holds both embedding
+# columns: pass `caption_emb` to equi-join the towers on `id_col` (the
+# production shape when the towers are embedded by separate jobs — at
+# 100 TB both sides should be bucketed/pre-partitioned on the id so the
+# join co-locates instead of shuffling the wide arrays), or pass
+# caption_emb=None when one scan already produced both towers (the
+# LAION-parquet shape, rows holding image+caption together — no join,
+# no shuffle of anything). Scoring is JVM-side (zip_with/aggregate
+# folds from functions.vector); the per-source retention table is a
+# tiny aggregate broadcast back onto the pair rows, so the wide
+# embedding columns never shuffle in either form.
+# --------------------------------------------------------------------------
+
+
+def clip_pair_filter(
+    media_emb: DataFrame,
+    caption_emb: "DataFrame | None",
+    threshold: float,
+    img_col: str = "img_emb",
+    txt_col: str = "txt_emb",
+    id_col: str = "id",
+    source_col: str = "source",
+) -> DataFrame:
+    """CLIP-score image-text pair gate + per-source retention report.
+
+    Output: one row per pair — (id, source, clip_score, kept,
+    src_n_pairs, src_n_kept, src_retention). `clip_score` is the
+    6dp-rounded cosine of the two embedding columns (double math over
+    the float32 arrays, the functions.vector fold order); it is NULL
+    when either tower has zero norm (an empty payload/caption — a real
+    CLIP tower never emits zero vectors, but the gate must not turn
+    0/0 into NaN-passes). `kept` applies `threshold` to the ROUNDED
+    score (deterministic at the boundary on every engine) and is False
+    for NULL scores. The src_* columns repeat each source's totals on
+    its rows: n_pairs, n_kept, retention = round(n_kept / n_pairs, 6)
+    — the per-source health numbers a DataComp-style sweep plots.
+    """
+    from vector_search_test_spark.functions.vector import dot, l2_norm
+
+    pairs = (
+        media_emb
+        if caption_emb is None
+        else media_emb.join(caption_emb, id_col)
+    )
+    denom = l2_norm(img_col) * l2_norm(txt_col)
+    score = F.round(
+        dot(img_col, txt_col) / F.nullif(denom, F.lit(0.0)), 6
+    )
+    scored = pairs.select(
+        F.col(id_col).alias("id"),
+        F.col(source_col).alias("source"),
+        score.alias("clip_score"),
+    ).withColumn(
+        "kept",
+        F.coalesce(F.col("clip_score") >= F.lit(float(threshold)), F.lit(False)),
+    )
+    per_src = scored.groupBy("source").agg(
+        F.count("*").alias("src_n_pairs"),
+        F.sum(F.col("kept").cast("long")).alias("src_n_kept"),
+    )
+    per_src = per_src.withColumn(
+        "src_retention",
+        F.round(F.col("src_n_kept") / F.col("src_n_pairs"), 6),
+    )
+    return scored.join(F.broadcast(per_src), "source").select(
+        "id", "source", "clip_score", "kept",
+        "src_n_pairs", "src_n_kept", "src_retention",
+    )
+
+
+def clip_pair_filter_sql(
+    threshold: float,
+    dim: int = 64,
+    shape: tuple = (8, 8),
+    docs_table: str = "documents",
+) -> str:
+    """DuckDB twin of the full entry pipeline over
+    `media_from_documents(docs)` + `fake_grid_codec(*shape)` +
+    `extract_byte_features(dim)` on BOTH towers: the image tower's
+    grid is the cyclic byte tiling (cell i = byte at i mod len, the
+    ahash-twin pattern, ASCII-certified), the caption tower reads the
+    raw text bytes; both histograms fold byte % dim, L2-normalize in
+    double (sums of squared integer counts are exact in any order),
+    store as REAL (float32 — the array<float> contract), and the
+    cosine runs in double over the float32 values with the zero-norm
+    NULL guard and the rounded-score threshold, exactly like the Spark
+    side."""
+    n_bits = int(shape[0]) * int(shape[1])
+    grid = (
+        f"CASE WHEN length(text) = 0 THEN list_transform(range({n_bits}), i -> 0) "
+        f"ELSE list_transform(range({n_bits}), "
+        f"i -> ord(substring(text, CAST(i % length(text) AS INT) + 1, 1))) END"
+    )
+    def hist(codes: str) -> str:
+        return (
+            f"list_transform(range({dim}), b -> "
+            f"CAST(len(list_filter({codes}, c -> c % {dim} = b)) AS DOUBLE))"
+        )
+    feat = (
+        "CASE WHEN sqrt(list_sum(list_transform({h}, x -> x * x))) > 0 "
+        "THEN list_transform({h}, x -> CAST(x / "
+        "sqrt(list_sum(list_transform({h}, y -> y * y))) AS REAL)) "
+        "ELSE list_transform({h}, x -> CAST(x AS REAL)) END"
+    )
+    dot = (
+        "list_sum(list_transform(list_zip(fi, fc), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    )
+    norm = "sqrt(list_sum(list_transform({f}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    na, nb = norm.format(f="fi"), norm.format(f="fc")
+    return f"""
+WITH codes AS (
+  SELECT doc_id AS id, source,
+         {grid} AS gcodes,
+         list_transform(list_filter(string_split(text, ''), c -> c <> ''),
+                        c -> ord(c)) AS ccodes
+  FROM {docs_table}
+),
+h AS (
+  SELECT id, source, {hist('gcodes')} AS hi, {hist('ccodes')} AS hc
+  FROM codes
+),
+f AS (
+  SELECT id, source,
+         {feat.format(h='hi')} AS fi,
+         {feat.format(h='hc')} AS fc
+  FROM h
+),
+scored AS (
+  SELECT id, source,
+         round({dot} / nullif({na} * {nb}, 0.0), 6) AS clip_score
+  FROM f
+),
+gated AS (
+  SELECT id, source, clip_score,
+         coalesce(clip_score >= {float(threshold)!r}, FALSE) AS kept
+  FROM scored
+),
+per_src AS (
+  SELECT source, count(*)::BIGINT AS src_n_pairs,
+         sum(kept::INT)::BIGINT AS src_n_kept,
+         round(sum(kept::INT) / count(*), 6) AS src_retention
+  FROM gated GROUP BY source
+)
+SELECT g.id, g.source, g.clip_score, g.kept,
+       p.src_n_pairs, p.src_n_kept, p.src_retention
+FROM gated g JOIN per_src p USING (source)
+"""
