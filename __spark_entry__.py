@@ -3993,6 +3993,47 @@ def _q_clip_pair_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clip_pair_filter(both, None, _CLIP_THETA, id_col="id")
 
 
+_LP_K = 10
+_LP_SEED_MOD = 5
+_LP_SEED_LT = 2  # vec_id % 5 < 2 -> 40% seeds, 60% targets
+
+
+def _q_knn_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-hop kNN label propagation (operators/knn.py::
+    knn_label_propagation — the FineWeb-Edu-style distillation gauge):
+    a deterministic 40% of the embeddings keep their `label` as the
+    seed set; the other 60% are predicted by majority vote among their
+    k=10 nearest seeds (tie-break: most votes, then best supporting
+    rank, then smallest label). The entry joins the held-out truth
+    back on, so the output is SELF-EVALUATING — accuracy is an
+    aggregate of the `correct` column. Seeds broadcast with labels;
+    the target side stays the scanned side; only narrow vote rows
+    shuffle. The oracle replays distances, ranks, votes, tie-breaks,
+    and the truth join value-for-value."""
+    from vector_search_test_spark.io import spread
+    from vector_search_test_spark.operators.knn import (
+        knn_label_propagation,
+    )
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    is_seed = (F.col("vec_id") % _LP_SEED_MOD) < _LP_SEED_LT
+    seeds = emb.filter(is_seed).select("vec_id", "embedding", "label")
+    targets = emb.filter(~is_seed).select("vec_id", "embedding")
+    out = knn_label_propagation(targets, seeds, k=_LP_K, dim=64)
+    truth = emb.select(
+        F.col("vec_id").alias("id"), F.col("label").alias("true_label")
+    )
+    return out.join(truth, "id").select(
+        F.col("id").alias("vec_id"),
+        "pred_label",
+        "n_votes",
+        "n_considered",
+        "vote_frac",
+        "true_label",
+        (F.col("pred_label") == F.col("true_label")).alias("correct"),
+    )
+
+
 def _q_sketch_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketches (HLL++ distinct count, approx percentile) gated on their
     ERROR BOUNDS: the query emits the exact values plus in-bounds
@@ -4645,6 +4686,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # LAION/DataComp curation gate over the decode/embed seams
         # (full oracle; overflow — joins the drain queue)
         "clip_pair_filter": _q_clip_pair_filter,
+        # r14 addition: one-hop kNN label propagation — embedding-space
+        # label distillation with held-out self-evaluation
+        # (full oracle; overflow — joins the drain queue)
+        "knn_label_propagation": _q_knn_label_propagation,
     }
 
 
@@ -4988,6 +5033,48 @@ def _clip_oracle_sql() -> str:
     return clip_pair_filter_sql(
         _CLIP_THETA, dim=_CLIP_DIM, shape=_CLIP_SHAPE
     )
+
+
+def _label_prop_oracle_sql() -> str:
+    """DuckDB twin of knn_label_propagation + the entry's truth join:
+    same seed split, same sequential-fold L2 doubles, same (dist, sid)
+    rank, same (votes desc, best rank asc, label asc) tie-break."""
+    d = _l2_sq_sql("t.embedding", "s.embedding")
+    return f"""
+WITH seeds AS (
+  SELECT vec_id, embedding, label FROM embeddings
+  WHERE vec_id % {_LP_SEED_MOD} < {_LP_SEED_LT}
+),
+targets AS (
+  SELECT vec_id, embedding, label AS true_label FROM embeddings
+  WHERE vec_id % {_LP_SEED_MOD} >= {_LP_SEED_LT}
+),
+topk AS (
+  SELECT t.vec_id AS id, t.true_label,
+         s.vec_id AS sid, s.label AS slabel, {d} AS dist,
+         row_number() OVER (
+           PARTITION BY t.vec_id ORDER BY {d}, s.vec_id
+         ) AS rn
+  FROM targets t CROSS JOIN seeds s
+  QUALIFY rn <= {_LP_K}
+),
+votes AS (
+  SELECT id, true_label, slabel,
+         count(*)::BIGINT AS n_votes, min(rn) AS best_rn
+  FROM topk GROUP BY id, true_label, slabel
+),
+tot AS (
+  SELECT *, sum(n_votes) OVER (PARTITION BY id)::BIGINT AS n_considered
+  FROM votes
+)
+SELECT id AS vec_id, slabel AS pred_label, n_votes, n_considered,
+       round(n_votes / n_considered, 6) AS vote_frac,
+       true_label, slabel = true_label AS correct
+FROM tot
+QUALIFY row_number() OVER (
+  PARTITION BY id ORDER BY n_votes DESC, best_rn ASC, slabel ASC
+) = 1
+"""
 
 
 def _ahash_oracle_sql() -> str:
@@ -6844,6 +6931,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "zorder_layout_stats": _zorder_oracle_sql(),
         "multimodal_neardup_ahash": _ahash_oracle_sql(),
         "clip_pair_filter": _clip_oracle_sql(),
+        "knn_label_propagation": _label_prop_oracle_sql(),
         "expectations_report": _expectations_oracle_sql(),
         "pii_redaction_hashes": _pii_oracle_sql(),
         "doc_chunks": _chunks_oracle_sql(),

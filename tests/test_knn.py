@@ -370,3 +370,66 @@ def test_mmr_validation(spark):
         mmr_rerank(q, df, k=5, fetch_n=3)
     with pytest.raises(ValueError):
         mmr_rerank(q, df, lam=1.5)
+
+
+def test_label_propagation_planted_clusters(spark):
+    """Two well-separated seed clusters: every target takes its
+    cluster's label unanimously."""
+    from vector_search_test_spark.operators.knn import knn_label_propagation
+
+    seeds = spark.createDataFrame(
+        [(0, [0.0, 0.0], 7), (1, [0.1, 0.0], 7),
+         (2, [10.0, 10.0], 3), (3, [10.1, 10.0], 3)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    targets = spark.createDataFrame(
+        [(10, [0.05, 0.05]), (11, [9.9, 10.2])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["id"]: r
+        for r in knn_label_propagation(targets, seeds, k=2).collect()
+    }
+    assert got[10]["pred_label"] == 7 and got[10]["vote_frac"] == 1.0
+    assert got[11]["pred_label"] == 3 and got[11]["n_votes"] == 2
+    assert got[10]["n_considered"] == 2
+
+
+def test_label_propagation_tie_breaks_on_best_rank_then_label(spark):
+    """k=2 with one vote per label: the label of the NEAREST seed wins
+    (best supporting rank), not the smaller label."""
+    from vector_search_test_spark.operators.knn import knn_label_propagation
+
+    seeds = spark.createDataFrame(
+        [(0, [1.0, 0.0], 9), (1, [2.0, 0.0], 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    targets = spark.createDataFrame(
+        [(10, [0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    r = knn_label_propagation(targets, seeds, k=2).collect()[0]
+    # seed 0 (label 9) is nearer -> rank 1 beats label 1's rank 2
+    assert r["pred_label"] == 9 and r["n_votes"] == 1
+    assert r["vote_frac"] == 0.5
+    # exact equidistance: same dist -> rank by seed id -> seed 0 again
+    seeds_eq = spark.createDataFrame(
+        [(0, [1.0, 0.0], 9), (1, [-1.0, 0.0], 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    r2 = knn_label_propagation(targets, seeds_eq, k=2).collect()[0]
+    assert r2["pred_label"] == 9
+
+
+def test_label_propagation_broadcasts_seeds_not_targets(spark):
+    """The 100 TB orientation: the seed side must be the broadcast
+    side so the target corpus never moves."""
+    from vector_search_test_spark.operators.knn import knn_label_propagation
+
+    seeds = spark.createDataFrame(
+        [(0, [0.0, 0.0], 1)], "vec_id long, embedding array<float>, label int"
+    )
+    targets = spark.createDataFrame(
+        [(10, [1.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    plan = knn_label_propagation(targets, seeds, k=1)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan

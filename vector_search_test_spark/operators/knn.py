@@ -406,6 +406,87 @@ def filtered_topk(
     )
 
 
+def knn_label_propagation(
+    targets: DataFrame,
+    seeds: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    dim: int | None = None,
+) -> DataFrame:
+    """One-hop kNN label propagation — the embedding-space label
+    distillation a FineWeb-Edu-style quality classifier bootstraps
+    from: a SMALL labeled seed set spreads its labels onto the
+    unlabeled mass by majority vote among each target's k nearest
+    seeds. (The reference has no labeling surface; this is the
+    extension-op shape of "can these embeddings carry this label",
+    the gauge run before paying for model-based annotation at scale.)
+
+    Output: one row per target — (id, pred_label, n_votes,
+    n_considered, vote_frac) with n_considered = min(k, |seeds|),
+    vote_frac = round(n_votes / n_considered, 6). Vote ties break
+    deterministically: most votes, then the label whose NEAREST
+    supporting seed ranks best (min rank), then smallest label.
+
+    Scale shape (the inverse of knn_exact's broadcast orientation,
+    deliberately): the TARGET side is the 100 TB corpus and stays the
+    scanned side; the seed set — small by the economics of labeling —
+    broadcasts with its labels, every target partition scores all
+    seeds map-side in codegen (`dim` unrolls the distance under
+    UNROLL_MAX_TERMS like knn_exact), and WindowGroupLimit cuts each
+    partition to k rows per target BEFORE the shuffle, so the only
+    shuffle moves O(targets * k) narrow vote rows — never embeddings.
+    """
+    s = seeds.select(
+        F.col(id_col).alias("__sid"),
+        F.col(vec_col).alias("__sv"),
+        F.col(label_col).alias("__slabel"),
+    )
+    if dim is not None and dim <= UNROLL_MAX_TERMS:
+        dist = l2_sq_unrolled(vec_col, "__sv", dim)
+    else:
+        dist = l2_sq(F.col(vec_col), F.col("__sv"))
+    scored = targets.join(F.broadcast(s)).select(
+        F.col(id_col).alias("id"),
+        "__sid",
+        "__slabel",
+        dist.alias("dist"),
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("dist").asc(), F.col("__sid").asc()
+    )
+    topk = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
+    votes = topk.groupBy("id", "__slabel").agg(
+        F.count("*").alias("n_votes"), F.min("rn").alias("__best_rn")
+    )
+    votes = votes.withColumn(
+        "n_considered",
+        F.sum("n_votes").over(Window.partitionBy("id")).cast("long"),
+    )
+    wv = Window.partitionBy("id").orderBy(
+        F.col("n_votes").desc(),
+        F.col("__best_rn").asc(),
+        F.col("__slabel").asc(),
+    )
+    return (
+        votes.withColumn("__vr", F.row_number().over(wv))
+        .filter(F.col("__vr") == 1)
+        .select(
+            "id",
+            F.col("__slabel").alias("pred_label"),
+            F.col("n_votes").cast("long").alias("n_votes"),
+            "n_considered",
+            F.round(F.col("n_votes") / F.col("n_considered"), 6).alias(
+                "vote_frac"
+            ),
+        )
+    )
+
+
 def mmr_rerank(
     queries: DataFrame,
     corpus: DataFrame,
