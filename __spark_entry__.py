@@ -3843,6 +3843,42 @@ def _q_corpus_e2e_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation retention funnel (operators/curate.py::
+    curation_funnel): per-stage survivor counts for the exact gate
+    sequence corpus_e2e_curation applies — input -> quality -> exact
+    dedup -> near-dedup -> decontamination — with per-stage drop
+    fraction and cumulative retention, over the SAME planted-duplicate
+    corpus, benchmark, and reused MinHash assets, so the two entries
+    measure one pipeline. The chart every curation report leads with;
+    its oracle shares the e2e oracle's CTE prefix verbatim
+    (_e2e_curation_cte_prefix), so the funnel and the packed table
+    cannot drift apart."""
+    from vector_search_test_spark.operators.curate import curation_funnel
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = docs.union(docs.withColumn("doc_id", F.col("doc_id") + 10000))
+    bench = docs.filter(F.expr(_CONTAM_BENCH_PRED)).select("text")
+    tables = _minhash_tables_docs(spark, sf_dir)
+
+    def _shift(t: DataFrame) -> DataFrame:
+        return t.union(t.withColumn("id", F.col("id") + F.lit(10000)))
+
+    prebuilt = tables._replace(
+        sh=_shift(tables.sh),
+        bands_df=_shift(tables.bands_df),
+        sig=_shift(tables.sig),
+    )
+    return curation_funnel(
+        dup,
+        bench,
+        quality_min=_QUALITY_MIN,
+        contam_n=_CONTAM_N,
+        contam_threshold=_CONTAM_THETA,
+        neardup_prebuilt=prebuilt,
+    )
+
+
 def _q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload column + typed metadata, all
     native expressions (encode/octet_length). Oracle anchors byte length
@@ -4690,6 +4726,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # label distillation with held-out self-evaluation
         # (full oracle; overflow — joins the drain queue)
         "knn_label_propagation": _q_knn_label_propagation,
+        # r14 addition: per-stage curation retention funnel — shares
+        # the e2e oracle's CTE prefix so pipeline and measurement
+        # cannot drift (full oracle; overflow — joins the drain queue)
+        "curation_funnel": _q_curation_funnel,
     }
 
 
@@ -5143,40 +5183,25 @@ def _leakage_safe_splits_oracle_sql() -> str:
     """
 
 
-def _e2e_curation_oracle_sql() -> str:
-    """DuckDB twin of the full curation pipeline. Reuses the certified
-    per-stage twins verbatim — quality_score_sql, the MinHash CTE body
-    (parameterized onto the exact-kept CTE), contamination_report_sql,
-    chunk_documents_sql + pack_chunks_sql, hash_split_sql — chained as
-    one WITH RECURSIVE exactly as curate_corpus chains the operators.
-    Chunk text re-derives once more at the end for chunk_md5 (DuckDB
-    recomputes; Spark carries chunk_text through pack_chunks)."""
+def _e2e_curation_cte_prefix() -> str:
+    """The shared WITH-RECURSIVE body of the curation-pipeline oracles
+    (doc-granular stages: dup -> good -> exact_ids/exact_kept ->
+    MinHash/CC -> nd_ids/nd_kept -> contam -> curated), reused
+    verbatim by BOTH the e2e packed-table twin and the funnel-count
+    twin so the two oracles cannot drift apart."""
     from vector_search_test_spark.functions import textstats as ts
-    from vector_search_test_spark.functions.chunking import (
-        chunk_documents_sql,
-        pack_chunks_sql,
-    )
     from vector_search_test_spark.operators.sampling import (
         contamination_report_sql,
-        hash_split_sql,
     )
 
     body, jac = _minhash_cte(docs_table="exact_kept", id_expr="id")
-    chunks_sql = chunk_documents_sql(
-        size=_CHUNK_SIZE, overlap=_CHUNK_OVERLAP, docs_table="curated"
-    )
-    pack_sql = pack_chunks_sql(
-        chunks_sql, budget=_PACK_BUDGET, n_buckets=_PACK_BUCKETS
-    )
     contam_sql = contamination_report_sql(
         n=_CONTAM_N,
         threshold=_CONTAM_THETA,
         docs_table="nd_kept",
         bench_sql=f"SELECT text FROM documents WHERE {_CONTAM_BENCH_PRED}",
     )
-    split_case = hash_split_sql(_SPLIT_WEIGHTS, "p.id")
     return f"""
-        WITH RECURSIVE
         dup AS (
             SELECT doc_id, text FROM documents
             UNION ALL
@@ -5223,7 +5248,33 @@ def _e2e_curation_oracle_sql() -> str:
             FROM nd_kept nk
             LEFT JOIN contam c ON nk.doc_id = c.id
             WHERE NOT COALESCE(c.contaminated, FALSE)
-        ),
+        )"""
+
+
+def _e2e_curation_oracle_sql() -> str:
+    """DuckDB twin of the full curation pipeline. Reuses the certified
+    per-stage twins verbatim — the shared doc-granular prefix
+    (_e2e_curation_cte_prefix), then chunk_documents_sql +
+    pack_chunks_sql + hash_split_sql — chained as one WITH RECURSIVE
+    exactly as curate_corpus chains the operators. Chunk text
+    re-derives once more at the end for chunk_md5 (DuckDB recomputes;
+    Spark carries chunk_text through pack_chunks)."""
+    from vector_search_test_spark.functions.chunking import (
+        chunk_documents_sql,
+        pack_chunks_sql,
+    )
+    from vector_search_test_spark.operators.sampling import hash_split_sql
+
+    chunks_sql = chunk_documents_sql(
+        size=_CHUNK_SIZE, overlap=_CHUNK_OVERLAP, docs_table="curated"
+    )
+    pack_sql = pack_chunks_sql(
+        chunks_sql, budget=_PACK_BUDGET, n_buckets=_PACK_BUCKETS
+    )
+    split_case = hash_split_sql(_SPLIT_WEIGHTS, "p.id")
+    return f"""
+        WITH RECURSIVE
+        {_e2e_curation_cte_prefix()},
         chunk_md AS ({chunks_sql}),
         packed AS ({pack_sql})
         SELECT {split_case} AS split, p.bucket, p.pack_id,
@@ -5231,6 +5282,38 @@ def _e2e_curation_oracle_sql() -> str:
                md5(cm.chunk_text) AS chunk_md5
         FROM packed p
         JOIN chunk_md cm ON p.id = cm.id AND p.chunk_id = cm.chunk_id
+    """
+
+
+def _funnel_oracle_sql() -> str:
+    """DuckDB twin of curation_funnel over the SAME planted-duplicate
+    corpus: the shared doc-granular CTE prefix, then one count per
+    stage and the lag/first-value funnel arithmetic."""
+    return f"""
+        WITH RECURSIVE
+        {_e2e_curation_cte_prefix()},
+        funnel AS (
+            SELECT 0 AS stage_id, 'input' AS stage,
+                   count(*)::BIGINT AS n_docs FROM dup
+            UNION ALL
+            SELECT 1, 'quality', count(*)::BIGINT FROM good
+            UNION ALL
+            SELECT 2, 'exact_dedup', count(*)::BIGINT FROM exact_ids
+            UNION ALL
+            SELECT 3, 'near_dedup', count(*)::BIGINT FROM nd_ids
+            UNION ALL
+            SELECT 4, 'decontam', count(*)::BIGINT FROM curated
+        )
+        SELECT CAST(stage_id AS INT) AS stage_id, stage, n_docs,
+               coalesce(lag(n_docs) OVER (ORDER BY stage_id) - n_docs,
+                        0)::BIGINT AS n_dropped,
+               coalesce(round(
+                   (lag(n_docs) OVER (ORDER BY stage_id) - n_docs)
+                   / lag(n_docs) OVER (ORDER BY stage_id), 6),
+                   0.0) AS drop_frac,
+               round(n_docs / first_value(n_docs)
+                   OVER (ORDER BY stage_id), 6) AS retention
+        FROM funnel
     """
 
 
@@ -6932,6 +7015,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "multimodal_neardup_ahash": _ahash_oracle_sql(),
         "clip_pair_filter": _clip_oracle_sql(),
         "knn_label_propagation": _label_prop_oracle_sql(),
+        "curation_funnel": _funnel_oracle_sql(),
         "expectations_report": _expectations_oracle_sql(),
         "pii_redaction_hashes": _pii_oracle_sql(),
         "doc_chunks": _chunks_oracle_sql(),

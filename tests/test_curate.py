@@ -236,3 +236,45 @@ def test_rule_families_stack_onto_quality_gate(spark, sf_dir):
     assert 1 in kept and 2 not in kept and 3 not in kept
     with pytest.raises(ValueError):
         curate_corpus(sdf, bench, rules=("fineweb",), **_CFG)
+
+
+def test_curation_funnel_planted(spark):
+    """Planted corpus where every stage drops exactly one document:
+    the funnel counts, per-stage drop fractions, and cumulative
+    retention are all exact."""
+    from pyspark.sql import functions as F
+
+    from vector_search_test_spark.operators.curate import curation_funnel
+
+    base = "the quick brown fox jumps over the lazy sleeping dog today"
+    rows = [
+        (0, base + " alpha beta gamma"),
+        (1, base + " alpha beta gamma"),        # exact dup of 0
+        (2, base + " alpha beta gamma extra"),  # near-dup of 0
+        (3, "x"),                               # fails quality
+        (4, "completely different words entirely unrelated content here okay fine"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(base + " alpha beta gamma",)], "text string"
+    )
+    out = {
+        r["stage"]: r
+        for r in curation_funnel(
+            docs, bench, quality_min=0.5, neardup_threshold=0.5,
+            contam_threshold=0.5,
+        ).collect()
+    }
+    assert out["input"]["n_docs"] == 5
+    assert out["quality"]["n_docs"] == 4          # doc 3 gone
+    assert out["exact_dedup"]["n_docs"] == 3      # doc 1 collapsed
+    assert out["near_dedup"]["n_docs"] == 2       # doc 2 collapsed
+    assert out["decontam"]["n_docs"] == 1         # doc 0 contaminated
+    assert out["quality"]["n_dropped"] == 1
+    assert out["input"]["n_dropped"] == 0 and out["input"]["retention"] == 1.0
+    assert out["decontam"]["retention"] == 0.2
+    assert out["exact_dedup"]["drop_frac"] == 0.25
+    # counts are monotonically non-increasing down the funnel
+    ordered = sorted(out.values(), key=lambda r: r["stage_id"])
+    ns = [r["n_docs"] for r in ordered]
+    assert ns == sorted(ns, reverse=True)

@@ -200,3 +200,137 @@ def curate_corpus(
     )
     packed = pack_chunks(chunks, budget=pack_budget, n_buckets=pack_buckets)
     return hash_split(packed, weights, id_col="id")
+
+
+def curation_funnel(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    quality_min: float = 0.55,
+    neardup_n: int = 3,
+    neardup_hashes: int = 16,
+    neardup_bands: int = 4,
+    neardup_threshold: float = 0.9,
+    contam_n: int = 3,
+    contam_threshold: float = 0.5,
+    rules: "tuple[str, ...]" = (),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    neardup_prebuilt: "MinhashTables | None" = None,
+) -> DataFrame:
+    """The curation FUNNEL — per-stage survivor counts for the exact
+    doc-granular gate sequence `curate_corpus` applies (quality ->
+    exact dedup -> near-dedup -> decontamination), the retention chart
+    every curation report leads with and the first thing a pipeline
+    owner checks when a stage starts over- or under-dropping.
+
+    Output: one row per stage — (stage_id, stage, n_docs, n_dropped,
+    drop_frac, retention) with stage_id 0 = 'input', n_dropped vs the
+    previous stage, drop_frac = round(n_dropped / previous, 6), and
+    retention = round(n_docs / input, 6) (cumulative). Stage semantics
+    and order are IDENTICAL to curate_corpus (same operators, same
+    params, same keep-set seams), so the funnel is the measurement of
+    that pipeline, not a reimplementation of it.
+
+    Scale shape: each stage count is ONE map-side-combined aggregate;
+    the dedup keep-sets are id-only and localCheckpoint()ed exactly
+    like curate_corpus's seams, so the MinHash banding and the CC run
+    once; the final window runs over 5 rows. Nothing wide shuffles.
+    """
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    from ..functions.textstats import quality_score
+    from ..io import spread
+    from .dedup import dedup_exact, neardup_dedup_decisions
+    from .sampling import contamination_report
+
+    base = spread(docs.select(F.col(id_col), F.col(text_col)), id_col)
+    good = base.filter(quality_score(text_col) >= F.lit(float(quality_min)))
+    for fam in rules:
+        if fam == "gopher":
+            from ..functions.textstats import gopher_flags
+
+            good = good.filter(gopher_flags(text_col)["gopher_pass"] == 1)
+        elif fam == "c4":
+            from ..functions.textstats import c4_flags
+
+            good = good.filter(c4_flags(text_col)["c4_pass"] == 1)
+        else:
+            raise ValueError(
+                f"unknown rule family {fam!r}; expected 'gopher' or 'c4'"
+            )
+    exact_ids = (
+        dedup_exact(good, id_col=id_col, text_col=text_col)
+        .select(F.col("rep_id").alias(id_col))
+        .localCheckpoint()
+    )
+    exact_kept = good.join(exact_ids, id_col)
+    nd_ids = (
+        neardup_dedup_decisions(
+            exact_kept,
+            id_col=id_col,
+            text_col=text_col,
+            n=neardup_n,
+            num_hashes=neardup_hashes,
+            bands=neardup_bands,
+            threshold=neardup_threshold,
+            prebuilt=neardup_prebuilt,
+        )
+        .filter("keep")
+        .select(F.col("id").alias(id_col))
+        .localCheckpoint()
+    )
+    nd_kept = base.join(nd_ids, id_col)
+    contaminated = (
+        contamination_report(
+            nd_kept,
+            benchmark,
+            n=contam_n,
+            threshold=contam_threshold,
+            id_col=id_col,
+            text_col=text_col,
+        )
+        .filter("contaminated")
+        .select(F.col("id").alias(id_col))
+    )
+    kept_ids = nd_ids.join(contaminated, id_col, "left_anti")
+
+    stages = [
+        (0, "input", base),
+        (1, "quality", good),
+        (2, "exact_dedup", exact_ids),
+        (3, "near_dedup", nd_ids),
+        (4, "decontam", kept_ids),
+    ]
+    counts = reduce(
+        DataFrame.unionByName,
+        [
+            df.agg(
+                F.lit(sid).cast("int").alias("stage_id"),
+                F.lit(name).alias("stage"),
+                F.count("*").alias("n_docs"),
+            )
+            for sid, name, df in stages
+        ],
+    )
+    w = Window.orderBy("stage_id")
+    wall = Window.orderBy("stage_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    prev = F.lag("n_docs").over(w)
+    return counts.select(
+        "stage_id",
+        "stage",
+        "n_docs",
+        F.coalesce(prev - F.col("n_docs"), F.lit(0)).cast("long").alias(
+            "n_dropped"
+        ),
+        F.coalesce(
+            F.round((prev - F.col("n_docs")) / prev, 6), F.lit(0.0)
+        ).alias("drop_frac"),
+        F.round(
+            F.col("n_docs") / F.first("n_docs").over(wall), 6
+        ).alias("retention"),
+    )
