@@ -3688,6 +3688,41 @@ def _q_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication provenance matrix (operators/dedup.py::
+    cross_source_dup_matrix): near-dup pair counts per unordered
+    (source, source) cell over the planted-duplicate corpus — the
+    exact copies land on the DIAGONAL (same-source boilerplate) and
+    the corpus's organic near-dups populate the off-diagonal
+    (cross-source mirroring), which is precisely the split the report
+    exists to expose. Rides the shared MinHash assets via the
+    id-shifted prebuilt seam (the e2e/jaccard convention); candidates
+    stay band-bucketed, the matrix is two tiny aggregates over the
+    verified pairs. The oracle replays banding, verification, source
+    attribution, and both counts."""
+    from vector_search_test_spark.operators.dedup import (
+        cross_source_dup_matrix,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    dup = docs.union(
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(10000))
+    )
+    tables = _minhash_tables_docs(spark, sf_dir)
+
+    def _shift(t: DataFrame) -> DataFrame:
+        return t.union(t.withColumn("id", F.col("id") + F.lit(10000)))
+
+    prebuilt = tables._replace(
+        sh=_shift(tables.sh),
+        bands_df=_shift(tables.bands_df),
+        sig=_shift(tables.sig),
+    )
+    return cross_source_dup_matrix(dup, threshold=0.9, prebuilt=prebuilt)
+
+
 def _q_jaccard_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard similarity join via AllPairs prefix filtering
     (bucketed equi-join on prefix shingle hashes — never all-pairs); the
@@ -4730,6 +4765,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the e2e oracle's CTE prefix so pipeline and measurement
         # cannot drift (full oracle; overflow — joins the drain queue)
         "curation_funnel": _q_curation_funnel,
+        # r14 addition: duplication provenance matrix — near-dup pair
+        # counts per (source, source) cell over the banded pipeline
+        # (full oracle; overflow — joins the drain queue)
+        "cross_source_dup_matrix": _q_cross_source_dup_matrix,
     }
 
 
@@ -5073,6 +5112,52 @@ def _clip_oracle_sql() -> str:
     return clip_pair_filter_sql(
         _CLIP_THETA, dim=_CLIP_DIM, shape=_CLIP_SHAPE
     )
+
+
+def _dup_matrix_oracle_sql() -> str:
+    """DuckDB twin of cross_source_dup_matrix over the
+    planted-duplicate corpus: the shared MinHash CTE body
+    parameterized onto the doubled table, exact-Jaccard verification,
+    least/greatest source attribution, pair + distinct-doc counts."""
+    body, jac = _minhash_cte(docs_table="dupd", id_expr="doc_id")
+    return f"""
+WITH dupd AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, text, source FROM documents
+),
+{body},
+verified AS (
+  SELECT c.a, c.b
+  FROM cand c
+  JOIN sh sa ON c.a = sa.id
+  JOIN sh sb ON c.b = sb.id
+  WHERE {jac} >= 0.9
+),
+cells AS (
+  SELECT least(da.source, db.source) AS source_a,
+         greatest(da.source, db.source) AS source_b,
+         v.a, v.b
+  FROM verified v
+  JOIN dupd da ON v.a = da.doc_id
+  JOIN dupd db ON v.b = db.doc_id
+),
+np AS (
+  SELECT source_a, source_b, count(*)::BIGINT AS n_pairs
+  FROM cells GROUP BY source_a, source_b
+),
+nd AS (
+  SELECT source_a, source_b, count(DISTINCT id)::BIGINT AS n_docs
+  FROM (
+    SELECT source_a, source_b, a AS id FROM cells
+    UNION ALL
+    SELECT source_a, source_b, b AS id FROM cells
+  ) GROUP BY source_a, source_b
+)
+SELECT np.source_a, np.source_b, np.n_pairs, nd.n_docs,
+       np.source_a = np.source_b AS within_source
+FROM np JOIN nd USING (source_a, source_b)
+"""
 
 
 def _label_prop_oracle_sql() -> str:
@@ -7016,6 +7101,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "clip_pair_filter": _clip_oracle_sql(),
         "knn_label_propagation": _label_prop_oracle_sql(),
         "curation_funnel": _funnel_oracle_sql(),
+        "cross_source_dup_matrix": _dup_matrix_oracle_sql(),
         "expectations_report": _expectations_oracle_sql(),
         "pii_redaction_hashes": _pii_oracle_sql(),
         "doc_chunks": _chunks_oracle_sql(),

@@ -550,3 +550,34 @@ def test_incremental_neardup_planted_and_cascade(spark):
     # the cascade: 104's only verified match is 103 (itself dropped;
     # 104 vs 102 sits below theta, so keep-one-per-group would differ)
     assert got[104][0] == 0 and got[104][1] == 103
+
+
+def test_cross_source_dup_matrix_planted(spark):
+    """Planted provenance: one within-source exact pair, one
+    cross-source near pair — the matrix separates diagonal from
+    off-diagonal and orders cells lexicographically."""
+    from vector_search_test_spark.operators.dedup import (
+        cross_source_dup_matrix,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    rows = [
+        (0, base, "wiki"),
+        (1, base, "wiki"),                  # within-wiki exact dup
+        (2, base + " tail", "web"),         # web mirrors wiki
+        (3, "entirely different unrelated text with many other words", "web"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        (r["source_a"], r["source_b"]): r
+        for r in cross_source_dup_matrix(docs, threshold=0.5).collect()
+    }
+    assert out[("wiki", "wiki")]["n_pairs"] == 1
+    assert out[("wiki", "wiki")]["within_source"]
+    assert out[("wiki", "wiki")]["n_docs"] == 2
+    # cross cell ordered lexicographically: ('web', 'wiki'), both
+    # wiki docs pair with the web mirror -> 2 pairs over 3 docs
+    assert out[("web", "wiki")]["n_pairs"] == 2
+    assert not out[("web", "wiki")]["within_source"]
+    assert out[("web", "wiki")]["n_docs"] == 3
+    assert ("web", "web") not in out  # doc 3 pairs with nothing

@@ -547,6 +547,87 @@ def neardup_minhash(
     )
 
 
+def cross_source_dup_matrix(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.9,
+    prebuilt: "MinhashTables | None" = None,
+) -> DataFrame:
+    """The duplication PROVENANCE matrix: near-duplicate pair counts
+    per (source, source) cell — which sources copy from which. The
+    report a corpus owner reads before choosing dedup policy: heavy
+    diagonal cells mean within-source boilerplate (dedup per source,
+    cheap); heavy off-diagonal cells mean cross-source mirroring
+    (dedup must be global, and mixture weights double-count those
+    sources until it runs).
+
+    Output: one row per populated cell — (source_a, source_b, n_pairs,
+    n_docs, within_source) with (source_a, source_b) ordered
+    lexicographically via least/greatest so each unordered cell
+    appears once, n_docs = distinct documents participating in the
+    cell's pairs. Riding `neardup_minhash` (same family params, same
+    `prebuilt` persistent-signature reuse seam), so candidates are
+    band-bucketed — never all-pairs — and the matrix costs two tiny
+    aggregates over the verified pair list plus two narrow
+    (id, source) joins. At 100 TB the pair list is the already-small
+    output of the banded join; nothing wide moves."""
+    pairs = neardup_minhash(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        n=n,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
+        prebuilt=prebuilt,
+    )
+    src = df.select(
+        F.col(id_col).alias("__pid"), F.col(source_col).alias("__psrc")
+    )
+    cells = (
+        pairs.join(
+            src.select(
+                F.col("__pid").alias("a"), F.col("__psrc").alias("__sa")
+            ),
+            "a",
+        )
+        .join(
+            src.select(
+                F.col("__pid").alias("b"), F.col("__psrc").alias("__sb")
+            ),
+            "b",
+        )
+        .select(
+            F.least("__sa", "__sb").alias("source_a"),
+            F.greatest("__sa", "__sb").alias("source_b"),
+            "a",
+            "b",
+        )
+    )
+    n_pairs = cells.groupBy("source_a", "source_b").agg(
+        F.count("*").alias("n_pairs")
+    )
+    n_docs = (
+        cells.select(
+            "source_a", "source_b", F.explode(F.array("a", "b")).alias("id")
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.countDistinct("id").alias("n_docs"))
+    )
+    return n_pairs.join(n_docs, ["source_a", "source_b"]).select(
+        "source_a",
+        "source_b",
+        "n_pairs",
+        "n_docs",
+        (F.col("source_a") == F.col("source_b")).alias("within_source"),
+    )
+
+
 def minhash_estimate_quality(
     df: DataFrame,
     id_col: str = "doc_id",
