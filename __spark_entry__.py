@@ -3080,6 +3080,34 @@ def _q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_clip_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CLIP-score pair gate (streaming/ingest.py::
+    stream_clip_gate): the ingest-time form of clip_pair_filter —
+    decode + both towers in stateless Arrow micro-batch passes, the
+    rounded-cosine threshold as a codegen filter, drained availableNow;
+    the oracle replays the batch gate's keepers value-for-value (the
+    shared _clip_cte_prefix, so batch report and stream gate cannot
+    drift)."""
+    from vector_search_test_spark.streaming.ingest import stream_clip_gate
+
+    inp = _stream_staging_dir(sf_dir, "clipgate", table="documents")
+    qname = "sg_clipgate_" + os.path.basename(sf_dir.rstrip("/")).replace(
+        ".", "_"
+    )
+    q = (
+        stream_clip_gate(
+            spark, inp, _CLIP_THETA, dim=_CLIP_DIM, shape=_CLIP_SHAPE
+        )
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname).select("id", "source", "clip_score")
+
+
 def _q_stream_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join through the driver gate (streaming/ingest.py::
     stream_enriched_segment_counts): the events stream broadcast-joined
@@ -4769,6 +4797,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # counts per (source, source) cell over the banded pipeline
         # (full oracle; overflow — joins the drain queue)
         "cross_source_dup_matrix": _q_cross_source_dup_matrix,
+        # r14 addition: streaming CLIP-score pair gate — the ingest-time
+        # form of clip_pair_filter, stateless, batch-identical output
+        # (full oracle; overflow — joins the drain queue)
+        "stream_clip_gate": _q_stream_clip_gate,
     }
 
 
@@ -5200,6 +5232,12 @@ QUALIFY row_number() OVER (
   PARTITION BY id ORDER BY n_votes DESC, best_rn ASC, slabel ASC
 ) = 1
 """
+
+
+def _clip_gate_oracle_sql() -> str:
+    from vector_search_test_spark.sources.multimodal import clip_gate_sql
+
+    return clip_gate_sql(_CLIP_THETA, dim=_CLIP_DIM, shape=_CLIP_SHAPE)
 
 
 def _ahash_oracle_sql() -> str:
@@ -7099,6 +7137,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "zorder_layout_stats": _zorder_oracle_sql(),
         "multimodal_neardup_ahash": _ahash_oracle_sql(),
         "clip_pair_filter": _clip_oracle_sql(),
+        "stream_clip_gate": _clip_gate_oracle_sql(),
         "knn_label_propagation": _label_prop_oracle_sql(),
         "curation_funnel": _funnel_oracle_sql(),
         "cross_source_dup_matrix": _dup_matrix_oracle_sql(),

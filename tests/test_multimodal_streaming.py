@@ -600,3 +600,49 @@ def test_neardup_ingest_epoch_retry_is_idempotent(spark, tmp_path):
     # simulate the crashed-commit retry: same batch, same epoch id
     neardup_ingest_epoch(batch, 0, assets, out)
     assert snapshot() == first
+
+
+def test_stream_clip_gate_matches_batch(spark, sf_dir, tmp_path):
+    """availableNow drain of the streaming CLIP gate over a static
+    staged input == the batch gate's keepers on the same rows."""
+    from vector_search_test_spark.sources.multimodal import (
+        clip_score_pairs,
+        fake_grid_codec,
+    )
+    from vector_search_test_spark.streaming.ingest import stream_clip_gate
+
+    docs = load_table(spark, sf_dir, "documents").limit(80)
+    inp = str(tmp_path / "clip_in")
+    docs.write.parquet(inp)
+
+    q = (
+        stream_clip_gate(spark, inp, 0.9, dim=16, shape=(4, 4))
+        .writeStream.format("memory")
+        .queryName("t_clipgate")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["id"], r["clip_score"])
+        for r in spark.table("t_clipgate").collect()
+    }
+
+    pairs = docs.select(
+        F.col("doc_id").alias("id"),
+        "source",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    dec = decode_media(
+        pairs, codec=fake_grid_codec(4, 4), expected_shape=(4, 4)
+    )
+    img = extract_byte_features(dec, dim=16, payload_col="decoded", out_col="img_emb")
+    both = extract_byte_features(img, dim=16, payload_col="payload", out_col="txt_emb")
+    want = {
+        (r["id"], r["clip_score"])
+        for r in clip_score_pairs(both, None, 0.9, id_col="id")
+        .filter("kept")
+        .collect()
+    }
+    assert got == want and len(got) > 0

@@ -496,6 +496,46 @@ SELECT a, b, hamming FROM verified WHERE hamming <= {int(max_hamming)}
 # --------------------------------------------------------------------------
 
 
+def clip_score_pairs(
+    media_emb: DataFrame,
+    caption_emb: "DataFrame | None",
+    threshold: float,
+    img_col: str = "img_emb",
+    txt_col: str = "txt_emb",
+    id_col: str = "id",
+    source_col: str = "source",
+) -> DataFrame:
+    """The STATELESS core of the CLIP-score gate: one row per pair —
+    (id, source, clip_score, kept) — 6dp-rounded cosine of the two
+    embedding columns with the zero-norm NULL guard, kept decided on
+    the ROUNDED score. No aggregate, no state: this is the form a
+    streaming micro-batch runs unchanged (stream_clip_gate) and the
+    batch report (`clip_pair_filter`) extends with per-source
+    retention. Pass `caption_emb` to equi-join separately-embedded
+    towers on `id_col`, or None when one scan produced both."""
+    from vector_search_test_spark.functions.vector import dot, l2_norm
+
+    pairs = (
+        media_emb
+        if caption_emb is None
+        else media_emb.join(caption_emb, id_col)
+    )
+    denom = l2_norm(img_col) * l2_norm(txt_col)
+    score = F.round(
+        dot(img_col, txt_col) / F.nullif(denom, F.lit(0.0)), 6
+    )
+    return pairs.select(
+        F.col(id_col).alias("id"),
+        F.col(source_col).alias("source"),
+        score.alias("clip_score"),
+    ).withColumn(
+        "kept",
+        F.coalesce(
+            F.col("clip_score") >= F.lit(float(threshold)), F.lit(False)
+        ),
+    )
+
+
 def clip_pair_filter(
     media_emb: DataFrame,
     caption_emb: "DataFrame | None",
@@ -519,24 +559,14 @@ def clip_pair_filter(
     its rows: n_pairs, n_kept, retention = round(n_kept / n_pairs, 6)
     — the per-source health numbers a DataComp-style sweep plots.
     """
-    from vector_search_test_spark.functions.vector import dot, l2_norm
-
-    pairs = (
-        media_emb
-        if caption_emb is None
-        else media_emb.join(caption_emb, id_col)
-    )
-    denom = l2_norm(img_col) * l2_norm(txt_col)
-    score = F.round(
-        dot(img_col, txt_col) / F.nullif(denom, F.lit(0.0)), 6
-    )
-    scored = pairs.select(
-        F.col(id_col).alias("id"),
-        F.col(source_col).alias("source"),
-        score.alias("clip_score"),
-    ).withColumn(
-        "kept",
-        F.coalesce(F.col("clip_score") >= F.lit(float(threshold)), F.lit(False)),
+    scored = clip_score_pairs(
+        media_emb,
+        caption_emb,
+        threshold,
+        img_col=img_col,
+        txt_col=txt_col,
+        id_col=id_col,
+        source_col=source_col,
     )
     per_src = scored.groupBy("source").agg(
         F.count("*").alias("src_n_pairs"),
@@ -552,13 +582,17 @@ def clip_pair_filter(
     )
 
 
-def clip_pair_filter_sql(
+def _clip_cte_prefix(
     threshold: float,
     dim: int = 64,
     shape: tuple = (8, 8),
     docs_table: str = "documents",
 ) -> str:
-    """DuckDB twin of the full entry pipeline over
+    """Shared WITH-body (codes -> histograms -> float32 features ->
+    scored -> gated) of the CLIP-gate oracles — used by BOTH the batch
+    report twin (`clip_pair_filter_sql`) and the streaming gate twin
+    (`clip_gate_sql`), so the two cannot drift. Replays the full entry
+    pipeline over
     `media_from_documents(docs)` + `fake_grid_codec(*shape)` +
     `extract_byte_features(dim)` on BOTH towers: the image tower's
     grid is the cyclic byte tiling (cell i = byte at i mod len, the
@@ -619,7 +653,18 @@ gated AS (
   SELECT id, source, clip_score,
          coalesce(clip_score >= {float(threshold)!r}, FALSE) AS kept
   FROM scored
-),
+)"""
+
+
+def clip_pair_filter_sql(
+    threshold: float,
+    dim: int = 64,
+    shape: tuple = (8, 8),
+    docs_table: str = "documents",
+) -> str:
+    """DuckDB twin of `clip_pair_filter` (the batch report): the shared
+    gate prefix plus the per-source retention join."""
+    return f"""{_clip_cte_prefix(threshold, dim=dim, shape=shape, docs_table=docs_table)},
 per_src AS (
   SELECT source, count(*)::BIGINT AS src_n_pairs,
          sum(kept::INT)::BIGINT AS src_n_kept,
@@ -629,4 +674,18 @@ per_src AS (
 SELECT g.id, g.source, g.clip_score, g.kept,
        p.src_n_pairs, p.src_n_kept, p.src_retention
 FROM gated g JOIN per_src p USING (source)
+"""
+
+
+def clip_gate_sql(
+    threshold: float,
+    dim: int = 64,
+    shape: tuple = (8, 8),
+    docs_table: str = "documents",
+) -> str:
+    """DuckDB twin of `stream_clip_gate`'s drained output: the shared
+    gate prefix, keepers only (the stateless micro-batch emits exactly
+    the batch filter's rows)."""
+    return f"""{_clip_cte_prefix(threshold, dim=dim, shape=shape, docs_table=docs_table)}
+SELECT id, source, clip_score FROM gated WHERE kept
 """

@@ -210,6 +210,58 @@ def stream_quality_gate(
     )
 
 
+def stream_clip_gate(
+    spark: SparkSession,
+    input_dir: str,
+    threshold: float,
+    dim: int = 64,
+    shape: "tuple[int, int]" = (8, 8),
+    codec=None,
+) -> DataFrame:
+    """Streaming CLIP-score pair gate — the ingest-time form of the
+    LAION/DataComp filter (`sources/multimodal.py::clip_pair_filter`):
+    arriving (image, caption) pairs are decoded through the factory
+    seam, both towers embedded in the same Arrow micro-batch passes,
+    and kept iff the rounded cosine clears `threshold`. Entirely
+    STATELESS — decode/embed are mapInPandas, the gate is a codegen
+    filter, no state store, no watermark — so it rides
+    `clip_score_pairs` unchanged and the drained output is
+    value-identical to the batch filter's keepers (the oracle replays
+    it). The per-source retention report is the batch operator's job;
+    a continuous pipeline computes it downstream over the emitted
+    rows. Emits (id, source, clip_score) for the keepers."""
+    from vector_search_test_spark.sources.multimodal import (
+        clip_score_pairs,
+        decode_media,
+        extract_byte_features,
+        fake_grid_codec,
+    )
+
+    if codec is None:
+        codec = fake_grid_codec(*shape)
+    stream = (
+        spark.readStream.schema(DOCUMENT_STREAM_SCHEMA)
+        .parquet(input_dir)
+        .select(
+            F.col("doc_id").alias("id"),
+            "source",
+            F.encode(F.col("text"), "UTF-8").alias("payload"),
+        )
+    )
+    dec = decode_media(stream, codec=codec, expected_shape=shape)
+    img = extract_byte_features(
+        dec, dim=dim, payload_col="decoded", out_col="img_emb"
+    )
+    both = extract_byte_features(
+        img, dim=dim, payload_col="payload", out_col="txt_emb"
+    )
+    return (
+        clip_score_pairs(both, None, threshold, id_col="id")
+        .filter("kept")
+        .select("id", "source", "clip_score")
+    )
+
+
 def stream_neardup_ingest(
     spark: SparkSession,
     input_dir: str,
