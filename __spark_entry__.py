@@ -4133,6 +4133,26 @@ def _q_knn_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TBP_BUDGET = 1_000_000
+_TBP_ALPHA = 0.3
+
+
+def _q_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture planning table (operators/sampling.py::
+    token_budget_plan): per-source token counts -> α-tempered target
+    shares -> target tokens, epochs (>1 = data must repeat), and
+    clamped sample rate under a 1M-token budget. The plan
+    temperature_mixture/epoch_upsample EXECUTE; one corpus scan, one
+    map-side-combined source aggregate, a one-row total broadcast
+    back. Oracle replays the quantized-power arithmetic."""
+    from vector_search_test_spark.operators.sampling import (
+        token_budget_plan,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    return token_budget_plan(docs, _TBP_BUDGET, alpha=_TBP_ALPHA)
+
+
 def _q_sketch_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketches (HLL++ distinct count, approx percentile) gated on their
     ERROR BOUNDS: the query emits the exact values plus in-bounds
@@ -4801,6 +4821,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # form of clip_pair_filter, stateless, batch-identical output
         # (full oracle; overflow — joins the drain queue)
         "stream_clip_gate": _q_stream_clip_gate,
+        # r14 addition: per-source token-budget mixture plan — the
+        # table temperature_mixture/epoch_upsample execute
+        # (full oracle; overflow — joins the drain queue)
+        "token_budget_plan": _q_token_budget_plan,
     }
 
 
@@ -5232,6 +5256,14 @@ QUALIFY row_number() OVER (
   PARTITION BY id ORDER BY n_votes DESC, best_rn ASC, slabel ASC
 ) = 1
 """
+
+
+def _tbp_oracle_sql() -> str:
+    from vector_search_test_spark.operators.sampling import (
+        token_budget_plan_sql,
+    )
+
+    return token_budget_plan_sql(_TBP_BUDGET, alpha=_TBP_ALPHA)
 
 
 def _clip_gate_oracle_sql() -> str:
@@ -7138,6 +7170,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "multimodal_neardup_ahash": _ahash_oracle_sql(),
         "clip_pair_filter": _clip_oracle_sql(),
         "stream_clip_gate": _clip_gate_oracle_sql(),
+        "token_budget_plan": _tbp_oracle_sql(),
         "knn_label_propagation": _label_prop_oracle_sql(),
         "curation_funnel": _funnel_oracle_sql(),
         "cross_source_dup_matrix": _dup_matrix_oracle_sql(),

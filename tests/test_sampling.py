@@ -900,3 +900,34 @@ def test_write_training_shards_roundtrip_order(spark, sf_dir, tmp_path):
         assert hs == sorted(hs) and len(hs) > 0
         total += len(hs)
     assert total == 300
+
+
+def test_token_budget_plan_arithmetic(spark):
+    """Planted two-source corpus: shares, targets, epochs, and the
+    clamped sample rate follow the documented arithmetic; α=1 gives
+    proportional allocation, α=0 gives the uniform split."""
+    from vector_search_test_spark.operators.sampling import (
+        token_budget_plan,
+    )
+
+    rows = [
+        (0, "a b c d", "big"),      # 4 tokens
+        (1, "a b c d", "big"),      # 8 total for big
+        (2, "x y", "small"),        # 2 tokens for small
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    # alpha=1: proportional -> big 80%, small 20% of a 100-token budget
+    out = {r["source"]: r for r in token_budget_plan(docs, 100, alpha=1.0).collect()}
+    assert out["big"]["n_tokens"] == 8 and out["small"]["n_tokens"] == 2
+    assert out["big"]["nat_share"] == 0.8 and out["small"]["nat_share"] == 0.2
+    assert out["big"]["target_tokens"] == 80
+    assert out["small"]["target_tokens"] == 20
+    assert out["small"]["epochs"] == 10.0      # 20 tokens from a 2-token source
+    assert out["small"]["sample_rate"] == 1.0  # clamped
+    assert out["big"]["n_docs"] == 2
+    # alpha=0: uniform target shares regardless of size
+    out0 = {r["source"]: r for r in token_budget_plan(docs, 100, alpha=0.0).collect()}
+    assert out0["big"]["target_share"] == 0.5 == out0["small"]["target_share"]
+    # sub-epoch case: tiny budget -> sample_rate < 1 on the big source
+    outs = {r["source"]: r for r in token_budget_plan(docs, 5, alpha=1.0).collect()}
+    assert outs["big"]["epochs"] == 0.5 and outs["big"]["sample_rate"] == 0.5

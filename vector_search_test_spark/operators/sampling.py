@@ -1373,3 +1373,116 @@ def write_training_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+def token_budget_plan(
+    docs: DataFrame,
+    budget_tokens: int,
+    alpha: float = 0.3,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """The mixture PLANNING table: given a total training token budget
+    and a sampling temperature, how many tokens to draw from each
+    source and what that implies — natural share, α-tempered target
+    share, target token count, epochs over the source (>1 = the data
+    must repeat, the number every data-constrained scaling discussion
+    revolves around), and the clamped single-pass sample rate.
+    `temperature_mixture` / `epoch_upsample` EXECUTE a plan row-wise;
+    this operator is the plan itself — the table a run review reads
+    before anyone pays for the shuffle.
+
+    Arithmetic follows the temperature_mixture conventions so both
+    engines agree exactly: α-powers are quantized to integers
+    immediately (round(pow(n_tokens, α) * 1e9) as DECIMAL(38,0)), the
+    normalizer is an integer sum, shares divide the quantized integers
+    in double, and target_tokens = round(budget * qp / qz) — one
+    rounding per output value, 6dp on the ratio columns.
+
+    Output: (source, n_docs, n_tokens, nat_share, target_share,
+    target_tokens, epochs, sample_rate), one row per source. Plan
+    shape: ONE corpus scan with a map-side-combined (source) aggregate
+    (token counting is scan-side `size(split(...))`), a one-row total
+    broadcast back, and per-row arithmetic on a |sources|-row table —
+    the corpus never shuffles."""
+    from .dedup import tokens
+
+    per = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens(text_col))).cast("long").alias("n_tokens"),
+    )
+    per = per.withColumn(
+        "__qp",
+        F.round(
+            F.pow(F.col("n_tokens").cast("double"), F.lit(float(alpha)))
+            * F.lit(_TEMP_QUANT)
+        ).cast("decimal(38,0)"),
+    )
+    tot = per.agg(
+        F.sum("__qp").alias("__qz"),
+        F.sum("n_tokens").cast("long").alias("__total"),
+    )
+    share = F.col("__qp").cast("double") / F.col("__qz").cast("double")
+    target_tokens = F.round(F.lit(float(int(budget_tokens))) * share).cast(
+        "long"
+    )
+    epochs = F.round(
+        F.col("target_tokens") / F.col("n_tokens"), 6
+    )
+    return (
+        per.join(F.broadcast(tot))
+        .withColumn("target_tokens", target_tokens)
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(
+                F.col("n_tokens") / F.col("__total"), 6
+            ).alias("nat_share"),
+            F.round(share, 6).alias("target_share"),
+            "target_tokens",
+            epochs.alias("epochs"),
+            F.least(F.lit(1.0), epochs).alias("sample_rate"),
+        )
+    )
+
+
+def token_budget_plan_sql(
+    budget_tokens: int,
+    alpha: float = 0.3,
+    source_col: str = "source",
+    text_col: str = "text",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of `token_budget_plan` — same quantized powers,
+    integer normalizer, double divisions, and roundings."""
+    a = float(alpha)
+    return f"""
+WITH per AS (
+  SELECT {source_col} AS source, count(*)::BIGINT AS n_docs,
+         sum(len(string_split(lower({text_col}), ' ')))::BIGINT AS n_tokens
+  FROM {table} GROUP BY {source_col}
+),
+q AS (
+  SELECT *, CAST(round(pow(CAST(n_tokens AS DOUBLE), {a!r})
+                       * {_TEMP_QUANT}) AS DECIMAL(38,0)) AS qp
+  FROM per
+),
+t AS (
+  SELECT sum(qp) AS qz, sum(n_tokens)::BIGINT AS total FROM q
+),
+x AS (
+  SELECT q.source, q.n_docs, q.n_tokens,
+         round(q.n_tokens / CAST(t.total AS DOUBLE), 6) AS nat_share,
+         round(CAST(qp AS DOUBLE) / CAST(qz AS DOUBLE), 6) AS target_share,
+         round({float(int(budget_tokens))!r}
+               * CAST(qp AS DOUBLE) / CAST(qz AS DOUBLE))::BIGINT
+             AS target_tokens
+  FROM q CROSS JOIN t
+)
+SELECT source, n_docs, n_tokens, nat_share, target_share, target_tokens,
+       round(target_tokens / CAST(n_tokens AS DOUBLE), 6) AS epochs,
+       least(1.0, round(target_tokens / CAST(n_tokens AS DOUBLE), 6))
+           AS sample_rate
+FROM x
+"""
