@@ -3942,6 +3942,44 @@ def _q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_curation_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level curation explain (operators/curate.py::
+    curation_explain): one verdict row per input document of the SAME
+    planted-duplicate pipeline the funnel and e2e entries certify —
+    which gate dropped it ('quality' / 'exact_dup' / 'near_dup' /
+    'contaminated' / 'kept'), the representative that absorbed it,
+    the display quality score, and the benchmark overlap where the
+    doc reached decontamination. The takedown/audit surface: "why did
+    doc X disappear" answered for every doc in one table. Oracle
+    shares the e2e/funnel CTE prefix plus window-derived exact reps
+    and walk-derived near-dup reps."""
+    from vector_search_test_spark.operators.curate import curation_explain
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = docs.union(
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(10000))
+    )
+    bench = docs.filter(F.expr(_CONTAM_BENCH_PRED)).select("text")
+    tables = _minhash_tables_docs(spark, sf_dir)
+
+    def _shift(t: DataFrame) -> DataFrame:
+        return t.union(t.withColumn("id", F.col("id") + F.lit(10000)))
+
+    prebuilt = tables._replace(
+        sh=_shift(tables.sh),
+        bands_df=_shift(tables.bands_df),
+        sig=_shift(tables.sig),
+    )
+    return curation_explain(
+        dup,
+        bench,
+        quality_min=_QUALITY_MIN,
+        contam_n=_CONTAM_N,
+        contam_threshold=_CONTAM_THETA,
+        neardup_prebuilt=prebuilt,
+    )
+
+
 def _q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload column + typed metadata, all
     native expressions (encode/octet_length). Oracle anchors byte length
@@ -4850,6 +4888,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # signals — Spearman rho + top-p kept-set overlap
         # (full oracle; overflow — joins the drain queue)
         "quality_signal_agreement": _q_quality_signal_agreement,
+        # r14 addition: row-level curation explain — per-doc verdict +
+        # absorbing representative over the certified pipeline
+        # (full oracle; overflow — joins the drain queue)
+        "curation_explain": _q_curation_explain,
     }
 
 
@@ -5554,6 +5596,47 @@ def _funnel_oracle_sql() -> str:
                round(n_docs / first_value(n_docs)
                    OVER (ORDER BY stage_id), 6) AS retention
         FROM funnel
+    """
+
+
+def _explain_oracle_sql() -> str:
+    """DuckDB twin of curation_explain: the shared e2e/funnel CTE
+    prefix, plus window-derived exact representatives over the
+    quality survivors and walk-derived near-dup representatives, then
+    the stage-ordered verdict CASE."""
+    from vector_search_test_spark.functions import textstats as ts
+
+    q = ts.quality_score_sql("a.text")
+    return f"""
+        WITH RECURSIVE
+        {_e2e_curation_cte_prefix()},
+        nd_rep AS (
+            SELECT id, min(label) AS rep FROM walk GROUP BY id
+        ),
+        er AS (
+            SELECT a.doc_id AS id,
+                   round({q}, 6) AS q_score,
+                   {q} >= CAST({_QUALITY_MIN} AS DOUBLE) AS good,
+                   min(CASE WHEN {q} >= CAST({_QUALITY_MIN} AS DOUBLE)
+                            THEN a.doc_id END)
+                       OVER (PARTITION BY trim(lower(a.text))) AS exact_rep
+            FROM dup a
+        )
+        SELECT e.id,
+               CASE WHEN NOT e.good THEN 'quality'
+                    WHEN e.id <> e.exact_rep THEN 'exact_dup'
+                    WHEN nr.rep <> e.id THEN 'near_dup'
+                    WHEN coalesce(c.contaminated, FALSE) THEN 'contaminated'
+                    ELSE 'kept' END AS verdict,
+               CASE WHEN NOT e.good THEN NULL
+                    WHEN e.id <> e.exact_rep THEN e.exact_rep
+                    WHEN nr.rep <> e.id THEN nr.rep
+                    ELSE NULL END AS rep_id,
+               e.q_score,
+               c.overlap
+        FROM er e
+        LEFT JOIN nd_rep nr ON e.id = nr.id
+        LEFT JOIN contam c ON e.id = c.id
     """
 
 
@@ -7259,6 +7342,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "quality_signal_agreement": _qsa_oracle_sql(),
         "knn_label_propagation": _label_prop_oracle_sql(),
         "curation_funnel": _funnel_oracle_sql(),
+        "curation_explain": _explain_oracle_sql(),
         "cross_source_dup_matrix": _dup_matrix_oracle_sql(),
         "expectations_report": _expectations_oracle_sql(),
         "pii_redaction_hashes": _pii_oracle_sql(),

@@ -278,3 +278,40 @@ def test_curation_funnel_planted(spark):
     ordered = sorted(out.values(), key=lambda r: r["stage_id"])
     ns = [r["n_docs"] for r in ordered]
     assert ns == sorted(ns, reverse=True)
+
+
+def test_curation_explain_planted(spark):
+    """The same planted five-doc corpus as the funnel test: every doc
+    gets the right verdict and the right absorbing representative."""
+    from vector_search_test_spark.operators.curate import curation_explain
+
+    base = "the quick brown fox jumps over the lazy sleeping dog today"
+    rows = [
+        (0, base + " alpha beta gamma"),
+        (1, base + " alpha beta gamma"),        # exact dup of 0
+        (2, base + " alpha beta gamma extra"),  # near-dup of 0
+        (3, "x"),                               # fails quality
+        (4, "completely different unrelated words entirely other content here okay fine"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(base + " alpha beta gamma",)], "text string"
+    )
+    out = {
+        r["id"]: r
+        for r in curation_explain(
+            docs, bench, quality_min=0.5, neardup_threshold=0.5,
+            contam_threshold=0.5,
+        ).collect()
+    }
+    assert len(out) == 5
+    assert out[3]["verdict"] == "quality" and out[3]["rep_id"] is None
+    assert out[1]["verdict"] == "exact_dup" and out[1]["rep_id"] == 0
+    assert out[2]["verdict"] == "near_dup" and out[2]["rep_id"] == 0
+    assert out[0]["verdict"] == "contaminated" and out[0]["rep_id"] is None
+    assert out[0]["overlap"] is not None and out[0]["overlap"] >= 0.5
+    assert out[4]["verdict"] == "kept"
+    # dropped-early docs carry no overlap (never reached decontam)
+    assert out[3]["overlap"] is None and out[1]["overlap"] is None
+    # every row reports a quality score
+    assert all(r["q_score"] is not None for r in out.values())

@@ -334,3 +334,124 @@ def curation_funnel(
             F.col("n_docs") / F.first("n_docs").over(wall), 6
         ).alias("retention"),
     )
+
+
+def curation_explain(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    quality_min: float = 0.55,
+    neardup_n: int = 3,
+    neardup_hashes: int = 16,
+    neardup_bands: int = 4,
+    neardup_threshold: float = 0.9,
+    contam_n: int = 3,
+    contam_threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    neardup_prebuilt: "MinhashTables | None" = None,
+) -> DataFrame:
+    """Row-level curation EXPLAIN — the per-document companion of
+    `curation_funnel`: for EVERY input document, which gate decided
+    its fate, and who absorbed it. The debugging surface a pipeline
+    owner actually uses ("why did doc X disappear?") and the
+    provenance record a takedown/audit request needs at scale.
+
+    Output: one row per input doc — (id, verdict, rep_id, q_score,
+    overlap) with verdict ∈ {'quality', 'exact_dup', 'near_dup',
+    'contaminated', 'kept'} following the pipeline's fixed stage
+    order (a document is attributed to the FIRST gate that dropped
+    it); rep_id = the representative that absorbed it (exact-group
+    min id, or the near-dup connected-component representative),
+    NULL for the other verdicts; q_score always present (6dp);
+    overlap = the decontamination report's benchmark n-gram overlap
+    where the doc reached that stage and had shingles, else NULL.
+
+    Stage semantics are IDENTICAL to curate_corpus/curation_funnel
+    (same operators, same params, same keep-set seams); the exact-dup
+    representative comes from a min-over-window on the same
+    normalized-text key dedup_exact groups on. Scale shape: one
+    window on the normalized-text hash partition, the same banded
+    near-dup machinery (via `neardup_prebuilt` it reuses persistent
+    signatures), broadcast contamination — plus narrow left joins to
+    assemble verdicts. Nothing all-pairs; the wide text column never
+    shuffles (only id-keyed decision rows do)."""
+    from pyspark.sql import Window
+
+    from ..functions.textstats import quality_score
+    from ..io import spread
+    from .dedup import neardup_dedup_decisions
+    from .sampling import contamination_report
+
+    base = spread(docs.select(F.col(id_col), F.col(text_col)), id_col)
+    # the gate compares the RAW score, exactly like curate_corpus /
+    # curation_funnel; q_score is rounded for display only
+    scored = base.withColumn(
+        "q_score", F.round(quality_score(text_col), 6)
+    ).withColumn(
+        "__good", quality_score(text_col) >= F.lit(float(quality_min))
+    )
+    # exact representative among the quality survivors: min id over the
+    # SAME normalized-text key dedup_exact groups on
+    norm = F.trim(F.lower(F.col(text_col)))
+    w = Window.partitionBy(norm)
+    scored = scored.withColumn(
+        "__exact_rep",
+        F.min(F.when(F.col("__good"), F.col(id_col))).over(w),
+    )
+    exact_kept = scored.filter(
+        F.col("__good") & (F.col(id_col) == F.col("__exact_rep"))
+    ).select(F.col(id_col), F.col(text_col))
+    nd = neardup_dedup_decisions(
+        exact_kept,
+        id_col=id_col,
+        text_col=text_col,
+        n=neardup_n,
+        num_hashes=neardup_hashes,
+        bands=neardup_bands,
+        threshold=neardup_threshold,
+        prebuilt=neardup_prebuilt,
+    ).select(
+        F.col("id").alias(id_col),
+        F.col("rep_id").alias("__nd_rep"),
+        F.col("keep").alias("__nd_keep"),
+    )
+    nd_kept = base.join(
+        nd.filter("__nd_keep").select(id_col), id_col
+    )
+    contam = contamination_report(
+        nd_kept,
+        benchmark,
+        n=contam_n,
+        threshold=contam_threshold,
+        id_col=id_col,
+        text_col=text_col,
+    ).select(
+        F.col("id").alias(id_col),
+        F.round("overlap", 6).alias("overlap"),
+        F.col("contaminated").alias("__contam"),
+    )
+    out = (
+        scored.join(nd, id_col, "left")
+        .join(contam, id_col, "left")
+    )
+    verdict = (
+        F.when(~F.col("__good"), F.lit("quality"))
+        .when(F.col(id_col) != F.col("__exact_rep"), F.lit("exact_dup"))
+        .when(~F.col("__nd_keep"), F.lit("near_dup"))
+        .when(F.coalesce(F.col("__contam"), F.lit(False)), F.lit("contaminated"))
+        .otherwise(F.lit("kept"))
+    )
+    rep = (
+        F.when(~F.col("__good"), F.lit(None).cast("long"))
+        .when(F.col(id_col) != F.col("__exact_rep"), F.col("__exact_rep"))
+        .when(~F.col("__nd_keep"), F.col("__nd_rep"))
+        .otherwise(F.lit(None).cast("long"))
+    )
+    return out.select(
+        F.col(id_col).alias("id"),
+        verdict.alias("verdict"),
+        rep.alias("rep_id"),
+        "q_score",
+        "overlap",
+    )
