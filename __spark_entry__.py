@@ -4171,6 +4171,26 @@ def _q_knn_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_embedding_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding drift between two snapshots (operators/
+    vstats.py::embedding_drift_report): the monitoring gauge for model
+    retrains / ingest changes — mean and std per dimension on each
+    side from exact quantized integer sums, plus |mean shift|. The
+    entry splits the fixture deterministically (even vec_ids = the
+    reference snapshot, odd = the current one); production feeds two
+    real snapshot reads through the same operator. Oracle replays
+    quantization, sums, and the identical double arithmetic."""
+    from vector_search_test_spark.io import spread
+    from vector_search_test_spark.operators.vstats import (
+        embedding_drift_report,
+    )
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    ref = emb.filter(F.col("vec_id") % 2 == 0).select("embedding")
+    cur = emb.filter(F.col("vec_id") % 2 == 1).select("embedding")
+    return embedding_drift_report(ref, cur)
+
+
 _QSA_P = 0.2
 
 
@@ -4892,6 +4912,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # absorbing representative over the certified pipeline
         # (full oracle; overflow — joins the drain queue)
         "curation_explain": _q_curation_explain,
+        # r14 addition: per-dimension embedding drift between snapshots
+        # (full oracle; overflow — joins the drain queue)
+        "embedding_drift_report": _q_embedding_drift_report,
     }
 
 
@@ -5323,6 +5346,17 @@ QUALIFY row_number() OVER (
   PARTITION BY id ORDER BY n_votes DESC, best_rn ASC, slabel ASC
 ) = 1
 """
+
+
+def _drift_oracle_sql() -> str:
+    from vector_search_test_spark.operators.vstats import (
+        embedding_drift_report_sql,
+    )
+
+    return embedding_drift_report_sql(
+        "SELECT embedding FROM embeddings WHERE vec_id % 2 = 0",
+        "SELECT embedding FROM embeddings WHERE vec_id % 2 = 1",
+    )
 
 
 def _qsa_oracle_sql() -> str:
@@ -7340,6 +7374,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "stream_clip_gate": _clip_gate_oracle_sql(),
         "token_budget_plan": _tbp_oracle_sql(),
         "quality_signal_agreement": _qsa_oracle_sql(),
+        "embedding_drift_report": _drift_oracle_sql(),
         "knn_label_propagation": _label_prop_oracle_sql(),
         "curation_funnel": _funnel_oracle_sql(),
         "curation_explain": _explain_oracle_sql(),

@@ -114,3 +114,34 @@ def test_embedding_norm_stats_planted(spark):
     assert abs(a.mean_norm - 2.5) < 1e-6
     b = got["b"]
     assert (b.n_vecs, b.n_zero, b.mean_norm) == (1, 0, 1.0)
+
+
+def test_embedding_drift_report_planted(spark):
+    """Planted shift: the current snapshot is the reference shifted by
+    +0.5 in dim 0 only — the report localizes the drift to that
+    dimension and keeps stds equal."""
+    import numpy as np
+
+    from vector_search_test_spark.operators.vstats import (
+        embedding_drift_report,
+    )
+
+    rng = np.random.RandomState(7)
+    base = rng.uniform(-0.5, 0.5, size=(40, 4)).astype("float32")
+    shifted = base.copy()
+    shifted[:, 0] += 0.5
+    ref = spark.createDataFrame(
+        [(r.tolist(),) for r in base], "embedding array<float>"
+    )
+    cur = spark.createDataFrame(
+        [(r.tolist(),) for r in shifted], "embedding array<float>"
+    )
+    out = {r["dim"]: r for r in embedding_drift_report(ref, cur).collect()}
+    assert len(out) == 4
+    assert out[0]["mean_shift"] == 0.5
+    for d in (1, 2, 3):
+        assert out[d]["mean_shift"] == 0.0
+        assert out[d]["std_ref"] == out[d]["std_cur"]
+    # numpy cross-check on one mean
+    assert abs(out[2]["mean_ref"] - round(float(base[:, 2].mean()), 6)) < 2e-6
+    assert out[0]["n_ref"] == 40 and out[0]["n_cur"] == 40

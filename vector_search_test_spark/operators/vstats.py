@@ -167,3 +167,133 @@ def source_centroids_sql(
         FROM exploded
         GROUP BY source, dim
     """
+
+
+_SQ_SCALE = 1_000_000_000  # 1e9 for squared values (|x| <= ~1 in fixtures)
+
+
+def embedding_drift_report(
+    ref: DataFrame,
+    cur: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension distribution drift between two embedding
+    SNAPSHOTS — the monitoring gauge run when the embedding model is
+    retrained, the ingest pipeline changes, or a new corpus slice
+    lands: a silent per-dimension mean/variance shift degrades every
+    distance-based consumer (IVF cell balance, cosine ranking,
+    semantic dedup) long before anything errors. Output: one row per
+    dimension — (dim, n_ref, n_cur, mean_ref, mean_cur, mean_shift,
+    std_ref, std_cur) with mean_shift = |mean_cur - mean_ref| on the
+    raw means (each output rounded 6dp independently).
+
+    Precision contract (the source_centroids pattern): element values
+    quantize to 1e7 integers and their squares to 1e9 integers BEFORE
+    summing (DECIMAL(38,0) accumulators, exact at any row count), so
+    means and E[x²] — and therefore std = sqrt(max(0, E[x²] - mean²))
+    — are deterministic functions of exact integer sums, independent
+    of partitioning, add order, and engine.
+
+    Plan: posexplode each snapshot (columnar generator), ONE
+    map-side-combined (dim) aggregate per side, then a dim-keyed join
+    of two |dim|-row tables. Output cardinality = dim regardless of
+    corpus size; nothing wide shuffles."""
+
+    def _agg(df: DataFrame, tag: str) -> DataFrame:
+        exploded = df.select(F.posexplode(vec_col).alias("dim", "val"))
+        v = F.col("val").cast("double")
+        return (
+            exploded.select(
+                "dim",
+                F.round(v * _SCALE, 0).cast("decimal(38,0)").alias("qv"),
+                F.round(v * v * _SQ_SCALE, 0)
+                .cast("decimal(38,0)")
+                .alias("qs"),
+            )
+            .groupBy("dim")
+            .agg(
+                F.count("*").cast("long").alias(f"n_{tag}"),
+                F.sum("qv").alias(f"__sv_{tag}"),
+                F.sum("qs").alias(f"__ss_{tag}"),
+            )
+        )
+
+    r = _agg(ref, "ref")
+    c = _agg(cur, "cur")
+    j = r.join(c, "dim")
+
+    def _mean(tag: str):
+        return (
+            F.col(f"__sv_{tag}").cast("double")
+            / F.lit(float(_SCALE))
+            / F.col(f"n_{tag}")
+        )
+
+    def _std(tag: str):
+        ex2 = (
+            F.col(f"__ss_{tag}").cast("double")
+            / F.lit(float(_SQ_SCALE))
+            / F.col(f"n_{tag}")
+        )
+        m = _mean(tag)
+        return F.sqrt(F.greatest(F.lit(0.0), ex2 - m * m))
+
+    return j.select(
+        F.col("dim").cast("long").alias("dim"),
+        "n_ref",
+        "n_cur",
+        F.round(_mean("ref"), 6).alias("mean_ref"),
+        F.round(_mean("cur"), 6).alias("mean_cur"),
+        F.round(F.abs(_mean("cur") - _mean("ref")), 6).alias("mean_shift"),
+        F.round(_std("ref"), 6).alias("std_ref"),
+        F.round(_std("cur"), 6).alias("std_cur"),
+    )
+
+
+def embedding_drift_report_sql(
+    ref_sql: str,
+    cur_sql: str,
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of `embedding_drift_report`; `ref_sql`/`cur_sql`
+    are subqueries yielding the two snapshots' embedding rows."""
+
+    def agg(src: str, tag: str) -> str:
+        return f"""
+{tag}_x AS (
+  SELECT emb, UNNEST(range(1, len(emb) + 1)) AS i
+  FROM (SELECT {vec_col} AS emb FROM ({src}))
+),
+{tag}_q AS (
+  SELECT i - 1 AS dim,
+         CAST(round(CAST(emb[i] AS DOUBLE) * {_SCALE}, 0)
+              AS DECIMAL(38,0)) AS qv,
+         CAST(round(CAST(emb[i] AS DOUBLE) * CAST(emb[i] AS DOUBLE)
+                    * {_SQ_SCALE}, 0) AS DECIMAL(38,0)) AS qs
+  FROM {tag}_x
+),
+{tag}_a AS (
+  SELECT dim, count(*)::BIGINT AS n_{tag},
+         sum(qv) AS sv_{tag}, sum(qs) AS ss_{tag}
+  FROM {tag}_q GROUP BY dim
+)"""
+
+    def mean(tag: str) -> str:
+        return f"(CAST(sv_{tag} AS DOUBLE) / {float(_SCALE)!r} / n_{tag})"
+
+    def std(tag: str) -> str:
+        ex2 = f"(CAST(ss_{tag} AS DOUBLE) / {float(_SQ_SCALE)!r} / n_{tag})"
+        m = mean(tag)
+        return f"sqrt(greatest(0.0, {ex2} - {m} * {m}))"
+
+    return f"""
+WITH {agg(ref_sql, 'ref')},
+{agg(cur_sql, 'cur')}
+SELECT CAST(dim AS BIGINT) AS dim, n_ref, n_cur,
+       round({mean('ref')}, 6) AS mean_ref,
+       round({mean('cur')}, 6) AS mean_cur,
+       round(abs({mean('cur')} - {mean('ref')}), 6) AS mean_shift,
+       round({std('ref')}, 6) AS std_ref,
+       round({std('cur')}, 6) AS std_cur
+FROM ref_a JOIN cur_a USING (dim)
+"""
