@@ -4191,6 +4191,26 @@ def _q_embedding_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_drift_report(ref, cur)
 
 
+def _q_label_shift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical label-distribution drift between two snapshots
+    (operators/vstats.py::label_shift_report) — the mix-moved
+    companion of embedding_drift_report over the same deterministic
+    even/odd snapshot split: per-label counts, shares, |share shift|,
+    and the per-label total-variation contribution (sum(tvd_part) IS
+    the TVD between the distributions). Exact integer counts, single
+    double divisions; oracle replays the full-outer join and the
+    share arithmetic."""
+    from vector_search_test_spark.io import spread
+    from vector_search_test_spark.operators.vstats import (
+        label_shift_report,
+    )
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    ref = emb.filter(F.col("vec_id") % 2 == 0).select("label")
+    cur = emb.filter(F.col("vec_id") % 2 == 1).select("label")
+    return label_shift_report(ref, cur)
+
+
 _QSA_P = 0.2
 
 
@@ -4915,6 +4935,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r14 addition: per-dimension embedding drift between snapshots
         # (full oracle; overflow — joins the drain queue)
         "embedding_drift_report": _q_embedding_drift_report,
+        # r14 addition: categorical label-distribution drift with
+        # per-label TVD contributions — the mix-moved companion of
+        # embedding_drift_report (full oracle; overflow)
+        "label_shift_report": _q_label_shift_report,
     }
 
 
@@ -5346,6 +5370,17 @@ QUALIFY row_number() OVER (
   PARTITION BY id ORDER BY n_votes DESC, best_rn ASC, slabel ASC
 ) = 1
 """
+
+
+def _label_shift_oracle_sql() -> str:
+    from vector_search_test_spark.operators.vstats import (
+        label_shift_report_sql,
+    )
+
+    return label_shift_report_sql(
+        "SELECT label FROM embeddings WHERE vec_id % 2 = 0",
+        "SELECT label FROM embeddings WHERE vec_id % 2 = 1",
+    )
 
 
 def _drift_oracle_sql() -> str:
@@ -7375,6 +7410,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "token_budget_plan": _tbp_oracle_sql(),
         "quality_signal_agreement": _qsa_oracle_sql(),
         "embedding_drift_report": _drift_oracle_sql(),
+        "label_shift_report": _label_shift_oracle_sql(),
         "knn_label_propagation": _label_prop_oracle_sql(),
         "curation_funnel": _funnel_oracle_sql(),
         "curation_explain": _explain_oracle_sql(),

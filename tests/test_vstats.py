@@ -145,3 +145,26 @@ def test_embedding_drift_report_planted(spark):
     # numpy cross-check on one mean
     assert abs(out[2]["mean_ref"] - round(float(base[:, 2].mean()), 6)) < 2e-6
     assert out[0]["n_ref"] == 40 and out[0]["n_cur"] == 40
+
+
+def test_label_shift_report_planted(spark):
+    """Planted shift with a vanishing and an appearing class: counts,
+    shares, and TVD parts are exact; sum(tvd_part) is the total
+    variation distance."""
+    from vector_search_test_spark.operators.vstats import (
+        label_shift_report,
+    )
+
+    ref = spark.createDataFrame(
+        [(0,)] * 6 + [(1,)] * 4, "label int"
+    )
+    cur = spark.createDataFrame(
+        [(0,)] * 5 + [(2,)] * 5, "label int"
+    )
+    out = {r["label"]: r for r in label_shift_report(ref, cur).collect()}
+    assert out[0]["share_ref"] == 0.6 and out[0]["share_cur"] == 0.5
+    assert out[1]["n_cur"] == 0 and out[1]["share_cur"] == 0.0  # vanished
+    assert out[2]["n_ref"] == 0 and out[2]["share_ref"] == 0.0  # appeared
+    tvd = sum(r["tvd_part"] for r in out.values())
+    # |0.6-0.5|/2 + |0.4-0|/2 + |0-0.5|/2 = 0.05 + 0.2 + 0.25 = 0.5
+    assert abs(tvd - 0.5) < 1e-9

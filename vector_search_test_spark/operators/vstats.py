@@ -297,3 +297,89 @@ SELECT CAST(dim AS BIGINT) AS dim, n_ref, n_cur,
        round({std('cur')}, 6) AS std_cur
 FROM ref_a JOIN cur_a USING (dim)
 """
+
+
+def label_shift_report(
+    ref: DataFrame,
+    cur: DataFrame,
+    label_col: str = "label",
+) -> DataFrame:
+    """Categorical drift between two snapshots — the label-distribution
+    companion of `embedding_drift_report` on the monitoring dashboard
+    (embedding drift says the SPACE moved; label shift says the MIX
+    moved — a class appearing, vanishing, or changing share between
+    ingest batches, model versions, or corpus slices). Output: one row
+    per label present on EITHER side — (label, n_ref, n_cur,
+    share_ref, share_cur, share_shift, tvd_part) with share_shift =
+    |share_cur - share_ref| and tvd_part = share_shift / 2, so
+    sum(tvd_part) over the report IS the total-variation distance
+    between the two label distributions (the standard drift scalar),
+    readable per-label to localize WHICH classes moved. Counts are
+    exact integers; shares are single double divisions of exact
+    counts, 6dp-rounded per output.
+
+    Plan: one map-side-combined count per side, a tiny full-outer
+    join on the label, scalar totals broadcast back. Output
+    cardinality = |labels|; nothing wide moves."""
+
+    def _cnt(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy(F.col(label_col).alias("label")).agg(
+            F.count("*").cast("long").alias(f"n_{tag}")
+        )
+
+    r = _cnt(ref, "ref")
+    c = _cnt(cur, "cur")
+    j = (
+        r.join(c, "label", "full_outer")
+        .withColumn("n_ref", F.coalesce("n_ref", F.lit(0)).cast("long"))
+        .withColumn("n_cur", F.coalesce("n_cur", F.lit(0)).cast("long"))
+    )
+    tot = j.agg(
+        F.sum("n_ref").cast("long").alias("__tr"),
+        F.sum("n_cur").cast("long").alias("__tc"),
+    )
+    sr = F.col("n_ref") / F.col("__tr")
+    sc = F.col("n_cur") / F.col("__tc")
+    return j.join(F.broadcast(tot)).select(
+        "label",
+        "n_ref",
+        "n_cur",
+        F.round(sr, 6).alias("share_ref"),
+        F.round(sc, 6).alias("share_cur"),
+        F.round(F.abs(sc - sr), 6).alias("share_shift"),
+        F.round(F.abs(sc - sr) / 2, 6).alias("tvd_part"),
+    )
+
+
+def label_shift_report_sql(
+    ref_sql: str,
+    cur_sql: str,
+    label_col: str = "label",
+) -> str:
+    """DuckDB twin of `label_shift_report`; `ref_sql`/`cur_sql` yield
+    the two snapshots' rows."""
+    return f"""
+WITH r AS (
+  SELECT {label_col} AS label, count(*)::BIGINT AS n_ref
+  FROM ({ref_sql}) GROUP BY {label_col}
+),
+c AS (
+  SELECT {label_col} AS label, count(*)::BIGINT AS n_cur
+  FROM ({cur_sql}) GROUP BY {label_col}
+),
+j AS (
+  SELECT coalesce(r.label, c.label) AS label,
+         coalesce(n_ref, 0)::BIGINT AS n_ref,
+         coalesce(n_cur, 0)::BIGINT AS n_cur
+  FROM r FULL OUTER JOIN c USING (label)
+),
+t AS (SELECT sum(n_ref)::BIGINT AS tr, sum(n_cur)::BIGINT AS tc FROM j)
+SELECT label, n_ref, n_cur,
+       round(n_ref / CAST(tr AS DOUBLE), 6) AS share_ref,
+       round(n_cur / CAST(tc AS DOUBLE), 6) AS share_cur,
+       round(abs(n_cur / CAST(tc AS DOUBLE) - n_ref / CAST(tr AS DOUBLE)),
+             6) AS share_shift,
+       round(abs(n_cur / CAST(tc AS DOUBLE) - n_ref / CAST(tr AS DOUBLE))
+             / 2, 6) AS tvd_part
+FROM j CROSS JOIN t
+"""
