@@ -549,3 +549,159 @@ def test_zorder_layouts_always_partition_rows(spark, vals):
         assert sum(r["n_rows"] for r in rs) == len(vals)
         for r in rs:
             assert r["min_a"] <= r["max_a"] and r["min_b"] <= r["max_b"]
+
+
+# ---------------------------------------------------------------------------
+# r14 additions
+# ---------------------------------------------------------------------------
+
+vec_st = st.lists(
+    st.floats(-1.0, 1.0, allow_nan=False, width=32), min_size=3, max_size=3
+)
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(vec_st, vec_st, st.sampled_from(["s1", "s2"])),
+        min_size=1,
+        max_size=8,
+    ),
+    theta=st.floats(-1.0, 1.0, allow_nan=False),
+)
+def test_clip_gate_threshold_is_exactly_rounded_cosine(spark, rows, theta):
+    """For arbitrary pairs and thresholds: kept <=> the 6dp-rounded
+    cosine clears theta, NULL scores (zero-norm towers) never pass,
+    and per-source retention is exactly n_kept/n_pairs."""
+    import math
+
+    from vector_search_test_spark.sources.multimodal import clip_pair_filter
+
+    df = spark.createDataFrame(
+        [(i, s, a, b) for i, (a, b, s) in enumerate(rows)],
+        "id long, source string, img_emb array<float>, txt_emb array<float>",
+    )
+    out = clip_pair_filter(df, None, theta, id_col="id").collect()
+    assert len(out) == len(rows)
+    by_src = {}
+    for r in out:
+        a, b, _ = rows[r["id"]]
+        na = math.sqrt(sum(float(x) * float(x) for x in a))
+        nb = math.sqrt(sum(float(x) * float(x) for x in b))
+        if na * nb == 0:
+            assert r["clip_score"] is None and not r["kept"]
+        else:
+            assert r["kept"] == (r["clip_score"] >= theta)
+        by_src.setdefault(r["source"], []).append(r)
+    for src, rs in by_src.items():
+        kept = sum(1 for r in rs if r["kept"])
+        assert rs[0]["src_n_pairs"] == len(rs)
+        assert rs[0]["src_n_kept"] == kept
+        assert rs[0]["src_retention"] == round(kept / len(rs), 6)
+
+
+@settings(**_SETTINGS)
+@given(
+    seeds=st.lists(
+        st.tuples(vec_st, st.integers(0, 3)), min_size=1, max_size=6
+    ),
+    targets=st.lists(vec_st, min_size=1, max_size=5),
+    k=st.integers(1, 5),
+)
+def test_label_propagation_invariants(spark, seeds, targets, k):
+    """Arbitrary geometry: every target gets exactly one prediction,
+    the predicted label exists among the seeds, n_considered =
+    min(k, |seeds|), and vote_frac = n_votes / n_considered."""
+    from vector_search_test_spark.operators.knn import knn_label_propagation
+
+    sdf = spark.createDataFrame(
+        [(i, v, l) for i, (v, l) in enumerate(seeds)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    tdf = spark.createDataFrame(
+        [(100 + i, v) for i, v in enumerate(targets)],
+        "vec_id long, embedding array<float>",
+    )
+    out = knn_label_propagation(tdf, sdf, k=k).collect()
+    assert len(out) == len(targets)
+    seed_labels = {l for _, l in seeds}
+    want_considered = min(k, len(seeds))
+    for r in out:
+        assert r["pred_label"] in seed_labels
+        assert r["n_considered"] == want_considered
+        assert r["vote_frac"] == round(r["n_votes"] / want_considered, 6)
+        assert 1 <= r["n_votes"] <= want_considered
+
+
+@settings(**_SETTINGS)
+@given(
+    counts=st.lists(st.integers(1, 9), min_size=1, max_size=4),
+    budget=st.integers(1, 500),
+    alpha=st.sampled_from([0.0, 0.3, 1.0]),
+)
+def test_token_budget_plan_conservation(spark, counts, budget, alpha):
+    """Arbitrary source sizes: target shares sum to ~1, natural shares
+    sum to ~1, and target_tokens sums to the budget within one
+    rounding unit per source."""
+    from vector_search_test_spark.operators.sampling import token_budget_plan
+
+    rows = []
+    for s, n_docs in enumerate(counts):
+        for d in range(n_docs):
+            rows.append((s * 100 + d, "w " * (s + 1) + "end", f"src{s}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = token_budget_plan(docs, budget, alpha=alpha).collect()
+    assert len(out) == len(counts)
+    assert abs(sum(r["nat_share"] for r in out) - 1.0) < 1e-4
+    assert abs(sum(r["target_share"] for r in out) - 1.0) < 1e-4
+    assert abs(sum(r["target_tokens"] for r in out) - budget) <= len(counts)
+    for r in out:
+        assert r["sample_rate"] <= 1.0
+        assert r["sample_rate"] <= r["epochs"] + 1e-9
+
+
+@settings(**_SETTINGS)
+@given(
+    labels_ref=st.lists(st.integers(0, 3), min_size=1, max_size=12),
+    labels_cur=st.lists(st.integers(0, 3), min_size=1, max_size=12),
+)
+def test_label_shift_tvd_bounds(spark, labels_ref, labels_cur):
+    """Arbitrary label multisets: shares sum to 1 on each side, TVD =
+    sum(tvd_part) is in [0, 1], and it is 0 iff the distributions are
+    identical."""
+    from vector_search_test_spark.operators.vstats import label_shift_report
+
+    ref = spark.createDataFrame([(x,) for x in labels_ref], "label int")
+    cur = spark.createDataFrame([(x,) for x in labels_cur], "label int")
+    out = label_shift_report(ref, cur).collect()
+    assert abs(sum(r["share_ref"] for r in out) - 1.0) < 1e-4
+    assert abs(sum(r["share_cur"] for r in out) - 1.0) < 1e-4
+    tvd = sum(r["tvd_part"] for r in out)
+    assert -1e-9 <= tvd <= 1.0 + 1e-9
+    from collections import Counter
+
+    same = Counter(labels_ref) == Counter(labels_cur) and len(
+        labels_ref
+    ) == len(labels_cur)
+    if same:
+        assert tvd < 1e-9
+
+
+@settings(**_SETTINGS)
+@given(
+    vecs=st.lists(vec_st, min_size=2, max_size=10),
+)
+def test_embedding_drift_identical_snapshots_report_zero(spark, vecs):
+    """The same snapshot on both sides: every dimension reports zero
+    mean shift and identical stds."""
+    from vector_search_test_spark.operators.vstats import (
+        embedding_drift_report,
+    )
+
+    df = spark.createDataFrame([(v,) for v in vecs], "embedding array<float>")
+    out = embedding_drift_report(df, df).collect()
+    assert len(out) == 3
+    for r in out:
+        assert r["mean_shift"] == 0.0
+        assert r["std_ref"] == r["std_cur"]
+        assert r["n_ref"] == r["n_cur"] == len(vecs)
