@@ -225,6 +225,41 @@ def _q_ivf_search_partial_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "vec_id", F.round("dist", 6).alias("dist"))
 
 
+def _q_ivf_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered pruned-probe ANN (operators/ivf.py::
+    ivf_search_filtered) — "nearest vectors WHERE label is even" at
+    nprobe < nlist: the predicate filters the POSTINGS before the
+    top-k (pushes into the postings scan; post-filtering would return
+    short result lists), probe ranking stays filter-agnostic (the
+    standard IVF-filtered behavior). Same shared-trainer centroids as
+    the partial-probe family, so the oracle replays assignment, probe
+    ranking, the predicate, and the pruned top-k in SQL over a VALUES
+    centroid table."""
+    from vector_search_test_spark.io import spread
+    from vector_search_test_spark.operators.ivf import (
+        IvfIndex,
+        assign_cells,
+        ivf_search_filtered,
+    )
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    cents = _partial_probe_centroids(sf_dir)
+    postings = assign_cells(
+        emb.select("vec_id", "embedding", "label"), cents
+    ).select("list_id", "vec_id", "embedding", "label")
+    idx = IvfIndex(centroids=cents, postings=postings)
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = ivf_search_filtered(
+        idx, q, F.col("label") % 2 == 0, k=_PP_K, nprobe=_PP_NPROBE
+    )
+    return out.select(
+        "query_id", "vec_id", F.round("dist", 6).alias("dist")
+    )
+
+
 def _pp_index(spark: SparkSession, sf_dir: str):
     """Shared-trainer IVF index + query set for the partial-probe family
     of entries (partial-probe search, recall gauge, index stats)."""
@@ -4939,6 +4974,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-label TVD contributions — the mix-moved companion of
         # embedding_drift_report (full oracle; overflow)
         "label_shift_report": _q_label_shift_report,
+        # r14 addition: metadata-filtered pruned-probe ANN — the
+        # WHERE + ANN composition at nprobe < nlist
+        # (full oracle; overflow — joins the drain queue)
+        "ivf_filtered_topk": _q_ivf_filtered_topk,
     }
 
 
@@ -6544,6 +6583,52 @@ def _partial_probe_oracle_sql(sf_dir: str | None = None) -> str:
     """
 
 
+def _ivf_filtered_oracle_sql(sf_dir: str | None = None) -> str:
+    """DuckDB twin of ivf_filtered_topk: the partial-probe replay
+    (same VALUES centroid table, same assignment/probe/top-k
+    tie-breaks) with the metadata predicate applied to the assigned
+    postings BEFORE the pruned top-k, exactly like the Spark filter
+    on the postings DataFrame."""
+    if sf_dir is None:
+        sf_dir = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    cents = _partial_probe_centroids(sf_dir)
+    values = ",\n                   ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            i, ", ".join(repr(x) for x in c)
+        )
+        for i, c in enumerate(cents)
+    )
+    d_assign = _l2_sq_sql("e.embedding", "c.centroid")
+    d_probe = _l2_sq_sql("q.embedding", "c.centroid")
+    d_final = _l2_sq_sql("a.embedding", "p.qv")
+    return f"""
+        WITH cents(list_id, centroid) AS (
+            VALUES {values}
+        ),
+        assign AS (
+            SELECT e.vec_id, e.embedding, e.label, c.list_id
+            FROM embeddings e CROSS JOIN cents c
+            QUALIFY row_number() OVER (
+                PARTITION BY e.vec_id ORDER BY {d_assign}, c.list_id
+            ) = 1
+        ),
+        probes AS (
+            SELECT q.vec_id AS query_id, q.embedding AS qv, c.list_id
+            FROM embeddings q CROSS JOIN cents c
+            WHERE q.vec_id < 10
+            QUALIFY row_number() OVER (
+                PARTITION BY q.vec_id ORDER BY {d_probe}, c.list_id
+            ) <= {_PP_NPROBE}
+        )
+        SELECT p.query_id, a.vec_id, round({d_final}, 6) AS dist
+        FROM probes p JOIN assign a ON p.list_id = a.list_id
+        WHERE a.label % 2 = 0
+        QUALIFY row_number() OVER (
+            PARTITION BY p.query_id ORDER BY {d_final}, a.vec_id
+        ) <= {_PP_K}
+    """
+
+
 def _pp_cents_values(sf_dir: str | None) -> str:
     """VALUES rows for the shared-trainer centroid table (see
     _partial_probe_oracle_sql for the determinism argument)."""
@@ -6892,8 +6977,10 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
     )
     try:
         _pp_sql = _partial_probe_oracle_sql(sf_dir)
+        _ivff_sql = _ivf_filtered_oracle_sql(sf_dir)
     except Exception:
         _pp_sql = None
+        _ivff_sql = None
     try:
         _sd_sql = _semdedup_oracle_sql(sf_dir)
     except Exception:
@@ -6988,6 +7075,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
             QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY {dq}, e.vec_id) <= 3
         """,
         "ivf_search_partial_probe": _pp_sql,
+        "ivf_filtered_topk": _ivff_sql,
         "similarity_clusters": _cluster_cte()
         + "SELECT text, cluster_id FROM assignment",
         "cluster_sizes": _cluster_cte()
@@ -7635,6 +7723,8 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
     }
     if _pp_sql is None:
         del out["ivf_search_partial_probe"]
+    if _ivff_sql is None:
+        del out["ivf_filtered_topk"]
     if _sd_sql is None:
         del out["semdedup_prune"]
     if _ctt_sql is None:

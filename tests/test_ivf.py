@@ -375,3 +375,54 @@ def test_ivf_rebalance_cycle_report_contract(spark):
     # hurt these queries at nprobe=1 (each lands in its own sub-cell)
     assert r.recall_after >= r.recall_before == 1.0
     assert out.postings.count() == 85
+
+
+def test_ivf_filtered_search_prefilters_not_postfilters(spark):
+    """Planted geometry: the k nearest unfiltered neighbors all fail
+    the predicate — pre-filtering still returns k matching rows
+    (post-filtering would return zero), and every hit satisfies the
+    predicate."""
+    from pyspark.sql import functions as F
+
+    from vector_search_test_spark.operators.ivf import (
+        IvfIndex,
+        assign_cells,
+        ivf_search_all,
+        ivf_search_filtered,
+    )
+
+    # cluster A near origin (labels odd), cluster B far away (even)
+    rows = []
+    for i in range(6):
+        rows.append((i, [0.1 * i, 0.0], 1))         # near, odd label
+    for i in range(6, 12):
+        rows.append((i, [10.0 + 0.1 * i, 0.0], 2))  # far, even label
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    cents = [[0.0, 0.0], [10.0, 0.0]]
+    postings = assign_cells(emb, cents).select(
+        "list_id", "vec_id", "embedding", "label"
+    )
+    idx = IvfIndex(centroids=cents, postings=postings)
+    q = spark.createDataFrame(
+        [(0, [0.0, 0.0])], "query_id long, query_vec array<float>"
+    )
+    # unfiltered top-3 are all odd-labeled near vectors
+    plain = ivf_search_all(idx, q, k=3, nprobe=2).collect()
+    assert all(r["vec_id"] < 6 for r in plain)
+    # filtered to even labels: still 3 rows, all from the far cluster
+    filt = ivf_search_filtered(
+        idx, q, F.col("label") % 2 == 0, k=3, nprobe=2
+    ).collect()
+    assert len(filt) == 3
+    assert all(r["vec_id"] >= 6 for r in filt)
+    # probe pruning still applies: nprobe=1 probes only the near cell,
+    # where nothing passes the filter -> empty result (documented
+    # filter-agnostic probe behavior, not an error)
+    assert (
+        ivf_search_filtered(
+            idx, q, F.col("label") % 2 == 0, k=3, nprobe=1
+        ).count()
+        == 0
+    )

@@ -1007,6 +1007,43 @@ def ivf_search_all(
     )
 
 
+def ivf_search_filtered(
+    index: IvfIndex,
+    queries: DataFrame,
+    predicate,
+    k: int = 10,
+    nprobe: int = 2,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Metadata-filtered ANN — the pruned-probe sibling of
+    knn.filtered_topk and the composition every retrieval API exposes
+    at scale ("nearest vectors WHERE lang = 'en'"). The predicate is a
+    plain Catalyst filter over the POSTINGS (which may carry any
+    metadata columns alongside list_id/vec_id/embedding), evaluated
+    BEFORE the top-k: it pushes into the postings scan (PushedFilters /
+    partition pruning when the metadata is a partition column), so
+    selective predicates cut IO and scoring together, and the window
+    keeps k survivors — post-filtering an unfiltered top-k would
+    instead return FEWER than k whenever the filter removes near
+    neighbors. Probe selection stays filter-AGNOSTIC (cells ranked by
+    query-centroid distance only — the standard IVF-filtered
+    behavior): a highly selective predicate can empty the probed
+    cells, which is the recall/nprobe trade the caller tunes, not an
+    error. Same plan as ivf_search_all otherwise."""
+    return ivf_search_all(
+        IvfIndex(
+            centroids=index.centroids,
+            postings=index.postings.filter(predicate),
+        ),
+        queries,
+        k=k,
+        nprobe=nprobe,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+    )
+
+
 def ivf_search_curve(
     index: IvfIndex,
     queries: DataFrame,
