@@ -5486,7 +5486,9 @@ g AS (
 )
 SELECT source, n_docs,
        round(1.0 - (6.0 * sum_d2)
-             / nullif(CAST(n_docs * (n_docs * n_docs - 1) AS DOUBLE), 0.0),
+             / nullif(CAST(n_docs AS DOUBLE)
+                      * (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)
+                         - 1.0), 0.0),
              6) AS spearman_rho,
        round(n_both / nullif(CAST(cutoff AS DOUBLE), 0.0), 6) AS topp_overlap
 FROM g
@@ -6977,9 +6979,14 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
     )
     try:
         _pp_sql = _partial_probe_oracle_sql(sf_dir)
-        _ivff_sql = _ivf_filtered_oracle_sql(sf_dir)
     except Exception:
         _pp_sql = None
+    # own try/except (ADVICE r14): a failure generating the NEW
+    # filtered oracle must not also null the long-certified
+    # partial-probe oracle and silently un-gate that entry
+    try:
+        _ivff_sql = _ivf_filtered_oracle_sql(sf_dir)
+    except Exception:
         _ivff_sql = None
     try:
         _sd_sql = _semdedup_oracle_sql(sf_dir)

@@ -315,3 +315,63 @@ def test_curation_explain_planted(spark):
     assert out[3]["overlap"] is None and out[1]["overlap"] is None
     # every row reports a quality score
     assert all(r["q_score"] is not None for r in out.values())
+
+
+def test_curation_explain_rules_match_funnel(spark, sf_dir):
+    """ADVICE r14: curation_explain accepts the same `rules` tuple as
+    curate_corpus/curation_funnel and folds it into the quality gate —
+    per-verdict counts must reconcile exactly with the funnel's
+    per-stage survivor counts under the SAME rule families, and the
+    'quality' verdicts must be exactly the docs the stacked predicate
+    rejects."""
+    from vector_search_test_spark.functions.textstats import (
+        c4_flags,
+        gopher_flags,
+        quality_score,
+    )
+    from vector_search_test_spark.operators.curate import (
+        curation_explain,
+        curation_funnel,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .limit(200)
+    )
+    bench = docs.filter("doc_id < 5").select("text")
+    kw = dict(
+        quality_min=0.5,
+        neardup_threshold=0.5,
+        contam_threshold=0.5,
+        rules=("gopher", "c4"),
+    )
+    funnel = {
+        r["stage"]: r["n_docs"]
+        for r in curation_funnel(docs, bench, **kw).collect()
+    }
+    ex = curation_explain(docs, bench, **kw).collect()
+    by_verdict: dict = {}
+    for r in ex:
+        by_verdict.setdefault(r["verdict"], set()).add(r["id"])
+    n = lambda v: len(by_verdict.get(v, ()))  # noqa: E731
+    assert len(ex) == funnel["input"]
+    assert funnel["input"] - n("quality") == funnel["quality"]
+    assert funnel["quality"] - n("exact_dup") == funnel["exact_dedup"]
+    assert funnel["exact_dedup"] - n("near_dup") == funnel["near_dedup"]
+    assert funnel["near_dedup"] - n("contaminated") == funnel["decontam"]
+    assert n("kept") == funnel["decontam"]
+    # the 'quality' verdicts are exactly the stacked-gate rejects
+    want_reject = {
+        r["doc_id"]
+        for r in docs.filter(
+            ~(
+                (quality_score("text") >= F.lit(0.5))
+                & (gopher_flags("text")["gopher_pass"] == 1)
+                & (c4_flags("text")["c4_pass"] == 1)
+            )
+        ).collect()
+    }
+    assert by_verdict.get("quality", set()) == want_reject
+    with pytest.raises(ValueError):
+        curation_explain(docs, bench, rules=("fineweb",))

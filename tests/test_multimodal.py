@@ -383,6 +383,19 @@ def test_clip_pair_filter_joined_towers_match_single_scan(spark):
     assert got[1]["clip_score"] == 0.0
     assert got[0]["src_n_pairs"] == 2 and got[0]["src_retention"] == 0.5
     assert got[2]["src_retention"] == 1.0
+    # ADVICE r14: when BOTH embed jobs tagged provenance (the natural
+    # two-job output), the join must not raise an ambiguous-reference
+    # error — source resolves from the media tower
+    media_tagged = both.select(
+        "id", F.col("source"), "img_emb"
+    )
+    caps_retagged = both.select(
+        "id", F.lit("WRONG").alias("source"), "txt_emb"
+    )
+    three = clip_pair_filter(media_tagged, caps_retagged, 0.9, id_col="id")
+    assert sorted(map(tuple, one.collect())) == sorted(
+        map(tuple, three.collect())
+    )
 
 
 def test_clip_pair_filter_threshold_boundary_on_rounded_score(spark):

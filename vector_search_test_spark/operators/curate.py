@@ -45,6 +45,31 @@ from pyspark.sql import functions as F
 DEFAULT_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
 
 
+def _rules_pred(rules: "tuple[str, ...]", text_col: str):
+    """Boolean Column conjunction for the published rule families the
+    quality stage stacks onto the numeric score (Gopher ∧ C4) — ONE
+    definition so curate_corpus, curation_funnel, and curation_explain
+    gate on literally the same predicate (ADVICE r14: explain used to
+    omit `rules` while claiming identical stage semantics). Returns
+    None when no families are requested; still scan-side either way."""
+    pred = None
+    for fam in rules:
+        if fam == "gopher":
+            from ..functions.textstats import gopher_flags
+
+            cond = gopher_flags(text_col)["gopher_pass"] == 1
+        elif fam == "c4":
+            from ..functions.textstats import c4_flags
+
+            cond = c4_flags(text_col)["c4_pass"] == 1
+        else:
+            raise ValueError(
+                f"unknown rule family {fam!r}; expected 'gopher' or 'c4'"
+            )
+        pred = cond if pred is None else (pred & cond)
+    return pred
+
+
 def curate_corpus(
     docs: DataFrame,
     benchmark: DataFrame,
@@ -113,19 +138,9 @@ def curate_corpus(
     # `rules` stacks published rule families (Gopher ∧ C4) onto the
     # numeric score — still one scan-side conjunction, no extra pass
     good = base.filter(quality_score(text_col) >= F.lit(float(quality_min)))
-    for fam in rules:
-        if fam == "gopher":
-            from ..functions.textstats import gopher_flags
-
-            good = good.filter(gopher_flags(text_col)["gopher_pass"] == 1)
-        elif fam == "c4":
-            from ..functions.textstats import c4_flags
-
-            good = good.filter(c4_flags(text_col)["c4_pass"] == 1)
-        else:
-            raise ValueError(
-                f"unknown rule family {fam!r}; expected 'gopher' or 'c4'"
-            )
+    rules_pred = _rules_pred(rules, text_col)
+    if rules_pred is not None:
+        good = good.filter(rules_pred)
 
     # stage 2 — exact dedup: min-id representative per normalized text.
     # The keep-set is id-only and checkpointed: every later consumer
@@ -248,19 +263,9 @@ def curation_funnel(
 
     base = spread(docs.select(F.col(id_col), F.col(text_col)), id_col)
     good = base.filter(quality_score(text_col) >= F.lit(float(quality_min)))
-    for fam in rules:
-        if fam == "gopher":
-            from ..functions.textstats import gopher_flags
-
-            good = good.filter(gopher_flags(text_col)["gopher_pass"] == 1)
-        elif fam == "c4":
-            from ..functions.textstats import c4_flags
-
-            good = good.filter(c4_flags(text_col)["c4_pass"] == 1)
-        else:
-            raise ValueError(
-                f"unknown rule family {fam!r}; expected 'gopher' or 'c4'"
-            )
+    rules_pred = _rules_pred(rules, text_col)
+    if rules_pred is not None:
+        good = good.filter(rules_pred)
     exact_ids = (
         dedup_exact(good, id_col=id_col, text_col=text_col)
         .select(F.col("rep_id").alias(id_col))
@@ -327,11 +332,21 @@ def curation_funnel(
         F.coalesce(prev - F.col("n_docs"), F.lit(0)).cast("long").alias(
             "n_dropped"
         ),
+        # nullif guards: when a stage empties (prev = 0 — e.g. a
+        # stacked rule gate rejecting everything), ANSI Spark would
+        # raise DIVIDE_BY_ZERO where the DuckDB twin yields NULL; the
+        # nullif reproduces DuckDB's x/0 -> NULL, then the same
+        # coalesce both engines apply
         F.coalesce(
-            F.round((prev - F.col("n_docs")) / prev, 6), F.lit(0.0)
+            F.round(
+                (prev - F.col("n_docs")) / F.nullif(prev, F.lit(0)), 6
+            ),
+            F.lit(0.0),
         ).alias("drop_frac"),
         F.round(
-            F.col("n_docs") / F.first("n_docs").over(wall), 6
+            F.col("n_docs")
+            / F.nullif(F.first("n_docs").over(wall), F.lit(0)),
+            6,
         ).alias("retention"),
     )
 
@@ -347,6 +362,7 @@ def curation_explain(
     neardup_threshold: float = 0.9,
     contam_n: int = 3,
     contam_threshold: float = 0.5,
+    rules: "tuple[str, ...]" = (),
     id_col: str = "doc_id",
     text_col: str = "text",
     neardup_prebuilt: "MinhashTables | None" = None,
@@ -385,12 +401,18 @@ def curation_explain(
 
     base = spread(docs.select(F.col(id_col), F.col(text_col)), id_col)
     # the gate compares the RAW score, exactly like curate_corpus /
-    # curation_funnel; q_score is rounded for display only
+    # curation_funnel; q_score is rounded for display only. `rules`
+    # folds the same _rules_pred conjunction those two filter on into
+    # the verdict gate (ADVICE r14); the coalesce makes the boolean
+    # column exactly filter-equivalent (a NULL predicate DROPS in a
+    # filter, so it must read as not-good here, never as undecided)
+    gate = quality_score(text_col) >= F.lit(float(quality_min))
+    rules_pred = _rules_pred(rules, text_col)
+    if rules_pred is not None:
+        gate = gate & rules_pred
     scored = base.withColumn(
         "q_score", F.round(quality_score(text_col), 6)
-    ).withColumn(
-        "__good", quality_score(text_col) >= F.lit(float(quality_min))
-    )
+    ).withColumn("__good", F.coalesce(gate, F.lit(False)))
     # exact representative among the quality survivors: min id over the
     # SAME normalized-text key dedup_exact groups on
     norm = F.trim(F.lower(F.col(text_col)))

@@ -1539,7 +1539,11 @@ def quality_signal_agreement(
         )
     )
     cutoff = F.floor(F.lit(float(p)) * F.col("n"))
-    d = F.col("r1") - F.col("r2")
+    # widen BEFORE squaring (ADVICE r14, same class as the
+    # training_shards order_fp fix): row_number() is int32, so an
+    # un-widened d*d wraps silently in non-ANSI Spark once |d|
+    # exceeds 46340 — i.e. any source past ~46k docs
+    d = (F.col("r1") - F.col("r2")).cast("long")
     g = r.groupBy("source").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum(d * d).cast("long").alias("__sum_d2"),
@@ -1550,8 +1554,12 @@ def quality_signal_agreement(
         .alias("__n_both"),
         F.max(cutoff).cast("long").alias("__cutoff"),
     )
-    n = F.col("n_docs")
-    denom = (n * (n * n - 1)).cast("double")
+    # denominator in DOUBLE from the start: n*(n²-1) overflows int64
+    # past ~2.1M docs per source; double math is order-matched with
+    # the DuckDB twin (same multiply/subtract sequence) so rho stays
+    # bit-identical at any n
+    n = F.col("n_docs").cast("double")
+    denom = n * (n * n - F.lit(1.0))
     return g.select(
         "source",
         "n_docs",

@@ -512,14 +512,25 @@ def clip_score_pairs(
     streaming micro-batch runs unchanged (stream_clip_gate) and the
     batch report (`clip_pair_filter`) extends with per-source
     retention. Pass `caption_emb` to equi-join separately-embedded
-    towers on `id_col`, or None when one scan produced both."""
+    towers on `id_col`, or None when one scan produced both. In the
+    two-frame form the caption side is projected down to
+    (id_col, txt_col) before the join — `source` resolves from
+    `media_emb` when that side carries it (kept from the caption side
+    only when media lacks it), so two embed jobs that each tagged
+    provenance cannot produce an ambiguous-reference error
+    (ADVICE r14)."""
     from vector_search_test_spark.functions.vector import dot, l2_norm
 
-    pairs = (
-        media_emb
-        if caption_emb is None
-        else media_emb.join(caption_emb, id_col)
-    )
+    if caption_emb is None:
+        pairs = media_emb
+    else:
+        cap_cols = [F.col(id_col), F.col(txt_col)]
+        if (
+            source_col in caption_emb.columns
+            and source_col not in media_emb.columns
+        ):
+            cap_cols.append(F.col(source_col))
+        pairs = media_emb.join(caption_emb.select(*cap_cols), id_col)
     denom = l2_norm(img_col) * l2_norm(txt_col)
     score = F.round(
         dot(img_col, txt_col) / F.nullif(denom, F.lit(0.0)), 6
