@@ -4721,6 +4721,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Promotions cost 13.01 s vs retirees 12.99 s at r13 sf0.1 minima —
     # a cost-neutral swap (net +0.02 s); per-entry numbers in
     # BASELINE.md. Never-scored debt 46 -> 36.
+    # ROUND-15 ROTATION (VERDICT r14 next-#1, the published COVERAGE.md
+    # drain schedule, executed exactly): promoted the 10 scheduled
+    # never-driver-scored entries — pq_rerank_topk, opq_adc_topk,
+    # sq8_search_topk, binary_hamming_topk, pca_knn_topk,
+    # knn_filtered_topk, range_search_radius, embedding_norm_stats,
+    # minhash_estimate_error, epoch_upsample (pre-verified BITEXACT in
+    # r14, judge-verified OK against DuckDB in the r14 session, and
+    # re-run strict-compare BITEXACT at promotion time per the drain
+    # guard; opq_adc_topk's r14 bench flag was cleared first with the
+    # idle-box min-of-8 diagnostic — BASELINE.md r15 diagnostics).
+    # Retired to the oracle-gated overflow (each long-green with a
+    # scored family representative): the four quantization-ladder
+    # COMPOSITES, displaced by their just-promoted pure rungs —
+    # ivfpq_adc_topk (r7-green; ADC stays scored via opq_adc_topk +
+    # pq_rerank_topk, the IVF probe via ivf_search_topk/curve),
+    # ivfsq8_search_topk (r8; SQ8 rung now scored directly),
+    # binary_rerank_topk (r8; binary rung scored via
+    # binary_hamming_topk, the rerank pattern via pq_rerank_topk),
+    # pca_ivf_topk (r9; PCA rung scored via pca_knn_topk — which now
+    # also carries the shared _PCA_MEMO build in-suite, so its
+    # in-suite cost is its solo pin while pca_ivf_topk rides the memo
+    # in overflow) — plus hybrid_search_rrf (r12; search family keeps
+    # text_query_topk; BM25+RRF stays oracle-green), packed_sequences
+    # (r12; the pack stage runs scored inside corpus_e2e_curation;
+    # packing_efficiency arrives r17), snapshot_bucketed_roundtrip
+    # (r8; the snapshot family keeps the maintenance-cycle SUPERSET
+    # scored and gains corpus_upsert + snapshot_cdc_changes in r16),
+    # winnowing_fingerprints (strict substrate of the scored
+    # winnowing_candidates; sketch-accuracy dimension gains
+    # minhash_estimate_error), semdedup_prune (r10; dedup keeps
+    # neardup_decisions + jaccard_join_prefix + dup_ngram_profile +
+    # multimodal_exact_dedup scored; SemDeDup stays oracle-green),
+    # tpch_q1_pricing_summary (r2 — longest-green retiree; relational
+    # keeps join_orders_lineitem_revenue + key_skew_stats +
+    # event_value_anomalies scored). Promotions cost 8.91 s vs
+    # retirees 10.90 s at r14 sf0.1 minima — a cost-NEGATIVE swap
+    # (net −1.99 s); per-entry numbers in BASELINE.md. Never-scored
+    # debt 47 -> 37.
     return {
         "ivf_search_topk": _q_ivf_search_topk,
         "ivf_persistence_roundtrip": _q_ivf_persistence_roundtrip,
@@ -4736,10 +4774,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # session_window_stats (sessionization remains scored via
         # stream_sessions; the batch entry stays oracle-green in
         # overflow). Documented in BASELINE.md like the r7-r10 swaps.
-        "ivfpq_adc_topk": _q_ivfpq_adc_topk,
-        "ivfsq8_search_topk": _q_ivfsq8_search_topk,
-        "binary_rerank_topk": _q_binary_rerank_topk,
-        "pca_ivf_topk": _q_pca_ivf_topk,
+        # r15 promotions: the quantization ladder's pure rungs — the
+        # two-stage ADC+rerank pattern (also the first _pq_artifacts
+        # user in dict order, so the PQ trainer build lands on it),
+        # the learned-rotation OPQ variant (owns _OPQ_MEMO), the
+        # codebook-free SQ8 scan, the 32x-compressed binary sketch,
+        # and the PCA-reduced exact search (now the first _PCA_MEMO
+        # user, carrying the trainer build its retired pca_ivf_topk
+        # sibling used to pay)
+        "pq_rerank_topk": _q_pq_rerank_topk,
+        "opq_adc_topk": _q_opq_adc_topk,
+        "sq8_search_topk": _q_sq8_search_topk,
+        "binary_hamming_topk": _q_binary_hamming_topk,
+        "pca_knn_topk": _q_pca_knn_topk,
         # the shared-trainer (_pp_index) diagnostics family — all lazy
         # plans over the same memoized driver-side centroid list
         "ann_recall_at_k": _q_ann_recall_at_k,
@@ -4753,7 +4800,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_clusters": _q_similarity_clusters,
         "corpus_counts": _q_corpus_counts,
         "text_query_topk": _q_text_query_topk,
-        "hybrid_search_rrf": _q_hybrid_search_rrf,
+        # r15 promotions: the query-shape pair (metadata-filtered
+        # exact top-k; fixed-radius range search) and the
+        # vector-integrity stats report
+        "knn_filtered_topk": _q_knn_filtered_topk,
+        "range_search_radius": _q_range_search_radius,
+        "embedding_norm_stats": _q_embedding_norm_stats,
         "csv_sentences_source": _q_csv_sentences_source,
         # neardup_decisions sits BEFORE the e2e curation entry so the
         # build-once MinHash corpus assets (_minhash_tables_docs) land
@@ -4761,6 +4813,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # then reuses the memo (same convention as similarity_clusters
         # absorbing the cluster-pipeline build)
         "neardup_decisions": _q_neardup_decisions,
+        # r15 promotion: the MinHash accuracy gauge — sits directly
+        # after neardup_decisions (the owner of the shared MinHash
+        # corpus assets) so the build cost stays attributed to the
+        # owner, per the memo-order convention
+        "minhash_estimate_error": _q_minhash_estimate_error,
         "corpus_e2e_curation": _q_corpus_e2e_curation,
         # ROUND-10 ROTATION: promoted dsir_selection + semdedup_prune —
         # the round's most differentiated published-method operators
@@ -4778,15 +4835,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_ngram_profile": _q_dup_ngram_profile,
         "temperature_mixture": _q_temperature_mixture,
         "corpus_mixture": _q_corpus_mixture,
-        "semdedup_prune": _q_semdedup_prune,
-        "packed_sequences": _q_packed_sequences,
-        "snapshot_bucketed_roundtrip": _q_snapshot_bucketed_roundtrip,
+        # r15 promotion: joins the mixture family — the executor of
+        # the per-source epoch plan the mixture reports prescribe
+        "epoch_upsample": _q_epoch_upsample,
         "snapshot_maintenance_cycle": _q_snapshot_maintenance_cycle,
         "multimodal_frame_features": _q_multimodal_frame_features,
         "multimodal_exact_dedup": _q_multimodal_exact_dedup,
         "jaccard_join_prefix": _q_jaccard_join_prefix,
         "winnowing_candidates": _q_winnowing_candidates,
-        "winnowing_fingerprints": _q_winnowing_fingerprints,
         "c4_quality_flags": _q_c4_quality_flags,
         "quality_classifier": _q_quality_classifier,
         # r14 promotions: the exact top-p selection pair (global +
@@ -4803,7 +4859,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r14 promotions: decontamination overlap + split integrity
         "contamination_overlap": _q_contamination_overlap,
         "corpus_split_stats": _q_corpus_split_stats,
-        "tpch_q1_pricing_summary": _q_tpch_q1_pricing_summary,
         "join_orders_lineitem_revenue": _q_join_orders_lineitem_revenue,
         "key_skew_stats": _q_key_skew_stats,
         "event_value_anomalies": _q_event_value_anomalies,
@@ -4823,6 +4878,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tools/check_oracle.py gates them locally and they score
         # automatically if the cap ever lifts. Includes the four slots
         # retired in the round-7 rotation (see NOTE above). ---
+        # r15 retirees (see the ROUND-15 ROTATION note above; each
+        # stays fully oracle-gated here). Memo-order conventions
+        # survive the move: every provider these ride (the _pp_cents
+        # shared trainer for ivfsq8, _PCA_MEMO for pca_ivf, the
+        # MinHash corpus assets for semdedup, the winnowing
+        # fingerprint table for winnowing_fingerprints) is built by a
+        # SCORED entry that bench runs earlier in the dict.
+        "ivfpq_adc_topk": _q_ivfpq_adc_topk,
+        "ivfsq8_search_topk": _q_ivfsq8_search_topk,
+        "binary_rerank_topk": _q_binary_rerank_topk,
+        "pca_ivf_topk": _q_pca_ivf_topk,
+        "hybrid_search_rrf": _q_hybrid_search_rrf,
+        "packed_sequences": _q_packed_sequences,
+        "snapshot_bucketed_roundtrip": _q_snapshot_bucketed_roundtrip,
+        "winnowing_fingerprints": _q_winnowing_fingerprints,
+        "semdedup_prune": _q_semdedup_prune,
+        "tpch_q1_pricing_summary": _q_tpch_q1_pricing_summary,
         # r14 retirees (see the ROUND-14 ROTATION note above; each
         # stays fully oracle-gated here). Memo-order conventions
         # survive the move: bench runs the whole dict in order, so
@@ -4876,30 +4948,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_window_counts": _q_stream_window_counts,
         "pii_redaction_hashes": _q_pii_redaction_hashes,
         "doc_chunks": _q_doc_chunks,
-        "pq_rerank_topk": _q_pq_rerank_topk,
-        "opq_adc_topk": _q_opq_adc_topk,
         "stream_dedup_keys": _q_stream_dedup_keys,
         "source_centroids": _q_source_centroids,
         "incremental_dedup": _q_incremental_dedup,
         "incremental_neardup": _q_incremental_neardup,
         "stream_neardup_ingest": _q_stream_neardup_ingest,
-        "knn_filtered_topk": _q_knn_filtered_topk,
         "stream_enriched_counts": _q_stream_enriched_counts,
         "stream_stream_left_join": _q_stream_stream_left_join,
         "corpus_upsert": _q_corpus_upsert,
         "snapshot_cdc_changes": _q_snapshot_cdc_changes,
-        "sq8_search_topk": _q_sq8_search_topk,
-        "binary_hamming_topk": _q_binary_hamming_topk,
         "stream_sliding_counts": _q_stream_sliding_counts,
         "semantic_dedup_reps": _q_semantic_dedup_reps,
-        "pca_knn_topk": _q_pca_knn_topk,
-        "range_search_radius": _q_range_search_radius,
-        "epoch_upsample": _q_epoch_upsample,
         "stream_quality_gate": _q_stream_quality_gate,
         "next_event_examples": _q_next_event_examples,
         "contrastive_examples": _q_contrastive_examples,
-        "embedding_norm_stats": _q_embedding_norm_stats,
-        "minhash_estimate_error": _q_minhash_estimate_error,
         "packing_efficiency": _q_packing_efficiency,
         "asof_purchase_click": _q_asof_purchase_click,
         "funnel_counts": _q_funnel_counts,
