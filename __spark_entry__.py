@@ -295,6 +295,28 @@ def _q_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recall_at_k(exact, approx)
 
 
+def _q_ann_rank_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR / NDCG@k gauge (operators/evaluate.py::ranked_quality_at_k,
+    VERDICT r14 next-#3): the rank-WEIGHTED companion of
+    ann_recall_at_k over the same shared-trainer index and query set —
+    recall says whether the true neighbors were found at nprobe=2,
+    this says where in the ranking they landed. Binary relevance vs
+    the exact top-k; NDCG over the integer-quantized log2 weights of
+    evaluate.dcg_weights, so both engines sum identical integers. The
+    oracle replays BOTH searches WITH ranks and the full weighted
+    arithmetic from the same weight constants."""
+    from vector_search_test_spark.operators.evaluate import (
+        ranked_quality_at_k,
+    )
+    from vector_search_test_spark.operators.ivf import ivf_search_all
+    from vector_search_test_spark.operators.knn import knn_exact
+
+    emb, idx, q = _pp_index(spark, sf_dir)
+    exact = knn_exact(q, emb.select("vec_id", "embedding"), k=_PP_K)
+    approx = ivf_search_all(idx, q, k=_PP_K, nprobe=_PP_NPROBE)
+    return ranked_quality_at_k(exact, approx, k=_PP_K)
+
+
 def _q_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-list simplified silhouette + inertia over the shared-trainer
     centroids (operators/evaluate.py::cluster_silhouette) — partition
@@ -5040,6 +5062,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # WHERE + ANN composition at nprobe < nlist
         # (full oracle; overflow — joins the drain queue)
         "ivf_filtered_topk": _q_ivf_filtered_topk,
+        # r15 addition: MRR / NDCG@k — the rank-weighted retrieval
+        # gauge beside ann_recall_at_k, integer-quantized log weights
+        # (full oracle; overflow — joins the drain queue)
+        "ann_rank_quality": _q_ann_rank_quality,
     }
 
 
@@ -6760,6 +6786,90 @@ def _ann_recall_oracle_sql(sf_dir: str | None = None) -> str:
     """
 
 
+def _rank_quality_oracle_sql(sf_dir: str | None = None) -> str:
+    """DuckDB twin of the MRR/NDCG@k gauge: replays the exact search
+    and the IVF approximate search WITH ranks (row_number over the
+    same (dist, vec_id) order the Spark windows use), binary relevance
+    by membership in the exact top-k, and the weighted arithmetic over
+    the SAME integer weight constants `evaluate.dcg_weights` feeds the
+    Spark operator — integer sums, one double division per metric."""
+    from vector_search_test_spark.operators.evaluate import dcg_weights
+
+    w, prefix = dcg_weights(_PP_K)
+    w_values = ", ".join(f"({i + 1}, {x})" for i, x in enumerate(w))
+    pw_values = ", ".join(
+        f"({i + 1}, {x})" for i, x in enumerate(prefix)
+    )
+    values = _pp_cents_values(sf_dir)
+    dq = _l2_sq_sql("e.embedding", "q.embedding")
+    d_assign = _l2_sq_sql("e.embedding", "c.centroid")
+    d_probe = _l2_sq_sql("q.embedding", "c.centroid")
+    d_final = _l2_sq_sql("a.embedding", "p.qv")
+    return f"""
+        WITH cents(list_id, centroid) AS (
+            VALUES {values}
+        ),
+        w(rnk, wt) AS (VALUES {w_values}),
+        pw(n, iw) AS (VALUES {pw_values}),
+        exact AS (
+            SELECT q.vec_id AS query_id, e.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id ORDER BY {dq}, e.vec_id
+                   ) AS rnk
+            FROM embeddings q CROSS JOIN embeddings e
+            WHERE q.vec_id < 10
+            QUALIFY rnk <= {_PP_K}
+        ),
+        assign AS (
+            SELECT e.vec_id, e.embedding, c.list_id
+            FROM embeddings e CROSS JOIN cents c
+            QUALIFY row_number() OVER (
+                PARTITION BY e.vec_id ORDER BY {d_assign}, c.list_id
+            ) = 1
+        ),
+        probes AS (
+            SELECT q.vec_id AS query_id, q.embedding AS qv, c.list_id
+            FROM embeddings q CROSS JOIN cents c
+            WHERE q.vec_id < 10
+            QUALIFY row_number() OVER (
+                PARTITION BY q.vec_id ORDER BY {d_probe}, c.list_id
+            ) <= {_PP_NPROBE}
+        ),
+        approx AS (
+            SELECT p.query_id, a.vec_id,
+                   row_number() OVER (
+                       PARTITION BY p.query_id ORDER BY {d_final}, a.vec_id
+                   ) AS rnk
+            FROM probes p JOIN assign a ON p.list_id = a.list_id
+            QUALIFY rnk <= {_PP_K}
+        ),
+        rel AS (
+            SELECT a.query_id, a.rnk
+            FROM approx a JOIN exact x
+              ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+        ),
+        per AS (
+            SELECT rel.query_id,
+                   min(rel.rnk)::BIGINT AS first_hit_rank,
+                   sum(w.wt)::BIGINT AS dcg_q
+            FROM rel JOIN w ON rel.rnk = w.rnk
+            GROUP BY rel.query_id
+        ),
+        base AS (
+            SELECT query_id, count(*)::BIGINT AS n_exact
+            FROM exact GROUP BY query_id
+        )
+        SELECT b.query_id, b.n_exact, p.first_hit_rank,
+               round(coalesce(CAST(1.0 AS DOUBLE) / p.first_hit_rank,
+                              0.0), 6) AS mrr,
+               round(CAST(coalesce(p.dcg_q, 0) AS DOUBLE)
+                     / CAST(pw.iw AS DOUBLE), 6) AS ndcg
+        FROM base b
+        LEFT JOIN per p ON b.query_id = p.query_id
+        JOIN pw ON pw.n = least(b.n_exact, {_PP_K})
+    """
+
+
 def _stream_ivf_oracle_sql(sf_dir: str | None = None) -> str:
     """DuckDB twin of the streaming IVF add: the assignment argmin over
     the shared-trainer centroids (cell ties to the lowest list_id) —
@@ -7050,6 +7160,11 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         _ivff_sql = _ivf_filtered_oracle_sql(sf_dir)
     except Exception:
         _ivff_sql = None
+    # own try/except per the same r14 advisory rule
+    try:
+        _rankq_sql = _rank_quality_oracle_sql(sf_dir)
+    except Exception:
+        _rankq_sql = None
     try:
         _sd_sql = _semdedup_oracle_sql(sf_dir)
     except Exception:
@@ -7661,6 +7776,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "source_kl_divergence": _source_kl_oracle(),
         "gopher_quality_flags": _gopher_oracle_sql(),
         "ann_recall_at_k": _recall_sql,
+        "ann_rank_quality": _rankq_sql,
         "ivf_index_stats": _ivfstats_sql,
         "quality_topp_selection": _topp_oracle_sql(),
         "pca_knn_topk": _pca_sql,
@@ -7818,6 +7934,8 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
     if _pca_sql is None:
         del out["pca_knn_topk"]
         del out["pca_ivf_topk"]
+    if _rankq_sql is None:
+        del out["ann_rank_quality"]
     return out
 
 

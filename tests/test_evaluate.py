@@ -322,3 +322,101 @@ def test_cluster_top_terms_plan_shape(spark, sf_dir):
     )
     assert "WindowGroupLimit" in plan
     assert "Cartesian" not in plan
+
+
+def test_ranked_quality_planted_cases(spark):
+    """Hand-computed MRR / NDCG on planted rankings: perfect match,
+    reversed-but-complete, first-hit-at-rank-2, and a silent miss."""
+    import math
+
+    from vector_search_test_spark.operators.evaluate import (
+        dcg_weights,
+        ranked_quality_at_k,
+    )
+
+    # ground truth: q0/q1/q2 have neighbors (1,2,3); q3 has (7,)
+    exact = spark.createDataFrame(
+        [(0, 1, 0.1), (0, 2, 0.2), (0, 3, 0.3),
+         (1, 1, 0.1), (1, 2, 0.2), (1, 3, 0.3),
+         (2, 1, 0.1), (2, 2, 0.2), (2, 3, 0.3),
+         (3, 7, 0.5)],
+        "query_id long, vec_id long, dist double",
+    )
+    approx = spark.createDataFrame(
+        # q0: perfect order; q1: wrong doc first, truth at ranks 2-3
+        # (only 2 of 3 found); q2: nothing relevant; q3: absent
+        [(0, 1, 0.1), (0, 2, 0.2), (0, 3, 0.3),
+         (1, 99, 0.05), (1, 1, 0.1), (1, 2, 0.2),
+         (2, 98, 0.1), (2, 99, 0.2)],
+        "query_id long, vec_id long, dist double",
+    )
+    k = 3
+    got = {
+        r.query_id: r
+        for r in ranked_quality_at_k(exact, approx, k=k).collect()
+    }
+    assert set(got) == {0, 1, 2, 3}
+    w, prefix = dcg_weights(k)
+    # q0: everything in place
+    assert (got[0].first_hit_rank, got[0].mrr, got[0].ndcg) == (1, 1.0, 1.0)
+    # q1: first hit at rank 2; dcg = w[1] + w[2], idcg = prefix[2]
+    assert got[1].first_hit_rank == 2 and got[1].mrr == 0.5
+    assert got[1].ndcg == round((w[1] + w[2]) / prefix[2], 6)
+    # the quantized value tracks the real log2 arithmetic
+    real = (1 / math.log2(3) + 1 / math.log2(4)) / (
+        1 + 1 / math.log2(3) + 1 / math.log2(4)
+    )
+    assert abs(got[1].ndcg - real) < 1e-6
+    # q2: relevant never surfaced
+    assert got[2].first_hit_rank is None
+    assert (got[2].mrr, got[2].ndcg) == (0.0, 0.0)
+    # q3: approx returned no rows at all — still a row, all-zero
+    assert (got[3].mrr, got[3].ndcg) == (0.0, 0.0)
+    # q3's idcg truncates at n_exact=1 < k (not penalized for physics):
+    # a one-row perfect approx would score ndcg = 1
+    perfect = spark.createDataFrame(
+        [(3, 7, 0.5)], "query_id long, vec_id long, dist double"
+    )
+    g3 = {
+        r.query_id: r
+        for r in ranked_quality_at_k(
+            exact.filter("query_id = 3"), perfect, k=k
+        ).collect()
+    }
+    assert (g3[3].mrr, g3[3].ndcg) == (1.0, 1.0)
+
+
+def test_ranked_quality_rank_derivation_ties(spark):
+    """Ranks derive from (dist ASC, vec_id ASC) — the repo-wide
+    deterministic tie-break — so equal distances rank by id."""
+    from vector_search_test_spark.operators.evaluate import (
+        ranked_quality_at_k,
+    )
+
+    exact = spark.createDataFrame(
+        [(0, 5, 0.0), (0, 6, 0.0)], "query_id long, vec_id long, dist double"
+    )
+    # tie on dist: id 5 must take rank 1, so first_hit_rank = 1
+    approx = spark.createDataFrame(
+        [(0, 6, 0.1), (0, 5, 0.1)], "query_id long, vec_id long, dist double"
+    )
+    r = ranked_quality_at_k(exact, approx, k=2).collect()[0]
+    assert r.first_hit_rank == 1 and r.mrr == 1.0 and r.ndcg == 1.0
+
+
+def test_dcg_weights_contract():
+    import math
+
+    import pytest
+
+    from vector_search_test_spark.operators.evaluate import dcg_weights
+
+    w, prefix = dcg_weights(10)
+    # strictly decreasing positive weights; prefix strictly increasing
+    assert all(a > b > 0 for a, b in zip(w, w[1:]))
+    assert prefix == [sum(w[: j + 1]) for j in range(10)]
+    # quantization error under 1e-9 relative
+    for i, x in enumerate(w):
+        assert abs(x - 1e12 / math.log2(i + 2)) <= 1.0
+    with pytest.raises(ValueError):
+        dcg_weights(0)

@@ -63,6 +63,120 @@ def recall_at_k(
     )
 
 
+_DCG_W_SCALE = 10**12
+
+
+def dcg_weights(k: int) -> "tuple[list[int], list[int]]":
+    """Integer-quantized DCG rank weights shared by the Spark operator
+    and the DuckDB oracle: w[i] = round(1e12 / log2(i+2)) for rank
+    i+1 (1-based), plus the prefix sums idcg[j] = sum(w[:j]) used as
+    the ideal DCG for a query with j relevant documents. Quantizing
+    the irrational log weights to common integer literals is what
+    makes NDCG engine-exact — both sides SUM the same integers and
+    divide once at the end (the mrl_recall_curve / silhouette
+    quantization discipline applied to rank weights); the 1e-12
+    relative quantization error is far below the 6dp output rounding.
+    """
+    import math
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = [round(_DCG_W_SCALE / math.log2(i + 2)) for i in range(k)]
+    prefix, acc = [], 0
+    for x in w:
+        acc += x
+        prefix.append(acc)
+    return w, prefix
+
+
+def ranked_quality_at_k(
+    exact: DataFrame,
+    approx: DataFrame,
+    k: int,
+    query_col: str = "query_id",
+    id_col: str = "vec_id",
+    order_col: str = "dist",
+) -> DataFrame:
+    """Rank-WEIGHTED retrieval quality: per-query MRR and (binary-
+    relevance) NDCG@k of `approx` against `exact` ground truth — the
+    graded companion of `recall_at_k`, which treats a true neighbor
+    surfaced at rank 1 and rank k identically. Every retrieval/RAG
+    eval reports both: recall says WHETHER the truth was found, MRR /
+    NDCG say WHERE in the ranking it landed (what the downstream
+    reranker or context window actually experiences).
+
+    Inputs are (query, id, order) top-k result tables; ranks are
+    derived deterministically per query by (`order_col` ASC, id ASC) —
+    the same tie-break every search operator and oracle in this repo
+    orders by. Relevance is binary membership in the exact top-k set
+    (the standard ANN convention; gain grading needs human labels).
+    Output: one row per query in `exact` —
+    (query_id, n_exact, first_hit_rank, mrr, ndcg) with
+    mrr = 1/first_hit_rank (0.0 when approx missed everything,
+    first_hit_rank NULL), and ndcg = DCG/IDCG over the shared
+    integer-quantized weights of `dcg_weights` (IDCG truncates at
+    min(n_exact, k) — a query with fewer true neighbors than k is not
+    penalized for physics).
+
+    Plan shape: identical to recall_at_k — the inputs are top-k tables
+    (rows = queries x k, never the corpus), so two window ranks over
+    tiny partitions, one equi-join, and two output-bound groupBys.
+    """
+    w, prefix = dcg_weights(k)
+    w_lit = F.array(*[F.lit(x).cast("long") for x in w])
+    prefix_lit = F.array(*[F.lit(x).cast("long") for x in prefix])
+
+    def _ranked(df: DataFrame) -> DataFrame:
+        win = Window.partitionBy(query_col).orderBy(
+            F.col(order_col).asc(), F.col(id_col).asc()
+        )
+        return (
+            df.select(query_col, id_col, order_col)
+            .withColumn("__rank", F.row_number().over(win))
+            .filter(F.col("__rank") <= int(k))
+        )
+
+    ex = _ranked(exact)
+    ap = _ranked(approx)
+    rel = ap.join(
+        ex.select(query_col, id_col).withColumn("__rel", F.lit(1)),
+        [query_col, id_col],
+        "left",
+    )
+    per_ap = rel.groupBy(query_col).agg(
+        F.min(F.when(F.col("__rel") == 1, F.col("__rank")))
+        .cast("long")
+        .alias("first_hit_rank"),
+        F.sum(
+            F.when(
+                F.col("__rel") == 1, F.element_at(w_lit, F.col("__rank"))
+            )
+        )
+        .cast("long")
+        .alias("__dcg_q"),
+    )
+    base = ex.groupBy(query_col).agg(F.count("*").alias("n_exact"))
+    idcg_q = F.element_at(
+        prefix_lit, F.least(F.col("n_exact"), F.lit(int(k))).cast("int")
+    )
+    return base.join(per_ap, [query_col], "left").select(
+        query_col,
+        F.col("n_exact").cast("long").alias("n_exact"),
+        "first_hit_rank",
+        F.round(
+            F.coalesce(
+                F.lit(1.0) / F.col("first_hit_rank"), F.lit(0.0)
+            ),
+            6,
+        ).alias("mrr"),
+        F.round(
+            F.coalesce(F.col("__dcg_q"), F.lit(0)).cast("double")
+            / idcg_q.cast("double"),
+            6,
+        ).alias("ndcg"),
+    )
+
+
 def mrl_recall_curve(
     queries: DataFrame,
     corpus: DataFrame,
