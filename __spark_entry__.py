@@ -4545,6 +4545,26 @@ def _q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE APPLICATION at corpus scale (operators/bpe.py::bpe_encode,
+    VERDICT r14 next-#4): re-tokenize every document with the trained
+    merge table (reused from _BPE_MEMO when the training entry already
+    ran this pass) — per-doc before/after token counts plus the md5 of
+    the full ordered subword stream, so the oracle certifies the
+    actual encoding. Zero shuffles: one scan-side projection of JVM
+    merge folds; the fertility cross-check (per-source sums reproduce
+    bpe_fertility) is pytest-pinned."""
+    from vector_search_test_spark.operators.bpe import bpe_encode
+
+    key = sf_dir.rstrip("/")
+    if key not in _BPE_MEMO:
+        _bpe_trained(spark, sf_dir)
+    return bpe_encode(
+        load_table(spark, sf_dir, "documents"),
+        merges=[(a, b) for _, a, b, _, _ in _BPE_MEMO[key]],
+    )
+
+
 def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained quality filter (GPT-3 Appendix A / CCNet / fastText
     shape): logistic regression over corpus-standardized hashed
@@ -5066,6 +5086,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # gauge beside ann_recall_at_k, integer-quantized log weights
         # (full oracle; overflow — joins the drain queue)
         "ann_rank_quality": _q_ann_rank_quality,
+        # r15 addition: BPE application at corpus scale — re-tokenize
+        # with the trained merge table, zero-shuffle scan projection;
+        # rides the _BPE_MEMO trained-rules memo, so it sits after
+        # bpe_fertility in bench order like that entry sits after
+        # bpe_merges (full oracle; overflow — joins the drain queue)
+        "bpe_encode_corpus": _q_bpe_encode_corpus,
     }
 
 
@@ -6073,6 +6099,14 @@ def _bpe_fertility_oracle_sql_() -> str:
     )
 
     return bpe_fertility_oracle_sql()
+
+
+def _bpe_encode_oracle_sql_() -> str:
+    from vector_search_test_spark.operators.bpe import (
+        bpe_encode_oracle_sql,
+    )
+
+    return bpe_encode_oracle_sql()
 
 
 def _pmi_phrases_oracle_sql_() -> str:
@@ -7884,6 +7918,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "pmi_phrases": _pmi_phrases_oracle_sql_(),
         "bpe_merges": _bpe_oracle_sql_(),
         "bpe_fertility": _bpe_fertility_oracle_sql_(),
+        "bpe_encode_corpus": _bpe_encode_oracle_sql_(),
         "stream_anomaly_gate": """
             WITH med AS (
                 SELECT event_type AS k,

@@ -209,3 +209,94 @@ def test_bpe_excludes_separator_words_both_engines(spark, tmp_path):
         ).fetchall()
     )
     assert got == want == [(1, "c", "c", "cc", 3)]
+
+
+def test_bpe_encode_planted(spark):
+    """Known merges over a tiny doc set: exact tokens, counts, md5."""
+    import hashlib
+
+    from vector_search_test_spark.operators.bpe import bpe_encode
+
+    docs = spark.createDataFrame(
+        [
+            (0, "ab ab"),          # both words merge fully
+            (1, "aab b"),          # greedy: [a, ab] + [b]
+            (2, ""),               # no valid words
+            (3, "AB"),             # lowercased then merged
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.id: r for r in bpe_encode(docs, merges=[("a", "b")]).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert (out[0].n_words, out[0].n_chars, out[0].n_subwords) == (2, 4, 2)
+    assert out[0].fertility == 1.0
+    assert out[0].tokens_md5 == md5("ab ab")
+    assert (out[1].n_words, out[1].n_subwords) == (2, 3)
+    assert out[1].tokens_md5 == md5("a ab b")
+    assert out[1].fertility == 1.5
+    # empty doc: a row with zero counts, NULL fertility, md5('')
+    assert (out[2].n_words, out[2].n_subwords) == (0, 0)
+    assert out[2].fertility is None
+    assert out[2].tokens_md5 == md5("")
+    assert out[3].tokens_md5 == md5("ab")
+
+
+def test_bpe_encode_run_semantics_match_merge_pair(spark):
+    """Runs of the merged pair collapse exactly like merge_pair /
+    subword-nmt: [a,a,a] -> [aa, a]."""
+    import hashlib
+
+    from vector_search_test_spark.operators.bpe import bpe_encode
+
+    docs = spark.createDataFrame([(0, "aaa aaaa")], "doc_id long, text string")
+    r = bpe_encode(docs, merges=[("a", "a")]).collect()[0]
+    assert r.n_subwords == 4  # [aa, a] + [aa, aa]
+    assert r.tokens_md5 == hashlib.md5(b"aa a aa aa").hexdigest()
+
+
+def test_bpe_encode_reproduces_fertility(spark, sf_dir):
+    """VERDICT r14 next-#4 done-criterion: applying the TRAINED merges
+    with bpe_encode reproduces bpe_fertility's per-source token counts
+    exactly — the zero-shuffle per-occurrence folds and the
+    vocab-joined Heaps path are the same tokenizer."""
+    from pyspark.sql import functions as F
+
+    from vector_search_test_spark.io import load_table
+    from vector_search_test_spark.operators.bpe import (
+        bpe_encode,
+        bpe_fertility,
+        bpe_merges,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(300)
+    trained = [
+        (r.left, r.right)
+        for r in bpe_merges(docs, rounds=4).orderBy("round").collect()
+    ]
+    want = {
+        r.source: (r.n_words, r.n_subwords, r.fertility)
+        for r in bpe_fertility(docs, merges=trained).collect()
+    }
+    enc = bpe_encode(docs, merges=trained).join(
+        docs.select(F.col("doc_id").alias("id"), "source"), "id"
+    )
+    got = {
+        r.source: (r.n_words, r.n_subwords, r.fertility)
+        for r in enc.groupBy("source")
+        .agg(
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_subwords").cast("long").alias("n_subwords"),
+        )
+        .select(
+            "source",
+            "n_words",
+            "n_subwords",
+            F.round(F.col("n_subwords") / F.col("n_words"), 6).alias(
+                "fertility"
+            ),
+        )
+        .collect()
+    }
+    assert got == want

@@ -278,6 +278,137 @@ def bpe_fertility(
     )
 
 
+def bpe_encode(
+    docs: DataFrame,
+    merges: "list[tuple[str, str]]",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """APPLY a trained BPE merge table to the corpus — the step a
+    tokenizer change actually costs at 100 TB (bpe_merges trains,
+    bpe_fertility evaluates; this RE-TOKENIZES). One row per document:
+    (id, n_words, n_chars, n_subwords, fertility, tokens_md5) — the
+    before/after token counts plus an md5 fingerprint of the full
+    ORDERED subword stream (space-joined, words in document order), so
+    the oracle certifies the actual encoding, not just its size.
+
+    Scale shape: a corpus rewrite is inherently a full scan, so the
+    encode runs as ONE scan-side projection with ZERO shuffles — the
+    greedy merge folds (merge_pair, bounded rounds = len(merges))
+    apply per word inside a `transform` over the split array, all JVM
+    HOFs, no Python, no explode, no groupBy; output rows = input rows
+    and each document's row never leaves its partition. (This trades
+    away bpe_fertility's Heaps-law distinct-word optimization for the
+    shuffle-free map: re-tokenization materializes per document
+    anyway, and a per-occurrence fold beats shuffling the corpus
+    twice to reassemble ordered token streams from a vocab join.)
+    Word filtering matches the trainer exactly (empty and
+    chr(31)-containing words dropped); `fertility` is NULL for
+    documents with no valid words, tokens_md5 = md5('') for them.
+    Intermediates materialize to bound columns across selects (the
+    r14 janino rule)."""
+
+    def _fold(w):
+        sym = F.split(w, "")
+        for a, b in merges:
+            sym = merge_pair(sym, F.lit(a), F.lit(b))
+        return sym
+
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), " "),
+        lambda w: (w != F.lit("")) & (~w.contains("\x1f")),
+    )
+    base = docs.select(F.col(id_col).alias("id"), words.alias("__w"))
+    toks = base.select(
+        "id",
+        "__w",
+        F.flatten(F.transform("__w", _fold)).alias("__toks"),
+    )
+    n_words = F.size("__w").cast("long")
+    n_sub = F.size("__toks").cast("long")
+    return toks.select(
+        "id",
+        n_words.alias("n_words"),
+        F.aggregate(
+            F.col("__w"),
+            F.lit(0).cast("long"),
+            lambda acc, w: acc + F.length(w).cast("long"),
+        ).alias("n_chars"),
+        n_sub.alias("n_subwords"),
+        F.round(n_sub / F.nullif(n_words, F.lit(0)), 6).alias(
+            "fertility"
+        ),
+        F.md5(F.array_join(F.col("__toks"), " ")).alias("tokens_md5"),
+    )
+
+
+def bpe_encode_oracle_sql(rounds: int = 8) -> str:
+    """DuckDB twin of `bpe_encode` over merges trained in-SQL by the
+    bpe_merges_oracle_sql CTE chain (the same bounded-rounds pattern as
+    the fertility twin, bx fallback included): the positioned word
+    stream joins the replayed distinct-word vocabulary, per-doc token
+    streams reassemble with string_agg ORDER BY word position, and a
+    LEFT JOIN from `documents` keeps no-valid-word docs as md5('')
+    rows exactly like the Spark side."""
+    train = bpe_merges_oracle_sql(rounds)
+    cte_body = train[len("WITH ") : train.index("\nSELECT 1 AS round")]
+    ctes = [cte_body]
+    ctes.append(
+        """cw AS (
+            SELECT d.doc_id AS id, ws[pos] AS w, pos
+            FROM (
+                SELECT doc_id, string_split(lower(text), ' ') AS ws
+                FROM documents
+            ) d, unnest(range(1, len(ws) + 1)) AS u(pos)
+            WHERE ws[pos] != '' AND strpos(ws[pos], chr(31)) = 0
+        )""".strip()
+    )
+    ctes.append(
+        "a0 AS (SELECT DISTINCT w, string_split(w, '') AS s FROM cw)"
+    )
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""bx{r} AS (
+            SELECT coalesce((SELECT a FROM b{r}), '') AS a,
+                   coalesce((SELECT b FROM b{r}), '') AS b
+        )"""
+        )
+        ctes.append(
+            f"""a{r} AS (
+            SELECT w, {_FOLD_FINISH} AS s
+            FROM (
+                SELECT w, {_FOLD_LAMBDA} AS f
+                FROM a{r - 1} CROSS JOIN bx{r}
+            )
+        )"""
+        )
+    ctes.append(
+        f"""per AS (
+            SELECT cw.id,
+                   count(*)::BIGINT AS n_words,
+                   sum(len(cw.w))::BIGINT AS n_chars,
+                   sum(len(v.s))::BIGINT AS n_subwords,
+                   md5(string_agg(array_to_string(v.s, ' '), ' '
+                       ORDER BY cw.pos)) AS tmd5
+            FROM cw JOIN a{rounds} v ON cw.w = v.w
+            GROUP BY cw.id
+        )"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+        SELECT d.doc_id AS id,
+               coalesce(p.n_words, 0)::BIGINT AS n_words,
+               coalesce(p.n_chars, 0)::BIGINT AS n_chars,
+               coalesce(p.n_subwords, 0)::BIGINT AS n_subwords,
+               round(p.n_subwords / p.n_words, 6) AS fertility,
+               coalesce(p.tmd5, md5('')) AS tokens_md5
+        FROM documents d LEFT JOIN per p ON d.doc_id = p.id
+    """
+    )
+
+
 def bpe_fertility_oracle_sql(rounds: int = 8) -> str:
     """DuckDB twin of `bpe_fertility`: the bpe_merges_oracle_sql CTE
     chain, plus the same `rounds` folds replayed over the distinct-word
