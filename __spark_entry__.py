@@ -260,6 +260,35 @@ def _q_ivf_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MRL2_PREFIX = 16
+_MRL2_R = 20
+
+
+def _q_mrl_two_stage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage Matryoshka search (operators/knn.py::
+    mrl_two_stage_topk): shortlist R=20 on the first 16 dims, re-rank
+    the survivors at full width — the production pattern
+    mrl_recall_curve is the evidence for, now executed as an operator
+    with its own value oracle (both stages replayed in SQL: prefix
+    chain QUALIFY <= R, full chain QUALIFY <= k)."""
+    from vector_search_test_spark.io import spread
+    from vector_search_test_spark.operators.knn import mrl_two_stage_topk
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = mrl_two_stage_topk(
+        q,
+        emb.select("vec_id", "embedding"),
+        k=_PP_K,
+        shortlist_r=_MRL2_R,
+        prefix_dim=_MRL2_PREFIX,
+    )
+    return out.select("query_id", "vec_id", F.round("dist", 6).alias("dist"))
+
+
 def _pp_index(spark: SparkSession, sf_dir: str):
     """Shared-trainer IVF index + query set for the partial-probe family
     of entries (partial-probe search, recall gauge, index stats)."""
@@ -5092,6 +5121,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bpe_fertility in bench order like that entry sits after
         # bpe_merges (full oracle; overflow — joins the drain queue)
         "bpe_encode_corpus": _q_bpe_encode_corpus,
+        # r15 addition: two-stage Matryoshka search — prefix-dim
+        # shortlist + full-width rerank, the operator form of the
+        # pattern mrl_recall_curve measures
+        # (full oracle; overflow — joins the drain queue)
+        "mrl_two_stage_topk": _q_mrl_two_stage_topk,
     }
 
 
@@ -6820,6 +6854,36 @@ def _ann_recall_oracle_sql(sf_dir: str | None = None) -> str:
     """
 
 
+def _mrl_two_stage_oracle_sql() -> str:
+    """DuckDB twin of mrl_two_stage_topk: stage 1 = prefix-slice
+    distance (list_zip over the first _MRL2_PREFIX elements — DuckDB
+    slices are 1-based inclusive, [1:p] = first p) QUALIFY <= R;
+    stage 2 = full-width chain over the survivors QUALIFY <= k. Both
+    tie-break on vec_id like the Spark windows."""
+    p = int(_MRL2_PREFIX)
+    dp = (
+        f"list_sum(list_transform(list_zip(q.embedding[1:{p}], "
+        f"e.embedding[1:{p}]), "
+        "pp -> (pp[1]::DOUBLE - pp[2]::DOUBLE) * (pp[1]::DOUBLE - pp[2]::DOUBLE)))"
+    )
+    df = _l2_sq_sql("s.qv", "e.embedding")
+    return f"""
+        WITH shortlist AS (
+            SELECT q.vec_id AS query_id, e.vec_id, q.embedding AS qv
+            FROM embeddings q CROSS JOIN embeddings e
+            WHERE q.vec_id < 10
+            QUALIFY row_number() OVER (
+                PARTITION BY q.vec_id ORDER BY {dp}, e.vec_id
+            ) <= {_MRL2_R}
+        )
+        SELECT s.query_id, s.vec_id, round({df}, 6) AS dist
+        FROM shortlist s JOIN embeddings e ON s.vec_id = e.vec_id
+        QUALIFY row_number() OVER (
+            PARTITION BY s.query_id ORDER BY {df}, s.vec_id
+        ) <= {_PP_K}
+    """
+
+
 def _rank_quality_oracle_sql(sf_dir: str | None = None) -> str:
     """DuckDB twin of the MRR/NDCG@k gauge: replays the exact search
     and the IVF approximate search WITH ranks (row_number over the
@@ -7811,6 +7875,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "gopher_quality_flags": _gopher_oracle_sql(),
         "ann_recall_at_k": _recall_sql,
         "ann_rank_quality": _rankq_sql,
+        "mrl_two_stage_topk": _mrl_two_stage_oracle_sql(),
         "ivf_index_stats": _ivfstats_sql,
         "quality_topp_selection": _topp_oracle_sql(),
         "pca_knn_topk": _pca_sql,

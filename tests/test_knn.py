@@ -433,3 +433,97 @@ def test_label_propagation_broadcasts_seeds_not_targets(spark):
     )
     plan = knn_label_propagation(targets, seeds, k=1)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_mrl_two_stage_equals_exact_at_full_shortlist(spark, sf_dir):
+    """With shortlist_r >= corpus size, stage 1 keeps everything and
+    the two-stage result IS exact brute-force top-k."""
+    from vector_search_test_spark.io import load_table, spread
+    from vector_search_test_spark.operators.knn import (
+        knn_exact,
+        mrl_two_stage_topk,
+    )
+
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    n = emb.count()
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    got = {
+        (r.query_id, r.vec_id): round(r.dist, 6)
+        for r in mrl_two_stage_topk(
+            q, emb, k=5, shortlist_r=n, prefix_dim=16
+        ).collect()
+    }
+    want = {
+        (r.query_id, r.vec_id): round(r.dist, 6)
+        for r in knn_exact(q, emb, k=5).collect()
+    }
+    assert got == want
+
+
+def test_mrl_two_stage_planted_semantics(spark):
+    """Planted geometry: a decoy with a perfect PREFIX but a huge tail
+    is shortlisted by stage 1 and correctly re-ranked out by stage 2;
+    a vector close at full width but far in the prefix never enters
+    the shortlist (the recall cost the curve measures)."""
+    from vector_search_test_spark.operators.knn import mrl_two_stage_topk
+
+    # 4-dim embeddings, prefix_dim=2, R=2, k=2.  Query = [0,0,0,0].
+    rows = [
+        (0, [0.0, 0.0, 0.0, 0.0]),     # the query itself: dist 0
+        (1, [0.0, 0.0, 9.0, 9.0]),     # perfect prefix, huge tail
+        (2, [0.1, 0.1, 0.0, 0.0]),     # near-perfect everywhere
+        (3, [5.0, 5.0, 0.0, 0.0]),     # bad prefix, tail identical
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0, 0.0])], "query_id long, query_vec array<float>"
+    )
+    # stage 1 prefix order: 0 (0.0), 1 (0.0, tie -> id), 2 (0.02), 3 (50)
+    # R=2 shortlist = {0, 1}; stage 2 full dists: 0 -> 0.0, 1 -> 162
+    out = [
+        (r.vec_id, round(r.dist, 4))
+        for r in mrl_two_stage_topk(
+            q, emb, k=2, shortlist_r=2, prefix_dim=2
+        ).orderBy("dist").collect()
+    ]
+    assert out == [(0, 0.0), (1, 162.0)]
+    # R=3 admits vec 2, which then beats the big-tail decoy
+    out3 = [
+        r.vec_id
+        for r in mrl_two_stage_topk(
+            q, emb, k=2, shortlist_r=3, prefix_dim=2
+        ).orderBy("dist").collect()
+    ]
+    assert out3 == [0, 2]
+    import pytest
+
+    with pytest.raises(ValueError):
+        mrl_two_stage_topk(q, emb, prefix_dim=0)
+
+
+def test_mrl_two_stage_plan_shape(spark, sf_dir):
+    """Stage-1 window must carry WindowGroupLimit (partition-local
+    top-R before the shuffle) and the full-width vectors must only
+    ride the R-row candidate join, never the stage-1 score."""
+    from vector_search_test_spark.io import load_table, spread
+    from vector_search_test_spark.operators.knn import mrl_two_stage_topk
+
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    plan = (
+        mrl_two_stage_topk(q, emb, k=5, shortlist_r=20, prefix_dim=16)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan

@@ -204,6 +204,73 @@ def range_search(
     return scored.filter(pred)
 
 
+def mrl_two_stage_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    shortlist_r: int = 20,
+    prefix_dim: int = 16,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage Matryoshka search (Kusupati et al. 2022) — the
+    PRODUCTION pattern `mrl_recall_curve` (evaluate.py) is the
+    evidence for: stage 1 shortlists `shortlist_r` candidates per
+    query using only the FIRST `prefix_dim` dimensions (MRL-trained
+    embeddings concentrate signal in prefixes, so the scan reads and
+    scores prefix_dim/dim of the bytes — with the prefix stored as its
+    own column, column pruning makes that literal); stage 2 re-ranks
+    ONLY those R rows at full width — the pq_rerank shape applied to
+    the dimension axis instead of the code axis.
+
+    Output: (query_id, vec_id, dist), top-k per query by FULL-width
+    squared L2 among the stage-1 survivors, ties on vec_id. Exactness
+    vs brute force depends on the prefix quality (that is the point);
+    determinism does not.
+
+    Scale shape: stage 1 is the knn_exact broadcast-join + window
+    pattern with an unrolled prefix-term chain (WindowGroupLimit cuts
+    partitions to R rows per query before the only shuffle); stage 2
+    joins the R-row-per-query id shortlist back to the float table (a
+    broadcast-able join at any corpus size) and scores with the l2_sq
+    fold — identical doubles to the unrolled chain, and only R rows
+    per query ever carry full-width vectors."""
+    if prefix_dim < 1 or prefix_dim > UNROLL_MAX_TERMS:
+        raise ValueError(
+            f"prefix_dim must be in [1, {UNROLL_MAX_TERMS}], got {prefix_dim}"
+        )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("__qv"),
+    )
+    pdist = l2_sq_unrolled("__qv", vec_col, prefix_dim)
+    scored1 = corpus.join(F.broadcast(q)).select(
+        "query_id", F.col(id_col).alias("vec_id"), pdist.alias("__pd")
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("__pd").asc(), F.col("vec_id").asc()
+    )
+    shortlist = (
+        scored1.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= int(shortlist_r))
+        .select("query_id", "vec_id")
+    )
+    cand = shortlist.join(
+        corpus.select(F.col(id_col).alias("vec_id"), vec_col), "vec_id"
+    ).join(F.broadcast(q), "query_id")
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        cand.withColumn("dist", l2_sq(vec_col, "__qv"))
+        .withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= int(k))
+        .select("query_id", "vec_id", "dist")
+    )
+
+
 def contrastive_examples(
     queries: DataFrame,
     corpus: DataFrame,
