@@ -262,6 +262,34 @@ def _q_ivf_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MRL2_PREFIX = 16
 _MRL2_R = 20
+_PARA_WORDS = 10
+
+
+def _q_paragraph_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style paragraph dedup (operators/dedup.py::
+    paragraph_dedup) over the fixture corpus paragraphized into
+    10-word lines (the fixture's synthetic docs carry no newlines, so
+    the entry derives deterministic paragraph boundaries scan-side —
+    array slice/join, no shuffle, replayed exactly by the oracle).
+    The fixture's duplicated documents make whole runs of lines
+    duplicate across docs, so the keep/drop path is exercised
+    non-vacuously. Oracle replays paragraphize -> normalize ->
+    first-occurrence window -> ordered reassembly value-for-value."""
+    from vector_search_test_spark.io import spread
+    from vector_search_test_spark.operators.dedup import paragraph_dedup
+
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    k = F.lit(int(_PARA_WORDS))
+    lines = F.transform(
+        F.sequence(F.lit(0), F.floor((n - F.lit(1)) / k).cast("int")),
+        lambda i: F.array_join(F.slice(words, i * k + F.lit(1), k), " "),
+    )
+    pre = docs.select(
+        "doc_id", F.array_join(lines, "\n").alias("text")
+    )
+    return paragraph_dedup(pre)
 
 
 def _q_mrl_two_stage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5126,6 +5154,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pattern mrl_recall_curve measures
         # (full oracle; overflow — joins the drain queue)
         "mrl_two_stage_topk": _q_mrl_two_stage_topk,
+        # r15 addition: CCNet-style paragraph-level dedup — the
+        # boilerplate-removal granularity document dedup cannot see
+        # (full oracle; overflow — joins the drain queue)
+        "paragraph_dedup_stats": _q_paragraph_dedup_stats,
     }
 
 
@@ -6854,6 +6886,55 @@ def _ann_recall_oracle_sql(sf_dir: str | None = None) -> str:
     """
 
 
+def _paragraph_dedup_oracle_sql() -> str:
+    """DuckDB twin of paragraph_dedup over the 10-word paragraphize:
+    the same line slicing (DuckDB list slices are 1-based inclusive
+    and clamp at the end), lower+trim normalization, first-occurrence
+    window (ORDER BY id, pos), per-doc ordered string_agg reassembly,
+    and a LEFT JOIN keeping all-blank docs as md5('') rows."""
+    k = int(_PARA_WORDS)
+    return f"""
+        WITH pre AS (
+            SELECT doc_id, string_split(text, ' ') AS ws
+            FROM documents
+        ),
+        pars0 AS (
+            SELECT doc_id AS id, i AS pos,
+                   array_to_string(ws[i*{k}+1 : i*{k}+{k}], ' ') AS p
+            FROM pre,
+                 unnest(range(0,
+                     CAST(floor((len(ws) - 1) / {k}) AS INT) + 1)) u(i)
+        ),
+        pars AS (
+            SELECT id, pos, p, trim(lower(p)) AS norm
+            FROM pars0 WHERE trim(p) != ''
+        ),
+        marked AS (
+            SELECT *,
+                   row_number() OVER (
+                       PARTITION BY norm ORDER BY id, pos
+                   ) = 1 AS keep
+            FROM pars
+        ),
+        per AS (
+            SELECT id,
+                   count(*)::BIGINT AS n_pars,
+                   sum(keep::INT)::BIGINT AS n_kept,
+                   md5(coalesce(string_agg(
+                       CASE WHEN keep THEN p END, chr(10)
+                       ORDER BY pos), '')) AS cleaned_md5
+            FROM marked GROUP BY id
+        )
+        SELECT d.doc_id AS id,
+               coalesce(per.n_pars, 0)::BIGINT AS n_pars,
+               coalesce(per.n_kept, 0)::BIGINT AS n_kept,
+               (coalesce(per.n_pars, 0) - coalesce(per.n_kept, 0))::BIGINT
+                   AS n_dropped,
+               coalesce(per.cleaned_md5, md5('')) AS cleaned_md5
+        FROM documents d LEFT JOIN per ON d.doc_id = per.id
+    """
+
+
 def _mrl_two_stage_oracle_sql() -> str:
     """DuckDB twin of mrl_two_stage_topk: stage 1 = prefix-slice
     distance (list_zip over the first _MRL2_PREFIX elements — DuckDB
@@ -7876,6 +7957,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "ann_recall_at_k": _recall_sql,
         "ann_rank_quality": _rankq_sql,
         "mrl_two_stage_topk": _mrl_two_stage_oracle_sql(),
+        "paragraph_dedup_stats": _paragraph_dedup_oracle_sql(),
         "ivf_index_stats": _ivfstats_sql,
         "quality_topp_selection": _topp_oracle_sql(),
         "pca_knn_topk": _pca_sql,

@@ -581,3 +581,46 @@ def test_cross_source_dup_matrix_planted(spark):
     assert not out[("web", "wiki")]["within_source"]
     assert out[("web", "wiki")]["n_docs"] == 3
     assert ("web", "web") not in out  # doc 3 pairs with nothing
+
+
+def test_paragraph_dedup_planted(spark):
+    """CCNet semantics on a planted corpus: cross-document boilerplate
+    collapses to its (min id, min pos) occurrence; within-doc repeats
+    collapse too; blank paragraphs never count; reassembly preserves
+    order and is fingerprinted."""
+    import hashlib
+
+    from vector_search_test_spark.operators.dedup import paragraph_dedup
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    docs = spark.createDataFrame(
+        [
+            (0, "header\nunique zero\nfooter"),
+            (1, "header\nunique one\nfooter"),      # boilerplate dupes
+            (2, "Header\nheader"),                  # norm-dup of doc 0's + case
+            (3, "only here\n\n  \nonly here"),      # blank + within-doc dup
+            (4, ""),                                # nothing
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.id: r for r in paragraph_dedup(docs).collect()}
+    assert len(out) == 5
+    # doc 0 owns header & footer (min id), keeps everything
+    assert (out[0].n_pars, out[0].n_kept, out[0].n_dropped) == (3, 3, 0)
+    assert out[0].cleaned_md5 == md5("header\nunique zero\nfooter")
+    # doc 1 loses both boilerplate lines, keeps its unique middle
+    assert (out[1].n_pars, out[1].n_kept) == (3, 1)
+    assert out[1].cleaned_md5 == md5("unique one")
+    # doc 2: both paragraphs normalize to 'header', owned by doc 0
+    assert (out[2].n_pars, out[2].n_kept) == (2, 0)
+    assert out[2].cleaned_md5 == md5("")
+    # doc 3: blanks dropped from the count; within-doc dup collapses
+    assert (out[3].n_pars, out[3].n_kept) == (2, 1)
+    assert out[3].cleaned_md5 == md5("only here")
+    # doc 4: empty text -> zero-count row
+    assert (out[4].n_pars, out[4].n_kept) == (0, 0)
+    assert out[4].cleaned_md5 == md5("")
+    # global invariant: total kept = number of distinct normalized
+    # non-blank paragraphs
+    # (header, unique zero, footer, unique one, only here)
+    assert sum(r.n_kept for r in out.values()) == 5

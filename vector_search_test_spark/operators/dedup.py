@@ -148,6 +148,80 @@ def dedup_exact(
     )
 
 
+def paragraph_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """CCNet-style PARAGRAPH-level dedup (Wenzek et al. 2020, CCNet:
+    the pipeline dedups at paragraph granularity before any document
+    gate — boilerplate headers/footers/navigation duplicate across
+    millions of pages whose documents are all distinct, so document-
+    level dedup never sees them): split each document on `sep`, key
+    every non-blank paragraph by the dedup_exact normalization
+    (lower + trim), keep corpus-wide ONE occurrence per normalized
+    paragraph — the (min id, min position) occurrence, fully
+    deterministic — and reassemble each document from its kept
+    paragraphs in original order.
+
+    Output: one row per input document —
+    (id, n_pars, n_kept, n_dropped, cleaned_md5) where cleaned_md5
+    fingerprints the reassembled text (kept paragraphs joined with
+    `sep`; md5 of '' when everything was dropped or the document had
+    no non-blank paragraphs), so the oracle certifies the actual
+    rewrite, not just counts. `sep` is passed to Spark's split (a
+    regex) — keep it a literal like the '\\n' default.
+
+    Scale shape: the explode is scan-side; the keep decision is ONE
+    window over the normalized-paragraph key (the dedup_exact shuffle
+    at paragraph granularity — grouping by the text itself, never a
+    collision-prone hash); reassembly is one document-keyed shuffle of
+    KEPT paragraph rows (the honest minimum for a rewrite — dropped
+    boilerplate never reshuffles). Nothing all-pairs."""
+    pars = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "p"),
+    ).filter(F.trim("p") != "")
+    norm = F.trim(F.lower(F.col("p")))
+    w = Window.partitionBy(norm).orderBy(F.asc("id"), F.asc("pos"))
+    marked = pars.withColumn("__keep", F.row_number().over(w) == 1)
+    per = marked.groupBy("id").agg(
+        F.count("*").cast("long").alias("n_pars"),
+        F.sum(F.col("__keep").cast("long")).cast("long").alias("n_kept"),
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("__keep"), F.struct("pos", "p"))
+            )
+        ).alias("__kept"),
+    )
+    cleaned = F.array_join(
+        F.transform(F.col("__kept"), lambda x: x["p"]), sep
+    )
+    per = per.select(
+        "id",
+        "n_pars",
+        "n_kept",
+        (F.col("n_pars") - F.col("n_kept")).cast("long").alias("n_dropped"),
+        F.md5(cleaned).alias("cleaned_md5"),
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(per, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_pars", F.lit(0)).cast("long").alias("n_pars"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("n_dropped", F.lit(0))
+            .cast("long")
+            .alias("n_dropped"),
+            F.coalesce("cleaned_md5", F.md5(F.lit(""))).alias(
+                "cleaned_md5"
+            ),
+        )
+    )
+
+
 def dup_ngram_profile(
     df: DataFrame,
     n: int = 5,
