@@ -4328,6 +4328,26 @@ def _q_label_shift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QSA_P = 0.2
 
 
+_ELM_ETA = 1.0
+
+
+def _q_excess_loss_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style one-step domain reweighting (operators/sampling.py::
+    excess_loss_mixture): per-source excess loss between the certified
+    unigram (reference) and bigram (proxy) LMs, exponentiated-gradient
+    reweighting of the natural token shares, numerators integer-
+    quantized before the normalizing sum. Oracle replays both LM
+    twins, the token-weighted per-source cross-entropies, and the
+    weight arithmetic value-for-value."""
+    from vector_search_test_spark.operators.sampling import (
+        excess_loss_mixture,
+    )
+
+    return excess_loss_mixture(
+        load_table(spark, sf_dir, "documents"), eta=_ELM_ETA
+    )
+
+
 def _q_quality_signal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source agreement between quality signals (operators/
     sampling.py::quality_signal_agreement): Spearman rho between the
@@ -5158,6 +5178,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # boilerplate-removal granularity document dedup cannot see
         # (full oracle; overflow — joins the drain queue)
         "paragraph_dedup_stats": _q_paragraph_dedup_stats,
+        # r15 addition: DoReMi-style one-step domain reweighting by
+        # unigram-vs-bigram excess loss — the learnable-structure
+        # mixture next to temperature_mixture/token_budget_plan
+        # (full oracle; overflow — joins the drain queue)
+        "excess_loss_mixture": _q_excess_loss_mixture,
     }
 
 
@@ -5611,6 +5636,86 @@ def _drift_oracle_sql() -> str:
         "SELECT embedding FROM embeddings WHERE vec_id % 2 = 0",
         "SELECT embedding FROM embeddings WHERE vec_id % 2 = 1",
     )
+
+
+def _elm_oracle_sql() -> str:
+    """DuckDB twin of excess_loss_mixture: the unigram twin (qsa
+    pattern) and the bigram twin (bigram_lm_oracle_sql arithmetic)
+    inlined as CTEs, per-doc 6dp scores re-quantized to 1e6 integers,
+    token-weighted per-source cross-entropies, clipped excess, and
+    the 1e12-quantized exponentiated-gradient numerators summed as
+    integers before the single normalizing division."""
+    from vector_search_test_spark.functions.textstats import (
+        bigram_lm_oracle_sql,
+    )
+
+    eta = float(_ELM_ETA)
+    # bigram per-doc scores: reuse the certified twin verbatim as a CTE
+    blm_body = bigram_lm_oracle_sql().strip()
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+),
+tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY id, term),
+vocab AS (SELECT term, sum(tf) AS c FROM tf GROUP BY term),
+scalars AS (
+  SELECT CAST(sum(c) AS DOUBLE) AS n_total,
+         CAST(count(*) AS DOUBLE) AS v_size
+  FROM vocab
+),
+ulm AS (
+  SELECT tf.id,
+         sum(tf.tf)::BIGINT AS n_tokens,
+         round(round(sum(tf.tf * ln((vocab.c + 1) / (n_total + v_size)))
+               / sum(tf.tf), 6) * 1e6)::BIGINT AS q_u
+  FROM tf JOIN vocab USING (term) CROSS JOIN scalars
+  GROUP BY tf.id
+),
+blm AS (
+  SELECT doc_id AS id, n_bigrams,
+         round(avg_logprob * 1e6)::BIGINT AS q_b
+  FROM ({blm_body})
+),
+src AS (SELECT doc_id AS id, source FROM documents),
+per AS (
+  SELECT s.source,
+         sum(u.n_tokens)::BIGINT AS n_tokens,
+         sum(u.q_u * u.n_tokens)::BIGINT AS su,
+         sum(b.q_b * b.n_bigrams)::BIGINT AS sb,
+         sum(b.n_bigrams)::BIGINT AS nb
+  FROM src s JOIN ulm u ON s.id = u.id LEFT JOIN blm b ON s.id = b.id
+  GROUP BY s.source
+),
+x AS (
+  SELECT source, n_tokens,
+         round(-(su::DOUBLE / 1e6) / CAST(n_tokens AS DOUBLE), 6)
+             AS xent_unigram,
+         round(-(sb::DOUBLE / 1e6) / CAST(nb AS DOUBLE), 6)
+             AS xent_bigram
+  FROM per
+),
+x2 AS (
+  SELECT *,
+         coalesce(greatest(round(xent_unigram - xent_bigram, 6), 0.0),
+                  0.0) AS excess
+  FROM x
+),
+tot AS (SELECT sum(n_tokens)::BIGINT AS tot FROM x2),
+num AS (
+  SELECT x2.*, t.tot,
+         round((CAST(n_tokens AS DOUBLE) / CAST(t.tot AS DOUBLE))
+               * exp({eta!r} * excess) * 1e12)::BIGINT AS nm
+  FROM x2 CROSS JOIN tot t
+),
+z AS (SELECT sum(nm)::BIGINT AS z FROM num)
+SELECT source, n_tokens,
+       round(CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+           AS nat_share,
+       xent_unigram, xent_bigram, excess,
+       round(nm::DOUBLE / z.z::DOUBLE, 6) AS weight
+FROM num CROSS JOIN z
+"""
 
 
 def _qsa_oracle_sql() -> str:
@@ -7860,6 +7965,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "stream_clip_gate": _clip_gate_oracle_sql(),
         "token_budget_plan": _tbp_oracle_sql(),
         "quality_signal_agreement": _qsa_oracle_sql(),
+        "excess_loss_mixture": _elm_oracle_sql(),
         "embedding_drift_report": _drift_oracle_sql(),
         "label_shift_report": _label_shift_oracle_sql(),
         "knn_label_propagation": _label_prop_oracle_sql(),

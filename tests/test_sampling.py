@@ -959,3 +959,42 @@ def test_quality_signal_agreement_extremes(spark):
     rr = quality_signal_agreement(same, p=0.5).collect()[0]
     # identical texts tie everywhere; id tie-break gives equal ranks
     assert rr["spearman_rho"] == 1.0 and rr["topp_overlap"] == 1.0
+
+
+def test_excess_loss_mixture_invariants(spark, sf_dir):
+    """Weights are a probability distribution; zero-excess corpora
+    reduce to the natural shares; excess is clipped at 0."""
+    from vector_search_test_spark.io import load_table
+    from vector_search_test_spark.operators.sampling import (
+        excess_loss_mixture,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = excess_loss_mixture(docs).collect()
+    assert len(rows) == docs.select("source").distinct().count()
+    assert abs(sum(r.weight for r in rows) - 1.0) < 1e-4
+    assert all(r.excess >= 0.0 for r in rows)
+    assert all(0.0 <= r.weight <= 1.0 for r in rows)
+    assert abs(sum(r.nat_share for r in rows) - 1.0) < 1e-4
+    # the bigram proxy cannot be WORSE than unigram on the corpus it
+    # was fit to at interpolation lam=0.7 — excess is genuinely
+    # positive somewhere on the fixture (non-vacuous reweighting)
+    assert any(r.excess > 0 for r in rows)
+    # weight ordering follows excess when shares are near-uniform:
+    # the max-excess source must gain vs its natural share
+    best = max(rows, key=lambda r: r.excess)
+    assert best.weight >= best.nat_share
+
+
+def test_excess_loss_mixture_eta_zero_is_natural_share(spark, sf_dir):
+    """eta = 0 turns the exponentiated-gradient step off: weights ==
+    natural token shares exactly (both 6dp-rounded from the same
+    integer sums)."""
+    from vector_search_test_spark.io import load_table
+    from vector_search_test_spark.operators.sampling import (
+        excess_loss_mixture,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    for r in excess_loss_mixture(docs, eta=0.0).collect():
+        assert abs(r.weight - r.nat_share) < 2e-6

@@ -1574,3 +1574,135 @@ def quality_signal_agreement(
             6,
         ).alias("topp_overlap"),
     )
+
+
+def excess_loss_mixture(
+    docs: DataFrame,
+    eta: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """DoReMi-style one-step domain reweighting (Xie et al. 2023,
+    "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+    Pretraining"): upweight domains by EXCESS LOSS — how much a
+    stronger proxy model improves over a weaker reference on that
+    domain, i.e. how much learnable structure the domain still holds.
+    DoReMi runs this as an iterated Group-DRO loop between two trained
+    transformers; this operator executes one exponentiated-gradient
+    step of the same update with the repo's in-engine LM ladder as the
+    (reference, proxy) pair: the add-one unigram LM (reference) and
+    the Jelinek-Mercer bigram LM (proxy) — the difference in per-token
+    cross-entropy is exactly "what word-transition structure exists
+    here that frequency statistics cannot explain".
+
+    Per source: token-weighted mean cross-entropies of both models
+    (aggregated from the per-doc scores' 6dp-rounded values via exact
+    1e6-quantized integer sums, so grouping is order-free),
+    excess = max(xent_unigram - xent_bigram, 0) (clipped like
+    DoReMi's), and
+
+        weight_i = nat_share_i * exp(eta * excess_i) / Z
+
+    with Z the sum of the numerators — the exponentiated-gradient
+    reweighting of the natural token shares. The numerators quantize
+    to 1e12 integers BEFORE the normalizing sum (the mixture-family
+    rule: cross-group sums are integer sums), so the DuckDB twin is
+    value-identical at any source order.
+
+    Output: (source, n_tokens, nat_share, xent_unigram, xent_bigram,
+    excess, weight), ratios rounded 6dp. Sources the bigram model
+    cannot score (every doc < 2 tokens) take excess = 0 (no evidence
+    of learnable structure, weight falls back to the natural share).
+
+    Plan: both LM scorings are the certified operators' plans (one
+    tf shuffle + broadcast vocab; one bigram shuffle + broadcast
+    model); this adds two narrow per-source aggregates and a 1-row
+    broadcast of the normalizer. Output rows = sources."""
+    from ..functions.textstats import bigram_lm_scores, unigram_lm_scores
+
+    eta = float(eta)
+    src = docs.select(
+        F.col(id_col).alias("id"), F.col(source_col).alias("source")
+    )
+    uni = unigram_lm_scores(docs, id_col=id_col, text_col=text_col).select(
+        F.col(id_col).alias("id"),
+        "n_tokens",
+        F.round(F.col("avg_logprob") * 1e6, 0)
+        .cast("long")
+        .alias("__q_u"),
+    )
+    bi = bigram_lm_scores(docs, id_col=id_col, text_col=text_col).select(
+        F.col(id_col).alias("id"),
+        "n_bigrams",
+        F.round(F.col("avg_logprob") * 1e6, 0)
+        .cast("long")
+        .alias("__q_b"),
+    )
+    per = (
+        src.join(uni, "id")
+        .join(bi, "id", "left")
+        .groupBy("source")
+        .agg(
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum(F.col("__q_u") * F.col("n_tokens"))
+            .cast("long")
+            .alias("__su"),
+            F.sum(F.col("__q_b") * F.col("n_bigrams"))
+            .cast("long")
+            .alias("__sb"),
+            F.sum("n_bigrams").cast("long").alias("__nb"),
+        )
+    )
+    xu = F.round(
+        -(F.col("__su").cast("double") / F.lit(1e6))
+        / F.col("n_tokens").cast("double"),
+        6,
+    )
+    xb = F.round(
+        -(F.col("__sb").cast("double") / F.lit(1e6))
+        / F.col("__nb").cast("double"),
+        6,
+    )
+    per = per.select(
+        "source",
+        "n_tokens",
+        xu.alias("xent_unigram"),
+        xb.alias("xent_bigram"),
+        F.coalesce(
+            F.greatest(
+                F.round(xu - xb, 6), F.lit(0.0)
+            ),
+            F.lit(0.0),
+        ).alias("excess"),
+    )
+    tot = per.agg(F.sum("n_tokens").cast("long").alias("__tot"))
+    per = per.crossJoin(F.broadcast(tot)).withColumn(
+        "__num",
+        F.round(
+            (F.col("n_tokens").cast("double") / F.col("__tot").cast("double"))
+            * F.exp(F.lit(eta) * F.col("excess"))
+            * F.lit(1e12),
+            0,
+        ).cast("long"),
+    )
+    z = per.agg(F.sum("__num").cast("long").alias("__z"))
+    return (
+        per.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            "n_tokens",
+            F.round(
+                F.col("n_tokens").cast("double")
+                / F.col("__tot").cast("double"),
+                6,
+            ).alias("nat_share"),
+            "xent_unigram",
+            "xent_bigram",
+            "excess",
+            F.round(
+                F.col("__num").cast("double") / F.col("__z").cast("double"),
+                6,
+            ).alias("weight"),
+        )
+    )
