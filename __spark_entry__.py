@@ -3071,6 +3071,48 @@ def _q_stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(qname).select("list_id", "vec_id")
 
 
+_DRIFT_THETA = 3.0
+
+
+def _q_stream_drift_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OOD gate (streaming/ingest.py::stream_drift_gate):
+    the reference profile is embedding_dim_profile over the even
+    vec_ids (exact quantized sums — engine-replayable doubles), the
+    full embedding table then arrives as micro-batches and every
+    vector is flagged on max per-dim |z| >= 3.0. FULL oracle: DuckDB
+    recomputes the identical profile from the identical integer sums
+    and replays the z arithmetic value-for-value."""
+    from vector_search_test_spark.operators.vstats import (
+        embedding_dim_profile,
+    )
+    from vector_search_test_spark.streaming.ingest import stream_drift_gate
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    prof = {
+        r["dim"]: (r["mean"], r["std"])
+        for r in embedding_dim_profile(
+            emb.filter(F.col("vec_id") % 2 == 0)
+        ).collect()
+    }
+    dims = sorted(prof)
+    means = [prof[d][0] for d in dims]
+    stds = [prof[d][1] for d in dims]
+    inp = _stream_staging_dir(sf_dir, "driftg", table="embeddings")
+    qname = "sg_driftg_" + os.path.basename(sf_dir.rstrip("/")).replace(
+        ".", "_"
+    )
+    q = (
+        stream_drift_gate(spark, inp, means, stds, _DRIFT_THETA)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname).select("id", "max_absz", "drifted")
+
+
 def _q_stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming near-dup ingest over a GROWING persistent LSH index
     (streaming/ingest.py::stream_neardup_ingest): the standing corpus
@@ -5183,6 +5225,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # mixture next to temperature_mixture/token_budget_plan
         # (full oracle; overflow — joins the drain queue)
         "excess_loss_mixture": _q_excess_loss_mixture,
+        # r15 addition: streaming OOD gate — max per-dim |z| vs a
+        # frozen quantized reference profile, stateless shared core
+        # (full oracle; overflow — joins the drain queue)
+        "stream_drift_gate": _q_stream_drift_gate,
     }
 
 
@@ -6991,6 +7037,59 @@ def _ann_recall_oracle_sql(sf_dir: str | None = None) -> str:
     """
 
 
+def _drift_gate_oracle_sql() -> str:
+    """DuckDB twin of stream_drift_gate: the reference profile from
+    the SAME 1e7/1e9 DECIMAL(38,0) integer sums (identical doubles by
+    construction), then the max-|z| replay over every vector with the
+    std > 0 dimension filter and the rounded-threshold gate."""
+    sc = 10_000_000
+    sq = 1_000_000_000
+    return f"""
+        WITH refx AS (
+            SELECT embedding AS emb,
+                   unnest(range(1, len(embedding) + 1)) AS i
+            FROM embeddings WHERE vec_id % 2 = 0
+        ),
+        refq AS (
+            SELECT i - 1 AS dim,
+                   CAST(round(CAST(emb[i] AS DOUBLE) * {sc}, 0)
+                        AS DECIMAL(38,0)) AS qv,
+                   CAST(round(CAST(emb[i] AS DOUBLE)
+                              * CAST(emb[i] AS DOUBLE) * {sq}, 0)
+                        AS DECIMAL(38,0)) AS qs
+            FROM refx
+        ),
+        agg AS (
+            SELECT dim, count(*)::BIGINT AS n,
+                   sum(qv) AS sv, sum(qs) AS ss
+            FROM refq GROUP BY dim
+        ),
+        prof AS (
+            SELECT dim,
+                   CAST(sv AS DOUBLE) / {float(sc)!r} / n AS mean,
+                   sqrt(greatest(0.0,
+                       CAST(ss AS DOUBLE) / {float(sq)!r} / n
+                       - (CAST(sv AS DOUBLE) / {float(sc)!r} / n)
+                         * (CAST(sv AS DOUBLE) / {float(sc)!r} / n)))
+                       AS std
+            FROM agg
+        ),
+        z AS (
+            SELECT c.vec_id AS id,
+                   round(max(abs(
+                       (CAST(c.embedding[i] AS DOUBLE) - p.mean)
+                       / p.std)), 6) AS max_absz
+            FROM embeddings c,
+                 unnest(range(1, len(c.embedding) + 1)) u(i)
+            JOIN prof p ON p.dim = i - 1 AND p.std > 0
+            GROUP BY c.vec_id
+        )
+        SELECT c.vec_id AS id, z.max_absz,
+               coalesce(z.max_absz >= {_DRIFT_THETA!r}, FALSE) AS drifted
+        FROM embeddings c LEFT JOIN z ON c.vec_id = z.id
+    """
+
+
 def _paragraph_dedup_oracle_sql() -> str:
     """DuckDB twin of paragraph_dedup over the 10-word paragraphize:
     the same line slicing (DuckDB list slices are 1-based inclusive
@@ -8064,6 +8163,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "ann_rank_quality": _rankq_sql,
         "mrl_two_stage_topk": _mrl_two_stage_oracle_sql(),
         "paragraph_dedup_stats": _paragraph_dedup_oracle_sql(),
+        "stream_drift_gate": _drift_gate_oracle_sql(),
         "ivf_index_stats": _ivfstats_sql,
         "quality_topp_selection": _topp_oracle_sql(),
         "pca_knn_topk": _pca_sql,

@@ -168,3 +168,58 @@ def test_label_shift_report_planted(spark):
     tvd = sum(r["tvd_part"] for r in out.values())
     # |0.6-0.5|/2 + |0.4-0|/2 + |0-0.5|/2 = 0.05 + 0.2 + 0.25 = 0.5
     assert abs(tvd - 0.5) < 1e-9
+
+
+def test_embedding_zscore_gate_planted(spark):
+    """Known profile, known vectors: exact z scores, std=0 dims
+    skipped, all-zero-std profile yields NULL score / False flag."""
+    from vector_search_test_spark.operators.vstats import (
+        embedding_zscore_gate,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 5.0]), (1, [2.0, 5.0]), (2, [0.5, 99.0])],
+        "vec_id long, embedding array<float>",
+    )
+    # dim 0: mean 0, std 1; dim 1: std 0 (uncheckable)
+    out = {
+        r.id: r
+        for r in embedding_zscore_gate(
+            df, means=[0.0, 5.0], stds=[1.0, 0.0], theta=1.0
+        ).collect()
+    }
+    assert out[0].max_absz == 0.0 and not out[0].drifted
+    assert out[1].max_absz == 2.0 and out[1].drifted
+    # dim 1's wild value is invisible: std = 0 dims never score
+    assert out[2].max_absz == 0.5 and not out[2].drifted
+    # every dim uncheckable -> NULL score, gate stays closed
+    allzero = embedding_zscore_gate(
+        df, means=[0.0, 0.0], stds=[0.0, 0.0], theta=1.0
+    ).collect()
+    assert all(r.max_absz is None and not r.drifted for r in allzero)
+    import pytest
+
+    with pytest.raises(ValueError):
+        embedding_zscore_gate(df, means=[0.0], stds=[1.0, 1.0])
+
+
+def test_embedding_dim_profile_matches_report(spark, sf_dir):
+    """The profile helper and embedding_drift_report compute through
+    the same quantized sums: profile(mean/std) rounded 6dp equals the
+    report's ref-side columns."""
+    from vector_search_test_spark.io import load_table
+    from vector_search_test_spark.operators.vstats import (
+        embedding_dim_profile,
+        embedding_drift_report,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+    prof = {
+        r.dim: (round(r.mean, 6), round(r.std, 6))
+        for r in embedding_dim_profile(emb).collect()
+    }
+    rep = {
+        r.dim: (r.mean_ref, r.std_ref)
+        for r in embedding_drift_report(emb, emb).collect()
+    }
+    assert prof == rep

@@ -383,3 +383,81 @@ SELECT label, n_ref, n_cur,
              / 2, 6) AS tvd_part
 FROM j CROSS JOIN t
 """
+
+
+def embedding_dim_profile(
+    df: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-dimension (n, mean, std) profile of an embedding snapshot —
+    the REFERENCE side of an ingest-time drift gate, computed with
+    embedding_drift_report's exact quantization discipline (1e7/1e9
+    integer sums in DECIMAL(38,0) accumulators) so the resulting
+    doubles are deterministic functions of the data on any engine and
+    partitioning. Output: (dim, n, mean, std), UNROUNDED — the gate
+    consumes these as full-precision literals."""
+    exploded = df.select(F.posexplode(vec_col).alias("dim", "val"))
+    v = F.col("val").cast("double")
+    q = exploded.select(
+        "dim",
+        F.round(v * _SCALE, 0).cast("decimal(38,0)").alias("qv"),
+        F.round(v * v * _SQ_SCALE, 0).cast("decimal(38,0)").alias("qs"),
+    ).groupBy("dim").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("qv").alias("__sv"),
+        F.sum("qs").alias("__ss"),
+    )
+    mean = F.col("__sv").cast("double") / F.lit(float(_SCALE)) / F.col("n")
+    ex2 = F.col("__ss").cast("double") / F.lit(float(_SQ_SCALE)) / F.col("n")
+    return q.select(
+        F.col("dim").cast("long").alias("dim"),
+        "n",
+        mean.alias("mean"),
+        F.sqrt(F.greatest(F.lit(0.0), ex2 - mean * mean)).alias("std"),
+    )
+
+
+def embedding_zscore_gate(
+    df: DataFrame,
+    means: "list[float]",
+    stds: "list[float]",
+    theta: float = 3.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """STATELESS out-of-distribution gate against a frozen reference
+    profile: each vector's max per-dimension |z| = |(x_i - mean_i) /
+    std_i| over the dims with std > 0, rounded 6dp; `drifted` applies
+    `theta` to the ROUNDED score (deterministic at the boundary, the
+    clip-gate rule). One scan-side projection — no aggregate, no
+    state — so the same function gates a batch frame and a streaming
+    micro-batch identically (stream_drift_gate wraps it; this is the
+    clip_score_pairs stateless-core pattern). The profile rides as
+    two broadcast-sized literal arrays; vectors shorter than the
+    profile yield NULL elements that the max ignores.
+
+    Output: (id, max_absz, drifted) — max_absz NULL (drifted False)
+    when no dimension is checkable (all stds zero)."""
+    if len(means) != len(stds):
+        raise ValueError("means and stds must have equal length")
+    mean_lit = F.array(*[F.lit(float(m)) for m in means])
+    std_lit = F.array(*[F.lit(float(s)) for s in stds])
+    absz = F.transform(
+        F.col(vec_col),
+        lambda x, i: F.when(
+            F.element_at(std_lit, i + 1) > F.lit(0.0),
+            F.abs(
+                (x.cast("double") - F.element_at(mean_lit, i + 1))
+                / F.element_at(std_lit, i + 1)
+            ),
+        ),
+    )
+    maxz = F.round(
+        F.array_max(F.filter(absz, lambda z: z.isNotNull())), 6
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        maxz.alias("max_absz"),
+        F.coalesce(
+            maxz >= F.lit(float(theta)), F.lit(False)
+        ).alias("drifted"),
+    )

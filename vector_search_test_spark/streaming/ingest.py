@@ -262,6 +262,35 @@ def stream_clip_gate(
     )
 
 
+def stream_drift_gate(
+    spark: SparkSession,
+    input_dir: str,
+    means: "list[float]",
+    stds: "list[float]",
+    theta: float = 3.0,
+) -> DataFrame:
+    """Ingest-time out-of-distribution gate: arriving vectors scored
+    by max per-dimension |z| against a FROZEN reference profile
+    (operators/vstats.py::embedding_dim_profile over a certified
+    snapshot), quarantine-flagged when the 6dp-rounded score clears
+    `theta`. The scoring is operators/vstats.py::embedding_zscore_gate
+    — the SAME stateless core a batch audit runs, so the streaming
+    gate provably cannot drift from it (the stream_clip_gate /
+    stream_quality_gate shared-core rule). No state store, no
+    watermark: throughput scales with cores; the profile rides as two
+    broadcast-sized literal arrays."""
+    from vector_search_test_spark.operators.vstats import (
+        embedding_zscore_gate,
+    )
+
+    stream = (
+        spark.readStream.schema(EMBEDDING_STREAM_SCHEMA)
+        .parquet(input_dir)
+        .select("vec_id", "embedding")
+    )
+    return embedding_zscore_gate(stream, means, stds, theta)
+
+
 def stream_neardup_ingest(
     spark: SparkSession,
     input_dir: str,
