@@ -3071,6 +3071,31 @@ def _q_stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(qname).select("list_id", "vec_id")
 
 
+_LI_DIM = 16
+_LI_TOKENS = 8
+_LI_K = 10
+
+
+def _q_late_interaction_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style MaxSim retrieval (operators/search.py::
+    late_interaction_topk): token-level late interaction — per query
+    token, the max similarity against any document token; per doc,
+    the 1e9-quantized integer sum of those maxes; global top-10. The
+    query is document 1's text (bounded 1-row collect), the token
+    encoder is the SQL-replayable code-point-histogram fake, and the
+    oracle replays tokenize -> embed -> MaxSim -> quantized ranking
+    value-for-value."""
+    from vector_search_test_spark.operators.search import (
+        late_interaction_topk,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    qtext = docs.filter(F.col("doc_id") == 1).select("text").first()[0]
+    return late_interaction_topk(
+        docs, qtext, k=_LI_K, dim=_LI_DIM, max_tokens=_LI_TOKENS
+    )
+
+
 _DRIFT_THETA = 3.0
 
 
@@ -5229,6 +5254,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # frozen quantized reference profile, stateless shared core
         # (full oracle; overflow — joins the drain queue)
         "stream_drift_gate": _q_stream_drift_gate,
+        # r15 addition: ColBERT-style MaxSim late-interaction
+        # retrieval over SQL-replayable token embeddings
+        # (full oracle; overflow — joins the drain queue)
+        "late_interaction_topk": _q_late_interaction_topk,
     }
 
 
@@ -7037,6 +7066,65 @@ def _ann_recall_oracle_sql(sf_dir: str | None = None) -> str:
     """
 
 
+def _late_interaction_oracle_sql() -> str:
+    """DuckDB twin of late_interaction_topk: the same tokenize (first
+    8 non-empty lowercased tokens, list slice), the same code-point
+    histogram embedding (list_sum == the 0.0-init left fold, the
+    l2_sq pairing precedent), MaxSim per (doc, query token), 1e9
+    integer quantization before the per-doc sum, ranking on the
+    integer."""
+    d, t, k = int(_LI_DIM), int(_LI_TOKENS), int(_LI_K)
+    return f"""
+        WITH dtok AS (
+            SELECT id, pos, toks[pos] AS tok
+            FROM (
+                SELECT doc_id AS id,
+                       list_filter(string_split(lower(text), ' '),
+                                   w -> w != '')[1:{t}] AS toks
+                FROM documents
+            ), unnest(range(1, len(toks) + 1)) u(pos)
+        ),
+        codes AS (
+            SELECT id, pos,
+                   list_transform(string_split(tok, ''),
+                                  c -> ascii(c)) AS codes
+            FROM dtok
+        ),
+        hist AS (
+            SELECT id, pos,
+                   list_transform(range(0, {d}),
+                       b -> CAST(len(list_filter(codes, x -> x % {d} = b))
+                                 AS DOUBLE)) AS hist
+            FROM codes
+        ),
+        vecs AS (
+            SELECT id, pos, list_transform(hist, h -> h / nrm) AS vec
+            FROM (
+                SELECT id, pos, hist,
+                       sqrt(list_sum(list_transform(hist, h -> h * h)))
+                           AS nrm
+                FROM hist
+            )
+        ),
+        q AS (SELECT pos AS qpos, vec AS qv FROM vecs WHERE id = 1),
+        sims AS (
+            SELECT v.id, q.qpos,
+                   max(list_sum(list_transform(list_zip(v.vec, q.qv),
+                       p -> p[1]::DOUBLE * p[2]::DOUBLE))) AS ms
+            FROM vecs v, q
+            GROUP BY v.id, q.qpos
+        ),
+        per AS (
+            SELECT id, sum(CAST(round(ms * 1e9) AS BIGINT))::BIGINT
+                       AS qsum
+            FROM sims GROUP BY id
+        )
+        SELECT id AS doc_id,
+               round(CAST(qsum AS DOUBLE) / 1e9, 6) AS maxsim
+        FROM per ORDER BY qsum DESC, id LIMIT {k}
+    """
+
+
 def _drift_gate_oracle_sql() -> str:
     """DuckDB twin of stream_drift_gate: the reference profile from
     the SAME 1e7/1e9 DECIMAL(38,0) integer sums (identical doubles by
@@ -8164,6 +8252,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "mrl_two_stage_topk": _mrl_two_stage_oracle_sql(),
         "paragraph_dedup_stats": _paragraph_dedup_oracle_sql(),
         "stream_drift_gate": _drift_gate_oracle_sql(),
+        "late_interaction_topk": _late_interaction_oracle_sql(),
         "ivf_index_stats": _ivfstats_sql,
         "quality_topp_selection": _topp_oracle_sql(),
         "pca_knn_topk": _pca_sql,

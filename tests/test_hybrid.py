@@ -144,3 +144,54 @@ def test_hybrid_rejects_empty_query(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     with pytest.raises(ValueError):
         hybrid_search_rrf(docs, emb, "   ", [0.0] * 64)
+
+
+def test_late_interaction_planted_maxsim(spark):
+    """MaxSim prefers a doc matching ALL query tokens somewhere over a
+    doc matching one token repeatedly — the late-interaction property
+    single-vector scoring cannot express."""
+    from vector_search_test_spark.operators.search import (
+        late_interaction_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta"),                 # the query doc
+            (2, "alpha beta gamma delta"),     # matches both tokens
+            (3, "alpha alpha alpha alpha"),    # one token, repeated
+            (4, "zzz yyy xxx www"),            # matches nothing well
+        ],
+        "doc_id long, text string",
+    )
+    out = late_interaction_topk(docs, "alpha beta", k=4)
+    rows = out.collect()
+    score = {r.doc_id: r.maxsim for r in rows}
+    # self-identical token sets tie at the top: per query token the
+    # max similarity is an exact 1.0 self-match in docs 1 and 2
+    assert abs(score[1] - 2.0) < 1e-6 and abs(score[2] - 2.0) < 1e-6
+    # full coverage beats repeated single-token coverage
+    assert score[2] > score[3]
+    assert score[3] > score[4]
+    # ranking is on the quantized integer sum with doc_id ties
+    ordered = [r.doc_id for r in rows]
+    assert ordered.index(1) < ordered.index(2) or score[1] != score[2]
+
+
+def test_late_interaction_token_cap_and_determinism(spark):
+    """Only the first max_tokens tokens score; empty tokens are
+    dropped; repeated runs are identical."""
+    from vector_search_test_spark.operators.search import (
+        late_interaction_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a  b   c"), (2, "c b a"), (3, "")],
+        "doc_id long, text string",
+    )
+    out1 = sorted(map(tuple, late_interaction_topk(
+        docs, "a b c", k=5, max_tokens=2).collect()))
+    out2 = sorted(map(tuple, late_interaction_topk(
+        docs, "a b c", k=5, max_tokens=2).collect()))
+    assert out1 == out2
+    # doc 3 has no tokens -> no score row
+    assert all(r[0] != 3 for r in out1)

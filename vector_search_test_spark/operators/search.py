@@ -232,3 +232,132 @@ def hybrid_search_rrf(
             "vec_rank",
         )
     )
+
+
+def _token_vectors(
+    df: DataFrame,
+    dim: int,
+    max_tokens: int,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Per-token embeddings for the late-interaction scorer: the first
+    `max_tokens` non-empty lowercased tokens of each row, each embedded
+    as an L2-normalized `dim`-bucket histogram of its character code
+    points (ASCII-domain deterministic fake, the multimodal byte-tower
+    pattern — stands in for a ColBERT token encoder while staying
+    SQL-replayable on both engines). Pure JVM HOFs, scan-only; each
+    stage materializes to a bound column (the r14 janino rule).
+    Output: (id, pos, vec array<double>)."""
+    toks = F.slice(
+        F.filter(
+            F.split(F.lower(F.col(text_col)), " "),
+            lambda w: w != F.lit(""),
+        ),
+        1,
+        int(max_tokens),
+    )
+    t = df.select(
+        F.col(id_col).alias("id"), F.posexplode(toks).alias("pos", "tok")
+    )
+    t = t.select(
+        "id",
+        "pos",
+        F.transform(F.split("tok", ""), lambda c: F.ascii(c)).alias(
+            "__codes"
+        ),
+    )
+    t = t.select(
+        "id",
+        "pos",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(int(dim) - 1)),
+            lambda b: F.size(
+                F.filter(F.col("__codes"), lambda x: x % int(dim) == b)
+            ).cast("double"),
+        ).alias("__hist"),
+    )
+    t = t.select(
+        "id",
+        "pos",
+        "__hist",
+        F.sqrt(
+            F.aggregate(
+                F.col("__hist"), F.lit(0.0), lambda a, h: a + h * h
+            )
+        ).alias("__nrm"),
+    )
+    return t.select(
+        "id",
+        "pos",
+        F.transform(F.col("__hist"), lambda h: h / F.col("__nrm")).alias(
+            "vec"
+        ),
+    )
+
+
+def late_interaction_topk(
+    docs: DataFrame,
+    query_text: str,
+    k: int = 10,
+    dim: int = 16,
+    max_tokens: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ColBERT-style late-interaction retrieval (Khattab & Zaharia,
+    SIGIR 2020): score(q, d) = sum over query tokens of the MAX
+    similarity against any document token (MaxSim) — token-level
+    matching that single-vector retrieval provably cannot express
+    (a document matching ALL the query's terms in different places
+    beats one matching a blend of them). Token encoders here are the
+    deterministic code-point-histogram fake (see _token_vectors);
+    swap the token-vector table for real ColBERT embeddings and the
+    operator is unchanged.
+
+    Output: the global top-`k` documents as (doc_id, maxsim), maxsim
+    rounded 6dp. Per-(doc, query-token) maxes are exact double maxes;
+    the per-doc sum over query tokens quantizes each max to a 1e9
+    integer FIRST (order-free, the repo's cross-group sum rule) and
+    the ranking orders by that integer — fully deterministic on both
+    engines, ties on doc_id.
+
+    Scale shape: the query's <= max_tokens vectors ride a broadcast;
+    doc token vectors are a scan-side projection (posexplode bounded
+    by max_tokens); the (doc, qpos) max and per-doc sum are two
+    narrow map-side-combined aggregates; the final top-k is a
+    TakeOrdered over doc-level rows. Production composes this with an
+    ANN shortlist (ivf_search / mrl_two_stage) so the MaxSim join
+    sees candidates, not the corpus — this is the exact-scoring
+    operator."""
+    from vector_search_test_spark.functions.vector import dot
+
+    spark = docs.sparkSession
+    qdf = spark.createDataFrame([(0, str(query_text))], "id long, text string")
+    q = _token_vectors(qdf, dim, max_tokens, "id", "text").select(
+        F.col("pos").alias("qpos"), F.col("vec").alias("qv")
+    )
+    d = _token_vectors(docs, dim, max_tokens, id_col, text_col)
+    sims = (
+        d.join(F.broadcast(q))
+        .withColumn("__dot", dot("vec", "qv"))
+        .groupBy("id", "qpos")
+        .agg(F.max("__dot").alias("ms"))
+    )
+    per_doc = (
+        sims.select(
+            "id", F.round(F.col("ms") * 1e9, 0).cast("long").alias("qms")
+        )
+        .groupBy("id")
+        .agg(F.sum("qms").cast("long").alias("__qsum"))
+    )
+    return (
+        per_doc.orderBy(F.desc("__qsum"), F.asc("id"))
+        .limit(int(k))
+        .select(
+            F.col("id").alias(id_col),
+            F.round(F.col("__qsum").cast("double") / F.lit(1e9), 6).alias(
+                "maxsim"
+            ),
+        )
+    )
