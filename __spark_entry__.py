@@ -3071,6 +3071,28 @@ def _q_stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(qname).select("list_id", "vec_id")
 
 
+def _q_quantization_error_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The compression-ladder reconstruction table (operators/
+    evaluate.py::quantization_error_report): mean squared encode-then-
+    decode error + bytes/vector for float32 / SQ8 / PQ / PCA in one
+    4-row report — the "choose your rung" evidence beside the recall
+    gauges. Rides the shared _pq_artifacts and _pca_artifacts memos;
+    the oracle replays all three residuals from the SAME expression
+    strings (index base flipped) and the same 1e9 DECIMAL(38,0)
+    quantized means."""
+    from vector_search_test_spark.io import spread
+    from vector_search_test_spark.operators.evaluate import (
+        quantization_error_report,
+    )
+
+    books, _, _ = _pq_artifacts(sf_dir)
+    mean, W = _pca_artifacts(sf_dir)
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    return quantization_error_report(emb, books, mean, W)
+
+
 _LI_DIM = 16
 _LI_TOKENS = 8
 _LI_K = 10
@@ -5258,6 +5280,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # retrieval over SQL-replayable token embeddings
         # (full oracle; overflow — joins the drain queue)
         "late_interaction_topk": _q_late_interaction_topk,
+        # r15 addition: compression-ladder reconstruction-error table
+        # (float32/sq8/pq/pca MSE + bytes) — rides the pq/pca memos
+        # (full oracle; overflow — joins the drain queue)
+        "quantization_error_report": _q_quantization_error_report,
     }
 
 
@@ -7066,6 +7092,68 @@ def _ann_recall_oracle_sql(sf_dir: str | None = None) -> str:
     """
 
 
+def _qer_oracle_sql(sf_dir: str | None = None) -> str:
+    """DuckDB twin of quantization_error_report: the sq8 encode twin,
+    the SAME pq/pca residual expression strings (1-based indexing),
+    pca_project_sql's certified projection chains materialized as a
+    list, and the identical quantized means — four UNION ALL rows."""
+    from vector_search_test_spark.operators.evaluate import (
+        pca_recon_err_expr,
+        pq_recon_err_expr,
+    )
+    from vector_search_test_spark.operators.pca import pca_project_sql
+    from vector_search_test_spark.operators.sq import sq8_encode_sql
+
+    sf_dir = sf_dir or os.environ.get(
+        "ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    books, _, _ = _pq_artifacts(sf_dir)
+    mean, W = _pca_artifacts(sf_dir)
+    dim, m, out_dim = len(mean), len(books), len(W[0])
+    sq_t = (
+        "(codes[i]::DOUBLE * scale::DOUBLE - embedding[i]::DOUBLE)"
+        " * (codes[i]::DOUBLE * scale::DOUBLE - embedding[i]::DOUBLE)"
+    )
+    sq_err = (
+        "list_sum(list_transform(range(1, len(embedding) + 1), "
+        f"i -> {sq_t}))"
+    )
+    pq_err = pq_recon_err_expr("embedding", books, one_based=True)
+    proj_list = "[" + ", ".join(pca_project_sql("embedding", mean, W)) + "]"
+    pca_err = pca_recon_err_expr("embedding", "proj", mean, W, one_based=True)
+    qmean = "round(CAST(sum(q) AS DOUBLE) / 1e9 / count(*), 6)"
+    return f"""
+        WITH sq AS (
+            SELECT embedding, {sq8_encode_sql('embedding')} FROM embeddings
+        ),
+        sqe AS (
+            SELECT CAST(round(({sq_err}) * 1e9) AS DECIMAL(38,0)) AS q
+            FROM sq
+        ),
+        pqe AS (
+            SELECT CAST(round(({pq_err}) * 1e9) AS DECIMAL(38,0)) AS q
+            FROM embeddings
+        ),
+        pj AS (SELECT embedding, {proj_list} AS proj FROM embeddings),
+        pce AS (
+            SELECT CAST(round(({pca_err}) * 1e9) AS DECIMAL(38,0)) AS q
+            FROM pj
+        )
+        SELECT 'float32' AS method, count(*)::BIGINT AS n_vecs,
+               {dim * 4}::BIGINT AS bytes_per_vec,
+               CAST(0.0 AS DOUBLE) AS mse
+        FROM embeddings
+        UNION ALL
+        SELECT 'sq8', count(*)::BIGINT, {dim + 4}::BIGINT, {qmean}
+        FROM sqe
+        UNION ALL
+        SELECT 'pq', count(*)::BIGINT, {m}::BIGINT, {qmean} FROM pqe
+        UNION ALL
+        SELECT 'pca', count(*)::BIGINT, {out_dim * 4}::BIGINT, {qmean}
+        FROM pce
+    """
+
+
 def _late_interaction_oracle_sql() -> str:
     """DuckDB twin of late_interaction_topk: the same tokenize (first
     8 non-empty lowercased tokens, list slice), the same code-point
@@ -7636,6 +7724,10 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         _rankq_sql = _rank_quality_oracle_sql(sf_dir)
     except Exception:
         _rankq_sql = None
+    try:
+        _qer_sql = _qer_oracle_sql(sf_dir)
+    except Exception:
+        _qer_sql = None
     try:
         _sd_sql = _semdedup_oracle_sql(sf_dir)
     except Exception:
@@ -8253,6 +8345,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "paragraph_dedup_stats": _paragraph_dedup_oracle_sql(),
         "stream_drift_gate": _drift_gate_oracle_sql(),
         "late_interaction_topk": _late_interaction_oracle_sql(),
+        "quantization_error_report": _qer_sql,
         "ivf_index_stats": _ivfstats_sql,
         "quality_topp_selection": _topp_oracle_sql(),
         "pca_knn_topk": _pca_sql,
@@ -8413,6 +8506,8 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         del out["pca_ivf_topk"]
     if _rankq_sql is None:
         del out["ann_rank_quality"]
+    if _qer_sql is None:
+        del out["quantization_error_report"]
     return out
 
 

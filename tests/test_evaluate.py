@@ -420,3 +420,55 @@ def test_dcg_weights_contract():
         assert abs(x - 1e12 / math.log2(i + 2)) <= 1.0
     with pytest.raises(ValueError):
         dcg_weights(0)
+
+
+def test_quantization_error_report_ladder(spark, sf_dir):
+    """The ladder is ordered: float32 is exact; more bytes buys less
+    error among the lossy rungs on the fixture; every mse is finite
+    and non-negative and n_vecs is the corpus."""
+    import pyarrow.parquet as pq_pa
+    import numpy as np
+
+    from vector_search_test_spark.io import load_table, spread
+    from vector_search_test_spark.operators.evaluate import (
+        quantization_error_report,
+    )
+    from vector_search_test_spark.operators.pca import train_pca_numpy
+    from vector_search_test_spark.operators.pq import train_pq_numpy
+
+    tbl = pq_pa.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    pdf = tbl.to_pandas().sort_values("vec_id")
+    X = np.array(
+        [np.asarray(v, dtype=np.float32) for v in pdf["embedding"]],
+        dtype=np.float64,
+    )
+    books = train_pq_numpy(X, m=8, ksub=16)
+    mean, W = train_pca_numpy(X, 8)
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    out = {r.method: r for r in quantization_error_report(
+        emb, books, mean, W).collect()}
+    assert set(out) == {"float32", "sq8", "pq", "pca"}
+    n = emb.count()
+    assert all(r.n_vecs == n for r in out.values())
+    assert out["float32"].mse == 0.0
+    assert all(r.mse >= 0.0 for r in out.values())
+    # bytes ladder: float32 256 > sq8 68 > pca 32 > pq 8
+    assert (out["float32"].bytes_per_vec, out["sq8"].bytes_per_vec,
+            out["pca"].bytes_per_vec, out["pq"].bytes_per_vec) == (
+        256, 68, 32, 8)
+    # SQ8 keeps every dim at 8 bits: far less error than 8-byte PQ
+    assert out["sq8"].mse < out["pq"].mse
+    # numpy cross-check of the sq8 rung (decode = codes * scale)
+    scale = (np.abs(X).max(axis=1) / 127.0).astype(np.float32)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        codes = np.where(
+            scale[:, None] > 0,
+            np.clip(np.round(X / scale[:, None].astype(np.float64)),
+                    -127, 127),
+            0.0,
+        )
+    err = ((codes * scale[:, None].astype(np.float64) - X) ** 2).sum(axis=1)
+    assert abs(out["sq8"].mse - round(
+        float(np.round(err * 1e9).sum()) / 1e9 / n, 6)) < 2e-6

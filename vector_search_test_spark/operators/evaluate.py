@@ -481,3 +481,151 @@ def cluster_top_terms(
         .filter(F.col("rank") <= int(top_n))
         .select("list_id", "term", "df_docs", F.col("rank").cast("int"))
     )
+
+
+def pq_recon_err_expr(
+    vec: str, books: "list[list[list[float]]]", one_based: bool
+) -> str:
+    """Squared-L2 PQ reconstruction error as ONE SQL expression string
+    usable by BOTH engines (`one_based` flips array indexing: Spark
+    SQL arrays are 0-based, DuckDB lists 1-based; every other token is
+    identical): per subspace, `least()` over the ksub centroid chain
+    distances — the selected code is the argmin, so the min distance
+    IS the encode-then-decode residual, with no decode step to drift.
+    Literal centroids ride in full-precision repr (the rotate_sql
+    parity argument)."""
+    off = 1 if one_based else 0
+    sub_exprs = []
+    lo = 0
+    for cents in books:
+        dsub = len(cents[0])
+        chains = []
+        for c in cents:
+            terms = " + ".join(
+                f"(CAST({vec}[{lo + i + off}] AS DOUBLE) - {c[i]!r})"
+                f" * (CAST({vec}[{lo + i + off}] AS DOUBLE) - {c[i]!r})"
+                for i in range(dsub)
+            )
+            chains.append("(" + terms + ")")
+        sub_exprs.append("least(" + ", ".join(chains) + ")")
+        lo += dsub
+    return " + ".join(sub_exprs)
+
+
+def pca_recon_err_expr(
+    vec: str,
+    proj: str,
+    mean: "list[float]",
+    W: "list[list[float]]",
+    one_based: bool,
+) -> str:
+    """Squared-L2 PCA reconstruction error from the PROJECTED
+    coordinates (`proj` = pca_project's output): x_hat[i] = mean[i] +
+    sum_j proj[j] * W[i][j] (explicit decode — no orthonormality
+    assumption, so the float32-rounded W is measured as stored), then
+    the left-associative chain of squared diffs. One expression
+    string, both engines, indexing flipped by `one_based`."""
+    off = 1 if one_based else 0
+    out_dim = len(W[0])
+    terms = []
+    for i in range(len(W)):
+        inner = " + ".join(
+            f"{proj}[{j + off}] * {W[i][j]!r}" for j in range(out_dim)
+        )
+        xhat = f"({mean[i]!r} + ({inner}))"
+        diff = f"(CAST({vec}[{i + off}] AS DOUBLE) - {xhat})"
+        terms.append(f"{diff} * {diff}")
+    return " + ".join(terms)
+
+
+def quantization_error_report(
+    emb: DataFrame,
+    pq_books: "list[list[list[float]]]",
+    pca_mean: "list[float]",
+    pca_W: "list[list[float]]",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The compression-ladder RECONSTRUCTION table — "choose your
+    rung" evidence beside the recall gauges: mean squared
+    encode-then-decode error of each lossy representation the engine
+    ships (SQ8 scalar codes, PQ codebooks, PCA projection) against
+    the float32 baseline, with the storage cost that buys. Output:
+    one row per method — (method, n_vecs, bytes_per_vec, mse):
+    float32 (dim*4 B, mse 0 by definition), sq8 (dim+4 B), pq (m B),
+    pca (out_dim*4 B).
+
+    Determinism: per-vector errors are the shared expression strings
+    above (identical text on both engines modulo index base; the PQ
+    residual is the subspace min, the PCA decode is explicit), each
+    quantized to a 1e9 integer in a DECIMAL(38,0) accumulator before
+    the mean — order-free at any row count or partitioning.
+
+    Plan: three scan-side projections over the embedding table (the
+    PCA leg joins pca_project's Arrow output back by id — narrow),
+    each feeding a 1-row aggregate; output rows = 4 regardless of
+    corpus size."""
+    from vector_search_test_spark.operators.pca import pca_project
+    from vector_search_test_spark.operators.sq import sq8_encode
+
+    dim = len(pca_mean)
+    m = len(pq_books)
+    out_dim = len(pca_W[0])
+
+    def q9(col: Column) -> Column:
+        return F.round(col * F.lit(1e9), 0).cast("decimal(38,0)")
+
+    def agg(df: DataFrame, err: Column, method: str, nbytes: int):
+        return df.select(q9(err).alias("q")).agg(
+            F.lit(method).alias("method"),
+            F.count("*").cast("long").alias("n_vecs"),
+            F.lit(int(nbytes)).cast("long").alias("bytes_per_vec"),
+            F.round(
+                F.sum("q").cast("double") / F.lit(1e9) / F.count("*"), 6
+            ).alias("mse"),
+        )
+
+    base = emb.select(F.col(id_col).alias("id"), F.col(vec_col))
+
+    f32 = base.agg(
+        F.lit("float32").alias("method"),
+        F.count("*").cast("long").alias("n_vecs"),
+        F.lit(dim * 4).cast("long").alias("bytes_per_vec"),
+        F.lit(0.0).alias("mse"),
+    )
+
+    enc = sq8_encode(base, id_col="id", vec_col=vec_col, extra_cols=(vec_col,))
+    sc = F.col("scale").cast("double")
+    sq_err = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col(vec_col),
+            lambda c, v: (c.cast("double") * sc - v.cast("double"))
+            * (c.cast("double") * sc - v.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    sq_row = agg(enc, sq_err, "sq8", dim + 4)
+
+    pq_row = agg(
+        base,
+        F.expr(pq_recon_err_expr(vec_col, pq_books, one_based=False)),
+        "pq",
+        m,
+    )
+
+    proj = pca_project(base, pca_mean, pca_W, id_col="id", vec_col=vec_col)
+    joined = base.join(proj, "id")
+    pca_row = agg(
+        joined,
+        F.expr(
+            pca_recon_err_expr(
+                vec_col, "proj", pca_mean, pca_W, one_based=False
+            )
+        ),
+        "pca",
+        out_dim * 4,
+    )
+
+    return f32.unionByName(sq_row).unionByName(pq_row).unionByName(pca_row)
