@@ -3093,6 +3093,33 @@ def _q_quantization_error_report(
     return quantization_error_report(emb, books, mean, W)
 
 
+_CPLAN_TARGET = 4096
+_CPLAN_FILES = 8
+
+
+def _q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning (operators/snapshot.py::
+    compaction_plan): a deterministic per-source file manifest derived
+    from the fixture (file = doc_id % 8 within each source, bytes =
+    summed text length — both engines derive the identical manifest),
+    bin-packed per partition by next-fit-decreasing into 4 KiB rewrite
+    groups with compact/keep actions. The oracle replays the manifest,
+    the size-descending order, the sequential greedy recurrence
+    (recursive CTE, the pack_chunks_sql pattern with the fill > 0
+    oversize guard), and the group stats."""
+    from vector_search_test_spark.operators.snapshot import compaction_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    manifest = docs.groupBy(
+        F.col("source").alias("partition"),
+        F.concat(
+            F.lit("f"),
+            (F.col("doc_id") % _CPLAN_FILES).cast("string"),
+        ).alias("file"),
+    ).agg(F.sum(F.length("text")).cast("long").alias("bytes"))
+    return compaction_plan(manifest, _CPLAN_TARGET)
+
+
 _LI_DIM = 16
 _LI_TOKENS = 8
 _LI_K = 10
@@ -5284,6 +5311,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (float32/sq8/pq/pca MSE + bytes) — rides the pq/pca memos
         # (full oracle; overflow — joins the drain queue)
         "quantization_error_report": _q_quantization_error_report,
+        # r15 addition: per-partition small-file compaction planning
+        # (next-fit-decreasing rewrite groups + compact/keep actions)
+        # (full oracle; overflow — joins the drain queue)
+        "compaction_plan": _q_compaction_plan,
     }
 
 
@@ -7092,6 +7123,52 @@ def _ann_recall_oracle_sql(sf_dir: str | None = None) -> str:
     """
 
 
+def _cplan_oracle_sql() -> str:
+    """DuckDB twin of the compaction plan: identical derived manifest,
+    size-descending row numbering, the sequential next-fit recurrence
+    as a recursive CTE (one row per partition per step — the
+    pack_chunks_sql pattern, keeping greedy_pack's fill > 0 guard so
+    oversized files open their own group), then windowed group stats
+    and the compact/keep action."""
+    t, nf = int(_CPLAN_TARGET), int(_CPLAN_FILES)
+    return f"""
+        WITH RECURSIVE manifest AS (
+            SELECT source AS part,
+                   'f' || CAST(doc_id % {nf} AS VARCHAR) AS file,
+                   sum(len(text))::BIGINT AS bytes
+            FROM documents GROUP BY 1, 2
+        ),
+        ordered AS (
+            SELECT part, file, bytes,
+                   row_number() OVER (
+                       PARTITION BY part ORDER BY bytes DESC, file
+                   ) AS rn
+            FROM manifest
+        ),
+        packs AS (
+            SELECT part, rn, file, bytes,
+                   CAST(0 AS BIGINT) AS group_id, bytes AS fill
+            FROM ordered WHERE rn = 1
+            UNION ALL
+            SELECT o.part, o.rn, o.file, o.bytes,
+                   CASE WHEN p.fill > 0 AND p.fill + o.bytes > {t}
+                        THEN p.group_id + 1 ELSE p.group_id END,
+                   CASE WHEN p.fill > 0 AND p.fill + o.bytes > {t}
+                        THEN o.bytes ELSE p.fill + o.bytes END
+            FROM packs p
+            JOIN ordered o ON o.part = p.part AND o.rn = p.rn + 1
+        )
+        SELECT part AS "partition", file, bytes, group_id,
+               sum(bytes) OVER (PARTITION BY part, group_id)::BIGINT
+                   AS group_bytes,
+               count(*) OVER (PARTITION BY part, group_id)::BIGINT
+                   AS group_files,
+               CASE WHEN count(*) OVER (PARTITION BY part, group_id) >= 2
+                    THEN 'compact' ELSE 'keep' END AS action
+        FROM packs
+    """
+
+
 def _qer_oracle_sql(sf_dir: str | None = None) -> str:
     """DuckDB twin of quantization_error_report: the sq8 encode twin,
     the SAME pq/pca residual expression strings (1-based indexing),
@@ -8346,6 +8423,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "stream_drift_gate": _drift_gate_oracle_sql(),
         "late_interaction_topk": _late_interaction_oracle_sql(),
         "quantization_error_report": _qer_sql,
+        "compaction_plan": _cplan_oracle_sql(),
         "ivf_index_stats": _ivfstats_sql,
         "quality_topp_selection": _topp_oracle_sql(),
         "pca_knn_topk": _pca_sql,

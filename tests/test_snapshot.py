@@ -972,3 +972,46 @@ def test_zorder_rejects_bad_file_count(spark):
         zorder_layout_stats(df, "a", "b", bits=4, n_files=24)
     with _pytest.raises(ValueError):
         zorder_layout_stats(df, "a", "b", bits=4, n_files=32)
+
+
+def test_compaction_plan_planted(spark):
+    """Planted manifest: next-fit-decreasing groups, oversized
+    singleton, per-partition independence, and the compact/keep
+    actions are all exact."""
+    from vector_search_test_spark.operators.snapshot import (
+        compaction_plan,
+    )
+
+    rows = [
+        # partition A: sizes desc = 900, 500, 400, 300, 200 @ target 1000
+        # NFD: [900] overflow at +500 -> g0={900}; g1={500,400}; g2={300,200}
+        ("A", "f1", 500), ("A", "f2", 900), ("A", "f3", 400),
+        ("A", "f4", 300), ("A", "f5", 200),
+        # partition B: one oversized file + two tiny
+        ("B", "g1", 5000), ("B", "g2", 10), ("B", "g3", 10),
+    ]
+    files = spark.createDataFrame(
+        rows, "partition string, file string, bytes long"
+    )
+    out = {
+        (r["partition"], r["file"]): r
+        for r in compaction_plan(files, 1000).collect()
+    }
+    a = {f: out[("A", f)] for f in ("f1", "f2", "f3", "f4", "f5")}
+    assert a["f2"].group_id == 0 and a["f2"].action == "keep"
+    assert a["f1"].group_id == 1 and a["f3"].group_id == 1
+    assert a["f1"].action == "compact"
+    assert a["f1"].group_bytes == 900 and a["f1"].group_files == 2
+    assert a["f4"].group_id == 2 and a["f5"].group_id == 2
+    assert a["f4"].group_bytes == 500
+    # oversized file is its own 'keep' group; the tiny pair compacts
+    b = {f: out[("B", f)] for f in ("g1", "g2", "g3")}
+    assert b["g1"].action == "keep" and b["g1"].group_files == 1
+    assert b["g2"].group_id == b["g3"].group_id
+    assert b["g2"].action == "compact" and b["g2"].group_bytes == 20
+    # group ids are per-partition (both partitions start at 0)
+    assert b["g1"].group_id == 0
+    # no group of 2+ files exceeds the target
+    assert all(
+        r.group_bytes <= 1000 for r in out.values() if r.group_files >= 2
+    )

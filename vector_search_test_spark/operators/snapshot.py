@@ -910,3 +910,67 @@ SELECT layout, file_id,
 FROM layouts, box
 GROUP BY layout, file_id, lo_pa, hi_pa, lo_pb, hi_pb
 """
+
+
+def compaction_plan(
+    files: DataFrame,
+    target_bytes: int,
+    partition_col: str = "partition",
+    file_col: str = "file",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Small-file COMPACTION PLANNING — the table-maintenance step
+    every lake format schedules as OPTIMIZE: given a file manifest
+    (partition, file, bytes), bin-pack each partition's files into
+    rewrite groups of at most `target_bytes` by NEXT-FIT-DECREASING
+    (size-descending order, one open bin, close on overflow — the
+    greedy_pack kernel of functions/chunking.py on a different sort;
+    the bounded-state streaming form real compactors use, and the
+    oracle-replayable one: first-fit's multi-open-bin state buys
+    little on heavy-tailed file sizes and costs a recursive list
+    state). A file larger than the target gets a group of its own.
+
+    Output: the manifest plus (group_id, group_bytes, group_files,
+    action) — action = 'compact' for groups of >= 2 files (a rewrite
+    merges them), 'keep' for singletons (rewriting one file gains
+    nothing; oversized files land here by construction). All integer
+    arithmetic — deterministic on any engine.
+
+    Scale shape: compaction is per-PARTITION by definition (rewrites
+    never cross partition boundaries), so the plan runs as ONE
+    applyInPandas over the partition key — per-task state bounded by
+    a partition's manifest rows (thousands of files), no driver
+    involvement, exactly the pack_chunks bucketing argument with the
+    table's own partitioning as the buckets."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import types as T
+
+    from ..functions.chunking import greedy_pack
+
+    out_schema = T.StructType(
+        files.schema.fields
+        + [
+            T.StructField("group_id", T.LongType(), False),
+            T.StructField("group_bytes", T.LongType(), False),
+            T.StructField("group_files", T.LongType(), False),
+            T.StructField("action", T.StringType(), False),
+        ]
+    )
+    in_cols = [f.name for f in files.schema.fields]
+
+    def plan(pdf):
+        pdf = pdf.sort_values(
+            [bytes_col, file_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        pdf["group_id"] = greedy_pack(
+            pdf[bytes_col].tolist(), int(target_bytes)
+        )
+        g = pdf.groupby("group_id")[bytes_col]
+        pdf["group_bytes"] = g.transform("sum").astype("int64")
+        pdf["group_files"] = g.transform("count").astype("int64")
+        pdf["action"] = (pdf["group_files"] >= 2).map(
+            {True: "compact", False: "keep"}
+        )
+        return pdf[in_cols + ["group_id", "group_bytes", "group_files", "action"]]
+
+    return files.groupBy(partition_col).applyInPandas(plan, out_schema)
