@@ -2871,6 +2871,7 @@ def reset_memos() -> None:
     _IVFPQ_MEMO.clear()
     _IVFPQ_BIG_MEMO.clear()
     _BPE_MEMO.clear()
+    _UNI_MEMO.clear()
     for inp in _STREAM_STAGE_MEMO.values():
         shutil.rmtree(os.path.dirname(inp), ignore_errors=True)
     _STREAM_STAGE_MEMO.clear()
@@ -3120,6 +3121,163 @@ def _q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compaction_plan(manifest, _CPLAN_TARGET)
 
 
+def _q_compaction_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction EXECUTION closing the loop on compaction_plan
+    (operators/snapshot.py::compact_files, VERDICT r15 next-#8 —
+    planning without execution cannot catch its own unit errors):
+    stage the fixture as REAL small parquet files (one physical file
+    per (source, doc_id % 8) label), derive the same deterministic
+    manifest as the plan entry, bin-pack it, then EXECUTE — one
+    broadcast plan join + one (partition, group_id) repartition +
+    one partitioned write, no driver loop over groups. Sentinel-
+    isolated under a fresh tmp dir like the other disk-lifecycle
+    entries. In-entry guards pin what the oracle cannot see (exactly
+    ONE physical part file per rewrite group on disk; the dir set
+    equals the plan's group set); the returned frame reads ONLY the
+    rewritten destination, so the oracle — which restates the packs
+    recurrence and per-group row/byte/id promises declaratively —
+    certifies the execution preserved every row."""
+    import glob as _glob
+
+    from vector_search_test_spark.operators.snapshot import (
+        compact_files,
+        compaction_plan,
+        stage_small_files,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = docs.select(
+        F.col("source").alias("partition"),
+        F.concat(
+            F.lit("f"), (F.col("doc_id") % _CPLAN_FILES).cast("string")
+        ).alias("file"),
+        "doc_id",
+        "text",
+    )
+    base = _fresh_tmp_dir("spark_graft_cexec", sf_dir)
+    src, dst = os.path.join(base, "src"), os.path.join(base, "dst")
+    stage_small_files(rows, src)
+    staged = spark.read.parquet(src)
+    manifest = staged.groupBy("partition", "file").agg(
+        F.sum(F.length("text")).cast("long").alias("bytes")
+    )
+    plan = compaction_plan(manifest, _CPLAN_TARGET).localCheckpoint()
+    compact_files(staged, plan, dst)
+
+    # guards on the physical promise (invisible to the oracle): one
+    # part file per rewrite group, and exactly the plan's groups
+    expected = {
+        (r["partition"], int(r.group_id))
+        for r in plan.select("partition", "group_id").distinct().collect()
+    }
+    seen = {}
+    for p in _glob.glob(os.path.join(dst, "partition=*", "group_id=*")):
+        parts = p.split(os.sep)
+        key = (
+            parts[-2].split("=", 1)[1],
+            int(parts[-1].split("=", 1)[1]),
+        )
+        seen[key] = len(
+            [f for f in os.listdir(p) if f.endswith(".parquet")]
+        )
+    if set(seen) != expected:
+        raise AssertionError(
+            f"compaction_execute: destination groups {sorted(seen)} != "
+            f"planned groups {sorted(expected)}"
+        )
+    bad = {k: v for k, v in seen.items() if v != 1}
+    if bad:
+        raise AssertionError(
+            f"compaction_execute: rewrite groups with != 1 physical "
+            f"file: {bad}"
+        )
+
+    actions = plan.select(
+        "partition", "group_id", "action"
+    ).distinct()
+    out = spark.read.parquet(dst)
+    return (
+        out.groupBy("partition", "group_id")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(F.length("text")).cast("long").alias("n_bytes"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list("doc_id")),
+                        lambda x: x.cast("string"),
+                    ),
+                )
+            ).alias("ids_md5"),
+        )
+        .join(F.broadcast(actions), ["partition", "group_id"])
+        .select(
+            "partition",
+            F.col("group_id").cast("long").alias("group_id"),
+            "action",
+            "n_rows",
+            "n_bytes",
+            "ids_md5",
+        )
+    )
+
+
+def _cexec_oracle_sql() -> str:
+    """DuckDB twin of compaction_execute: the same packs recurrence as
+    the plan twin, joined back to the fixture rows — per rewrite
+    group, the row count, data bytes, and the md5 over the ordered
+    member doc_ids the rewritten destination must reproduce exactly."""
+    t, nf = int(_CPLAN_TARGET), int(_CPLAN_FILES)
+    return f"""
+        WITH RECURSIVE labelled AS (
+            SELECT source AS part,
+                   'f' || CAST(doc_id % {nf} AS VARCHAR) AS file,
+                   doc_id, text
+            FROM documents
+        ),
+        manifest AS (
+            SELECT part, file, sum(len(text))::BIGINT AS bytes
+            FROM labelled GROUP BY 1, 2
+        ),
+        ordered AS (
+            SELECT part, file, bytes,
+                   row_number() OVER (
+                       PARTITION BY part ORDER BY bytes DESC, file
+                   ) AS rn
+            FROM manifest
+        ),
+        packs AS (
+            SELECT part, rn, file, bytes,
+                   CAST(0 AS BIGINT) AS group_id, bytes AS fill
+            FROM ordered WHERE rn = 1
+            UNION ALL
+            SELECT o.part, o.rn, o.file, o.bytes,
+                   CASE WHEN p.fill > 0 AND p.fill + o.bytes > {t}
+                        THEN p.group_id + 1 ELSE p.group_id END,
+                   CASE WHEN p.fill > 0 AND p.fill + o.bytes > {t}
+                        THEN o.bytes ELSE p.fill + o.bytes END
+            FROM packs p
+            JOIN ordered o ON o.part = p.part AND o.rn = p.rn + 1
+        ),
+        acts AS (
+            SELECT part, group_id,
+                   CASE WHEN count(*) >= 2 THEN 'compact'
+                        ELSE 'keep' END AS action
+            FROM packs GROUP BY part, group_id
+        )
+        SELECT p.part AS "partition", p.group_id, a.action,
+               count(*)::BIGINT AS n_rows,
+               sum(len(l.text))::BIGINT AS n_bytes,
+               md5(string_agg(l.doc_id::VARCHAR, ','
+                   ORDER BY l.doc_id)) AS ids_md5
+        FROM packs p
+        JOIN labelled l ON l.part = p.part AND l.file = p.file
+        JOIN acts a ON a.part = p.part AND a.group_id = p.group_id
+        GROUP BY p.part, p.group_id, a.action
+    """
+
+
 _LI_DIM = 16
 _LI_TOKENS = 8
 _LI_K = 10
@@ -3139,7 +3297,18 @@ def _q_late_interaction_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    qtext = docs.filter(F.col("doc_id") == 1).select("text").first()[0]
+    # the oracle twin hardcodes `WHERE id = 1` for its query tokens, so
+    # the pick must be doc_id 1 — but fail with a CLEAR message instead
+    # of an unsubscriptable-None TypeError if a fixture lacks it
+    # (ADVICE r15)
+    qrow = docs.filter(F.col("doc_id") == 1).select("text").first()
+    if qrow is None:
+        raise ValueError(
+            "late_interaction_topk fixture contract: documents must "
+            "contain doc_id 1 (the oracle twin keys its query tokens "
+            "to it)"
+        )
+    qtext = qrow[0]
     return late_interaction_topk(
         docs, qtext, k=_LI_K, dim=_LI_DIM, max_tokens=_LI_TOKENS
     )
@@ -4758,6 +4927,90 @@ def _q_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_UNI_VOCAB = 64
+_UNI_ROUNDS = 3
+_UNI_MAXLEN = 4
+_UNI_MEMO: dict[str, tuple[list[str], list[int]]] = {}
+
+
+def _uni_artifacts(sf_dir: str) -> tuple[list[str], list[int]]:
+    """Engine-free unigram-LM tokenizer artifacts (keys, costs) via the
+    pure-Python trainer twin (pyarrow word counts — the _pq_artifacts
+    shared-trainer pattern, so oracle_sql() builds without Spark).
+    The Spark entry trains INDEPENDENTLY through the full distributed
+    EM loop; the driver hash-match against this twin's literals is
+    what certifies the loop (tests/test_unigram.py pins the agreement
+    directly too)."""
+    key = sf_dir.rstrip("/")
+    if key not in _UNI_MEMO:
+        import pyarrow.parquet as pq_pa
+
+        from vector_search_test_spark.operators.unigram import (
+            unigram_train_py,
+        )
+
+        tbl = pq_pa.read_table(
+            os.path.join(key, "documents.parquet"), columns=["text"]
+        )
+        wc: dict[str, int] = {}
+        for txt in tbl.column("text").to_pylist():
+            for w in txt.lower().split(" "):
+                if w:
+                    wc[w] = wc.get(w, 0) + 1
+        keys, costs, _ = unigram_train_py(
+            wc,
+            vocab_size=_UNI_VOCAB,
+            rounds=_UNI_ROUNDS,
+            max_len=_UNI_MAXLEN,
+        )
+        _UNI_MEMO[key] = (keys, costs)
+    return _UNI_MEMO[key]
+
+
+def _q_unigram_lm_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-family) tokenizer training — the
+    OTHER subword family next to BPE (operators/unigram.py, Kudo 2018,
+    VERDICT r15 next-#7): bounded-candidate seeding, Viterbi-EM rounds
+    with pruning, all E-steps distributed over the Heaps-law word
+    vocabulary with V-row bounded collects. Output = the final in-plan
+    E-step (piece, n_occ, prob). FULL oracle: the DuckDB twin replays
+    the final Viterbi as a recursive CTE under the ENGINE-FREE twin
+    trainer's (keys, costs) literals — so any drift in the Spark EM
+    loop (seeding order, a count, a pruned piece, a cost) changes this
+    output and fails the hash."""
+    from vector_search_test_spark.operators.unigram import unigram_train
+
+    out, _, _ = unigram_train(
+        load_table(spark, sf_dir, "documents"),
+        vocab_size=_UNI_VOCAB,
+        rounds=_UNI_ROUNDS,
+        max_len=_UNI_MAXLEN,
+    )
+    return out
+
+
+def _q_unigram_fertility_per_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Corpus APPLICATION of the trained unigram tokenizer (the
+    bpe_encode-style face): Viterbi-segment once per DISTINCT word
+    (Heaps-law sublinear), join back to per-source occurrence counts,
+    report per-source fertility. Rides the shared engine-free
+    artifacts (_uni_artifacts); the oracle replays the identical
+    recursive-CTE DP + join."""
+    from vector_search_test_spark.operators.unigram import (
+        unigram_fertility,
+    )
+
+    keys, costs = _uni_artifacts(sf_dir)
+    return unigram_fertility(
+        load_table(spark, sf_dir, "documents"),
+        keys,
+        costs,
+        max_len=_UNI_MAXLEN,
+    )
+
+
 def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained quality filter (GPT-3 Appendix A / CCNet / fastText
     shape): logistic regression over corpus-standardized hashed
@@ -4994,6 +5247,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # retirees 10.90 s at r14 sf0.1 minima — a cost-NEGATIVE swap
     # (net −1.99 s); per-entry numbers in BASELINE.md. Never-scored
     # debt 47 -> 37.
+    # ROUND-16 ROTATION (VERDICT r15 next-#2, the published COVERAGE.md
+    # drain schedule, executed exactly): promoted the 10 scheduled
+    # never-driver-scored entries — stream_dedup_keys,
+    # stream_enriched_counts, stream_stream_left_join,
+    # stream_sliding_counts, stream_quality_gate, stream_anomaly_gate,
+    # incremental_dedup, corpus_upsert, snapshot_cdc_changes,
+    # source_centroids (pre-verified BITEXACT in r14 — the drain guard
+    # TWO rounds early for this streaming-heavy batch — judge-verified
+    # OK against DuckDB in the r15 session, and re-run strict-compare
+    # BITEXACT at promotion time per the drain guard). Retired to the
+    # oracle-gated overflow (longest-green first, each with a scored
+    # family representative): corpus_counts (r1 — the longest-green
+    # scored entry; a pure counts projection of state other scored
+    # entries certify — ivf ntotal inside ivf_index_stats, cluster
+    # counts inside similarity_clusters/cluster_silhouette; the
+    # O4/I3/P6 rows stay oracle-green in overflow),
+    # csv_sentences_source (r2; the S1/P1 contract stays oracle-gated
+    # in overflow plus the error-contract pytest; every incoming
+    # streaming entry exercises a staged source read),
+    # jaccard_join_prefix (r2; candidate generation stays scored via
+    # neardup_decisions' banded LSH join + dup_ngram_profile +
+    # multimodal_exact_dedup, and gains incremental_dedup; PPJoin
+    # stays oracle-green), join_orders_lineitem_revenue (r2; the same
+    # orders-lineitem substrate stays scored via key_skew_stats, plus
+    # event_value_anomalies + asof_forward_click),
+    # multimodal_frame_features (r3; multimodal keeps
+    # multimodal_exact_dedup scored), stream_sessions (r4; streaming
+    # gains SIX scored entries this round; the sessionization oracle
+    # stays in overflow and the session math is independently pinned
+    # by the make_session_core shared-closure tests),
+    # stream_stream_join (r7; strict INNER variant of the promoted
+    # stream_stream_left_join — the direction-pair precedent),
+    # winnowing_candidates (r11; the MOSS blocking join stays
+    # oracle-green beside its winnowing_fingerprints substrate;
+    # blocking-join candidate generation stays scored via
+    # neardup_decisions), ivf_recall_curve (r13; strict CONSUMER of
+    # ivf_search_curve's raw curve table — subset precedent; the
+    # recall-gauge family keeps ann_recall_at_k + ivf_search_curve
+    # scored), quality_topp_per_source (r14; the same top-p rule as
+    # the scored quality_topp_selection grouped per source — the
+    # near-duplicate-pair precedent). Promotions cost 13.07 s vs
+    # retirees 20.74 s at the r15 certification sidecar minima — a
+    # cost-NEGATIVE swap (net -7.67 s, the retiree side dominated by
+    # the three long-green heavyweights stream_sessions 4.69 +
+    # jaccard_join_prefix 4.16 + stream_stream_join 3.02); per-entry
+    # numbers in BASELINE.md. Never-scored debt 46 -> 36.
     return {
         "ivf_search_topk": _q_ivf_search_topk,
         "ivf_persistence_roundtrip": _q_ivf_persistence_roundtrip,
@@ -5026,14 +5325,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # plans over the same memoized driver-side centroid list
         "ann_recall_at_k": _q_ann_recall_at_k,
         "ivf_search_curve": _q_ivf_search_curve,
-        "ivf_recall_curve": _q_ivf_recall_curve,
         "ivf_index_stats": _q_ivf_index_stats,
         "cluster_silhouette": _q_cluster_silhouette,
         # r14 promotion: rides the same shared-trainer centroid memo as
         # the diagnostics family above, so it sits with them
         "cluster_top_terms": _q_cluster_top_terms,
         "similarity_clusters": _q_similarity_clusters,
-        "corpus_counts": _q_corpus_counts,
         "text_query_topk": _q_text_query_topk,
         # r15 promotions: the query-shape pair (metadata-filtered
         # exact top-k; fixed-radius range search) and the
@@ -5041,7 +5338,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_filtered_topk": _q_knn_filtered_topk,
         "range_search_radius": _q_range_search_radius,
         "embedding_norm_stats": _q_embedding_norm_stats,
-        "csv_sentences_source": _q_csv_sentences_source,
+        # r16 promotion: joins the vstats family — the per-(source,
+        # dim) grouped mean-embedding view over the same quantized-
+        # integer-sum machinery as embedding_norm_stats
+        "source_centroids": _q_source_centroids,
         # neardup_decisions sits BEFORE the e2e curation entry so the
         # build-once MinHash corpus assets (_minhash_tables_docs) land
         # on the operator that owns them in bench timings; curation
@@ -5074,16 +5374,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the per-source epoch plan the mixture reports prescribe
         "epoch_upsample": _q_epoch_upsample,
         "snapshot_maintenance_cycle": _q_snapshot_maintenance_cycle,
-        "multimodal_frame_features": _q_multimodal_frame_features,
+        # r16 promotions: the snapshot family's upsert + CDC faces —
+        # the COW refresh and the manifest-diff change log the
+        # maintenance cycle's machinery underpins
+        "corpus_upsert": _q_corpus_upsert,
+        "snapshot_cdc_changes": _q_snapshot_cdc_changes,
         "multimodal_exact_dedup": _q_multimodal_exact_dedup,
-        "jaccard_join_prefix": _q_jaccard_join_prefix,
-        "winnowing_candidates": _q_winnowing_candidates,
+        # r16 promotion: the standing-corpus anti-join ingest face of
+        # the exact-dedup family
+        "incremental_dedup": _q_incremental_dedup,
         "c4_quality_flags": _q_c4_quality_flags,
         "quality_classifier": _q_quality_classifier,
         # r14 promotions: the exact top-p selection pair (global +
         # per-source) over the rule-based quality score
         "quality_topp_selection": _q_quality_topp_selection,
-        "quality_topp_per_source": _q_quality_topp_per_source,
         "vocab_stats_per_source": _q_vocab_stats_per_source,
         "pmi_phrases": _q_pmi_phrases,
         # r14 promotions: the LM-scoring pair (per-doc unigram scores +
@@ -5094,12 +5398,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r14 promotions: decontamination overlap + split integrity
         "contamination_overlap": _q_contamination_overlap,
         "corpus_split_stats": _q_corpus_split_stats,
-        "join_orders_lineitem_revenue": _q_join_orders_lineitem_revenue,
         "key_skew_stats": _q_key_skew_stats,
         "event_value_anomalies": _q_event_value_anomalies,
         "asof_forward_click": _q_asof_forward_click,
-        "stream_sessions": _q_stream_sessions,
-        "stream_stream_join": _q_stream_stream_join,
+        # r16 promotions: the streaming batch — keyed dedup, dim-join
+        # enrichment, the stream-stream LEFT OUTER join (supersedes the
+        # retired inner variant), sliding windows, and the two
+        # stateless micro-batch gates (quality, anomaly); each drains
+        # its own staged source with availableNow
+        "stream_dedup_keys": _q_stream_dedup_keys,
+        "stream_enriched_counts": _q_stream_enriched_counts,
+        "stream_stream_left_join": _q_stream_stream_left_join,
+        "stream_sliding_counts": _q_stream_sliding_counts,
+        "stream_quality_gate": _q_stream_quality_gate,
+        "stream_anomaly_gate": _q_stream_anomaly_gate,
         "stream_ivf_ingest": _q_stream_ivf_ingest,
         # --- position 51+: bench-only, intentionally past the 50-cap ---
         # (self-checked in-entry via _self_check_topk: k rows per query,
@@ -5120,6 +5432,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # MinHash corpus assets for semdedup, the winnowing
         # fingerprint table for winnowing_fingerprints) is built by a
         # SCORED entry that bench runs earlier in the dict.
+        # r16 retirees (see the ROUND-16 ROTATION note above; each
+        # stays fully oracle-gated here). Memo-order conventions
+        # survive the move: bench runs the whole dict in order, so
+        # corpus_counts still follows the similarity_clusters memo
+        # build, winnowing_candidates still precedes (and primes)
+        # winnowing_fingerprints' fp-table, and the two retired
+        # streaming entries still drain their own staged sources.
+        "corpus_counts": _q_corpus_counts,
+        "csv_sentences_source": _q_csv_sentences_source,
+        "jaccard_join_prefix": _q_jaccard_join_prefix,
+        "join_orders_lineitem_revenue": _q_join_orders_lineitem_revenue,
+        "multimodal_frame_features": _q_multimodal_frame_features,
+        "stream_sessions": _q_stream_sessions,
+        "stream_stream_join": _q_stream_stream_join,
+        "winnowing_candidates": _q_winnowing_candidates,
+        "ivf_recall_curve": _q_ivf_recall_curve,
+        "quality_topp_per_source": _q_quality_topp_per_source,
         "ivfpq_adc_topk": _q_ivfpq_adc_topk,
         "ivfsq8_search_topk": _q_ivfsq8_search_topk,
         "binary_rerank_topk": _q_binary_rerank_topk,
@@ -5183,18 +5512,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_window_counts": _q_stream_window_counts,
         "pii_redaction_hashes": _q_pii_redaction_hashes,
         "doc_chunks": _q_doc_chunks,
-        "stream_dedup_keys": _q_stream_dedup_keys,
-        "source_centroids": _q_source_centroids,
-        "incremental_dedup": _q_incremental_dedup,
         "incremental_neardup": _q_incremental_neardup,
         "stream_neardup_ingest": _q_stream_neardup_ingest,
-        "stream_enriched_counts": _q_stream_enriched_counts,
-        "stream_stream_left_join": _q_stream_stream_left_join,
-        "corpus_upsert": _q_corpus_upsert,
-        "snapshot_cdc_changes": _q_snapshot_cdc_changes,
-        "stream_sliding_counts": _q_stream_sliding_counts,
         "semantic_dedup_reps": _q_semantic_dedup_reps,
-        "stream_quality_gate": _q_stream_quality_gate,
         "next_event_examples": _q_next_event_examples,
         "contrastive_examples": _q_contrastive_examples,
         "packing_efficiency": _q_packing_efficiency,
@@ -5205,7 +5525,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation_pipeline": _q_corpus_curation_pipeline,
         "event_sessions": _q_event_sessions,
         "retention_cohorts": _q_retention_cohorts,
-        "stream_anomaly_gate": _q_stream_anomaly_gate,
         # r11 retirees (still fully oracle-gated here in overflow; see
         # the ROUND-11 ROTATION note at the top of this dict)
         "pq_adc_topk": _q_pq_adc_topk,
@@ -5315,6 +5634,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (next-fit-decreasing rewrite groups + compact/keep actions)
         # (full oracle; overflow — joins the drain queue)
         "compaction_plan": _q_compaction_plan,
+        # r16 addition: unigram-LM (SentencePiece-family) tokenizer
+        # trainer — seeding + Viterbi-EM + pruning, all distributed;
+        # the oracle replays the final E-step as a recursive-CTE DP
+        # under the ENGINE-FREE twin trainer's literals, so the whole
+        # Spark EM loop is hash-certified (VERDICT r15 next-#7)
+        # (full oracle; overflow — joins the drain queue)
+        "unigram_lm_tokenizer": _q_unigram_lm_tokenizer,
+        # r16 addition: the trained unigram tokenizer APPLIED corpus-
+        # wide — per-source fertility via once-per-distinct-word DP
+        # (full oracle; overflow — joins the drain queue)
+        "unigram_fertility_per_source": _q_unigram_fertility_per_source,
+        # r16 addition: compaction EXECUTION — real staged small
+        # files rewritten to one physical file per plan group,
+        # sentinel-isolated, disk-state guards in-entry, per-group
+        # row/byte/id promises oracle-certified from the destination
+        # (full oracle; overflow — joins the drain queue)
+        "compaction_execute": _q_compaction_execute,
     }
 
 
@@ -5813,8 +6149,8 @@ src AS (SELECT doc_id AS id, source FROM documents),
 per AS (
   SELECT s.source,
          sum(u.n_tokens)::BIGINT AS n_tokens,
-         sum(u.q_u * u.n_tokens)::BIGINT AS su,
-         sum(b.q_b * b.n_bigrams)::BIGINT AS sb,
+         sum(u.q_u::DECIMAL(38,0) * u.n_tokens)::DECIMAL(38,0) AS su,
+         sum(b.q_b::DECIMAL(38,0) * b.n_bigrams)::DECIMAL(38,0) AS sb,
          sum(b.n_bigrams)::BIGINT AS nb
   FROM src s JOIN ulm u ON s.id = u.id LEFT JOIN blm b ON s.id = b.id
   GROUP BY s.source
@@ -7169,6 +7505,26 @@ def _cplan_oracle_sql() -> str:
     """
 
 
+def _unigram_oracle_sqls(sf_dir: str | None = None) -> tuple[str, str]:
+    """DuckDB twins of the two unigram entries, built over the
+    engine-free trainer twin's (keys, costs) literals (the
+    _pq_artifacts shared-trainer pattern): the recursive-CTE Viterbi
+    final E-step with probs, and the fertility application."""
+    from vector_search_test_spark.operators.unigram import (
+        unigram_fertility_oracle_sql,
+        unigram_tokenizer_oracle_sql,
+    )
+
+    sf_dir = sf_dir or os.environ.get(
+        "ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    keys, costs = _uni_artifacts(sf_dir)
+    return (
+        unigram_tokenizer_oracle_sql(keys, costs, max_len=_UNI_MAXLEN),
+        unigram_fertility_oracle_sql(keys, costs, max_len=_UNI_MAXLEN),
+    )
+
+
 def _qer_oracle_sql(sf_dir: str | None = None) -> str:
     """DuckDB twin of quantization_error_report: the sq8 encode twin,
     the SAME pq/pca residual expression strings (1-based indexing),
@@ -7805,6 +8161,11 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         _qer_sql = _qer_oracle_sql(sf_dir)
     except Exception:
         _qer_sql = None
+    # own try/except per the same r14 advisory rule
+    try:
+        _uni_sql, _unif_sql = _unigram_oracle_sqls(sf_dir)
+    except Exception:
+        _uni_sql, _unif_sql = None, None
     try:
         _sd_sql = _semdedup_oracle_sql(sf_dir)
     except Exception:
@@ -8423,7 +8784,10 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "stream_drift_gate": _drift_gate_oracle_sql(),
         "late_interaction_topk": _late_interaction_oracle_sql(),
         "quantization_error_report": _qer_sql,
+        "unigram_lm_tokenizer": _uni_sql,
+        "unigram_fertility_per_source": _unif_sql,
         "compaction_plan": _cplan_oracle_sql(),
+        "compaction_execute": _cexec_oracle_sql(),
         "ivf_index_stats": _ivfstats_sql,
         "quality_topp_selection": _topp_oracle_sql(),
         "pca_knn_topk": _pca_sql,
@@ -8586,6 +8950,9 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         del out["ann_rank_quality"]
     if _qer_sql is None:
         del out["quantization_error_report"]
+    if _uni_sql is None:
+        del out["unigram_lm_tokenizer"]
+        del out["unigram_fertility_per_source"]
     return out
 
 

@@ -1015,3 +1015,74 @@ def test_compaction_plan_planted(spark):
     assert all(
         r.group_bytes <= 1000 for r in out.values() if r.group_files >= 2
     )
+
+
+def test_compact_files_executes_plan(spark, tmp_path):
+    """The executor's physical promises (VERDICT r15 next-#8): staged
+    small files -> plan -> rewrite leaves exactly ONE parquet file per
+    rewrite group, groups never mix rows across partitions or plan
+    groups, and no row is lost or duplicated."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from vector_search_test_spark.operators.snapshot import (
+        compact_files,
+        compaction_plan,
+        stage_small_files,
+    )
+
+    rows = spark.createDataFrame(
+        [
+            ("A", f"f{i % 3}", i, "x" * (10 + i))
+            for i in range(30)
+        ]
+        + [("B", "g0", 100, "y" * 5000), ("B", "g1", 101, "z" * 8)],
+        "partition string, file string, doc_id long, text string",
+    )
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    stage_small_files(rows, src)
+    # one physical file per (partition, file) label
+    for leaf in glob.glob(os.path.join(src, "partition=*", "file=*")):
+        assert (
+            len([f for f in os.listdir(leaf) if f.endswith(".parquet")])
+            == 1
+        ), leaf
+    staged = spark.read.parquet(src)
+    manifest = staged.groupBy("partition", "file").agg(
+        F.sum(F.length("text")).cast("long").alias("bytes")
+    )
+    plan = compaction_plan(manifest, 600).localCheckpoint()
+    compact_files(staged, plan, dst)
+
+    planned = {
+        (r["partition"], int(r.group_id))
+        for r in plan.select("partition", "group_id").distinct().collect()
+    }
+    seen = {}
+    for leaf in glob.glob(os.path.join(dst, "partition=*", "group_id=*")):
+        parts = leaf.split(os.sep)
+        key = (parts[-2].split("=")[1], int(parts[-1].split("=")[1]))
+        seen[key] = len(
+            [f for f in os.listdir(leaf) if f.endswith(".parquet")]
+        )
+    assert set(seen) == planned
+    assert all(v == 1 for v in seen.values()), seen
+
+    # row preservation: every doc_id exactly once, in its plan group
+    out = spark.read.parquet(dst)
+    assert out.count() == 32
+    assert out.select("doc_id").distinct().count() == 32
+    got = {
+        int(r.doc_id): (r["partition"], int(r.group_id))
+        for r in out.collect()
+    }
+    want = {
+        int(r.doc_id): (r["partition"], int(r.group_id))
+        for r in staged.join(
+            plan.select("partition", "file", "group_id"),
+            ["partition", "file"],
+        ).collect()
+    }
+    assert got == want

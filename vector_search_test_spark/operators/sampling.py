@@ -1645,11 +1645,20 @@ def excess_loss_mixture(
         .groupBy("source")
         .agg(
             F.sum("n_tokens").cast("long").alias("n_tokens"),
-            F.sum(F.col("__q_u") * F.col("n_tokens"))
-            .cast("long")
+            # token-weighted quantized sums accumulate in DECIMAL(38,0)
+            # (the embedding_dim_profile pattern): a BIGINT sum of
+            # q_u * n_tokens silently wraps in non-ANSI Spark at very
+            # large per-source token counts while the DuckDB twin
+            # errors (ADVICE r15)
+            F.sum(
+                F.col("__q_u").cast("decimal(38,0)") * F.col("n_tokens")
+            )
+            .cast("decimal(38,0)")
             .alias("__su"),
-            F.sum(F.col("__q_b") * F.col("n_bigrams"))
-            .cast("long")
+            F.sum(
+                F.col("__q_b").cast("decimal(38,0)") * F.col("n_bigrams")
+            )
+            .cast("decimal(38,0)")
             .alias("__sb"),
             F.sum("n_bigrams").cast("long").alias("__nb"),
         )

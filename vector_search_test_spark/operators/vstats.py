@@ -433,7 +433,11 @@ def embedding_zscore_gate(
     micro-batch identically (stream_drift_gate wraps it; this is the
     clip_score_pairs stateless-core pattern). The profile rides as
     two broadcast-sized literal arrays; vectors shorter than the
-    profile yield NULL elements that the max ignores.
+    profile score over their own dims only, and vectors LONGER than
+    the profile are sliced to the profile length first — without the
+    slice the transform would index the profile arrays out of bounds,
+    which returns NULL in non-ANSI Spark but throws
+    ARRAY_INDEX_OUT_OF_BOUNDS under ANSI mode (ADVICE r15).
 
     Output: (id, max_absz, drifted) — max_absz NULL (drifted False)
     when no dimension is checkable (all stds zero)."""
@@ -442,7 +446,7 @@ def embedding_zscore_gate(
     mean_lit = F.array(*[F.lit(float(m)) for m in means])
     std_lit = F.array(*[F.lit(float(s)) for s in stds])
     absz = F.transform(
-        F.col(vec_col),
+        F.slice(F.col(vec_col), 1, len(means)),
         lambda x, i: F.when(
             F.element_at(std_lit, i + 1) > F.lit(0.0),
             F.abs(
