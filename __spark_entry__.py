@@ -2872,6 +2872,7 @@ def reset_memos() -> None:
     _IVFPQ_BIG_MEMO.clear()
     _BPE_MEMO.clear()
     _UNI_MEMO.clear()
+    _RQ_MEMO.clear()
     for inp in _STREAM_STAGE_MEMO.values():
         shutil.rmtree(os.path.dirname(inp), ignore_errors=True)
     _STREAM_STAGE_MEMO.clear()
@@ -3119,6 +3120,75 @@ def _q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("file"),
     ).agg(F.sum(F.length("text")).cast("long").alias("bytes"))
     return compaction_plan(manifest, _CPLAN_TARGET)
+
+
+_RQ_LEVELS = 2
+_RQ_K = 16
+_RQ_MEMO: dict[str, tuple[list, list]] = {}
+
+
+def _rq_artifacts(sf_dir: str):
+    """Deterministic RQ codebooks + the query-0 combo LUT, trained
+    OUTSIDE any engine (pyarrow read in canonical vec_id order, seeded
+    per-level Lloyd's on residuals, Python-float LUT) — the
+    _pq_artifacts shared-trainer pattern, so the DuckDB oracle replays
+    encode + ADC value-for-value."""
+    key = sf_dir.rstrip("/")
+    if key not in _RQ_MEMO:
+        import numpy as np
+        import pyarrow.parquet as pq_pa
+
+        from vector_search_test_spark.operators.rq import (
+            rq_lut,
+            train_rq_numpy,
+        )
+
+        tbl = pq_pa.read_table(
+            os.path.join(key, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+        )
+        pdf = tbl.to_pandas().sort_values("vec_id")
+        X = np.array(
+            [np.asarray(v, dtype=np.float32) for v in pdf["embedding"]],
+            dtype=np.float64,
+        )
+        books = train_rq_numpy(X, levels=_RQ_LEVELS, k=_RQ_K)
+        q = [
+            float(np.float32(v))
+            for v in pdf[pdf["vec_id"] == 0]["embedding"].iloc[0]
+        ]
+        _RQ_MEMO[key] = (books, rq_lut(q, books))
+    return _RQ_MEMO[key]
+
+
+def _q_rq_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual-quantization search (operators/rq.py) — the
+    additive-codebook rung completing the compression ladder: 2 levels
+    x 16 centroids over the FULL dimensionality (levels capture
+    cross-dimension structure PQ's independent subspaces cannot, at
+    the same 1-byte code size). Encode is the scan-only Arrow numpy
+    kernel (per-dimension accumulation + first-min argmin — the
+    pq_encode parity rules); search is one literal-LUT lookup per row
+    + TakeOrdered top-5 for query vec 0. FULL oracle: DuckDB replays
+    both argmin levels, the float64 residual against the
+    float32-rounded centroid literals, and the same LUT."""
+    from vector_search_test_spark.io import spread
+    from vector_search_test_spark.operators.rq import rq_encode, rq_l2_topk
+
+    books, lut = _rq_artifacts(sf_dir)
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    codes = rq_encode(emb, books)
+    return rq_l2_topk(codes, lut, k2=_RQ_K, k=5)
+
+
+def _rq_oracle_sql(sf_dir: str | None = None) -> str:
+    from vector_search_test_spark.operators.rq import rq_topk_oracle_sql
+
+    sf_dir = sf_dir or os.environ.get(
+        "ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    books, lut = _rq_artifacts(sf_dir)
+    return rq_topk_oracle_sql(books, lut, k=5)
 
 
 def _q_compaction_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5651,6 +5721,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # row/byte/id promises oracle-certified from the destination
         # (full oracle; overflow — joins the drain queue)
         "compaction_execute": _q_compaction_execute,
+        # r16 addition: residual-quantization search — the additive-
+        # codebook rung of the compression ladder (2-level argmin
+        # encode + combo-LUT ADC, full encode replay in the oracle)
+        # (full oracle; overflow — joins the drain queue)
+        "rq_search_topk": _q_rq_search_topk,
     }
 
 
@@ -8167,6 +8242,10 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
     except Exception:
         _uni_sql, _unif_sql = None, None
     try:
+        _rq_sql = _rq_oracle_sql(sf_dir)
+    except Exception:
+        _rq_sql = None
+    try:
         _sd_sql = _semdedup_oracle_sql(sf_dir)
     except Exception:
         _sd_sql = None
@@ -8788,6 +8867,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "unigram_fertility_per_source": _unif_sql,
         "compaction_plan": _cplan_oracle_sql(),
         "compaction_execute": _cexec_oracle_sql(),
+        "rq_search_topk": _rq_sql,
         "ivf_index_stats": _ivfstats_sql,
         "quality_topp_selection": _topp_oracle_sql(),
         "pca_knn_topk": _pca_sql,
@@ -8953,6 +9033,8 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
     if _uni_sql is None:
         del out["unigram_lm_tokenizer"]
         del out["unigram_fertility_per_source"]
+    if _rq_sql is None:
+        del out["rq_search_topk"]
     return out
 
 
