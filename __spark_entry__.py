@@ -3122,6 +3122,59 @@ def _q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compaction_plan(manifest, _CPLAN_TARGET)
 
 
+_CUR_PHASES = 4
+_CUR_SALT = "cur1"
+
+
+def _q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning data schedule (operators/sampling.py::
+    curriculum_order): difficulty = 1 - quality_score, exact-percentile
+    easy->hard phases, salted-md5 within-phase pseudo-shuffle key —
+    the order a shard writer sorts by. Scale-shaped deliberately
+    without windows or a global sort (the operator emits the sort
+    KEY). FULL oracle: quantile_cont == percentile bit-identically
+    (the robust_stats precedent), identical rounded difficulty,
+    identical md5 keys."""
+    from vector_search_test_spark.operators.sampling import (
+        curriculum_order,
+    )
+
+    return curriculum_order(
+        load_table(spark, sf_dir, "documents"),
+        n_phases=_CUR_PHASES,
+        salt=_CUR_SALT,
+    )
+
+
+def _curriculum_oracle_sql() -> str:
+    """DuckDB twin of curriculum_order: the same rounded difficulty,
+    the same exact percentile boundaries, the same strict-boundary
+    phase count and salted md5 key."""
+    from vector_search_test_spark.functions.textstats import (
+        quality_score_sql,
+    )
+
+    p = int(_CUR_PHASES)
+    diff = f"round(1.0 - {quality_score_sql('text')}, 6)"
+    bcols = ", ".join(
+        f"quantile_cont(difficulty, {i / p!r}) AS b{i}"
+        for i in range(1, p)
+    )
+    phase = " + ".join(
+        f"(difficulty > b{i})::INT" for i in range(1, p)
+    )
+    return f"""
+        WITH s AS (
+            SELECT doc_id, {diff} AS difficulty FROM documents
+        ),
+        b AS (SELECT {bcols} FROM s)
+        SELECT doc_id, difficulty,
+               ({phase})::INT AS phase,
+               md5('{_CUR_SALT}:' || doc_id::VARCHAR) AS order_key
+        FROM s CROSS JOIN b
+    """
+
+
 _RQ_LEVELS = 2
 _RQ_K = 16
 _RQ_MEMO: dict[str, tuple[list, list]] = {}
@@ -5726,6 +5779,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # encode + combo-LUT ADC, full encode replay in the oracle)
         # (full oracle; overflow — joins the drain queue)
         "rq_search_topk": _q_rq_search_topk,
+        # r16 addition: curriculum-learning data schedule — exact-
+        # percentile easy->hard phases + salted-md5 within-phase
+        # shuffle key, windowless/sortless by design
+        # (full oracle; overflow — joins the drain queue)
+        "curriculum_order": _q_curriculum_order,
     }
 
 
@@ -8868,6 +8926,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "compaction_plan": _cplan_oracle_sql(),
         "compaction_execute": _cexec_oracle_sql(),
         "rq_search_topk": _rq_sql,
+        "curriculum_order": _curriculum_oracle_sql(),
         "ivf_index_stats": _ivfstats_sql,
         "quality_topp_selection": _topp_oracle_sql(),
         "pca_knn_topk": _pca_sql,

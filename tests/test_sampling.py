@@ -998,3 +998,55 @@ def test_excess_loss_mixture_eta_zero_is_natural_share(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(200)
     for r in excess_loss_mixture(docs, eta=0.0).collect():
         assert abs(r.weight - r.nat_share) < 2e-6
+
+
+def test_curriculum_order_phases_and_keys(spark, sf_dir):
+    """Curriculum schedule invariants: phases partition the corpus and
+    are difficulty-disjoint (equal difficulties always share a phase;
+    every doc in phase i is no harder than any doc in phase i+1), the
+    shuffle key is the salted md5 (deterministic across runs), and the
+    phase count is bounded by n_phases."""
+    import hashlib
+
+    from vector_search_test_spark.io import load_table
+    from vector_search_test_spark.operators.sampling import (
+        curriculum_order,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = curriculum_order(docs, n_phases=4, salt="cur1").collect()
+    assert len(out) == docs.count()
+    by_phase = {}
+    for r in out:
+        assert 0 <= r.phase < 4
+        by_phase.setdefault(r.phase, []).append(float(r.difficulty))
+        assert (
+            r.order_key
+            == hashlib.md5(f"cur1:{r.doc_id}".encode()).hexdigest()
+        )
+    phases = sorted(by_phase)
+    # difficulty-disjoint: max of phase i <= min of phase i+1
+    for a, b in zip(phases, phases[1:]):
+        assert max(by_phase[a]) <= min(by_phase[b])
+    # equal difficulties share a phase
+    seen = {}
+    for r in out:
+        d = float(r.difficulty)
+        assert seen.setdefault(d, r.phase) == r.phase
+    # deterministic across a second run
+    again = curriculum_order(docs, n_phases=4, salt="cur1").collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_curriculum_order_validates_phases(spark, sf_dir):
+    import pytest
+
+    from vector_search_test_spark.io import load_table
+    from vector_search_test_spark.operators.sampling import (
+        curriculum_order,
+    )
+
+    with pytest.raises(ValueError):
+        curriculum_order(
+            load_table(spark, sf_dir, "documents"), n_phases=1
+        )

@@ -1715,3 +1715,71 @@ def excess_loss_mixture(
             ).alias("weight"),
         )
     )
+
+
+def curriculum_order(
+    docs: DataFrame,
+    n_phases: int = 4,
+    salt: str = "cur1",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Curriculum-learning training ORDER (Bengio et al. 2009; the
+    easy-to-hard data schedule LLM pretraining runs apply on top of
+    their mixture weights): difficulty = 1 - quality_score (the
+    certified cheap composite, rounded 6dp so boundary comparisons are
+    engine-exact), the corpus splits into `n_phases` easy->hard phases
+    at EXACT difficulty percentiles, and within a phase the order is a
+    deterministic pseudo-shuffle key (md5 over a salted id) — shuffled
+    data within phases is what keeps SGD i.i.d.-ish while the phase
+    sequence anneals difficulty.
+
+    Output: (doc_id, difficulty, phase, order_key) — phase 0 is the
+    easiest. `order_key` IS the schedule: a consumer sorts by
+    (phase, order_key) at shard-writing time. Deliberately NOT a dense
+    global sequence number: materializing a total order at 100 TB is a
+    global sort (the paragraph_dedup window lesson — never put the
+    whole corpus through one ordering task when a sort KEY carries the
+    same information).
+
+    Scale shape: one scan for the scores, ONE exact-percentile 1-row
+    aggregate (Spark `percentile` == DuckDB `quantile_cont`
+    bit-identically — the robust_stats precedent) broadcast back, one
+    scan-side phase/key projection. No window, no global sort, no
+    driver loop. phase = count of boundaries strictly below the
+    difficulty, so equal difficulties always share a phase."""
+    from ..functions.textstats import quality_score
+
+    if n_phases < 2:
+        raise ValueError(f"n_phases must be >= 2, got {n_phases}")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.round(
+            F.lit(1.0) - quality_score(F.col(text_col)), 6
+        ).alias("difficulty"),
+    )
+    bounds = base.agg(
+        *[
+            F.expr(f"percentile(difficulty, {i / n_phases!r})").alias(
+                f"__b{i}"
+            )
+            for i in range(1, n_phases)
+        ]
+    )
+    phase = None
+    for i in range(1, n_phases):
+        t = (F.col("difficulty") > F.col(f"__b{i}")).cast("int")
+        phase = t if phase is None else phase + t
+    return (
+        base.crossJoin(F.broadcast(bounds))
+        .select(
+            "doc_id",
+            "difficulty",
+            phase.cast("int").alias("phase"),
+            F.md5(
+                F.concat(
+                    F.lit(salt + ":"), F.col("doc_id").cast("string")
+                )
+            ).alias("order_key"),
+        )
+    )
