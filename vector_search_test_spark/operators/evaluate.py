@@ -554,8 +554,8 @@ def _pin(col: Column) -> Column:
 
 
 def pq_recon_err_hof(
-    vec: str, books: "list[list[list[float]]]"
-) -> Column:
+    df: DataFrame, vec: str, books: "list[list[list[float]]]"
+) -> "tuple[DataFrame, Column]":
     """Spark-side HOF-fold form of `pq_recon_err_expr` — identical
     doubles, compiles under whole-stage codegen. The single-string
     form renders m*ksub*dsub*2 multiply-adds (8*16*8*2 = 2048 at the
@@ -579,12 +579,26 @@ def pq_recon_err_hof(
     CodegenFallback BY DESIGN — the compiled stage calls them
     interpreted, nothing else falls back. At 100 TB a pipeline would
     precompute PQ codes once (the ivfpq path) rather than re-derive
-    residuals per scan; this is a 4-row diagnostic report."""
-    err: Column | None = None
+    residuals per scan; this is a 4-row diagnostic report.
+
+    The subspace SLICES bind to their own columns in a producer
+    select (each referenced 2*ksub times by its chains, so
+    CollapseProject keeps the producer): an inline slice re-evaluates
+    once PER CHAIN in the interpreted path — ksub extra array copies
+    per subspace per row for the same doubles. Returns
+    (staged_df, err_column)."""
+    slice_cols = []
     lo = 0
-    for cents in books:
+    for s, cents in enumerate(books):
         dsub = len(cents[0])
-        sl = F.slice(F.col(vec), lo + 1, dsub)
+        slice_cols.append(
+            F.slice(F.col(vec), lo + 1, dsub).alias(f"__ps{s}")
+        )
+        lo += dsub
+    staged = df.select("*", *slice_cols)
+    err: Column | None = None
+    for s, cents in enumerate(books):
+        sl = F.col(f"__ps{s}")
         dists = []
         for c in cents:
             carr = F.array(*[F.lit(float(x)) for x in c])
@@ -597,9 +611,8 @@ def pq_recon_err_hof(
             dists.append(F.aggregate(sq, F.lit(0.0), lambda a, t: a + t))
         sub = F.least(*dists)
         err = sub if err is None else err + sub
-        lo += dsub
     assert err is not None
-    return err
+    return staged, err
 
 
 def pca_recon_err_staged(
@@ -734,7 +747,8 @@ def quantization_error_report(
     # doubles via the HOF fold (pq) and staged bound columns (pca),
     # instead of one >64 KB doConsume that silently runs interpreted
     # — see pq_recon_err_hof / pca_recon_err_staged (VERDICT r15 #1)
-    pq_row = agg(base, pq_recon_err_hof(vec_col, pq_books), "pq", m)
+    pq_staged, pq_err = pq_recon_err_hof(base, vec_col, pq_books)
+    pq_row = agg(pq_staged, pq_err, "pq", m)
 
     proj = pca_project(base, pca_mean, pca_W, id_col="id", vec_col=vec_col)
     joined = base.join(proj, "id")
