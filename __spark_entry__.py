@@ -2259,6 +2259,77 @@ def _q_neardup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup representative election (operators/
+    dedup.py::neardup_keep_best): the certified decisions pipeline's
+    groups, but the kept copy is the quality_score argmax (min id on
+    ties) — the keep-the-best-copy policy real curation runs use.
+    Rides the shared MinHash corpus assets; the oracle replays
+    banding, verification, the recursive reachability closure, AND
+    the two-aggregate election."""
+    from vector_search_test_spark.operators.dedup import neardup_keep_best
+
+    docs = load_table(spark, sf_dir, "documents")
+    return neardup_keep_best(
+        docs, prebuilt=_minhash_tables_docs(spark, sf_dir)
+    )
+
+
+def _neardup_keep_best_oracle_sql() -> str:
+    """DuckDB twin of neardup_keep_best: the decisions twin's verified
+    pairs + recursive min-label closure, then the same rounded quality
+    scores and the max(q)-then-min(id) election."""
+    from vector_search_test_spark.functions.textstats import (
+        quality_score_sql,
+    )
+
+    body, jac = _minhash_cte()
+    return f"""
+        WITH RECURSIVE {body},
+        verified AS (
+            SELECT c.a, c.b
+            FROM cand c
+            JOIN sh sa ON c.a = sa.id
+            JOIN sh sb ON c.b = sb.id
+            WHERE {jac} >= 0.9
+        ),
+        edges AS (
+            SELECT a, b FROM verified
+            UNION SELECT b AS a, a AS b FROM verified
+        ),
+        nodes AS (SELECT doc_id AS id FROM documents),
+        walk(id, label) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.id
+        ),
+        comp AS (
+            SELECT id, min(label) AS component FROM walk GROUP BY id
+        ),
+        qs AS (
+            SELECT doc_id AS id,
+                   round({quality_score_sql('text')}, 6) AS q
+            FROM documents
+        ),
+        labeled AS (
+            SELECT c.id, c.component, q.q
+            FROM comp c JOIN qs q ON c.id = q.id
+        ),
+        mq AS (
+            SELECT component, max(q) AS mq FROM labeled
+            GROUP BY component
+        ),
+        win AS (
+            SELECT l.component, min(l.id) AS rep_id
+            FROM labeled l JOIN mq m
+              ON l.component = m.component AND l.q = m.mq
+            GROUP BY l.component
+        )
+        SELECT l.id, l.q, w.rep_id, l.id = w.rep_id AS keep
+        FROM labeled l JOIN win w ON l.component = w.component
+    """
+
+
 _SHARD_N = 16
 _SHARD_SEED = "epoch0"
 
@@ -5784,6 +5855,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # shuffle key, windowless/sortless by design
         # (full oracle; overflow — joins the drain queue)
         "curriculum_order": _q_curriculum_order,
+        # r16 addition: quality-aware near-dup representative election
+        # (keep the BEST copy, not the first — two combinable
+        # aggregates, never a window over the group key)
+        # (full oracle; overflow — joins the drain queue)
+        "neardup_keep_best": _q_neardup_keep_best,
     }
 
 
@@ -8927,6 +9003,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "compaction_execute": _cexec_oracle_sql(),
         "rq_search_topk": _rq_sql,
         "curriculum_order": _curriculum_oracle_sql(),
+        "neardup_keep_best": _neardup_keep_best_oracle_sql(),
         "ivf_index_stats": _ivfstats_sql,
         "quality_topp_selection": _topp_oracle_sql(),
         "pca_knn_topk": _pca_sql,

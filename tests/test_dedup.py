@@ -624,3 +624,52 @@ def test_paragraph_dedup_planted(spark):
     # non-blank paragraphs
     # (header, unique zero, footer, unique one, only here)
     assert sum(r.n_kept for r in out.values()) == 5
+
+
+def test_neardup_keep_best_elects_quality_winner(spark):
+    """Planted near-dup group where the BEST-quality member is NOT the
+    min id: keep-best must elect it (vs decisions' min-id rule),
+    singletons stay their own representative, and ties fall back to
+    min id."""
+    from vector_search_test_spark.functions.textstats import quality_score
+    from vector_search_test_spark.operators.dedup import (
+        neardup_dedup_decisions,
+        neardup_keep_best,
+    )
+
+    # docs 1/2/3 are near-identical (one token differs); doc 2 carries
+    # a longer, cleaner body -> strictly higher quality_score. doc 9
+    # is unrelated.
+    dup = (
+        "the quick brown fox jumps over the lazy dog near the old "
+        "river bank while birds watch from tall green trees"
+    )
+    rows = [
+        (1, dup + " one"),
+        (2, dup + " one and the story continues with calm clear words"),
+        (3, dup + " two"),
+        (9, "completely different text about astronomy and orbits"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    qs = {
+        r.doc_id: r.q
+        for r in docs.select(
+            "doc_id", F.round(quality_score("text"), 6).alias("q")
+        ).collect()
+    }
+    assert qs[2] > qs[1] and qs[2] > qs[3]
+
+    out = {r.id: r for r in neardup_keep_best(docs, threshold=0.5).collect()}
+    dec = {
+        r.id: r
+        for r in neardup_dedup_decisions(docs, threshold=0.5).collect()
+    }
+    # the three dups form one group under both policies
+    assert dec[1].rep_id == dec[2].rep_id == dec[3].rep_id == 1
+    assert out[1].rep_id == out[2].rep_id == out[3].rep_id == 2
+    assert out[2].keep and not out[1].keep and not out[3].keep
+    # singleton: own representative either way
+    assert out[9].rep_id == 9 and out[9].keep
+    # per-doc q column matches the standalone score
+    for i, r in out.items():
+        assert r.q == qs[i]

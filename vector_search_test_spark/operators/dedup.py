@@ -1228,6 +1228,79 @@ def neardup_dedup_decisions(
     )
 
 
+def neardup_keep_best(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.9,
+    prebuilt: "MinhashTables | None" = None,
+) -> DataFrame:
+    """Quality-aware representative election per near-dup group — keep
+    the BEST duplicate, not the first: production curation pipelines
+    keep the highest-quality copy of a near-dup cluster (the cleanest/
+    most complete page), while `neardup_dedup_decisions`' min-id rule
+    is arbitrary among copies. Same groups (MinHash-LSH pairs, exact-
+    Jaccard verification, connected components over the edge list),
+    different election: the representative is the member with the
+    highest quality_score (rounded 6dp so the comparison is
+    engine-exact), ties broken by min id.
+
+    Output: one row per document — (id, q, rep_id, keep) with
+    keep = (id == rep_id); q is the document's own quality score.
+
+    Scale shape: everything up to the labels is the certified
+    decisions pipeline (banded joins, edge-list CC). The election is
+    TWO map-side-combinable aggregates — max(q) per group, then
+    min(id) among the q-maximal members — NEVER a window over the
+    group key (the paragraph_dedup skew rule: a boilerplate cluster
+    with millions of members would serialize a window's sort onto one
+    task; the aggregate pair combines before each shuffle and joins
+    back skew-splittably)."""
+    from vector_search_test_spark.functions.textstats import quality_score
+    from vector_search_test_spark.operators.cluster import (
+        connected_components,
+    )
+
+    pairs = neardup_minhash(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        n=n,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
+        prebuilt=prebuilt,
+    )
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.round(quality_score(F.col(text_col)), 6).alias("q"),
+    )
+    comp = connected_components(
+        base.select("id"),
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")),
+    )
+    labeled = comp.join(base, "id")
+    mq = labeled.groupBy("component").agg(F.max("q").alias("__mq"))
+    win = (
+        labeled.join(mq, "component")
+        .filter(F.col("q") == F.col("__mq"))
+        .groupBy("component")
+        .agg(F.min("id").alias("rep_id"))
+    )
+    return (
+        labeled.join(win, "component")
+        .select(
+            "id",
+            "q",
+            "rep_id",
+            (F.col("id") == F.col("rep_id")).alias("keep"),
+        )
+    )
+
+
 def incremental_dedup(
     incoming: DataFrame,
     existing: DataFrame,
