@@ -300,3 +300,31 @@ def test_bpe_encode_reproduces_fertility(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_bpe_encode_unicode_matches_jvm_split(spark):
+    """The r16 Arrow kernel's Python char split + fold must agree with
+    the JVM merge_pair fold on non-ASCII text, including an
+    astral-plane code point (F.split(w, '') and Python list(w) must
+    both split on CODE POINTS, never surrogate halves)."""
+    import hashlib
+
+    from vector_search_test_spark.operators.bpe import bpe_encode, merge_pair
+
+    text = "café \U0001f600a\U0001f600 ßßx"
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    merges = [("\U0001f600", "a"), ("ß", "ß")]
+    r = bpe_encode(docs, merges=merges).collect()[0]
+
+    # JVM reference: fold each word with merge_pair itself
+    words = spark.createDataFrame(
+        [(w,) for w in text.lower().split(" ")], "w string"
+    )
+    sym = F.split("w", "")
+    for a, b in merges:
+        sym = merge_pair(sym, F.lit(a), F.lit(b))
+    jvm = [r2.toks for r2 in words.select(sym.alias("toks")).collect()]
+    flat = [t for toks in jvm for t in toks]
+    assert r.n_subwords == len(flat)
+    assert r.n_chars == sum(len(w) for w in text.lower().split(" "))
+    assert r.tokens_md5 == hashlib.md5(" ".join(flat).encode()).hexdigest()

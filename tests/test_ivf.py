@@ -239,6 +239,15 @@ def test_broadcast_assign_probe_match_literal_path(spark, sf_dir):
     }
     assert lit == bc
 
+    # the Arrow numpy kernel (auto-picked past the literal cap) must
+    # match too — per-dimension left-to-right float64 accumulation is
+    # the same summation order, argmin takes the first minimum
+    ar = {
+        (r.vec_id, r.list_id)
+        for r in assign_cells(emb, cents, strategy="arrow").collect()
+    }
+    assert lit == ar
+
     q = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
