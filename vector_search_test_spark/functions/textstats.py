@@ -604,7 +604,12 @@ def unigram_lm_scores(
         docs.select(F.col(id_col).alias("id"), F.col(text_col)), "id"
     ).select("id", F.explode(tokens(text_col)).alias("term"))
     tf = toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
-    vocab = tf.groupBy("term").agg(F.sum("tf").alias("c"))
+    # vocab materialized once (Heaps-bounded — the natural broadcast
+    # asset): it feeds THREE consumers (the join side, the (N, V)
+    # scalar frame, and through it the broadcast build), each of which
+    # would otherwise re-run the corpus explode + tf shuffle (r16:
+    # measured 3x the token pipeline per action)
+    vocab = tf.groupBy("term").agg(F.sum("tf").alias("c")).localCheckpoint()
     scalars = vocab.agg(
         F.sum("c").alias("n_total"), F.count("*").alias("v_size")
     )

@@ -153,7 +153,13 @@ def curate_corpus(
     if stage_times is not None:
         stage_times["quality_exact_dedup"] = round(_time.perf_counter() - _t0, 4)
         _t0 = _time.perf_counter()
-    exact_kept = good.join(exact_ids, id_col)
+    # joined against BASE, not `good`: exact_ids is a subset of good's
+    # ids by construction (reps come from good), so the rows are
+    # identical either way — but joining `good` would re-evaluate the
+    # quality predicate over the whole corpus once per downstream
+    # consumer of this frame (r16 measurement: the near-dedup stage
+    # read it 3x through the prebuilt semi-joins + nodes set)
+    exact_kept = base.join(exact_ids, id_col)
 
     # stage 3 — near-dedup: LSH pairs -> connected components -> keep
     # min-id per component. Runs once; only the keep-set survives it.
@@ -271,7 +277,10 @@ def curation_funnel(
         .select(F.col("rep_id").alias(id_col))
         .localCheckpoint()
     )
-    exact_kept = good.join(exact_ids, id_col)
+    # base, not good: identical rows (exact_ids ⊆ good ids), without
+    # re-evaluating the quality predicate per downstream consumer —
+    # see the curate_corpus note
+    exact_kept = base.join(exact_ids, id_col)
     nd_ids = (
         neardup_dedup_decisions(
             exact_kept,

@@ -1206,8 +1206,17 @@ def neardup_dedup_decisions(
         connected_components,
     )
 
+    src = df
+    if prebuilt is not None:
+        # with prebuilt signatures the whole pipeline needs df only for
+        # its ID SET (two semi-joins inside neardup_minhash + the nodes
+        # frame below) — materialize that narrow set ONCE so an
+        # expensive survivor pipeline upstream (quality filter, dedup
+        # window) does not re-execute per consumer (r16 measurement:
+        # 3x re-execution inside the curation entries' near-dedup stage)
+        src = df.select(F.col(id_col)).localCheckpoint()
     pairs = neardup_minhash(
-        df,
+        src,
         id_col=id_col,
         text_col=text_col,
         n=n,
@@ -1216,7 +1225,7 @@ def neardup_dedup_decisions(
         threshold=threshold,
         prebuilt=prebuilt,
     )
-    nodes = df.select(F.col(id_col).cast("long").alias("id"))
+    nodes = src.select(F.col(id_col).cast("long").alias("id"))
     comp = connected_components(
         nodes,
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")),

@@ -182,7 +182,19 @@ def top_fraction_by_score(
     if not 0.0 <= frac <= 1.0:
         raise ValueError(f"frac must be in [0, 1], got {frac}")
     skeys = [strata_col] if strata_col else []
-    hist = df.groupBy(*skeys, score_col).agg(F.count("*").alias("__n"))
+    # the histogram is materialized once (guard-bounded broadcast-small)
+    # and the per-stratum totals DERIVE from it (sum of class counts ==
+    # row count, same rows grouped) — without this the histogram
+    # broadcast build, the totals broadcast build, and the two output
+    # branches (full + boundary) each re-ran the scoring scan over df
+    # (r16: 6 executions of the caller's quality-score pipeline per
+    # action, now 3 — the two output branches still scan df, which is
+    # the design's one intended re-read)
+    hist = (
+        df.groupBy(*skeys, score_col)
+        .agg(F.count("*").alias("__n"))
+        .localCheckpoint()
+    )
     wg = Window.orderBy(F.desc(score_col))
     w = (
         Window.partitionBy(*skeys).orderBy(F.desc(score_col))
@@ -209,7 +221,9 @@ def top_fraction_by_score(
         .otherwise(F.lit(None))
         .alias("__cum"),
     ).withColumn("__cum_prev", F.col("__cum") - F.col("__n"))
-    total = df.groupBy(*skeys).agg(F.count("*").alias("__total"))
+    total = hist.groupBy(*skeys).agg(
+        F.sum("__n").cast("long").alias("__total")
+    )
     # all histogram joins are NULL-SAFE on the stratum key: groupBy
     # keeps a NULL stratum as its own group and the declarative twin
     # (row_number PARTITION BY stratum) puts NULLs in one partition —
@@ -725,10 +739,13 @@ def dsir_logweights(
     ).select(
         "id", "t", dsir_bucket(F.col("g"), n_buckets, salt).alias("bucket")
     )
+    # n_buckets rows, materialized once: the (nt, nr) scalar frame
+    # broadcast-builds from this aggregate, and without the barrier
+    # that build re-ran the corpus n-gram explode + bucket shuffle (r16)
     counts = gb.groupBy("bucket").agg(
         F.sum(F.when(F.col("t"), 1).otherwise(0)).cast("long").alias("ct"),
         F.sum(F.when(~F.col("t"), 1).otherwise(0)).cast("long").alias("cr"),
-    )
+    ).localCheckpoint()
     nn = counts.agg(
         F.sum("ct").cast("long").alias("nt"),
         F.sum("cr").cast("long").alias("nr"),
@@ -1684,7 +1701,12 @@ def excess_loss_mixture(
             ),
             F.lit(0.0),
         ).alias("excess"),
-    )
+    # materialized ONCE (rows = sources): the two scalar-frame
+    # broadcasts below (__tot, then __z over the __tot-joined frame)
+    # each re-execute their build side's whole lineage, and that
+    # lineage is BOTH LM trainings + scorings — measured ~4x the
+    # pipeline per action without this barrier (r16)
+    ).localCheckpoint()
     tot = per.agg(F.sum("n_tokens").cast("long").alias("__tot"))
     per = per.crossJoin(F.broadcast(tot)).withColumn(
         "__num",

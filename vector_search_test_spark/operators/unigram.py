@@ -287,6 +287,10 @@ def unigram_apply(
             "piece",
             F.coalesce("n_occ", F.lit(0)).cast("long").alias("n_occ"),
         )
+        # V rows, materialized once: the __t scalar broadcast build
+        # otherwise re-ran the whole Viterbi fold + piece shuffle (r16:
+        # 2x the E-step per action)
+        .localCheckpoint()
     )
     tot = joined.agg(F.sum("n_occ").cast("long").alias("__t"))
     return joined.crossJoin(F.broadcast(tot)).select(
