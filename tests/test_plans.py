@@ -106,8 +106,11 @@ def test_bucketed_postings_join_without_exchange(spark, sf_dir):
 
 def test_large_nlist_assign_broadcasts_centroids_not_literals(spark, sf_dir):
     """Scale path: past the unroll cap the centroid matrix must ride a
-    one-row broadcast (BroadcastNestedLoopJoin — argmin has no equi-key),
-    never a literal tree that balloons plan serialization at nlist~1e5."""
+    broadcast — the Arrow argmin kernel ships it as a SparkContext
+    broadcast in the task closure (r16; the pre-r16 shape was a one-row
+    BroadcastNestedLoopJoin), never a literal tree that balloons plan
+    serialization at nlist~1e5. probe_cells keeps the relational
+    broadcast (its per-cell ranking is plan-side)."""
     import random
 
     from vector_search_test_spark.operators.ivf import assign_cells, probe_cells
@@ -115,9 +118,9 @@ def test_large_nlist_assign_broadcasts_centroids_not_literals(spark, sf_dir):
     rng = random.Random(7)
     cents = [[rng.uniform(-1, 1) for _ in range(64)] for _ in range(1000)]
     emb = load_table(spark, sf_dir, "embeddings").limit(50)
-    out = assign_cells(emb, cents)  # 64k terms > cap -> auto broadcast
+    out = assign_cells(emb, cents)  # 64k terms > cap -> Arrow kernel
     plan = _plan(out)
-    assert "BroadcastNestedLoopJoin" in plan
+    assert "MapInPandas" in plan  # the Arrow argmin kernel
     assert "Exchange hashpartitioning" not in plan  # still shuffle-free
     # no literal blow-up: the 64k-float matrix must NOT be in the plan text
     assert len(plan) < 100_000
