@@ -41,6 +41,39 @@ def test_dot_norm_cosine(spark):
     assert row.c == pytest.approx(32.0 / (math.sqrt(14) * math.sqrt(77)))
 
 
+def test_dot_unrolled_bitexact_vs_fold(spark):
+    """dot_unrolled must produce BIT-identical doubles to the HOF fold
+    it replaces (late_interaction's MaxSim hot loop) on exact-width
+    arrays — including the -0.0-first-product association the explicit
+    0.0D seed preserves — and surface short arrays as an ANSI
+    out-of-bounds error (never a silently partial sum)."""
+    import struct
+
+    from vector_search_test_spark.functions.vector import dot_unrolled
+
+    cases = [
+        ([1.5, -2.25, 3.125, 0.1], [4.0, 5.5, -6.75, 0.3]),
+        ([-0.0, 2.0, 3.0, 4.0], [5.0, -0.0, 0.0, 1e-30]),  # -0.0 first product
+        ([0.0, 0.0, 0.0, 0.0], [-1.0, 0.0, -0.0, 0.0]),
+        ([1e30, -1e30, 1.0, 1e-30], [1e8, 1e8, 1.0, 1e30]),
+    ]
+    df = spark.createDataFrame(cases, "a array<float>, b array<float>")
+    rows = df.select(
+        dot("a", "b").alias("fold"),
+        dot_unrolled("a", "b", 4).alias("unrolled"),
+    ).collect()
+    for r in rows:
+        assert struct.pack("<d", r.fold) == struct.pack("<d", r.unrolled)
+    # declared-width contract: a short array errors under ANSI (Spark 4
+    # default), never a silently partial sum — the divergence from the
+    # fold that makes exact-width arrays a caller requirement
+    short = spark.createDataFrame(
+        [([1.0, 2.0], [3.0, 4.0])], "a array<float>, b array<float>"
+    )
+    with pytest.raises(Exception, match="INVALID_ARRAY_INDEX|out of bounds"):
+        short.select(dot_unrolled("a", "b", 4).alias("unrolled")).collect()
+
+
 def test_portable_hash48_matches_duckdb(spark):
     import duckdb
 

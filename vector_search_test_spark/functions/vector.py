@@ -238,6 +238,33 @@ def dot(a: Column | str, b: Column | str) -> Column:
     return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
 
 
+def dot_unrolled(a: str, b: str, dim: int) -> Column:
+    """`dot` unrolled to ONE parsed expression string of GetArrayItem
+    products — whole-stage-codegen instead of the interpreted HOF fold
+    (same envelope as l2_sq_unrolled: profitable while
+    dim <= UNROLL_MAX_TERMS).
+
+    Bit-identical doubles to `dot` when both arrays have exactly `dim`
+    elements: the chain leads with an explicit 0.0D seed, so the
+    summation is ((0.0 + p0) + p1) + ... — exactly the fold's
+    association, including the sign of a -0.0 first product (l2_sq's
+    squared terms can never be -0.0, which is why ITS unrolled form may
+    omit the seed; products can). Arrays shorter than `dim` are an
+    ERROR surface, not a silent partial sum: out-of-range GetArrayItem
+    raises INVALID_ARRAY_INDEX under ANSI mode (Spark 4 default) and
+    yields a NULL sum in non-ANSI sessions — callers must guarantee
+    exact-width arrays, as late_interaction's fixed-width token encoder
+    does. Both inputs are column NAMES (the one-py4j-call construction
+    path)."""
+    assert dim > 0
+    ia, ib = _sql_ident(a), _sql_ident(b)
+    terms = " + ".join(
+        f"(CAST({ia}[{i}] AS DOUBLE) * CAST({ib}[{i}] AS DOUBLE))"
+        for i in range(dim)
+    )
+    return F.expr("0.0D + " + terms)
+
+
 def l2_norm(a: Column | str) -> Column:
     """Euclidean norm of an array<float> column (double math)."""
     a = F.col(a) if isinstance(a, str) else a

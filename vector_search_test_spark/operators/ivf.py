@@ -794,7 +794,11 @@ def ivf_rebalance_cycle(
     # two per-index aggregates halves the fixed per-action overhead the
     # r11 stage split showed dominating the measure legs. Ground truth
     # is queries*k rows, materialized once for both gauges.
-    exact = knn_exact(queries, corpus, k=k).localCheckpoint()
+    # dim routes the scoring through the unrolled-codegen expression
+    # (identical doubles; the interpreted HOF fold was the gauge's
+    # dominant cost — r16)
+    gdim = len(index.centroids[0]) if index.centroids else 0
+    exact = knn_exact(queries, corpus, k=k, dim=gdim or None).localCheckpoint()
 
     def _gauge(idx: IvfIndex, tag: str) -> DataFrame:
         got = recall_at_k(

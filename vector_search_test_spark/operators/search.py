@@ -330,7 +330,11 @@ def late_interaction_topk(
     ANN shortlist (ivf_search / mrl_two_stage) so the MaxSim join
     sees candidates, not the corpus — this is the exact-scoring
     operator."""
-    from vector_search_test_spark.functions.vector import dot
+    from vector_search_test_spark.functions.vector import (
+        UNROLL_MAX_TERMS,
+        dot,
+        dot_unrolled,
+    )
 
     spark = docs.sparkSession
     qdf = spark.createDataFrame([(0, str(query_text))], "id long, text string")
@@ -338,9 +342,18 @@ def late_interaction_topk(
         F.col("pos").alias("qpos"), F.col("vec").alias("qv")
     )
     d = _token_vectors(docs, dim, max_tokens, id_col, text_col)
+    # the MaxSim inner product runs once per (doc-token x query-token)
+    # pair — the operator's hot loop. Unrolled codegen instead of the
+    # interpreted HOF fold at the histogram dims this encoder emits
+    # (identical doubles, see dot_unrolled).
+    dotc = (
+        dot_unrolled("vec", "qv", int(dim))
+        if 0 < int(dim) <= UNROLL_MAX_TERMS
+        else dot("vec", "qv")
+    )
     sims = (
         d.join(F.broadcast(q))
-        .withColumn("__dot", dot("vec", "qv"))
+        .withColumn("__dot", dotc)
         .groupBy("id", "qpos")
         .agg(F.max("__dot").alias("ms"))
     )

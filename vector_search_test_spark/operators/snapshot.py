@@ -379,23 +379,36 @@ def delete_keys_bucketed(
         for b in affected
     ]
     base = spark.read.parquet(*base_paths)
-    # no tombstone matches an actual row (keys hashed into live buckets
-    # but were never ingested): skip — bucket-scoped semi-join probe,
-    # bounded by the affected buckets, far cheaper than a rewrite
-    if base.join(
-        F.broadcast(keys.select(key)), key, "left_semi"
-    ).isEmpty():
-        return
-    # materialize once: both the survivors collect and the write
-    # consume the anti-join (bucket-scoped, ContextCleaner-released)
-    kept = (
-        delete_keys(base, keys.select(key), key=key)
-        .withColumn("bucket", bucket_col(key, n_buckets))
-        .localCheckpoint()
+    # ONE bucket-bounded aggregate answers both pre-write questions
+    # (r16; previously a semi-join isEmpty probe + a checkpointed
+    # distinct-bucket collect — three extra jobs): per affected bucket,
+    # how many rows exist and how many match a tombstone. No match
+    # anywhere -> skip (keys hashed into live buckets but were never
+    # ingested — publishing would burn a retention slot); a bucket with
+    # rows > hits keeps survivors, one with rows == hits is dropped
+    # from the manifest. The broadcast left join is the same bounded
+    # shape as the anti-join the rewrite itself runs.
+    tomb_keys = keys.select(key).distinct()
+    stats = (
+        base.withColumn("bucket", bucket_col(key, n_buckets))
+        .join(
+            F.broadcast(tomb_keys.withColumn("__hit", F.lit(1))),
+            key,
+            "left",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.coalesce("__hit", F.lit(0))).alias("hits"),
+        )
+        .collect()
     )
-    survivors = {
-        r.bucket for r in kept.select("bucket").distinct().collect()
-    }
+    if all(int(r.hits) == 0 for r in stats):
+        return
+    survivors = {int(r.bucket) for r in stats if int(r.n) > int(r.hits)}
+    kept = delete_keys(base, keys.select(key), key=key).withColumn(
+        "bucket", bucket_col(key, n_buckets)
+    )
     par = spark.sparkContext.defaultParallelism
     kept.repartition(min(par, len(affected)), "bucket").write.mode(
         "overwrite"

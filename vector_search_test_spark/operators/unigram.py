@@ -344,13 +344,23 @@ def unigram_train(
         .agg(F.sum("cnt").cast("long").alias("weight"))
         .localCheckpoint(eager=False)
     )
-    chars = [
-        r.p
-        for r in weights.filter(F.length("p") == 1)
-        .select("p")
+    # ONE bounded collect instead of three jobs over the checkpointed
+    # weights (chars / top-multi / wmap — r16): every single char, plus
+    # the top `vocab_size` multi-char candidates (a superset of the
+    # vocab_size - len(chars) actually kept, since len(chars) >= 1 —
+    # and of every key _m_step needs a weight for). Selection and
+    # ordering are replayed driver-side on the identical (weight, p)
+    # values, so keys and costs are unchanged.
+    seed_rows = (
+        weights.filter(F.length("p") == 1)
+        .unionByName(
+            weights.filter(F.length("p") >= 2)
+            .orderBy(F.desc("weight"), F.asc("p"))
+            .limit(vocab_size)
+        )
         .collect()
-    ]
-    chars = sorted(chars)
+    )
+    chars = sorted(r.p for r in seed_rows if len(r.p) == 1)
     if vocab_size <= len(chars):
         raise ValueError(
             f"vocab_size {vocab_size} must exceed the corpus alphabet "
@@ -358,16 +368,13 @@ def unigram_train(
         )
     multi = [
         r.p
-        for r in weights.filter(F.length("p") >= 2)
-        .orderBy(F.desc("weight"), F.asc("p"))
-        .limit(vocab_size - len(chars))
-        .collect()
-    ]
+        for r in sorted(
+            (r for r in seed_rows if len(r.p) >= 2),
+            key=lambda r: (-int(r.weight), r.p),
+        )
+    ][: vocab_size - len(chars)]
     keys = sorted(chars + multi)
-    wmap = {
-        r.p: int(r.weight)
-        for r in weights.filter(F.col("p").isin(keys)).collect()
-    }
+    wmap = {r.p: int(r.weight) for r in seed_rows if r.p in set(keys)}
     costs = _m_step(wmap, keys)
 
     for _ in range(rounds):
