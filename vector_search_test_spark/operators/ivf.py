@@ -794,11 +794,12 @@ def ivf_rebalance_cycle(
     # two per-index aggregates halves the fixed per-action overhead the
     # r11 stage split showed dominating the measure legs. Ground truth
     # is queries*k rows, materialized once for both gauges.
-    # dim routes the scoring through the unrolled-codegen expression
-    # (identical doubles; the interpreted HOF fold was the gauge's
-    # dominant cost — r16)
-    gdim = len(index.centroids[0]) if index.centroids else 0
-    exact = knn_exact(queries, corpus, k=k, dim=gdim or None).localCheckpoint()
+    # NB: deliberately NOT passing dim here — tried r16 and measured
+    # WORSE (recall_gauge 2.36 -> 3.11 s): at gauge scale (tens of
+    # queries x a few thousand postings) the unrolled chain's codegen
+    # compile cost exceeds the whole interpreted fold; unrolling only
+    # pays on bulk joins (vector.py envelope note).
+    exact = knn_exact(queries, corpus, k=k).localCheckpoint()
 
     def _gauge(idx: IvfIndex, tag: str) -> DataFrame:
         got = recall_at_k(

@@ -247,52 +247,36 @@ def _token_vectors(
     points (ASCII-domain deterministic fake, the multimodal byte-tower
     pattern — stands in for a ColBERT token encoder while staying
     SQL-replayable on both engines). Pure JVM HOFs, scan-only; each
-    stage materializes to a bound column (the r14 janino rule).
+    stage materializes to a bound column (the r14 janino rule), and
+    every stage is ONE parsed expression string (the r13 one-parse
+    lesson: the python-lambda HOF builders cost py4j round-trips per
+    lambda — measured ~1.5 s of driver plan-construction per
+    invocation across this operator's stages).
     Output: (id, pos, vec array<double>)."""
-    toks = F.slice(
-        F.filter(
-            F.split(F.lower(F.col(text_col)), " "),
-            lambda w: w != F.lit(""),
-        ),
-        1,
-        int(max_tokens),
+    dim, max_tokens = int(dim), int(max_tokens)
+    t = df.selectExpr(
+        f"`{id_col}` AS id",
+        f"posexplode(slice(filter(split(lower(`{text_col}`), ' '), "
+        f"w -> w != ''), 1, {max_tokens})) AS (pos, tok)",
     )
-    t = df.select(
-        F.col(id_col).alias("id"), F.posexplode(toks).alias("pos", "tok")
+    t = t.selectExpr(
+        "id", "pos", "transform(split(tok, ''), c -> ascii(c)) AS __codes"
     )
-    t = t.select(
+    t = t.selectExpr(
         "id",
         "pos",
-        F.transform(F.split("tok", ""), lambda c: F.ascii(c)).alias(
-            "__codes"
-        ),
+        f"transform(sequence(0, {dim - 1}), "
+        f"b -> CAST(size(filter(__codes, x -> x % {dim} = b)) AS DOUBLE)) "
+        "AS __hist",
     )
-    t = t.select(
-        "id",
-        "pos",
-        F.transform(
-            F.sequence(F.lit(0), F.lit(int(dim) - 1)),
-            lambda b: F.size(
-                F.filter(F.col("__codes"), lambda x: x % int(dim) == b)
-            ).cast("double"),
-        ).alias("__hist"),
-    )
-    t = t.select(
+    t = t.selectExpr(
         "id",
         "pos",
         "__hist",
-        F.sqrt(
-            F.aggregate(
-                F.col("__hist"), F.lit(0.0), lambda a, h: a + h * h
-            )
-        ).alias("__nrm"),
+        "sqrt(aggregate(__hist, 0.0D, (a, h) -> a + h * h)) AS __nrm",
     )
-    return t.select(
-        "id",
-        "pos",
-        F.transform(F.col("__hist"), lambda h: h / F.col("__nrm")).alias(
-            "vec"
-        ),
+    return t.selectExpr(
+        "id", "pos", "transform(__hist, h -> h / __nrm) AS vec"
     )
 
 
@@ -341,7 +325,21 @@ def late_interaction_topk(
     q = _token_vectors(qdf, dim, max_tokens, "id", "text").select(
         F.col("pos").alias("qpos"), F.col("vec").alias("qv")
     )
-    d = _token_vectors(docs, dim, max_tokens, id_col, text_col)
+    # spread before the encoder: a 1-file parquet corpus otherwise pins
+    # the whole interpreted token-histogram stage (the operator's
+    # compute) to ONE core (io.spread docstring; measured 1.1 s
+    # single-task at sf0.1). Project to (id, text) first so the
+    # exchange moves only what the encoder reads (guide: shuffle fewer
+    # bytes). Values are per-row, aggregates order-free — bit-identical.
+    from vector_search_test_spark.io import spread
+
+    d = _token_vectors(
+        spread(docs.select(id_col, text_col)),
+        dim,
+        max_tokens,
+        id_col,
+        text_col,
+    )
     # the MaxSim inner product runs once per (doc-token x query-token)
     # pair — the operator's hot loop. Unrolled codegen instead of the
     # interpreted HOF fold at the histogram dims this encoder emits
