@@ -191,10 +191,18 @@ def _feature_table(
     # materialize z once (each GD round reads it; leaving it as a lazy
     # projection re-expands the 33-term array into every z[j] reference
     # of the gradient agg — a several-thousand-node plan per round) and
-    # right-size partitions: the vector table is (n_buckets + 1)
-    # doubles/doc, so ~50k docs per partition keeps partitions ~13 MB
-    # at d = 32 while collapsing local test scales to one task
-    parts = max(1, -(-n_docs // 50_000))
+    # right-size partitions for the CONSUMER, not just for bytes: every
+    # GD round runs an interpreted quantized-margin fold over this
+    # table, so the partition count must keep the cores busy (>= one
+    # partition per ~200 docs up to cluster parallelism — the pre-r16
+    # bytes-only sizing of ~50k docs/partition collapsed local scales
+    # to ONE task and serialized all 8 rounds onto one core; measured
+    # 0.22 s/round single-task vs ~0.05 s spread) while the 50k-doc
+    # (~13 MB at d = 32) upper bound still caps partition size once the
+    # corpus outgrows the cluster. Quantized sums are order-free, so
+    # the layout never touches results.
+    par = xmap.sparkSession.sparkContext.defaultParallelism
+    parts = max(min(par, -(-n_docs // 200)), -(-n_docs // 50_000))
     feats = (
         xmap.select(
             "id",
@@ -213,7 +221,7 @@ def _feature_table(
                 F.array(F.lit(1.0)),
             ).alias("z"),
         )
-        .coalesce(min(parts, xmap.rdd.getNumPartitions()))
+        .repartition(parts)
         .localCheckpoint()
     )
     return feats, n_docs

@@ -255,18 +255,20 @@ def word_vocab(
     )
 
 
-def unigram_apply(
+def unigram_counts(
     vocab: DataFrame,
     keys: "list[str]",
     costs: "list[int]",
     max_len: int = 4,
 ) -> DataFrame:
-    """One distributed E-step under literal (keys, costs): Viterbi-
-    segment every vocab word, count pieces weighted by word frequency
-    (map-side combined), keep EVERY candidate key (zero-count pieces
-    included), and report smoothed probabilities. Output: (piece,
-    n_occ, prob) — prob = round((n_occ + 1) / (T + V), 6) with T the
-    in-plan total (1-row broadcast, the scalar-frame pattern)."""
+    """The E-step's COUNT table only: Viterbi-segment every vocab word
+    under literal (keys, costs), count pieces weighted by word
+    frequency (map-side combined), keep every candidate key with
+    zero-count pieces as 0. Output: (piece, n_occ), a lazy V-row plan —
+    the trainer's rounds collect exactly this, so they must not pay for
+    the prob column's checkpoint + total broadcast + crossJoin
+    (Catalyst prunes the COLUMN but still executes the 1-row-side join
+    and the eager checkpoint — measured r16, ~2 extra jobs/round)."""
     spark = vocab.sparkSession
     st = vocab.select(
         "cnt",
@@ -281,12 +283,26 @@ def unigram_apply(
     keys_df = spark.createDataFrame(
         [(k,) for k in keys], "piece string"
     )
+    return keys_df.join(cnts, "piece", "left").select(
+        "piece",
+        F.coalesce("n_occ", F.lit(0)).cast("long").alias("n_occ"),
+    )
+
+
+def unigram_apply(
+    vocab: DataFrame,
+    keys: "list[str]",
+    costs: "list[int]",
+    max_len: int = 4,
+) -> DataFrame:
+    """One distributed E-step under literal (keys, costs): Viterbi-
+    segment every vocab word, count pieces weighted by word frequency
+    (map-side combined), keep EVERY candidate key (zero-count pieces
+    included), and report smoothed probabilities. Output: (piece,
+    n_occ, prob) — prob = round((n_occ + 1) / (T + V), 6) with T the
+    in-plan total (1-row broadcast, the scalar-frame pattern)."""
     joined = (
-        keys_df.join(cnts, "piece", "left")
-        .select(
-            "piece",
-            F.coalesce("n_occ", F.lit(0)).cast("long").alias("n_occ"),
-        )
+        unigram_counts(vocab, keys, costs, max_len)
         # V rows, materialized once: the __t scalar broadcast build
         # otherwise re-ran the whole Viterbi fold + piece shuffle (r16:
         # 2x the E-step per action)
@@ -378,11 +394,12 @@ def unigram_train(
     costs = _m_step(wmap, keys)
 
     for _ in range(rounds):
+        # counts-only E-step: ONE job per round (unigram_counts) — the
+        # prob-reporting wrapper's checkpoint/total/crossJoin stays out
+        # of the training loop (r16)
         counted = {
             r.piece: int(r.n_occ)
-            for r in unigram_apply(vocab, keys, costs, max_len)
-            .select("piece", "n_occ")
-            .collect()
+            for r in unigram_counts(vocab, keys, costs, max_len).collect()
         }
         keys = sorted(
             k for k in keys if len(k) == 1 or counted.get(k, 0) > 0
