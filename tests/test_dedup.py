@@ -673,3 +673,46 @@ def test_neardup_keep_best_elects_quality_winner(spark):
     # per-doc q column matches the standalone score
     for i, r in out.items():
         assert r.q == qs[i]
+
+
+def test_fingerprint_kernel_matches_expression(spark):
+    """The Arrow fingerprint kernel (fingerprint_shingle_table) must
+    produce element- AND order-identical shingle arrays to the
+    fingerprint_shingles expression form it replaced in the MinHash /
+    PPJoin asset builds — including multi-byte, astral-plane,
+    zero-width, multi-space, short-document, and NULL input."""
+    from vector_search_test_spark.operators.dedup import (
+        fingerprint_shingle_table,
+        fingerprint_shingles,
+    )
+
+    zwsp = "​"
+    samples = [
+        "hello world again and again hello world again",
+        "héllo wörld café crème über alles",
+        "漢字 テスト emoji \U0001f600 ok",
+        f"zero{zwsp}width and nbsp inside token",
+        "a b",  # shorter than n: whole-text single gram
+        "one",  # single token
+        "double  space   runs",  # empty tokens kept by the splitter
+        "",  # empty text
+        None,  # NULL text
+        "UPPER Case MiXeD İstanbul ß",
+        "repeat repeat repeat repeat repeat",  # gram dedup
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(samples)], "doc_id long, text string"
+    )
+    want = {
+        r.doc_id: list(r.sh)
+        for r in df.select(
+            "doc_id", fingerprint_shingles("text", 3).alias("sh")
+        )
+        .filter(F.size("sh") > 0)
+        .collect()
+    }
+    got = {
+        r.id: list(r.sh)
+        for r in fingerprint_shingle_table(df, n=3).collect()
+    }
+    assert got == want  # same rows kept, same arrays, same ORDER

@@ -383,7 +383,11 @@ def neardup_ingest_epoch(
         num_hashes=num_hashes,
         bands=bands,
     )
-    inc = minhash_tables(batch_df, n=n, num_hashes=num_hashes, bands=bands)
+    # kernel=False: a micro-batch hashes dozens of rows — the Arrow
+    # kernel's per-task setup outweighs the interpreted fold there (r16)
+    inc = minhash_tables(
+        batch_df, n=n, num_hashes=num_hashes, bands=bands, kernel=False
+    )
     dec = incremental_neardup(
         batch_df, standing, threshold=threshold, inc=inc
     ).localCheckpoint()  # consumed by the decision write AND the
