@@ -192,6 +192,66 @@ def fingerprint_shingle_table(
     ).filter(F.size("sh") > 0)
 
 
+def gram_count_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """(id, g, cnt): per-document distinct word n-grams with their
+    occurrence counts — `shingles_all` exploded and grouped by (id, g),
+    computed in one Arrow batch pass (r17; the fingerprint_shingle_table
+    precedent, guide §4.2). Both legs of the expression plan fold into
+    the kernel: the interpreted HOF gram chain AND the (id, g) hash
+    aggregate with its Exchange — a document's gram multiset lives
+    wholly in its row, so per-doc counting needs no shuffle at all.
+    Tokenization (lower + single-space split) stays JVM-side so its
+    semantics cannot drift from the expression form; the kernel only
+    joins the identical token code points into gram strings and counts
+    them (Python string equality = UTF8 byte equality = Spark string
+    equality). A NULL token array (NULL text) yields the expression
+    form's single (id, NULL, 1) row — consumers' inner joins on g drop
+    it exactly as before. Includes the io.spread guard."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from vector_search_test_spark.io import spread
+
+    nn = int(n)
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def _kernel(batches):
+        for pdf in batches:
+            ids: "list" = []
+            gs: "list" = []
+            cs: "list[int]" = []
+            for did, toks in zip(pdf["id"], pdf["__toks"]):
+                if toks is None:
+                    ids.append(did)
+                    gs.append(None)
+                    cs.append(1)
+                    continue
+                toks = list(toks)
+                if len(toks) >= nn:
+                    counts = Counter(
+                        " ".join(toks[i : i + nn])
+                        for i in range(len(toks) - nn + 1)
+                    )
+                else:
+                    counts = Counter((" ".join(toks),))
+                for g, c in counts.items():
+                    ids.append(did)
+                    gs.append(g)
+                    cs.append(c)
+            yield pd.DataFrame({"id": ids, "g": gs, "cnt": cs})
+
+    base = spread(
+        df.select(F.col(id_col).alias("id"), F.col(text_col)), "id"
+    ).select("id", tokens(text_col).alias("__toks"))
+    return base.mapInPandas(_kernel, f"id {id_type}, g string, cnt bigint")
+
+
 def fingerprint_shingles_sql(expr: str, n: int = 3) -> str:
     """DuckDB twin of `fingerprint_shingles`."""
     from vector_search_test_spark.functions.hashing import hash48_sql
@@ -340,27 +400,20 @@ def dup_ngram_profile(
     least one OTHER document" (a doc repeating a gram only internally
     does not count).
 
-    Plan (the 100 TB story): ONE corpus scan -> gram explode -> the
-    (doc, gram) count aggregate, localCheckpoint'ed because two
-    consumers read it (Spark does not CSE shared subplans): the
-    gram-level document-frequency aggregate, and the equi-join that
-    brings df_g back to the (doc, gram) rows. The join runs
-    shuffle-hash/SMJ on `gram` with AQE skew splitting — deliberately
-    NOT a window over gram, whose per-partition materialization cannot
-    be split when a boilerplate gram appears in millions of documents.
-    Output is one row per document."""
-    from vector_search_test_spark.io import spread
-
-    # spread: the gram explode is the compute-heavy stage and must not
-    # inherit a 1-file source's single task (no-op at real scale)
-    sh = spread(
-        df.select(F.col(id_col).alias("id"), F.col(text_col)), "id"
-    ).select(
-        "id",
-        F.explode(shingles_all(text_col, n)).alias("g"),
-    )
-    st = sh.groupBy("id", "g").agg(
-        F.count("*").alias("cnt")
+    Plan (the 100 TB story): ONE corpus scan -> the Arrow gram-count
+    kernel (`gram_count_table`, r17: gram chain + per-doc (doc, gram)
+    counting fused into one batch pass — a document's gram multiset
+    lives wholly in its row, so the old explode + hash aggregate +
+    Exchange disappear), localCheckpoint'ed because two consumers read
+    it (Spark does not CSE shared subplans): the gram-level
+    document-frequency aggregate, and the equi-join that brings df_g
+    back to the (doc, gram) rows. The join runs shuffle-hash/SMJ on
+    `gram` with AQE skew splitting — deliberately NOT a window over
+    gram, whose per-partition materialization cannot be split when a
+    boilerplate gram appears in millions of documents. Output is one
+    row per document."""
+    st = gram_count_table(
+        df, id_col=id_col, text_col=text_col, n=n
     ).localCheckpoint()  # two consumers; ContextCleaner-released
     df_g = st.groupBy("g").agg(F.count("*").alias("docs_with"))
     return (

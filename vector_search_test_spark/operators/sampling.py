@@ -575,6 +575,7 @@ def contamination_report(
     id_col: str = "doc_id",
     text_col: str = "text",
     bench_text_col: str = "text",
+    kernel: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination: for each document, the fraction of its
     distinct word n-gram shingles that appear anywhere in the benchmark
@@ -583,32 +584,112 @@ def contamination_report(
     with at least one shingle.
 
     Plan shape (the 100 TB story): the benchmark's DISTINCT shingle set
-    is broadcast (benchmark suites are MBs against a corpus of TBs); the
-    corpus side is ONE projection + explode + broadcast LEFT OUTER join
-    + a single partial-aggregated count — the shingle array is computed
-    once, full-width corpus rows are never shuffled, and only (id,
-    count, count) triples move after map-side combine. Totals and hits
-    come from the same aggregation (`count(*)` vs `count(hit)`), so
-    there is no second join."""
-    doc_sh = docs.select(
-        F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("s")
-    )
+    is bounded (benchmark suites are MBs against a corpus of TBs) and
+    ships to every task; the corpus side is ONE scan. With
+    `kernel=True` (default) the per-doc (n_shingles, n_hits) pair is
+    computed by an Arrow batch kernel against the task-local benchmark
+    set — tokenization (lower + single-space split) stays JVM-side so
+    its semantics cannot drift from the expression form; the kernel
+    only joins the identical token code points into gram strings and
+    counts distinct grams / set membership, exactly the
+    count(*)/count(hit) pair of the expression plan (r17: the
+    expression form ran the whole interpreted HOF gram chain inside a
+    Generate and re-aggregated the exploded rows — one kernel scan
+    replaces explode + broadcast join + two HashAggregates + the id
+    Exchange, ~3x at sf0.1). `kernel=False` keeps the pure-expression
+    form: explode + broadcast LEFT OUTER join + one partial-aggregated
+    count — the right trade for micro-batch callers where per-task
+    Arrow setup outweighs the interpreted fold. Both forms are
+    value-identical by construction (pytest-pinned): a NULL text yields
+    the single [NULL] shingle, counted in n_shingles and never a hit."""
     bench_sh = (
         benchmark.select(F.explode(shingles(bench_text_col, n)).alias("s"))
         .distinct()
-        .withColumn("hit", F.lit(1))
     )
-    agg = (
-        doc_sh.join(F.broadcast(bench_sh), "s", "left")
-        .groupBy("id")
-        .agg(
-            F.count("*").alias("n_shingles"),
-            F.count("hit").alias("n_hits"),
+    if kernel:
+        agg = _contamination_counts_kernel(
+            docs, bench_sh, n=n, id_col=id_col, text_col=text_col
         )
-    )
+    else:
+        doc_sh = docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(shingles(text_col, n)).alias("s"),
+        )
+        agg = (
+            doc_sh.join(
+                F.broadcast(bench_sh.withColumn("hit", F.lit(1))), "s", "left"
+            )
+            .groupBy("id")
+            .agg(
+                F.count("*").alias("n_shingles"),
+                F.count("hit").alias("n_hits"),
+            )
+        )
     overlap = F.col("n_hits") / F.col("n_shingles")
     return agg.withColumn("overlap", F.round(overlap, 6)).withColumn(
         "contaminated", overlap >= F.lit(float(threshold))
+    )
+
+
+def _contamination_counts_kernel(
+    docs: DataFrame,
+    bench_sh: DataFrame,
+    n: int,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """(id, n_shingles, n_hits) via one Arrow kernel scan of the corpus.
+
+    The benchmark shingle set is collected once (bounded by the
+    benchmark suite's size — the same rows the expression form
+    materializes on the driver as a broadcast relation) and closed over
+    by the kernel, so each task holds exactly one Python set. Gram
+    semantics replicate grams_of + array_distinct: every n-token window
+    joined with ' ' (whole text when shorter than n tokens), first-
+    occurrence-distinct; set membership is Python string equality =
+    UTF8 byte equality = Spark string equality. A NULL token array
+    (NULL text) is the expression form's [NULL] shingle: one counted
+    row, never a hit. Includes the io.spread guard (a 1-file source
+    otherwise serializes the kernel)."""
+    import pandas as pd
+
+    from vector_search_test_spark.io import spread
+    from vector_search_test_spark.operators.dedup import tokens
+
+    nn = int(n)
+    id_type = docs.schema[id_col].dataType.simpleString()
+    bench_set = frozenset(
+        r[0] for r in bench_sh.collect() if r[0] is not None
+    )
+
+    def _kernel(batches):
+        for pdf in batches:
+            ns_out: "list[int]" = []
+            nh_out: "list[int]" = []
+            for toks in pdf["__toks"]:
+                if toks is None:
+                    ns_out.append(1)
+                    nh_out.append(0)
+                    continue
+                toks = list(toks)
+                if len(toks) >= nn:
+                    grams = {
+                        " ".join(toks[i : i + nn])
+                        for i in range(len(toks) - nn + 1)
+                    }
+                else:
+                    grams = {" ".join(toks)}
+                ns_out.append(len(grams))
+                nh_out.append(len(grams & bench_set))
+            yield pd.DataFrame(
+                {"id": pdf["id"], "n_shingles": ns_out, "n_hits": nh_out}
+            )
+
+    base = spread(
+        docs.select(F.col(id_col).alias("id"), F.col(text_col)), "id"
+    ).select("id", tokens(text_col).alias("__toks"))
+    return base.mapInPandas(
+        _kernel, f"id {id_type}, n_shingles bigint, n_hits bigint"
     )
 
 
