@@ -268,12 +268,9 @@ def test_strip_dup_ngrams_semantics(spark):
 
 
 def test_dup_ngram_ops_stay_jvm_side(spark):
-    """No row-at-a-time Python anywhere in the exact-substring-dedup
-    family. dup_ngram_profile's gram stream runs through the Arrow
-    batch kernel by design (r17: gram_count_table — MapInPandas, never
-    BatchEvalPython); strip_dup_ngrams' gram stream, coverage
-    expansion, and indexed-lambda rewrite are all Catalyst
-    expressions."""
+    """Neither exact-substring-dedup operator ships rows to Python: the
+    gram stream, coverage expansion, and the indexed-lambda rewrite are
+    all Catalyst expressions."""
     from vector_search_test_spark.operators.dedup import (
         dup_ngram_profile,
         strip_dup_ngrams,
@@ -283,15 +280,8 @@ def test_dup_ngram_ops_stay_jvm_side(spark):
         [(i, f"w{i} w{i+1} w{i+2} w{i+3} w{i+4} w{i+5}") for i in range(20)],
         "doc_id long, text string",
     )
-    from vector_search_test_spark.operators.dedup import gram_count_table
-
-    # the profile checkpoints the kernel output (its final plan reads the
-    # materialized RDD), so the kernel shape is pinned on the stage itself
-    st_plan = gram_count_table(docs)._jdf.queryExecution().executedPlan().toString()
-    assert "MapInPandas" in st_plan and "Generate" not in st_plan
-    prof_plan = dup_ngram_profile(docs)._jdf.queryExecution().executedPlan().toString()
-    strip_plan = strip_dup_ngrams(docs)._jdf.queryExecution().executedPlan().toString()
-    for plan in (prof_plan, strip_plan):
+    for out in (dup_ngram_profile(docs), strip_dup_ngrams(docs)):
+        plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
 
@@ -726,47 +716,3 @@ def test_fingerprint_kernel_matches_expression(spark):
         for r in fingerprint_shingle_table(df, n=3).collect()
     }
     assert got == want  # same rows kept, same arrays, same ORDER
-
-
-def test_gram_count_kernel_matches_expression(spark):
-    """The Arrow gram-count kernel (gram_count_table) must produce the
-    identical (id, g, cnt) multiset to the expression form it replaced
-    (explode(shingles_all) + groupBy(id, g).count) — including
-    multi-byte, astral-plane, zero-width, multi-space, short-document,
-    and NULL input (a NULL text is the single (id, NULL, 1) row)."""
-    from vector_search_test_spark.operators.dedup import (
-        gram_count_table,
-        shingles_all,
-    )
-
-    zwsp = "​"
-    samples = [
-        "hello world again and again hello world again",
-        "héllo wörld café crème über alles",
-        "漢字 テスト emoji \U0001f600 ok",
-        f"zero{zwsp}width and nbsp inside token",
-        "a b",  # shorter than n: whole-text single gram
-        "one",  # single token
-        "double  space   runs",  # empty tokens kept by the splitter
-        "",  # empty text
-        None,  # NULL text
-        "UPPER Case MiXeD İstanbul ß",
-        "repeat repeat repeat repeat repeat repeat repeat",  # multiplicity
-    ]
-    df = spark.createDataFrame(
-        [(i, s) for i, s in enumerate(samples)], "doc_id long, text string"
-    )
-    want = sorted(
-        (r.id, r.g, r.cnt)
-        for r in df.select(
-            F.col("doc_id").alias("id"),
-            F.explode(shingles_all("text", 5)).alias("g"),
-        )
-        .groupBy("id", "g")
-        .agg(F.count("*").alias("cnt"))
-        .collect()
-    )
-    got = sorted(
-        (r.id, r.g, r.cnt) for r in gram_count_table(df, n=5).collect()
-    )
-    assert got == want

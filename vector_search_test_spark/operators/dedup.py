@@ -192,66 +192,6 @@ def fingerprint_shingle_table(
     ).filter(F.size("sh") > 0)
 
 
-def gram_count_table(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n: int = 5,
-) -> DataFrame:
-    """(id, g, cnt): per-document distinct word n-grams with their
-    occurrence counts — `shingles_all` exploded and grouped by (id, g),
-    computed in one Arrow batch pass (r17; the fingerprint_shingle_table
-    precedent, guide §4.2). Both legs of the expression plan fold into
-    the kernel: the interpreted HOF gram chain AND the (id, g) hash
-    aggregate with its Exchange — a document's gram multiset lives
-    wholly in its row, so per-doc counting needs no shuffle at all.
-    Tokenization (lower + single-space split) stays JVM-side so its
-    semantics cannot drift from the expression form; the kernel only
-    joins the identical token code points into gram strings and counts
-    them (Python string equality = UTF8 byte equality = Spark string
-    equality). A NULL token array (NULL text) yields the expression
-    form's single (id, NULL, 1) row — consumers' inner joins on g drop
-    it exactly as before. Includes the io.spread guard."""
-    from collections import Counter
-
-    import pandas as pd
-
-    from vector_search_test_spark.io import spread
-
-    nn = int(n)
-    id_type = df.schema[id_col].dataType.simpleString()
-
-    def _kernel(batches):
-        for pdf in batches:
-            ids: "list" = []
-            gs: "list" = []
-            cs: "list[int]" = []
-            for did, toks in zip(pdf["id"], pdf["__toks"]):
-                if toks is None:
-                    ids.append(did)
-                    gs.append(None)
-                    cs.append(1)
-                    continue
-                toks = list(toks)
-                if len(toks) >= nn:
-                    counts = Counter(
-                        " ".join(toks[i : i + nn])
-                        for i in range(len(toks) - nn + 1)
-                    )
-                else:
-                    counts = Counter((" ".join(toks),))
-                for g, c in counts.items():
-                    ids.append(did)
-                    gs.append(g)
-                    cs.append(c)
-            yield pd.DataFrame({"id": ids, "g": gs, "cnt": cs})
-
-    base = spread(
-        df.select(F.col(id_col).alias("id"), F.col(text_col)), "id"
-    ).select("id", tokens(text_col).alias("__toks"))
-    return base.mapInPandas(_kernel, f"id {id_type}, g string, cnt bigint")
-
-
 def fingerprint_shingles_sql(expr: str, n: int = 3) -> str:
     """DuckDB twin of `fingerprint_shingles`."""
     from vector_search_test_spark.functions.hashing import hash48_sql
@@ -400,20 +340,36 @@ def dup_ngram_profile(
     least one OTHER document" (a doc repeating a gram only internally
     does not count).
 
-    Plan (the 100 TB story): ONE corpus scan -> the Arrow gram-count
-    kernel (`gram_count_table`, r17: gram chain + per-doc (doc, gram)
-    counting fused into one batch pass — a document's gram multiset
-    lives wholly in its row, so the old explode + hash aggregate +
-    Exchange disappear), localCheckpoint'ed because two consumers read
-    it (Spark does not CSE shared subplans): the gram-level
-    document-frequency aggregate, and the equi-join that brings df_g
-    back to the (doc, gram) rows. The join runs shuffle-hash/SMJ on
-    `gram` with AQE skew splitting — deliberately NOT a window over
-    gram, whose per-partition materialization cannot be split when a
-    boilerplate gram appears in millions of documents. Output is one
-    row per document."""
-    st = gram_count_table(
-        df, id_col=id_col, text_col=text_col, n=n
+    Plan (the 100 TB story): ONE corpus scan -> gram explode -> the
+    (doc, gram) count aggregate, localCheckpoint'ed because two
+    consumers read it (Spark does not CSE shared subplans): the
+    gram-level document-frequency aggregate, and the equi-join that
+    brings df_g back to the (doc, gram) rows. The join runs
+    shuffle-hash/SMJ on `gram` with AQE skew splitting — deliberately
+    NOT a window over gram, whose per-partition materialization cannot
+    be split when a boilerplate gram appears in millions of documents.
+    Output is one row per document.
+
+    Tried and REVERTED (r17): an Arrow kernel fusing the gram chain
+    and the per-doc (doc, gram) count (the contamination-kernel
+    pattern) — measured SLOWER (idle-box --only min-of-6 A/B:
+    1.65 -> 1.88 s). Unlike the contamination kernel, whose output is
+    ONE row per document, this stage's output cardinality equals the
+    exploded stream's (every distinct gram string crosses back through
+    Arrow), so the Python boundary costs more than the interpreted
+    gram chain it removes (guide §4.2's volume caveat)."""
+    from vector_search_test_spark.io import spread
+
+    # spread: the gram explode is the compute-heavy stage and must not
+    # inherit a 1-file source's single task (no-op at real scale)
+    sh = spread(
+        df.select(F.col(id_col).alias("id"), F.col(text_col)), "id"
+    ).select(
+        "id",
+        F.explode(shingles_all(text_col, n)).alias("g"),
+    )
+    st = sh.groupBy("id", "g").agg(
+        F.count("*").alias("cnt")
     ).localCheckpoint()  # two consumers; ContextCleaner-released
     df_g = st.groupBy("g").agg(F.count("*").alias("docs_with"))
     return (
@@ -546,6 +502,16 @@ def minhash_signature_table(
     a single-expression array-of-array_min form compiles one 64 KB+ Java
     method that janino rejects, silently dropping the stage to
     interpreted evaluation (~4x slower end-to-end).
+
+    Tried and REVERTED (r17): an Arrow/numpy kernel computing per-row
+    affine mins over the fingerprint arrays — measured SLOWER on the
+    real entries (idle-box --only min-of-6 A/B: neardup_decisions
+    2.40 -> 2.85, minhash_estimate_error 0.78 -> 1.12, and +0.4 on
+    corpus_e2e_curation's near-dedup stage). The exploded projection
+    is codegen'd integer multiply-adds the JVM does faster than the
+    (id, sh)-out / 17-columns-back Arrow round-trip costs; unlike
+    assign_cells (768M interpreted fold steps) there is no interpreted
+    HOF here to beat.
     """
     from vector_search_test_spark.functions.hashing import minhash_member
 

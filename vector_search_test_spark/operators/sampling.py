@@ -649,11 +649,9 @@ def _contamination_counts_kernel(
     occurrence-distinct; set membership is Python string equality =
     UTF8 byte equality = Spark string equality. A NULL token array
     (NULL text) is the expression form's [NULL] shingle: one counted
-    row, never a hit. Includes the io.spread guard (a 1-file source
-    otherwise serializes the kernel)."""
+    row, never a hit."""
     import pandas as pd
 
-    from vector_search_test_spark.io import spread
     from vector_search_test_spark.operators.dedup import tokens
 
     nn = int(n)
@@ -685,9 +683,16 @@ def _contamination_counts_kernel(
                 {"id": pdf["id"], "n_shingles": ns_out, "n_hits": nh_out}
             )
 
-    base = spread(
-        docs.select(F.col(id_col).alias("id"), F.col(text_col)), "id"
-    ).select("id", tokens(text_col).alias("__toks"))
+    # deliberately NO io.spread here (measured r17): the kernel's set
+    # arithmetic is cheap enough that repartitioning the full text
+    # column costs more than the parallelism buys at bench scale, in
+    # BOTH measured shapes (raw 1-file scan: 0.77 -> 0.63 s; inside the
+    # curation pipeline's joined survivor frame: decontam stage
+    # 1.13 -> 0.84 s). At real scale the input has >= cores partitions
+    # and spread would be a no-op anyway.
+    base = docs.select(F.col(id_col).alias("id"), F.col(text_col)).select(
+        "id", tokens(text_col).alias("__toks")
+    )
     return base.mapInPandas(
         _kernel, f"id {id_type}, n_shingles bigint, n_hits bigint"
     )
