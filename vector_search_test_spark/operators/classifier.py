@@ -193,16 +193,19 @@ def _feature_table(
     # of the gradient agg — a several-thousand-node plan per round) and
     # right-size partitions for the CONSUMER, not just for bytes: every
     # GD round runs an interpreted quantized-margin fold over this
-    # table, so the partition count must keep the cores busy (>= one
-    # partition per ~200 docs up to cluster parallelism — the pre-r16
-    # bytes-only sizing of ~50k docs/partition collapsed local scales
-    # to ONE task and serialized all 8 rounds onto one core; measured
-    # 0.22 s/round single-task vs ~0.05 s spread) while the 50k-doc
-    # (~13 MB at d = 32) upper bound still caps partition size once the
-    # corpus outgrows the cluster. Quantized sums are order-free, so
-    # the layout never touches results.
+    # table, so the partition count must BALANCE fold time against task
+    # overhead. The fold runs ~23 us/doc interpreted (r16: 0.22 s for
+    # 5000 docs single-task), so ~1250 docs/task keeps each task's fold
+    # near the per-task scheduling cost — an r17 sweep of the 8-round
+    # loop at n = 5000 measured parts {25: 2.48 s, 16: 1.81, 8: 1.60,
+    # 4: 1.62, 1: 2.41}: the r16 rule of one partition per ~200 docs
+    # over-sliced the table and the 8 rounds paid 25 x 2 stages of task
+    # overhead each. Cluster parallelism still caps the count and the
+    # 50k-doc (~13 MB at d = 32) upper bound still caps partition size
+    # once the corpus outgrows the cluster. Quantized sums are
+    # order-free, so the layout never touches results.
     par = xmap.sparkSession.sparkContext.defaultParallelism
-    parts = max(min(par, -(-n_docs // 200)), -(-n_docs // 50_000))
+    parts = max(min(par, -(-n_docs // 1250)), -(-n_docs // 50_000))
     feats = (
         xmap.select(
             "id",
