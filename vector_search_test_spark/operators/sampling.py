@@ -922,6 +922,12 @@ def dsir_select(
             int(score_decimals),
         ),
     )
+    # NO eager checkpoint of `scored` here (tried r17: 2.36 -> 3.28 s):
+    # the log-weight scoring ends in an (id)-keyed aggregate, so
+    # ReuseExchange already dedups the scoring subtree across the
+    # histogram-plan consumers in-plan — the checkpoint only added a
+    # materialization job (the r16 bigram lesson). Contrast the topp
+    # entries, whose scan-projection scores have no exchange to reuse.
     return top_fraction_by_score(scored, "score", frac, id_col=id_col)
 
 
