@@ -2966,7 +2966,7 @@ from contextlib import contextmanager
 
 
 @contextmanager
-def _stream_state_partitions(spark: SparkSession, n: int = 8):
+def _stream_state_partitions(spark: SparkSession, n: int = 4):
     """Pin spark.sql.shuffle.partitions for a streaming query's startup.
 
     Every stateful streaming operator creates one state store PER
@@ -2974,11 +2974,15 @@ def _stream_state_partitions(spark: SparkSession, n: int = 8):
     each store has fixed setup/commit cost per micro-batch — at bench
     scale that fixed cost dominates the actual work (measured on the
     stream-stream join at sf0.1: 13.8 s with the relational default of
-    32 partitions vs 3.3 s with 8; state partitioning never affects
-    results, which hash-match either way). The right setting scales
-    with stateful KEY cardinality, not with the relational shuffle
-    width — at 100 TB you'd raise it with the cluster; here the driver
-    fixture's key counts (150 users, 5 segments) merit few stores."""
+    32 partitions vs 3.3 s with 8; r17 swept the seven scored gates
+    min-of-6: 9.08 s total at 8 stores, 7.71 at 4, 7.48 at 2 — 4 is
+    the knee, every entry improved, and 2 buys only noise-level more
+    while halving the non-state micro-batch parallelism too. State
+    partitioning never affects results, which hash-match either way.
+    The right setting scales with stateful KEY cardinality, not with
+    the relational shuffle width — at 100 TB you'd raise it with the
+    cluster; here the driver fixture's key counts (150 users, 5
+    segments) merit few stores."""
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
     try:
