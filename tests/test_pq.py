@@ -468,3 +468,36 @@ def test_opq_pipeline_matches_duckdb_twin(spark, sf_dir):
         ).fetchall()
     )
     assert got == want
+
+
+def test_lloyd_multi_matches_sequential():
+    """The batched multi-subspace Lloyd driver loop (r17) is
+    bit-identical to per-subspace _lloyd_numpy calls — on real
+    fixture-like data, random data, and a degenerate corpus with fewer
+    distinct points than k (which takes the sequential fallback)."""
+    import numpy as np
+
+    from vector_search_test_spark.operators.ivf import (
+        _lloyd_numpy,
+        _lloyd_numpy_multi,
+    )
+
+    rng = np.random.default_rng(42)
+    cases = [
+        ([rng.normal(size=(300, 8)) for _ in range(4)], 16, 15),
+        ([rng.normal(size=(50, 4)) for _ in range(2)], 8, 15),
+        # degenerate: 3 distinct rows tiled -> k-means++ stops early
+        (
+            [np.tile(rng.normal(size=(3, 4)), (40, 1)) for _ in range(2)],
+            8,
+            15,
+        ),
+    ]
+    for subs, k, it in cases:
+        seeds = [1234567 + j for j in range(len(subs))]
+        got = _lloyd_numpy_multi(subs, k, seeds, it)
+        want = [
+            _lloyd_numpy(subs[j], k, seeds[j], it)
+            for j in range(len(subs))
+        ]
+        assert got == want

@@ -235,6 +235,112 @@ def _lloyd_numpy(
     return [[float(x) for x in c] for c in centers]
 
 
+def _lloyd_numpy_multi(
+    subs, k: int, seeds, max_iter: int
+) -> "list[list[list[float]]]":
+    """`_lloyd_numpy` over several same-shape sub-matrices (the PQ
+    subspace loop) in ONE batched Lloyd driver loop — bit-identical per
+    subspace, ~2x less Python/numpy call overhead (r17: the OPQ trainer
+    ran 8 x 8 x 15 = 960 tiny Lloyd iterations; `np.add.at` calls alone
+    were 0.23 s of its 0.86 s).
+
+    Identity argument, op by op: the k-means++ seeding runs EXACTLY the
+    per-subspace code (same rng object per seed, same draw sequence);
+    per iteration each active subspace's distance matrix is its own
+    `sq + c2 - 2 * (X @ centers.T)` dgemm (never a batched einsum,
+    whose summation order differs); argmin over the same rows is
+    value-equal; the center update concatenates the updating
+    subspaces' rows so the single `np.add.at` accumulates each
+    (subspace, center) bucket in the SAME row order as the
+    per-subspace call; divisions and the empty-center repair run on
+    per-subspace slices of identical values. Early convergence is a
+    per-subspace `active` flag, so iteration counts match the
+    sequential loop exactly. Degenerate inputs (fewer distinct points
+    than k during seeding) fall back to the sequential form for ALL
+    subspaces — the ragged center counts aren't worth batching.
+    Equivalence is pytest-pinned (tests/test_pq.py)."""
+    import numpy as np
+
+    m = len(subs)
+    n, dsub = subs[0].shape
+    seeded = []
+    for j in range(m):
+        X = subs[j]
+        rng = np.random.default_rng(seeds[j])
+        sq = (X * X).sum(axis=1)
+        centers = np.empty((k, dsub), dtype=np.float64)
+        centers[0] = X[int(rng.integers(n))]
+        d2 = np.maximum(
+            sq + (centers[0] * centers[0]).sum() - 2.0 * (X @ centers[0]), 0.0
+        )
+        chosen = 1
+        for i in range(1, k):
+            tot = float(d2.sum())
+            if tot <= 0.0:
+                break
+            centers[i] = X[int(rng.choice(n, p=d2 / tot))]
+            chosen = i + 1
+            d2 = np.minimum(
+                d2,
+                np.maximum(
+                    sq
+                    + (centers[i] * centers[i]).sum()
+                    - 2.0 * (X @ centers[i]),
+                    0.0,
+                ),
+            )
+        if chosen < k:
+            # degenerate corpus: keep the sequential form everywhere
+            return [
+                _lloyd_numpy(subs[jj], k, seeds[jj], max_iter)
+                for jj in range(m)
+            ]
+        seeded.append((centers, sq))
+
+    centers = [c for c, _ in seeded]
+    sqs = [s for _, s in seeded]
+    assign = [None] * m
+    active = [True] * m
+    d = [None] * m
+    for _ in range(max_iter):
+        upd = []
+        for j in range(m):
+            if not active[j]:
+                continue
+            d[j] = (
+                sqs[j][:, None]
+                + (centers[j] * centers[j]).sum(axis=1)[None, :]
+                - 2.0 * (subs[j] @ centers[j].T)
+            )
+            na = d[j].argmin(axis=1)
+            if assign[j] is not None and np.array_equal(na, assign[j]):
+                active[j] = False
+                continue
+            assign[j] = na
+            upd.append(j)
+        if not upd:
+            break
+        rows = np.concatenate([subs[j] for j in upd], axis=0)
+        keys = np.concatenate(
+            [assign[j] + i * k for i, j in enumerate(upd)]
+        )
+        sums_all = np.zeros((len(upd) * k, dsub), dtype=np.float64)
+        np.add.at(sums_all, keys, rows)
+        counts_all = np.bincount(keys, minlength=len(upd) * k).astype(
+            np.float64
+        )
+        for i, j in enumerate(upd):
+            counts = counts_all[i * k : (i + 1) * k]
+            sums = sums_all[i * k : (i + 1) * k]
+            nonempty = counts > 0
+            centers[j][nonempty] = sums[nonempty] / counts[nonempty, None]
+            if not nonempty.all():
+                worst = np.argsort(-d[j][np.arange(n), assign[j]])
+                empty = np.flatnonzero(~nonempty)
+                centers[j][empty] = subs[j][worst[: empty.size]]
+    return [[[float(x) for x in c] for c in cs] for cs in centers]
+
+
 def train_centroids(
     corpus: DataFrame,
     nlist: int,

@@ -48,7 +48,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from vector_search_test_spark.operators.ivf import DEFAULT_SEED, _lloyd_numpy
+from vector_search_test_spark.operators.ivf import (
+    DEFAULT_SEED,
+    _lloyd_numpy,
+    _lloyd_numpy_multi,
+)
 
 Books = "list[list[list[float]]]"  # [m][ksub][dsub], float32-rounded
 
@@ -69,12 +73,21 @@ def train_pq_numpy(
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     dsub = dim // m
-    books = []
-    for j in range(m):
-        sub = np.ascontiguousarray(X[:, j * dsub : (j + 1) * dsub])
-        cents = _lloyd_numpy(sub, min(ksub, n), seed + j, max_iter=max_iter)
-        books.append([[float(np.float32(x)) for x in c] for c in cents])
-    return books
+    # all m subspace k-means run through ONE batched Lloyd loop —
+    # bit-identical to the per-subspace calls (see _lloyd_numpy_multi's
+    # identity argument; pytest-pinned), ~2x less driver call overhead
+    # for the OPQ trainer's 8 x m inner trainings (r17)
+    subs = [
+        np.ascontiguousarray(X[:, j * dsub : (j + 1) * dsub])
+        for j in range(m)
+    ]
+    cents_all = _lloyd_numpy_multi(
+        subs, min(ksub, n), [seed + j for j in range(m)], max_iter
+    )
+    return [
+        [[float(np.float32(x)) for x in c] for c in cents]
+        for cents in cents_all
+    ]
 
 
 def pq_encode(
