@@ -52,6 +52,17 @@ def main(names=None):
     spark.sparkContext.setLogLevel("ERROR")
     def _connect():
         c = duckdb.connect()
+        # cap DuckDB's allocator: its default memory_limit (80% of RAM)
+        # assumes it owns the box, but this process also carries the
+        # Spark driver JVM and its Python workers — a full walk under
+        # the default died at ~entry 138 with a system-level "bad
+        # allocation" (r17). The cap must still clear the hungriest
+        # single twin: pagerank_similarity's iterative CTE peaks past
+        # 16 GB even at sf0.01 (measured — a 16 GB cap fails exactly
+        # there), so 48 GB bounds DuckDB well under the box while
+        # leaving it room; the spill dir catches what can spill.
+        c.execute("SET memory_limit='48GB'")
+        c.execute("PRAGMA temp_directory='/tmp/duckdb_oracle_spill'")
         for t in TABLES:
             c.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"

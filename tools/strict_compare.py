@@ -38,6 +38,12 @@ def main() -> int:
 
     def _connect():
         c = duckdb.connect()
+        # same allocator cap as check_oracle.py (r17): DuckDB's default
+        # memory_limit assumes it owns the box; alongside the Spark
+        # driver JVM a heavy twin can malloc-fail late in a full walk
+        # instead of spilling
+        c.execute("SET memory_limit='48GB'")
+        c.execute("PRAGMA temp_directory='/tmp/duckdb_oracle_spill'")
         for t in TABLES:
             c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
         return c
